@@ -1,0 +1,75 @@
+"""Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed twice: a warm-up pass (JVM/codegen warm, file
+listing cached) then a timed pass; the timed number is what a steady-
+state job on a warm cluster would see. `value` is total timed seconds
+across all queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cust_sagemaker_feature_store_spark import get_spark
+from cust_sagemaker_feature_store_spark.queries import REGISTRY
+
+# Headline set: feature-store core + heaviest relational/text/dedup ops.
+BENCH_QUERIES = [
+    "fs_time_range",
+    "fs_latest_snapshot",
+    "fs_asof_join",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "agg_orders_by_status",
+    "window_rank_orders",
+    "events_sessionize",
+    "events_tumbling_hourly",
+]
+
+
+def run_query(spec, spark, sf_dir: str) -> int:
+    df = spec.fn(spark, sf_dir)
+    # count() forces full execution of every operator while keeping the
+    # result on executors (no collect bottleneck in the measurement).
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        run_query(spec, spark, sf_dir)  # warm-up
+        t0 = time.time()
+        run_query(spec, spark, sf_dir)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Testdata catalog: schema-normalized loaders for the driver tables.
+
+The driver provides a TPC-H-ish star schema plus `events`, `documents`
+and `embeddings` (TESTDATA.md). Two normalizations happen here and
+nowhere else, so every operator sees clean types:
+
+- `events.ts` arrives as parquet TIMESTAMP(NANOS) which Spark cannot
+  read natively; with `nanosAsLong` it surfaces as a long that we
+  floor-divide to microseconds — bit-identical to DuckDB's own ns->us
+  truncation, so oracle comparisons stay exact.
+- everything else is read as-is; schemas are explicit in TESTDATA.md and
+  stable, so no inference pass is needed.
+
+At 100 TB these would be external catalog tables (Delta/Iceberg) rather
+than ad-hoc parquet paths; `register_views` mirrors that by exposing
+every table to spark.sql under its canonical name.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table with normalized column types.
+
+    Sets the two session confs the engine's semantics depend on — safe
+    to set at runtime, and required when the caller (e.g. the driver)
+    built its own SparkSession: UTC so ISO-8601-Z formatting is
+    zone-stable, nanosAsLong so TIMESTAMP(NANOS) parquet is readable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as long; truncate to micros with
+        # *integer* division — a double round-trip at ~1.7e18 ns loses
+        # sub-microsecond precision and can shift the truncated value.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every driver table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

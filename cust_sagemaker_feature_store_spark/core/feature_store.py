@@ -1,0 +1,182 @@
+"""FeatureStore: dual-store semantics on Parquet + DataFrames.
+
+Re-implements the reference's managed dual store (SURVEY.md §1.1)
+Spark-natively:
+
+- offline store — append-only full history as Snappy Parquet
+  (reference: setup.sh:86,139-141), here partitioned by `event_date`:
+  the reference's flat S3 layout forces a full scan per time-range query
+  (reference: setup.sh:140); date partitioning turns the canonical
+  BETWEEN query (reference: historical_features.py:31) into a partition-
+  pruned scan — the single biggest 100 TB lever (SURVEY.md §4).
+- online store — a *derived* latest-record-per-key view (reference
+  semantics at update_feature_store.py:26-47, real_time_inference.py:16-19),
+  computed by operators.latest; optionally materialized for point
+  lookups.
+
+Every ingested row gets a monotone `ingest_seq` so "later write wins
+ties" (public SageMaker behavior the reference relies on) is
+deterministic and replay-order-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.casts import double_with_default, row_to_record
+from ..functions.timeutil import format_iso_z, parse_iso_z, parse_loose_timestamp
+from ..operators.latest import latest_snapshot
+from .feature_group import FeatureGroup
+
+INGEST_SEQ_COL = "ingest_seq"
+EVENT_TS_COL = "event_ts"  # typed twin of the string event-time column
+EVENT_DATE_COL = "event_date"  # partition column
+
+
+class FeatureStore:
+    """Catalog of feature groups plus their offline materializations."""
+
+    def __init__(self, spark: SparkSession, root_path: str):
+        self.spark = spark
+        self.root_path = root_path
+        self._groups: dict[str, FeatureGroup] = {}
+
+    # -- catalog -----------------------------------------------------------
+
+    def create_feature_group(self, group: FeatureGroup) -> FeatureGroup:
+        if group.name in self._groups:
+            raise ValueError(f"feature group {group.name!r} already exists")
+        self._groups[group.name] = group
+        return group
+
+    def describe_feature_group(self, name: str) -> FeatureGroup:
+        return self._groups[name]
+
+    def list_feature_groups(self) -> list[str]:
+        return sorted(self._groups)
+
+    def delete_feature_group(self, name: str) -> None:
+        """Drop catalog entry (cleanup path — reference: cleanup.sh:43-60)."""
+        self._groups.pop(name, None)
+
+    def offline_path(self, name: str) -> str:
+        return os.path.join(self.root_path, name, "offline")
+
+    # -- ingest (S5/S6 + F1/F3) -------------------------------------------
+
+    def ingest(
+        self,
+        name: str,
+        df: DataFrame,
+        loose_timestamp: bool = False,
+        base_seq: int = 0,
+    ) -> DataFrame:
+        """Append a batch to the offline store (append-only history).
+
+        Normalizes the event-time column to the ISO-8601-Z wire string
+        plus a typed timestamp twin, assigns a monotone ingest sequence,
+        and appends Snappy Parquet partitioned by event_date. The
+        reference's row-at-a-time put_record loop (reference:
+        update_feature_store.py:56-58) collapses into one distributed
+        append.
+        """
+        group = self._groups[name]
+        df = group.validate_frame(df)
+        tcol = group.event_time_feature
+        ts = (
+            parse_loose_timestamp(tcol)
+            if loose_timestamp
+            else parse_iso_z(tcol)
+        )
+        out = (
+            df.withColumn(EVENT_TS_COL, ts)
+            .withColumn(tcol, format_iso_z(EVENT_TS_COL))
+            .withColumn(EVENT_DATE_COL, F.to_date(F.col(EVENT_TS_COL)))
+            # monotonically_increasing_id is unique and ascending within a
+            # batch partition ordering; offset by base_seq across batches.
+            .withColumn(
+                INGEST_SEQ_COL,
+                F.monotonically_increasing_id() + F.lit(base_seq),
+            )
+        )
+        out.write.partitionBy(EVENT_DATE_COL).mode("append").parquet(
+            self.offline_path(name), compression="snappy"
+        )
+        return out
+
+    # -- offline reads (S4, P1, P2) ---------------------------------------
+
+    def offline_store(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.offline_path(name))
+
+    def history_between(
+        self, name: str, lo_iso: str, hi_iso: str, columns: list[str] | None = None
+    ) -> DataFrame:
+        """The reference's canonical offline query: projection + string
+        BETWEEN, inclusive both ends (reference:
+        historical_features.py:28-31). The string compare is kept —
+        ISO-8601-Z sorts identically to the instants — while the
+        event_date partition column lets Catalyst prune to the date
+        range instead of scanning all history."""
+        group = self._groups[name]
+        tcol = group.event_time_feature
+        df = self.offline_store(name).filter(
+            (F.col(EVENT_DATE_COL) >= F.lit(lo_iso[:10]))
+            & (F.col(EVENT_DATE_COL) <= F.lit(hi_iso[:10]))
+            & F.col(tcol).between(lo_iso, hi_iso)
+        )
+        return df.select(*(columns or group.feature_names))
+
+    # -- online view (A1, P3, P4) -----------------------------------------
+
+    def latest_view(self, name: str) -> DataFrame:
+        """Latest record per key — the online store's contents."""
+        group = self._groups[name]
+        return latest_snapshot(
+            self.offline_store(name).select(
+                *group.feature_names, EVENT_TS_COL, INGEST_SEQ_COL
+            ),
+            key_cols=group.record_identifier,
+            event_time_col=group.event_time_feature,
+            tie_breaker=INGEST_SEQ_COL,
+        ).select(*group.feature_names)
+
+    def get_record(
+        self, name: str, record_identifier_value
+    ) -> list[dict[str, str]] | None:
+        """Point lookup: 0-or-1 latest record for a key, in the
+        reference's wire shape (reference: real_time_inference.py:16-25).
+        Returns None when the key is absent (reference:
+        real_time_inference.py:20-22)."""
+        group = self._groups[name]
+        rows = (
+            self.latest_view(name)
+            .filter(F.col(group.record_identifier) == F.lit(record_identifier_value))
+            .limit(1)
+            .collect()
+        )
+        return row_to_record(rows[0]) if rows else None
+
+    def feature_vector(
+        self,
+        name: str,
+        record_identifier_value,
+        feature_cols: list[str],
+        default: float = 0.0,
+    ) -> list[float]:
+        """P4/F5: numeric features for a key with missing->default
+        (reference: real_time_inference.py:47)."""
+        group = self._groups[name]
+        row = (
+            self.latest_view(name)
+            .filter(F.col(group.record_identifier) == F.lit(record_identifier_value))
+            .select(*[double_with_default(c, default).alias(c) for c in feature_cols])
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            return [default] * len(feature_cols)
+        return [row[0][c] for c in feature_cols]

@@ -1,0 +1,10 @@
+"""Declared query surface. Importing this package registers every
+query module into REGISTRY (consumed by __spark_entry__.py and bench)."""
+
+from .registry import REGISTRY, QuerySpec
+
+from . import feature_store_q  # noqa: E402,F401
+from . import relational_q  # noqa: E402,F401
+from . import events_q  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec"]

@@ -1,0 +1,176 @@
+"""Event-stream query surface: lag/lead, rolling frames, tumbling
+windows, sessionization, JSON extraction (SURVEY.md §2.5, §2.8, §2.9).
+
+These are the batch twins of the streaming feature-engineering path
+(`streaming/`): identical window semantics, oracle-checkable here.
+Timestamp arithmetic uses integer microseconds (`unix_micros` /
+`epoch_us`) on both sides so gap comparisons are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, iso, register, sql_dsum, sql_iso
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+""",
+    description="JSON path extraction from the semi-structured props column (SURVEY.md §2.8 [EXT]).",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("prop_k", k)
+        .filter(F.col("prop_k") >= 50)
+        .select("event_id", "user_id", "event_type", "prop_k")
+    )
+
+
+@register(
+    "events_lag_lead",
+    oracle=f"""
+SELECT event_id, user_id,
+       {sql_iso('ts')} AS event_time, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    description="lag/lead per user in event-time order — per-entity feature deltas (SURVEY.md §2.5 [EXT]).",
+)
+def events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        iso("ts").alias("event_time"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "events_rolling_agg",
+    oracle=f"""
+SELECT event_id, user_id, {sql_iso('ts')} AS event_time,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)/100.0 AS rolling_sum_3,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_total
+FROM events
+""",
+    description="Rolling 3-row and running-total frames per user, exact integer-cents arithmetic.",
+)
+def events_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    last3 = base.rowsBetween(-2, Window.currentRow)
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        iso("ts").alias("event_time"),
+        (F.sum(cents).over(last3) / 100.0).alias("rolling_sum_3"),
+        (F.sum(cents).over(running) / 100.0).alias("running_total"),
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%SZ') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 2)} AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    description=(
+        "Tumbling 1-hour event-time windows via F.window — the batch twin "
+        "of the streaming windowed aggregate (SURVEY.md §2.9 [EXT])."
+    ),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            iso("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       {sql_iso('MIN(ts)')} AS session_start,
+       {sql_iso('MAX(ts)')} AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 2)} AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    description=(
+        "Gap-based sessionization (30-min inactivity): lag + cumulative-sum "
+        "session ids, then per-session aggregates — the batch twin of a "
+        "session_window streaming aggregate."
+    ),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > SESSION_GAP_US, F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = gaps.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        iso(F.min("ts")).alias("session_start"),
+        iso(F.max("ts")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("session_value"),
+    )

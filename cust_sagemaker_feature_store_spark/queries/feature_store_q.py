@@ -1,0 +1,158 @@
+"""Feature-store query surface (SURVEY.md §2.1-2.4, §2.3 [EXT] as-of).
+
+The `events` table plays the role of a feature group: record identifier
+`user_id`, event time `ts` (SURVEY.md §7.1 step 3 — the reference's
+historical query semantics re-keyed onto driver testdata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..operators.latest import latest_snapshot_window
+from .registry import iso, register, sql_iso
+
+TIME_LO = "2024-01-05T00:00:00Z"
+TIME_HI = "2024-01-20T23:59:59Z"
+
+
+@register(
+    "fs_time_range",
+    oracle=f"""
+SELECT event_id, user_id, event_type, value,
+       {sql_iso('ts')} AS event_time
+FROM events
+WHERE {sql_iso('ts')} BETWEEN '{TIME_LO}' AND '{TIME_HI}'
+""",
+    description=(
+        "P1 projection + P2 inclusive BETWEEN on the ISO-8601-Z string "
+        "event time — the reference's canonical offline query "
+        "(reference: historical_features.py:28-31)."
+    ),
+)
+def fs_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_time", iso("ts"))
+        .filter(F.col("event_time").between(TIME_LO, TIME_HI))
+        .select("event_id", "user_id", "event_type", "value", "event_time")
+    )
+
+
+_LATEST_ORACLE = f"""
+SELECT user_id, event_id, event_type, value, {sql_iso('ts')} AS event_time
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register(
+    "fs_latest_snapshot",
+    oracle=_LATEST_ORACLE,
+    description=(
+        "A1 latest-record-per-key — the online store's contents "
+        "(reference: update_feature_store.py:26-47); event_id is the "
+        "deterministic later-write-wins tie-break."
+    ),
+)
+def fs_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_snapshot_window(ev, "user_id", "ts", tie_breaker="event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
+    )
+
+
+@register(
+    "fs_point_lookup",
+    oracle=f"""
+SELECT user_id, event_type,
+       COALESCE(value, 0.0) AS value,
+       {sql_iso('ts')} AS event_time
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND user_id = 7
+""",
+    description=(
+        "P3 key point lookup over the latest view + P4 missing-value "
+        "default (reference: real_time_inference.py:16-22,47)."
+    ),
+)
+def fs_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_snapshot_window(ev, "user_id", "ts", tie_breaker="event_id")
+    return latest.filter(F.col("user_id") == 7).select(
+        "user_id",
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        iso("ts").alias("event_time"),
+    )
+
+
+@register(
+    "fs_asof_join",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+         c.click_ts, c.click_value,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+)
+SELECT purchase_id, user_id,
+       {sql_iso('purchase_ts')} AS purchase_time, purchase_value,
+       {sql_iso('click_ts')} AS last_click_time, click_value AS last_click_value
+FROM j WHERE rn = 1
+""",
+    description=(
+        "[EXT] point-in-time (as-of) join — for each purchase event, the "
+        "user's latest click at or before it (SURVEY.md §2.3); the "
+        "canonical feature-store retrieval the reference approximates "
+        "with a global BETWEEN (reference: historical_features.py:28-31)."
+    ),
+)
+def fs_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        probe,
+        feat,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        how="left",
+        tie_breaker="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("click_ts").alias("last_click_time"),
+        F.col("click_value").alias("last_click_value"),
+    )

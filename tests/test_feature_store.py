@@ -1,0 +1,140 @@
+"""Feature-store semantics tests (SURVEY.md §5.2-5.4): append-only
+offline history, latest-wins online view, ties/late records, point
+lookup with defaults, timestamp normalization round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from cust_sagemaker_feature_store_spark.core import (
+    FeatureDefinition,
+    FeatureGroup,
+    FeatureStore,
+)
+from cust_sagemaker_feature_store_spark.functions import (
+    format_iso_z,
+    parse_loose_timestamp,
+)
+from pyspark.sql import functions as F
+
+GROUP = FeatureGroup(
+    name="CustomerTransactions",
+    record_identifier="customer_id",
+    event_time_feature="event_time",
+    features=(
+        FeatureDefinition("customer_id", "Integral"),
+        FeatureDefinition("event_time", "String"),
+        FeatureDefinition("latest_purchase_value", "Fractional"),
+        FeatureDefinition("latest_loyalty_score", "Fractional"),
+    ),
+)
+
+ROWS = [
+    # (customer_id, event_time, purchase_value, loyalty_score)
+    (1, "2022-01-02T07:43:18Z", 10.0, 0.5),
+    (1, "2022-03-01T00:00:00Z", 20.0, 0.6),  # latest for key 1
+    (2, "2022-02-01T12:00:00Z", 30.0, 0.7),
+    (2, "2022-02-01T12:00:00Z", 31.0, 0.8),  # tie: later write wins
+    (3, "2022-05-05T05:05:05Z", 40.0, 0.9),
+]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    fs = FeatureStore(spark, str(tmp_path / "store"))
+    fs.create_feature_group(GROUP)
+    df = spark.createDataFrame(
+        ROWS, "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double"
+    )
+    fs.ingest(GROUP.name, df)
+    return fs
+
+
+def test_offline_is_append_only(store):
+    # every ingested record lands in history (reference contract:
+    # setup.sh:86 offline store keeps the full history)
+    assert store.offline_store(GROUP.name).count() == len(ROWS)
+    # a second ingest of one record appends, never overwrites
+    extra = store.spark.createDataFrame(
+        [(1, "2022-01-01T00:00:00Z", 5.0, 0.1)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    store.ingest(GROUP.name, extra, base_seq=1_000_000)
+    assert store.offline_store(GROUP.name).count() == len(ROWS) + 1
+
+
+def test_latest_view_one_row_per_key(store):
+    latest = store.latest_view(GROUP.name)
+    assert latest.count() == 3  # distinct keys
+    by_key = {r["customer_id"]: r for r in latest.collect()}
+    assert by_key[1]["latest_purchase_value"] == 20.0
+    # tie on event_time: the later write (higher ingest_seq) wins —
+    # public SageMaker behavior the reference relies on (SURVEY.md §1.4)
+    assert by_key[2]["latest_purchase_value"] == 31.0
+
+
+def test_late_record_never_surfaces_online(store):
+    # a record older than the stored one lands in history but does not
+    # change the online view (reference late-data semantic, SURVEY.md §2.9)
+    late = store.spark.createDataFrame(
+        [(3, "2022-01-01T00:00:00Z", 99.0, 0.0)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    store.ingest(GROUP.name, late, base_seq=2_000_000)
+    row = [r for r in store.latest_view(GROUP.name).collect() if r["customer_id"] == 3]
+    assert row[0]["latest_purchase_value"] == 40.0
+
+
+def test_history_between_string_semantics(store):
+    # inclusive BETWEEN on the ISO string (reference: historical_features.py:31)
+    out = store.history_between(
+        GROUP.name, "2022-01-01T00:00:00Z", "2022-02-28T23:59:59Z"
+    )
+    assert sorted(r["customer_id"] for r in out.collect()) == [1, 2, 2]
+
+
+def test_point_lookup_and_defaults(store):
+    rec = store.get_record(GROUP.name, 1)
+    d = {f["FeatureName"]: f["ValueAsString"] for f in rec}
+    assert d["latest_purchase_value"] == "20.0"
+    assert store.get_record(GROUP.name, 999) is None  # absent key -> None
+    # absent key -> all-defaults vector (reference: real_time_inference.py:47)
+    assert store.feature_vector(GROUP.name, 999, ["latest_purchase_value"]) == [0.0]
+
+
+def test_latest_view_subset_of_history(store):
+    hist = set(
+        (r["customer_id"], r["event_time"])
+        for r in store.offline_store(GROUP.name).collect()
+    )
+    for r in store.latest_view(GROUP.name).collect():
+        assert (r["customer_id"], r["event_time"]) in hist
+
+
+def test_schema_enforcement(store, spark):
+    bad = spark.createDataFrame([(1, "2022-01-01T00:00:00Z")], "customer_id long, event_time string")
+    with pytest.raises(ValueError, match="missing feature columns"):
+        store.ingest(GROUP.name, bad)
+    unknown = spark.createDataFrame(
+        [(1, "2022-01-01T00:00:00Z", 1.0, 1.0, "x")],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double, extra string",
+    )
+    with pytest.raises(ValueError, match="unknown feature columns"):
+        store.ingest(GROUP.name, unknown)
+
+
+def test_loose_timestamp_roundtrip(spark):
+    # F1/F3: '2022-01-02 7:43:18' (unpadded hour, reference:
+    # test_task_data.csv:2) -> ISO-8601-Z
+    df = spark.createDataFrame([("2022-01-02 7:43:18",)], "raw string")
+    out = df.select(format_iso_z(parse_loose_timestamp("raw")).alias("iso")).collect()
+    assert out[0]["iso"] == "2022-01-02T07:43:18Z"
+
+
+def test_partitioned_by_event_date(store):
+    # date partitioning is the 100 TB pruning lever (SURVEY.md §4)
+    import os
+
+    root = store.offline_path(GROUP.name)
+    parts = [p for p in os.listdir(root) if p.startswith("event_date=")]
+    assert len(parts) >= 4
