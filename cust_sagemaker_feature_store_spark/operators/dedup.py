@@ -1,0 +1,188 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.10 [EXT]).
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. exact row dedup        -> dropDuplicates (hash shuffle on the cols)
+2. exact content dedup    -> md5(normalized text), keep min id per hash
+3. near-dup, set overlap  -> word-shingle Jaccard via shingle-explode +
+                             self-join (exact but quadratic in bucket)
+4. near-dup at scale      -> MinHash banding: constant-size signature
+                             per doc, candidates = band-bucket join,
+                             then exact Jaccard only on candidates
+
+At 100 TB tier 3 alone is infeasible (the shingle self-join explodes on
+common shingles); tier 4 bounds the join to band buckets, giving the
+classic LSH trade-off. Signatures are built from md5 components
+(operators/text.minhash_value) so every tier stays oracle-checkable.
+SimHash is also provided (bit-vector of weighted token hashes) as the
+Hamming-distance variant.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import content_fingerprint, minhash_value, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Tier 1: drop exact duplicate rows (optionally on a column subset)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def content_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tier 2: group by normalized-content hash; one output row per
+    distinct content with the kept (minimum) id and duplicate count."""
+    return (
+        df.select(F.col(id_col), content_fingerprint(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the input relation for Jaccard
+    and MinHash."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Tier 3: exact word-k-gram Jaccard over all pairs sharing >=1
+    shingle. Output: doc_a, doc_b, intersection size, jaccard."""
+    sets_ = shingle_sets(df, text_col, id_col, k)
+    sizes = sets_.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sets_.alias("a"), sets_.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.shingle") == F.col(f"b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Tier 4a: per-doc MinHash signature, one md5-derived min per seed.
+    One narrow explode + one groupBy(doc) — shuffle carries only
+    (doc_id, 32-hex) pairs."""
+    sets_ = shingle_sets(df, text_col, id_col, k)
+    return sets_.groupBy(id_col).agg(
+        *[
+            F.min(minhash_value(F.col("shingle"), s)).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Tier 4b: LSH banding — hash `rows_per_band` signature components
+    per band; docs sharing any band bucket become candidate pairs.
+    Output: doc_a, doc_b, n_shared_bands."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"mh{bi * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens using xxhash64 bit votes.
+
+    Engine-native hash (not oracle-portable) — verified by property
+    tests (near-identical docs -> small Hamming distance), exposed as a
+    rows-only query. One narrow pass + one groupBy(doc).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    h = tok.withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{bit}")
+        for bit in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    fingerprint = reduce(
+        lambda acc, bit: acc.bitwiseOR(
+            F.when(
+                F.col(f"b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,88 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.10 [EXT]).
+
+All pure Column expressions over `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each has an exact SQL
+twin used by the DuckDB oracles (queries/text_q.py), so semantics are
+pinned by the correctness gate, not by convention.
+
+Design note for 100 TB: everything here is embarrassingly parallel
+(per-row narrow transforms). The only shuffles in the downstream
+queries are the groupBys on hash/shingle keys, which carry compact
+derived columns, never the raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny per-language stopword profiles for the rule-based language-ID
+# heuristic. Deliberately small and explicit: the heuristic is defined
+# BY these lists (same lists live in the SQL oracle).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+    "es": ("el", "la", "de", "y", "que", "en", "un"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the canonical token counter's base)."""
+    return F.split(F.trim(_col(text)), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: word pieces, numbers, or single
+    non-space symbols — a deterministic proxy for subword token counts."""
+    return F.regexp_extract_all(_col(text), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in `words` (not distinct)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    t = _col(text)
+    stripped = F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.length(t)
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles; documents shorter than k yield one shingle
+    (the whole token string), so no document silently drops out."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.when(n >= k, grams).otherwise(whole)
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Deterministic content hash of normalized text (lower+trim) —
+    exact-dedup key and document fingerprint."""
+    return F.md5(F.lower(F.trim(_col(text))))
+
+
+def minhash_value(shingle: Column, seed: int) -> Column:
+    """One MinHash component: md5(seed || '|' || shingle), minimized
+    lexicographically over a document's shingle set. md5 hex compares
+    identically in every engine, which makes signatures oracle-checkable
+    (unlike engine-specific hash() functions)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))

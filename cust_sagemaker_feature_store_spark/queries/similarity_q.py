@@ -1,0 +1,116 @@
+"""Similarity-search query surface over `embeddings`
+(SURVEY.md §2.10 [EXT]).
+
+Brute-force cosine top-k is the oracle-checkable baseline; the LSH and
+IVF variants are the approximate scale paths (rows-only checks — their
+semantics are 'approximation of the baseline', verified by recall
+tests in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import similarity as S
+from .registry import register
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+_COSINE_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {qid}
+), scored AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine_sim
+FROM scored
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=_COSINE_SQL.format(qid=QUERY_VEC_ID, k=TOP_K),
+    description=(
+        "Brute-force cosine top-k against a query vector — exact ANN "
+        "baseline; TakeOrderedAndProject keeps k rows per partition, no "
+        "corpus shuffle."
+    ),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _query_vector(spark, sf_dir), k=TOP_K)
+
+
+@register(
+    "sim_pairs_blocked",
+    oracle="""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.label,
+       a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.8
+""",
+    description=(
+        "Embedding near-dup pairs, label-blocked: all-pairs cosine >= 0.8 "
+        "inside each label block — the blocked (not quadratic-global) "
+        "exact form."
+    ),
+)
+def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", S.as_double("embedding").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        S.dot(F.col("a.e"), F.col("b.e"))
+        / (S.l2_norm(F.col("a.e")) * S.l2_norm(F.col("b.e"))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.8)
+    )
+
+
+@register(
+    "sim_lsh_ann_topk",
+    oracle=None,  # approximate: recall vs brute force asserted in tests
+    description="Approximate NN via BucketedRandomProjectionLSH, exact cosine re-rank of candidates (scale path).",
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, _query_vector(spark, sf_dir), k=TOP_K)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # approximate: recall vs brute force asserted in tests
+    description="IVF-style ANN: deterministic coarse centroids, probe nearest cells only (scale path).",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _query_vector(spark, sf_dir), k=TOP_K, n_lists=8, nprobe=4)

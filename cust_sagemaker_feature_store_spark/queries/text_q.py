@@ -1,0 +1,302 @@
+"""Text-analysis + dedup query surface over `documents`
+(SURVEY.md §2.10 [EXT]: the LLM-data-pipeline operators).
+
+Every oracle below re-states the operator's exact semantics in DuckDB
+SQL built from the same primitives (string_split_regex / md5 / list
+lambdas), so tokenization, shingling, MinHash and Jaccard are pinned
+bit-for-bit by the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators import text as T
+from .registry import register
+
+# -- shared DuckDB fragments (must mirror operators/text.py exactly) ----
+
+SQL_TOKS = r"string_split_regex(trim(text), '\s+')"
+SQL_BPE = r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')"
+
+# word 3-gram shingles; short docs yield one whole-text shingle
+SQL_SHINGLE_CTE = f"""
+tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks)-2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM tok
+),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return f"len(list_filter({SQL_TOKS}, x -> list_contains([{words}], x)))"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id, lang, n_chars,
+       length(text) AS n_chars_measured,
+       len({SQL_TOKS}) AS n_tokens,
+       len(list_distinct({SQL_TOKS})) AS n_uniq_tokens,
+       CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS}) AS ttr,
+       len({SQL_BPE}) AS n_bpe_tokens
+FROM documents
+""",
+    description="Per-document token/char statistics: whitespace + BPE-ish token counts, type-token ratio.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+        F.size(T.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         len({SQL_TOKS}) AS n_tokens,
+         len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           * 1.0 / len({SQL_TOKS}) AS stop_ratio,
+         CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS}) AS ttr
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_ratio, ttr,
+       (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+      + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+      + CASE WHEN ttr BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) / 3.0 AS quality_score
+FROM q
+WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+     + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+     + CASE WHEN ttr BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) / 3.0 >= 0.66
+""",
+    description="Rule-based quality scoring (length / stopword-ratio / type-token-ratio gates) + filter.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    stop_ratio = (
+        T.stopword_hits(toks, T.LANG_STOPWORDS["en"]) * F.lit(1.0) / n
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    score = (
+        F.when(n.between(20, 2000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when(ttr.between(0.1, 0.9), 1).otherwise(0)
+    ) / 3.0
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            stop_ratio.alias("stop_ratio"),
+            ttr.alias("ttr"),
+            score.alias("quality_score"),
+        )
+        .filter(F.col("quality_score") >= 0.66)
+    )
+
+
+_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_sql_hits('en')} AS hits_en,
+         {_sql_hits('de')} AS hits_de,
+         {_sql_hits('es')} AS hits_es,
+         {_sql_hits('fr')} AS hits_fr,
+         {_sql_hits('zh')} AS hits_zh
+  FROM documents
+)
+SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+       CASE
+         WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+         WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+         WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         WHEN hits_fr >= hits_zh THEN 'fr'
+         ELSE 'zh'
+       END AS pred_lang
+FROM s
+""",
+    description="Rule-based language ID: per-language stopword-profile hit counts, deterministic argmax.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    hits = {
+        lang: T.stopword_hits(toks, T.LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
+        for lang in _LANGS
+    }
+    scored = docs.select("doc_id", "lang", *hits.values())
+    h = {lang: F.col(f"hits_{lang}") for lang in _LANGS}
+    pred = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["zh"]),
+            "en",
+        )
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]) & (h["de"] >= h["zh"]), "de")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["zh"]), "es")
+        .when(h["fr"] >= h["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+@register(
+    "text_token_topk",
+    oracle=f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    description="Global token frequency top-20 (word count): explode + groupBy + deterministic top-k.",
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+       substr(md5(lower(trim(text))), 1, 4) AS hash_bucket
+FROM documents
+""",
+    description="Deterministic content fingerprint (md5 over normalized text) + coarse hash bucket.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.content_fingerprint("text")
+    return docs.select(
+        "doc_id", fp.alias("content_hash"), F.substring(fp, 1, 4).alias("hash_bucket")
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(lower(trim(text))) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+""",
+    description="Exact content dedup: normalized-text hash groups, keep min doc_id (SURVEY.md §2.10 [EXT]).",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.content_dedup_groups(docs)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
+""",
+    description="Near-dup detection: exact word-3-gram Jaccard >= 0.4 over pairs sharing a shingle.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.4)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE}
+SELECT doc_id,
+       MIN(md5('0|' || shingle)) AS mh0,
+       MIN(md5('1|' || shingle)) AS mh1,
+       MIN(md5('2|' || shingle)) AS mh2,
+       MIN(md5('3|' || shingle)) AS mh3
+FROM d GROUP BY doc_id
+""",
+    description="MinHash signatures (4 md5-derived components) — engine-portable, hence oracle-checkable.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, num_hashes=4)
+
+
+@register(
+    "dedup_minhash_candidates",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(md5('0|' || shingle)) AS mh0,
+         MIN(md5('1|' || shingle)) AS mh1,
+         MIN(md5('2|' || shingle)) AS mh2,
+         MIN(md5('3|' || shingle)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    description="MinHash LSH banding (2 bands x 2 rows): candidate near-dup pairs sharing a band bucket.",
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # engine-native xxhash64 — verified by property tests
+    description="64-bit SimHash fingerprints over tokens (rows-only: engine-native hash, see tests).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash64(docs)

@@ -1,0 +1,77 @@
+"""Property tests for the non-oracle LLM-pipeline operators: SimHash
+locality, ANN recall vs the brute-force baseline, Jaccard behavior on
+constructed near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cust_sagemaker_feature_store_spark.catalog import load_table
+from cust_sagemaker_feature_store_spark.operators import dedup as D
+from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_simhash_locality(spark):
+    base = "spark window join filter group sort merge hash scan table " * 5
+    near = base.replace("merge hash", "merge fast hash", 1)  # tiny edit
+    far = "completely different vocabulary about cooking pasta sauce " * 5
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash64(df).collect()}
+    assert hamming(got[0], got[1]) < hamming(got[0], got[2])
+    assert hamming(got[0], got[1]) <= 8  # near-identical -> close fingerprints
+
+
+def test_jaccard_pairs_find_near_dups(spark):
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    near = base + " extra"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, "x y z entirely different words here")],
+        "doc_id long, text string",
+    )
+    pairs = D.jaccard_pairs(df, threshold=0.4).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] > 0.8
+
+
+def test_minhash_candidates_cover_jaccard_pairs(spark, sf_dir):
+    # LSH candidates must include every high-jaccard pair found exactly
+    # (2 bands x 2 rows at j>=0.9 -> P[miss] = (1-j^2)^2 < 4%; the
+    # driver data's near-dups are byte-prefix copies with j ~ 1)
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_candidates(docs).collect()
+    }
+    missed = exact - cand
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()]
+    lsh = [r["vec_id"] for r in S.lsh_ann_topk(emb, q, k=10).collect()]
+    ivf = [r["vec_id"] for r in S.ivf_topk(emb, q, k=10, n_lists=8, nprobe=4).collect()]
+    assert len(set(exact) & set(lsh)) >= 5  # recall@10 >= 0.5
+    assert len(set(exact) & set(ivf)) >= 3  # coarse probe, lower bar
+    assert exact[0] == 0  # the query vector itself is its own 1-NN
+
+
+def test_cosine_self_similarity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    sims = emb.select(
+        F.round(
+            S.cosine(S.as_double("embedding"), S.as_double("embedding")), 6
+        ).alias("s")
+    ).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-6 for r in sims)
