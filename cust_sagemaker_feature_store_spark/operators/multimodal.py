@@ -1,0 +1,125 @@
+"""Multimodal column support (SURVEY.md §2.10 [EXT]).
+
+Images/audio/video are opaque `binary` columns with a typed metadata
+struct; all Spark-side plumbing — schema, partition-preserving
+mapInPandas, Arrow batch shapes — is real and tested. The actual codec
+work (decode, resize, frame-sample, feature-extract) is a per-batch
+Python function; in this container the media libraries are absent, so
+the default codec is a clearly-marked deterministic fake and
+`decode_media(..., strict=True)` raises NotImplementedError to show
+exactly where a real libvips/ffmpeg/PIL hook goes.
+
+At 100 TB: media bytes never shuffle — mapInPandas is a narrow
+transform over the scan, and derived features (small fixed-size
+vectors) are what downstream joins/aggregations carry.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_channels", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("feature_vec", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: byte-histogram moments
+    folded into `dim` floats. Stable across runs/partitions, so tests
+    can assert exact values. NOT a real embedding."""
+    if not content:
+        return [0.0] * dim
+    acc = [0] * dim
+    for i, b in enumerate(content):
+        acc[i % dim] = (acc[i % dim] + b) % 100_000
+    n = len(content)
+    return [round(a / n, 6) for a in acc]
+
+
+def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]:
+    """The codec hook. strict=True is the production path: plug in
+    PIL/libsndfile/ffmpeg here; this container has none of them."""
+    if strict:
+        raise NotImplementedError(
+            "real media decoding requires PIL/libsndfile/ffmpeg, not present "
+            "in this environment; wire the codec here"
+        )
+    return fake_decode_features(content)
+
+
+def extract_media_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, narrow (no
+    shuffle), media bytes dropped from the output so only compact
+    features flow downstream."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # bound per-batch memory: media rows are large
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                out = pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "n_bytes": chunk["content"].map(
+                            lambda c: 0 if c is None else len(c)
+                        ),
+                        "content_hash": chunk["content"].map(
+                            lambda c: hashlib.md5(c or b"").hexdigest()
+                        ),
+                        "feature_vec": chunk.apply(
+                            lambda r: decode_media(r["content"], r["kind"]), axis=1
+                        ),
+                    }
+                )
+                yield out
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: passes bytes through the same narrow
+    mapInPandas shape a real resize would use; records the requested
+    geometry in meta. Codec intentionally absent (see module docstring)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["meta"] = pdf["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -1,0 +1,51 @@
+"""Sources (SURVEY.md §2.1 S1-S4): explicit-schema readers.
+
+The reference reads its ingestion CSV with pandas type inference
+(reference: update_feature_store.py:9-10) and the Athena result CSV as
+all-quoted strings (reference: historical_features.py:66). Here every
+reader takes an explicit schema — inference is nondeterministic at
+100 TB (it scans data to guess) and the feature-group contract is
+schema-fixed anyway (SURVEY.md §1.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# A1 fixture shape — reference: test_task_data.csv header
+PURCHASE_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("purchase_timestamp", T.StringType()),  # loose format, parsed by F1
+        T.StructField("purchase_value", T.DoubleType()),
+        T.StructField("loyalty_score", T.DoubleType()),
+    ]
+)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """S1: CSV scan with a declared schema (no inference pass)."""
+    return spark.read.csv(path, header=header, schema=schema)
+
+
+def read_quoted_csv_as_strings(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """S2: all-quoted query-result CSV — every field lands as a string
+    (the reference's Athena result shape), caller casts explicitly."""
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """[EXT] JSON-lines source with declared schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S4: parquet scan (the offline-store read path)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,133 @@
+"""Streaming ingest: the dual-store upsert (SURVEY.md §2.9 ST1/ST2).
+
+The reference simulates a stream by replaying CSV rows one per second
+into put_record (reference: update_feature_store.py:56-58), which the
+managed service fans out to the online store (latest-wins upsert) and
+the offline store (async append). Spark-natively that is a file-source
+readStream with a foreachBatch sink doing both writes per micro-batch:
+
+- offline: append the batch to the history parquet (partitioned by
+  event_date — same layout as batch ingest, so batch and streaming
+  ingest are indistinguishable to readers);
+- online: recompute-or-merge the latest snapshot. We recompute from a
+  running in-memory union of batch snapshots merged with the stored
+  snapshot — at 100 TB this becomes a Delta/Iceberg MERGE INTO keyed
+  on the record identifier; the semantics (A1 latest-wins with
+  ingest_seq tie-break) are identical and tested equal to the batch
+  window form.
+
+Checkpointing gives exactly-once for the offline append; the snapshot
+merge is idempotent (same max row wins on replay).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.feature_group import FeatureGroup
+from ..core.feature_store import EVENT_DATE_COL, EVENT_TS_COL, INGEST_SEQ_COL
+from ..functions.timeutil import format_iso_z, parse_iso_z
+from ..operators.latest import latest_snapshot
+
+
+class StreamingIngest:
+    """File-source streaming ingestion for one feature group."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group: FeatureGroup,
+        input_dir: str,
+        store_root: str,
+    ):
+        self.spark = spark
+        self.group = group
+        self.input_dir = input_dir
+        self.offline_dir = os.path.join(store_root, group.name, "offline")
+        self.snapshot_dir = os.path.join(store_root, group.name, "online_snapshot")
+        self.checkpoint_dir = os.path.join(store_root, group.name, "_checkpoint")
+
+    # -- micro-batch sink --------------------------------------------------
+
+    def _normalize(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        tcol = self.group.event_time_feature
+        return (
+            self.group.validate_frame(batch)
+            .withColumn(EVENT_TS_COL, parse_iso_z(tcol))
+            .withColumn(tcol, format_iso_z(EVENT_TS_COL))
+            .withColumn(EVENT_DATE_COL, F.to_date(F.col(EVENT_TS_COL)))
+            # per-batch monotone sequence, offset by batch id so later
+            # micro-batches always win event-time ties (later-write-wins)
+            .withColumn(
+                INGEST_SEQ_COL,
+                F.monotonically_increasing_id() + F.lit(batch_id) * F.lit(1 << 40),
+            )
+        )
+
+    def _upsert_snapshot(self, normalized: DataFrame) -> None:
+        """MERGE-equivalent: union stored snapshot with the batch's own
+        latest rows, keep the per-key max (event_time, ingest_seq)."""
+        batch_latest = latest_snapshot(
+            normalized,
+            key_cols=self.group.record_identifier,
+            event_time_col=self.group.event_time_feature,
+            tie_breaker=INGEST_SEQ_COL,
+        )
+        try:
+            stored = self.spark.read.parquet(self.snapshot_dir)
+            merged_src = stored.unionByName(batch_latest)
+        except Exception:  # first batch: no snapshot yet
+            merged_src = batch_latest
+        merged = latest_snapshot(
+            merged_src,
+            key_cols=self.group.record_identifier,
+            event_time_col=self.group.event_time_feature,
+            tie_breaker=INGEST_SEQ_COL,
+        )
+        # write-then-swap (parquet has no transactional MERGE; Delta would)
+        tmp = self.snapshot_dir + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.snapshot_dir)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        normalized = self._normalize(batch, batch_id)
+        normalized.persist()
+        try:
+            normalized.write.partitionBy(EVENT_DATE_COL).mode("append").parquet(
+                self.offline_dir, compression="snappy"
+            )
+            self._upsert_snapshot(normalized)
+        finally:
+            normalized.unpersist()
+
+    # -- stream wiring -----------------------------------------------------
+
+    def start(self, trigger_once: bool = True):
+        """ST1/ST2: readStream over the input directory -> foreachBatch
+        dual-store sink. `trigger_once` processes all available input and
+        stops (the test/replay mode); continuous mode just drops it."""
+        stream = (
+            self.spark.readStream.schema(self.group.schema)
+            .option("maxFilesPerTrigger", 1)
+            .csv(self.input_dir, header=True)
+        )
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- read sides --------------------------------------------------------
+
+    def offline_store(self) -> DataFrame:
+        return self.spark.read.parquet(self.offline_dir)
+
+    def online_snapshot(self) -> DataFrame:
+        return self.spark.read.parquet(self.snapshot_dir).select(
+            *self.group.feature_names
+        )

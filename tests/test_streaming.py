@@ -1,0 +1,151 @@
+"""Streaming ingest + windowed aggregation tests (SURVEY.md §2.9).
+
+The dual-store contract under micro-batched arrival: offline history
+equals total input (append-only), online snapshot equals the batch
+latest-view over the same records — i.e. streaming and batch ingest are
+semantically indistinguishable, including out-of-order arrival across
+micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cust_sagemaker_feature_store_spark.core import FeatureDefinition, FeatureGroup
+from cust_sagemaker_feature_store_spark.operators.latest import latest_snapshot_window
+from cust_sagemaker_feature_store_spark.streaming import (
+    StreamingIngest,
+    session_agg,
+    tumbling_agg,
+)
+
+GROUP = FeatureGroup(
+    name="StreamedTransactions",
+    record_identifier="customer_id",
+    event_time_feature="event_time",
+    features=(
+        FeatureDefinition("customer_id", "Integral"),
+        FeatureDefinition("event_time", "String"),
+        FeatureDefinition("latest_purchase_value", "Fractional"),
+        FeatureDefinition("latest_loyalty_score", "Fractional"),
+    ),
+)
+
+# three files = three micro-batches (maxFilesPerTrigger=1); batch 3
+# carries a LATE record for key 1 (older than batch 1's) — it must land
+# offline but not change the online snapshot
+BATCHES = [
+    [
+        "customer_id,event_time,latest_purchase_value,latest_loyalty_score",
+        "1,2022-03-01T00:00:00Z,20.0,0.6",
+        "2,2022-02-01T12:00:00Z,30.0,0.7",
+    ],
+    [
+        "customer_id,event_time,latest_purchase_value,latest_loyalty_score",
+        "2,2022-02-01T12:00:00Z,31.0,0.8",  # tie -> later batch wins
+        "3,2022-05-05T05:05:05Z,40.0,0.9",
+    ],
+    [
+        "customer_id,event_time,latest_purchase_value,latest_loyalty_score",
+        "1,2022-01-02T07:43:18Z,10.0,0.5",  # late for key 1
+    ],
+]
+
+
+def test_streaming_dual_store(spark, tmp_path):
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    for i, lines in enumerate(BATCHES):
+        p = input_dir / f"batch_{i}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        # Spark's file source orders micro-batches by modification time;
+        # pin distinct mtimes so arrival order == intended batch order
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ingest = StreamingIngest(spark, GROUP, str(input_dir), str(tmp_path / "store"))
+    q = ingest.start(trigger_once=True)
+    q.awaitTermination(120)
+
+    # offline history is append-only: every input record present
+    offline = ingest.offline_store()
+    assert offline.count() == 5
+
+    # online snapshot == batch latest-view over the full history
+    snap = {r["customer_id"]: r for r in ingest.online_snapshot().collect()}
+    assert len(snap) == 3
+    assert snap[1]["latest_purchase_value"] == 20.0  # late record ignored
+    assert snap[2]["latest_purchase_value"] == 31.0  # tie -> later batch won
+    assert snap[3]["latest_purchase_value"] == 40.0
+
+    batch_equiv = latest_snapshot_window(
+        offline, "customer_id", "event_time", tie_breaker="ingest_seq"
+    ).select(*GROUP.feature_names)
+    assert sorted(map(tuple, batch_equiv.collect())) == sorted(
+        map(tuple, ingest.online_snapshot().collect())
+    )
+
+    # exactly-once restart: re-running the stream over the same input
+    # (same checkpoint) must not duplicate history
+    q2 = ingest.start(trigger_once=True)
+    q2.awaitTermination(120)
+    assert ingest.offline_store().count() == 5
+
+
+def _event_stream(spark, tmp_path):
+    rows = [
+        "event_id,ts,user_id,event_type,value",
+        "1,2024-01-01 00:05:00,1,click,10.00",
+        "2,2024-01-01 00:20:00,1,click,5.00",
+        "3,2024-01-01 01:10:00,1,purchase,100.00",
+        "4,2024-01-01 00:30:00,2,view,1.00",
+    ]
+    d = tmp_path / "events_in"
+    d.mkdir()
+    (d / "e.csv").write_text("\n".join(rows) + "\n")
+    return spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).csv(str(d), header=True)
+
+
+def test_streaming_tumbling_window(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    agg = tumbling_agg(stream, window_size="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 15.0)
+    assert got[("2024-01-01 01:00:00", "purchase")] == (1, 100.0)
+    assert got[("2024-01-01 00:00:00", "view")] == (1, 1.0)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    agg = session_agg(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events at 00:05 and 00:20 chain one session (gap < 30m);
+    # 01:10 starts a new one
+    assert len(by_user[1]) == 2
+    assert sorted(s["n_events"] for s in by_user[1]) == [1, 2]
+    assert len(by_user[2]) == 1
