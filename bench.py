@@ -24,6 +24,7 @@ from cust_sagemaker_feature_store_spark.queries import REGISTRY
 BENCH_QUERIES = [
     "fs_time_range",
     "fs_latest_snapshot",
+    "fs_latest_snapshot_maxby",
     "fs_asof_join",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -32,6 +33,11 @@ BENCH_QUERIES = [
     "window_rank_orders",
     "events_sessionize",
     "events_tumbling_hourly",
+    "udf_user_zscore",
+    "text_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_candidates",
+    "sim_cosine_topk",
 ]
 
 

@@ -6,23 +6,45 @@ before the probe time. The reference approximates this with a global
 time-range filter plus client-side sort (reference:
 historical_features.py:28-31,67-68); we implement the real thing.
 
-Two strategies:
+Three strategies, one semantics (pinned by the shared DuckDB oracle):
 
-- `asof_join` — join on key with a range predicate, then keep the max
-  feature time per probe row via max_by. Partial aggregation keeps the
-  shuffle bounded by probe rows; AQE handles the skew. Right default
-  for wide time ranges.
-- `asof_join_union` — the union-and-sort technique: tag probes and
-  features, union, and use a single `last(value, ignorenulls)` window
-  ordered by time per key. One shuffle, no join blow-up; the scale path
-  when one entity has many probes AND many feature rows (the join form
-  would materialize their cross product before aggregating).
+- `asof_join` (default) — ONE left join on the key + range predicate,
+  then `row_number()==1` per probe row ordered by feature time desc.
+  Spark's WindowGroupLimit pushes the rank<=1 limit map-side, and left
+  semantics come for free (the unmatched row is its own rank-1), so the
+  whole thing is join + one exchange. Small feature side broadcasts.
+- `asof_join_agg` — inner join + partial max_by aggregation; shuffles
+  only (probe, best-feature) pairs, at the cost of a second join to
+  reattach unmatched probes. Wins when probes match MANY feature rows
+  (partial agg collapses them before the exchange).
+- `asof_join_union` — union-and-window: tag both sides, one shuffle on
+  the key, `last(ignorenulls)` carries features forward. No join at
+  all; the scale path when one entity has many probes AND many feature
+  rows (a join would materialize the cross product).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _range_condition(
+    keys: list[str],
+    probe_time: str,
+    feature_time: str,
+    tolerance_seconds: int | None,
+) -> Column:
+    cond = F.col(f"__f.{feature_time}") <= F.col(f"__p.{probe_time}")
+    if tolerance_seconds is not None:
+        cond = cond & (
+            F.col(f"__f.{feature_time}")
+            >= F.col(f"__p.{probe_time}")
+            - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        )
+    for k in keys:
+        cond = (F.col(f"__p.{k}") == F.col(f"__f.{k}")) & cond
+    return cond
 
 
 def asof_join(
@@ -45,41 +67,62 @@ def asof_join(
     how='left'.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    f = features
-    payload = [c for c in f.columns if c not in keys]
-    cond = F.col(f"__f.{feature_time}") <= F.col(f"__p.{probe_time}")
-    if tolerance_seconds is not None:
-        cond = cond & (
-            F.col(f"__f.{feature_time}")
-            >= F.col(f"__p.{probe_time}") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+    payload = [c for c in features.columns if c not in keys]
+    p, fa = probe.alias("__p"), features.alias("__f")
+    joined = p.join(
+        fa, _range_condition(keys, probe_time, feature_time, tolerance_seconds), how
+    )
+    order = [F.col(f"__f.{feature_time}").desc_nulls_last()]
+    if tie_breaker:
+        order.append(F.col(f"__f.{tie_breaker}").desc_nulls_last())
+    w = Window.partitionBy(*[F.col(f"__p.{c}") for c in probe.columns]).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(f"__p.{c}").alias(c) for c in probe.columns],
+            *[F.col(f"__f.{c}").alias(c) for c in payload],
         )
-    p, fa = probe.alias("__p"), f.alias("__f")
-    join_cond = cond
-    for k in keys:
-        join_cond = (F.col(f"__p.{k}") == F.col(f"__f.{k}")) & join_cond
-    joined = p.join(fa, join_cond, "inner")
+    )
 
+
+def asof_join_agg(
+    probe: DataFrame,
+    features: DataFrame,
+    on: str | list[str],
+    probe_time: str,
+    feature_time: str,
+    how: str = "left",
+    tolerance_seconds: int | None = None,
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """max_by variant: partial aggregation collapses the per-probe
+    candidate set map-side before the shuffle — prefer when probes
+    match many feature rows each."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in features.columns if c not in keys]
+    p, fa = probe.alias("__p"), features.alias("__f")
+    joined = p.join(
+        fa, _range_condition(keys, probe_time, feature_time, tolerance_seconds), "inner"
+    )
     probe_cols = probe.columns
     ordering = (
         F.struct(F.col(f"__f.{feature_time}"), F.col(f"__f.{tie_breaker}"))
         if tie_breaker
         else F.col(f"__f.{feature_time}")
     )
-    # max_by over the feature time per probe row: partial-agg friendly.
     agg = (
         joined.groupBy(*[F.col(f"__p.{c}").alias(c) for c in probe_cols])
         .agg(
             F.max_by(
-                F.struct(*[F.col(f"__f.{c}").alias(c) for c in payload]),
-                ordering,
+                F.struct(*[F.col(f"__f.{c}").alias(c) for c in payload]), ordering
             ).alias("__feat")
         )
         .select(*probe_cols, *[F.col(f"__feat.{c}").alias(c) for c in payload])
     )
     if how == "inner":
         return agg
-    # left: reattach probes with no qualifying feature row
-    return probe.join(agg.select(*probe_cols, *payload), probe_cols, "left")
+    return probe.join(agg, probe_cols, "left")
 
 
 def asof_join_union(
@@ -97,14 +140,17 @@ def asof_join_union(
     feature_cols = feature_cols or [
         c for c in features.columns if c not in keys and c != feature_time
     ]
-    probe_payload = [c for c in probe.columns if c not in keys]
+    probe_payload = [c for c in probe.columns if c not in keys and c != probe_time]
 
     f_tagged = features.select(
         *keys,
         F.col(feature_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.col(c) for c in feature_cols],
-        *[F.lit(None).cast(dict(probe.dtypes)[c]).alias(f"__p_{c}") for c in probe_payload],
+        *[
+            F.lit(None).cast(dict(probe.dtypes)[c]).alias(f"__p_{c}")
+            for c in probe_payload
+        ],
     )
     p_tagged = probe.select(
         *keys,

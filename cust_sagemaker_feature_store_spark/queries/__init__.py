@@ -8,5 +8,6 @@ from . import relational_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import text_q  # noqa: E402,F401
 from . import similarity_q  # noqa: E402,F401
+from . import functions_q  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec"]

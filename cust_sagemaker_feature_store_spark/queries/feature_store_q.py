@@ -11,9 +11,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.asof import asof_join
-from ..operators.latest import latest_snapshot_window
-from .registry import iso, register, sql_iso
+from ..operators.asof import asof_join, asof_join_union
+from ..operators.latest import latest_snapshot, latest_snapshot_window
+from .registry import REGISTRY, iso, register, sql_iso
 
 TIME_LO = "2024-01-05T00:00:00Z"
 TIME_HI = "2024-01-20T23:59:59Z"
@@ -147,6 +147,63 @@ def fs_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_time="click_ts",
         how="left",
         tie_breaker="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("click_ts").alias("last_click_time"),
+        F.col("click_value").alias("last_click_value"),
+    )
+
+
+@register(
+    "fs_latest_snapshot_maxby",
+    oracle=_LATEST_ORACLE,
+    description=(
+        "A1 via groupBy+max_by — the partial-aggregation form whose "
+        "shuffle is O(distinct keys) not O(rows); same oracle as the "
+        "window form, pinning both strategies to one semantics."
+    ),
+)
+def fs_latest_snapshot_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_snapshot(ev, "user_id", "ts", tie_breaker="event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
+    )
+
+
+@register(
+    "fs_asof_join_union",
+    oracle=REGISTRY["fs_asof_join"].oracle,
+    description=(
+        "[EXT] as-of join via union-and-window — one shuffle, no join "
+        "blow-up; the scale strategy for many-probes x many-features "
+        "keys, pinned to the same oracle as the join form."
+    ),
+)
+def fs_asof_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join_union(
+        probe,
+        feat,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        feature_cols=["click_ts", "click_value"],
     )
     return joined.select(
         "purchase_id",

@@ -1,0 +1,186 @@
+"""Scalar-function and UDF query surface (SURVEY.md §2.8, §2.10 [EXT]).
+
+`fn_scalar_surface` pins the string/math/conversion builtins; the
+`udf_*` queries exercise the engine's user-function tiers —
+applyInPandas (grouped UDF) and mapInPandas (streaming-batch UDF) —
+with DuckDB oracles, which is only possible because the UDF bodies use
+exact integer arithmetic mirrored in SQL (same trick as dsum/davg).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "fn_scalar_surface",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       p_brand || '/' || p_type AS brand_type,
+       length(p_name) AS name_len,
+       replace(p_brand, 'Brand#', 'B') AS brand_short,
+       abs(p_retailprice - 1000.0) AS price_dist,
+       round(sqrt(p_retailprice), 6) AS price_sqrt,
+       round(ln(p_retailprice), 6) AS price_ln,
+       CAST(p_size AS VARCHAR) AS size_str,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+       coalesce(nullif(p_type, 'ECONOMY'), 'STANDARD') AS type_defaulted
+FROM part
+""",
+    description="Scalar builtin surface: string ops, math, casts, CASE, nullif/coalesce defaults (F4/F5/P4).",
+)
+def fn_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("ECONOMY")), F.lit("STANDARD")).alias(
+            "type_defaulted"
+        ),
+    )
+
+
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user z-score with exact integer sums: every float op below
+    is a single IEEE operation on exactly-derived values, mirrored
+    token-for-token in the SQL oracle, so results match bit-for-bit."""
+    cents = (pdf["value"] * 100).round().astype("int64")
+    n = len(pdf)
+    s = int(cents.sum())
+    ss = int((cents * cents).sum())
+    mean = s / 100.0 / n
+    if n > 1:
+        var = (ss / 10000.0 - n * mean * mean) / (n - 1)
+    else:
+        var = 0.0
+    if var > 0:
+        z = (cents / 100.0 - mean) / math.sqrt(var)
+    else:
+        z = pd.Series([0.0] * n, index=pdf.index)
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "value": pdf["value"],
+            "zscore": z,
+        }
+    )
+
+
+@register(
+    "udf_user_zscore",
+    oracle="""
+WITH s AS (
+  SELECT event_id, user_id, value,
+         CAST(ROUND(value*100) AS BIGINT) AS c,
+         SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS sc,
+         SUM(CAST(ROUND(value*100) AS BIGINT)*CAST(ROUND(value*100) AS BIGINT)) OVER w AS ssc,
+         COUNT(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+), m AS (
+  SELECT *, sc/100.0/n AS mean,
+         CASE WHEN n > 1 THEN (ssc/10000.0 - n*(sc/100.0/n)*(sc/100.0/n))/(n-1) ELSE 0.0 END AS var
+  FROM s
+)
+SELECT event_id, user_id, value,
+       CASE WHEN var > 0 THEN (c/100.0 - mean)/sqrt(var) ELSE 0.0 END AS zscore
+FROM m
+""",
+    description=(
+        "Grouped pandas UDF (applyInPandas): per-user z-score via exact "
+        "integer sums — the Arrow-batched UDAF/UDTF surface, oracle-checked."
+    ),
+)
+def udf_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
+
+
+_MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+@register(
+    "udf_multimodal_bytes",
+    oracle="""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+""",
+    description=(
+        "mapInPandas over binary media columns (documents' text re-cast as "
+        "opaque bytes): byte length + content hash — the multimodal "
+        "plumbing's oracle-checkable core."
+    ),
+)
+def udf_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_hash": pdf["content"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=_MEDIA_FEATURES_SCHEMA)
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimate is engine-specific; exactness checked in tests
+    description="approx_count_distinct (HyperLogLog++) per order priority — the sketch-aggregate surface.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )

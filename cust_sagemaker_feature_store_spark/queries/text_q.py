@@ -250,10 +250,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {SQL_SHINGLE_CTE}
 SELECT doc_id,
-       MIN(md5('0|' || shingle)) AS mh0,
-       MIN(md5('1|' || shingle)) AS mh1,
-       MIN(md5('2|' || shingle)) AS mh2,
-       MIN(md5('3|' || shingle)) AS mh3
+       MIN(substr(md5(shingle), 1, 8)) AS mh0,
+       MIN(substr(md5(shingle), 9, 8)) AS mh1,
+       MIN(substr(md5(shingle), 17, 8)) AS mh2,
+       MIN(substr(md5(shingle), 25, 8)) AS mh3
 FROM d GROUP BY doc_id
 """,
     description="MinHash signatures (4 md5-derived components) — engine-portable, hence oracle-checkable.",
@@ -269,10 +269,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {SQL_SHINGLE_CTE},
 sig AS (
   SELECT doc_id,
-         MIN(md5('0|' || shingle)) AS mh0,
-         MIN(md5('1|' || shingle)) AS mh1,
-         MIN(md5('2|' || shingle)) AS mh2,
-         MIN(md5('3|' || shingle)) AS mh3
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
   FROM d GROUP BY doc_id
 ),
 bands AS (

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from cust_sagemaker_feature_store_spark.operators import (
     asof_join,
+    asof_join_agg,
     asof_join_union,
     latest_snapshot,
     latest_snapshot_window,
@@ -75,6 +76,8 @@ def test_asof_join_union_matches_join(spark):
     )
     a = asof_join(probe, feat, on="k", probe_time="pt", feature_time="ft", how="left")
     b = asof_join_union(probe, feat, on="k", probe_time="pt", feature_time="ft", feature_cols=["fv"])
+    c = asof_join_agg(probe, feat, on="k", probe_time="pt", feature_time="ft", how="left")
     am = sorted((r["k"], r["pt"], r["fv"]) for r in a.collect())
     bm = sorted((r["k"], r["pt"], r["fv"]) for r in b.collect())
-    assert am == bm
+    cm = sorted((r["k"], r["pt"], r["fv"]) for r in c.collect())
+    assert am == bm == cm

@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions (SURVEY.md §4): pin the scale-critical
+properties — pushdown, pruning, broadcast, partial aggregation, top-k
+and rank-limit pushdown — so a plan regression fails the suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cust_sagemaker_feature_store_spark.catalog import load_table
+from cust_sagemaker_feature_store_spark.plans import (
+    count_exchanges,
+    has_partial_aggregate,
+    has_window_group_limit,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from cust_sagemaker_feature_store_spark.queries import REGISTRY
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert pf and "l_quantity" in pf[0]  # filter reached parquet
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    rs = read_schemas(q)
+    assert rs and "l_extendedprice" not in rs[0]  # only 2 cols scanned
+    assert "l_orderkey" in rs[0] and "l_quantity" in rs[0]
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    assert has_partial_aggregate(df)  # map-side combine before exchange
+    assert count_exchanges(df) == 1  # a single shuffle on the group keys
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    df = REGISTRY["q3_shipping_priority"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)  # fact table never shuffles for dims
+    assert uses_take_ordered(df)  # top-10 without a global sort
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    df = REGISTRY["q5_region_revenue"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = REGISTRY["sort_topk_orders"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert count_exchanges(df) == 0
+
+
+def test_sim_topk_no_shuffle(spark, sf_dir):
+    df = REGISTRY["sim_cosine_topk"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert count_exchanges(df) == 0  # corpus scan only, k rows/partition
+
+
+def test_latest_snapshot_rank_limit_pushed(spark, sf_dir):
+    df = REGISTRY["fs_latest_snapshot"].fn(spark, sf_dir)
+    # WindowGroupLimit keeps 1 row per key per partition BEFORE the
+    # shuffle — the property that makes A1 viable on 100 TB of history
+    assert has_window_group_limit(df)
+    assert count_exchanges(df) == 1
+
+
+def test_latest_maxby_partial_agg(spark, sf_dir):
+    df = REGISTRY["fs_latest_snapshot_maxby"].fn(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) == 1
+
+
+def test_fs_time_range_prunes_and_pushes(spark, sf_dir):
+    # the ISO-string BETWEEN itself can't push (it's a derived column),
+    # but the scan must stay narrow
+    df = REGISTRY["fs_time_range"].fn(spark, sf_dir)
+    rs = read_schemas(df)
+    assert rs and "props" not in rs[0]  # unused JSON column pruned
