@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "window_rank_orders",
     "events_sessionize",
     "events_tumbling_hourly",
-    "udf_user_zscore",
+    "window_user_zscore",
     "text_stats",
     "dedup_exact_groups",
     "dedup_minhash_candidates",

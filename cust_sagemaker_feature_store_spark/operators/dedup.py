@@ -25,7 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import content_fingerprint, minhash_value, shingles, tokens
+from .text import content_fingerprint, shingles, tokens
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -51,7 +51,8 @@ def shingle_sets(
     """Distinct (id, shingle) pairs — the input relation for Jaccard
     and MinHash."""
     return (
-        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), k)).alias("shingle"))
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(shingles(tokens(text_col), k)).alias("shingle"))
         .distinct()
     )
 
@@ -102,15 +103,35 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """Tier 4a: per-doc MinHash signature, one md5-derived min per seed.
-    One narrow explode + one groupBy(doc) — shuffle carries only
-    (doc_id, 32-hex) pairs."""
-    sets_ = shingle_sets(df, text_col, id_col, k)
-    return sets_.groupBy(id_col).agg(
-        *[
-            F.min(minhash_value(F.col("shingle"), s)).alias(f"mh{s}")
-            for s in range(num_hashes)
-        ]
-    )
+
+    Computed entirely map-side with array expressions — md5 each shingle
+    once per document, then `array_min` per 8-hex slice. Zero shuffles
+    (the explode+distinct+groupBy formulation costs two); min over the
+    shingle multiset equals min over the distinct set, so semantics are
+    unchanged and the SQL oracle still matches. At 100 TB this is the
+    difference between a narrow scan and shuffling every (doc, shingle)
+    pair."""
+    def slice_min(s: int):
+        # single-arg lambda: pyspark treats 2-arg lambdas as (elem, idx)
+        return F.array_min(
+            F.transform(F.col("_mh_h"), lambda h: F.substring(h, 1 + 8 * s, 8))
+        ).alias(f"mh{s}")
+
+    df = _ensure_parallelism(df)
+    hashed = df.withColumn("_mh_h", F.transform(shingles(tokens(text_col), k), F.md5))
+    return hashed.select(F.col(id_col), *[slice_min(s) for s in range(num_hashes)])
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow-source frame across the cluster before CPU-heavy
+    per-row work. A small-SF corpus arrives as one parquet file = one
+    scan partition, serializing the md5/shingle pipeline; at real scale
+    the scan already has >= defaultParallelism splits and this is a
+    no-op, so the raw text is never shuffled unnecessarily."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_candidates(
@@ -145,6 +166,13 @@ def minhash_candidates(
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+    # Repartition on the join keys BEFORE self-joining: the hash exchange
+    # carries only (id, band, 32-hex) — tiny — and makes both join sides
+    # byte-identical plans, so Spark computes the shingle/md5 work once
+    # and reads the second side from ReusedExchange. Without it the
+    # map-side signature pipeline (no shuffle at all) is evaluated twice
+    # at scan parallelism, which is slower than the shuffle it saves.
+    exploded = exploded.repartition("band", "bucket")
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -167,7 +195,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tests (near-identical docs -> small Hamming distance), exposed as a
     rows-only query. One narrow pass + one groupBy(doc).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tok = _ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
     h = tok.withColumn("h", F.xxhash64("token"))
     votes = [
         F.sum(

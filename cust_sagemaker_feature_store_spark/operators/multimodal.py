@@ -109,6 +109,47 @@ def extract_media_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    at `every_ms` intervals of `meta.duration_ms` — the real 1:N
+    fan-out shape (mapInPandas as a UDTF), still narrow/no-shuffle.
+    The frame payload is a deterministic byte slice standing in for an
+    ffmpeg-decoded frame; wire the codec in decode_media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"] or {}
+                dur = (meta.get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]) or 0
+                content = r["content"] or b""
+                n_frames = max(1, int(dur // every_ms))
+                for i in range(n_frames):
+                    lo = (i * len(content)) // n_frames
+                    hi = ((i + 1) * len(content)) // n_frames
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_index": i,
+                            "frame_ms": i * every_ms,
+                            "frame_bytes": content[lo:hi],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame_ms", "frame_bytes"])
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize plumbing: passes bytes through the same narrow
     mapInPandas shape a real resize would use; records the requested

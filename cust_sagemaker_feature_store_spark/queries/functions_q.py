@@ -97,9 +97,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register(
-    "udf_user_zscore",
-    oracle="""
+_ZSCORE_ORACLE = """
 WITH s AS (
   SELECT event_id, user_id, value,
          CAST(ROUND(value*100) AS BIGINT) AS c,
@@ -116,7 +114,12 @@ WITH s AS (
 SELECT event_id, user_id, value,
        CASE WHEN var > 0 THEN (c/100.0 - mean)/sqrt(var) ELSE 0.0 END AS zscore
 FROM m
-""",
+"""
+
+
+@register(
+    "udf_user_zscore",
+    oracle=_ZSCORE_ORACLE,
     description=(
         "Grouped pandas UDF (applyInPandas): per-user z-score via exact "
         "integer sums — the Arrow-batched UDAF/UDTF surface, oracle-checked."
@@ -125,6 +128,35 @@ FROM m
 def udf_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
+
+
+@register(
+    "window_user_zscore",
+    oracle=_ZSCORE_ORACLE,
+    description=(
+        "JVM-native per-user z-score: same semantics (and oracle) as "
+        "udf_user_zscore but as unbounded window aggregates — whole-stage "
+        "codegen, no Python workers, one shuffle on user_id. This is the "
+        "form a 100 TB pipeline should run; the UDF twin exists to pin "
+        "the pandas surface."
+    ),
+)
+def window_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    sc = F.sum(c).over(w)
+    ssc = F.sum(c * c).over(w)
+    n = F.count(F.lit(1)).over(w)
+    # Arithmetic mirrors _zscore_group token-for-token so all three
+    # implementations (pandas UDF, this window form, the SQL oracle)
+    # agree bit-for-bit: each step is one IEEE op on exact integers.
+    mean = sc / 100.0 / n
+    var = F.when(n > 1, (ssc / 10000.0 - n * mean * mean) / (n - 1)).otherwise(0.0)
+    z = F.when(var > 0, (c / 100.0 - mean) / F.sqrt(var)).otherwise(0.0)
+    return ev.select("event_id", "user_id", "value", z.alias("zscore"))
 
 
 _MEDIA_FEATURES_SCHEMA = T.StructType(

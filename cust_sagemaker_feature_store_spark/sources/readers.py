@@ -49,3 +49,20 @@ def read_json_lines(spark: SparkSession, path: str, schema: T.StructType) -> Dat
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S4: parquet scan (the offline-store read path)."""
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """[EXT] ORC scan — columnar alternative, same pushdown/pruning."""
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """[EXT] Avro scan; the spark-avro package is an optional jar, so
+    raise a clear error where it is absent rather than a JVM stack."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # pragma: no cover - depends on jar presence
+        raise NotImplementedError(
+            "Avro requires the org.apache.spark:spark-avro package on the "
+            "session classpath"
+        ) from e

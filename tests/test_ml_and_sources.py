@@ -176,3 +176,20 @@ def test_multimodal_feature_extraction(spark):
 def test_real_decode_is_explicitly_unimplemented():
     with pytest.raises(NotImplementedError, match="codec"):
         decode_media(b"xx", "image", strict=True)
+
+
+def test_video_frame_sampling(spark):
+    from cust_sagemaker_feature_store_spark.operators.multimodal import frame_sample_stub
+
+    payload = bytes(range(100)) * 3  # 300 bytes
+    rows = [
+        (1, "video", payload, {"width": 16, "height": 9, "n_channels": 3, "sample_rate": None, "duration_ms": 3000}),
+        (2, "image", b"\x01\x02", {"width": 1, "height": 2, "n_channels": 3, "sample_rate": None, "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = frame_sample_stub(df, every_ms=1000).collect()
+    # only the video fans out: 3000ms / 1000ms = 3 frames, bytes partitioned
+    assert {f["media_id"] for f in frames} == {1}
+    assert [f["frame_index"] for f in sorted(frames, key=lambda f: f["frame_index"])] == [0, 1, 2]
+    assert [f["frame_ms"] for f in sorted(frames, key=lambda f: f["frame_index"])] == [0, 1000, 2000]
+    assert b"".join(f["frame_bytes"] for f in sorted(frames, key=lambda f: f["frame_index"])) == payload
