@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.9 [EXT]).
+
+The windowed aggregates in windows.py cover everything expressible as
+watermark + groupBy(window); this module covers what is NOT — arbitrary
+per-key state machines. The example operator maintains *running* user
+feature state (event count, exact value total, last event time) across
+micro-batches: the streaming analog of the online store's
+latest-per-key rule generalized from "keep the last record" to "keep a
+computed feature vector".
+
+Scale notes: state lives in the state store partitioned by key (same
+hash layout as any groupBy shuffle), each key's state is O(1) bytes,
+and every micro-batch touches only keys present in that batch. Exact
+integer cents (the dsum discipline) keep totals deterministic across
+batch boundaries, so a stream replay equals the batch computation
+bit-for-bit — asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+# state tuple: (n_events, value_cents, last_ts_micros)
+RUNNING_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, cents, last_us = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        batch_last = pdf["ts"].max()
+        batch_us = int(batch_last.value // 1000)  # pandas ns -> us
+        last_us = batch_us if last_us is None or batch_us > last_us else last_us
+    state.update((n, cents, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us is not None else pd.NaT],
+        }
+    )
+
+
+def running_user_features(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, exact total, last event time), one
+    output row per key per micro-batch that saw the key."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -129,6 +129,52 @@ def test_streaming_tumbling_window(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "view")] == (1, 1.0)
 
 
+def test_stateful_running_features(spark, tmp_path):
+    """applyInPandasWithState keeps exact per-user running totals across
+    micro-batches; the final state equals the batch computation."""
+    from cust_sagemaker_feature_store_spark.streaming import running_user_features
+
+    d = tmp_path / "stateful_in"
+    d.mkdir()
+    batches = [
+        ["event_id,ts,user_id,event_type,value",
+         "1,2024-01-01 00:05:00,1,click,10.25",
+         "2,2024-01-01 00:20:00,2,view,1.10"],
+        ["event_id,ts,user_id,event_type,value",
+         "3,2024-01-01 01:10:00,1,purchase,100.03",
+         "4,2024-01-01 01:30:00,1,click,0.02"],
+    ]
+    for i, lines in enumerate(batches):
+        p = d / f"b{i}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).csv(str(d), header=True)
+    q = (
+        running_user_features(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    # last emitted row per user is the running state after its last batch
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    assert final[1]["n_events"] == 3
+    assert final[1]["total_value"] == 110.30  # exact cents, no FP drift
+    assert str(final[1]["last_ts"]) == "2024-01-01 01:30:00"
+    assert final[2]["n_events"] == 1
+    assert final[2]["total_value"] == 1.10
+
+
 def test_streaming_session_window(spark, tmp_path):
     stream = _event_stream(spark, tmp_path)
     agg = session_agg(stream, gap="30 minutes", watermark="2 hours")
