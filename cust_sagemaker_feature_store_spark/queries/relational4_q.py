@@ -1,0 +1,226 @@
+"""Final TPC-H-shape batch + collection-function surface
+(SURVEY.md §2.3-2.5, §2.8 [EXT]).
+
+Q8 (market share), Q9 (profit by nation/year), Q11 (important parts via
+HAVING against a scalar subquery), Q15 (argmax via window over an
+aggregate), and a collect_list/array pipeline — the remaining classic
+analytics shapes the reference's Athena backend would have answered.
+Ratios divide two exact-decimal sums, so both engines derive the same
+doubles from the same integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, register, sql_dsum
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH flat AS (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         ns.n_name AS supp_nation,
+         CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000) AS BIGINT) AS rev_i
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_i ELSE 0 END) AS DOUBLE)
+         / SUM(rev_i) AS mkt_share
+FROM flat
+GROUP BY o_year
+""",
+    description=(
+        "TPC-H Q8-style market share: one supplier nation's revenue "
+        "fraction inside the ASIA-customer market per order year. All "
+        "five dimension joins broadcast; the ratio divides two exact "
+        "integer sums so it is engine-deterministic."
+    ),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_i = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    flat = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cnk"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("snk"))
+        .select(F.year("o_orderdate").alias("o_year"), "supp_nation", rev_i.alias("rev_i"))
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev_i")).otherwise(0)).cast("double")
+            / F.sum("rev_i")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+SELECT ns.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       {sql_dsum('l.l_extendedprice*(1-l.l_discount) - l.l_quantity*l.l_tax*100', 4)} AS profit
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE p.p_name LIKE '%5%'
+GROUP BY 1, 2
+""",
+    description=(
+        "TPC-H Q9-style profit: revenue minus a quantity-scaled cost "
+        "proxy (the testdata has no partsupp supplycost), grouped by "
+        "supplier nation and order year, parts filtered by a LIKE "
+        "pattern."
+    ),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%")).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * F.col("l_tax") * 100
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(amount, 4).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice', 2)} AS part_value
+  FROM lineitem GROUP BY l_partkey
+), total AS (
+  SELECT SUM(part_value) AS tv FROM per_part
+)
+SELECT p.l_partkey AS partkey, p.part_value
+FROM per_part p, total t
+WHERE p.part_value > t.tv * 0.0005
+""",
+    description=(
+        "TPC-H Q11-style important parts: per-part value filtered by a "
+        "global-total scalar subquery (HAVING against an aggregate of an "
+        "aggregate) — the one-row total broadcasts, no second shuffle."
+    ),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(F.col("l_extendedprice"), 2).alias("part_value")
+    )
+    total = per_part.agg(F.sum("part_value").alias("tv"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("tv") * 0.0005)
+        .select("partkey", "part_value")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice*(1-l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+    description=(
+        "TPC-H Q15-style top supplier: argmax over an aggregate — the "
+        "global max reduces to one broadcast row (never a global-frame "
+        "window, which would single-partition the aggregate); ties all "
+        "surface, matching the SQL scalar-subquery form."
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "agg_order_status_history",
+    oracle="""
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderdate, o_orderkey) AS status_seq
+FROM orders
+GROUP BY o_custkey
+""",
+    description=(
+        "Collection-function surface: per-customer chronological order-"
+        "status sequence via collect_list(struct) + array_sort + "
+        "transform + array_join — the Spark idiom for SQL's ordered "
+        "string_agg; (date, orderkey) sort key makes the order total."
+    ),
+)
+def agg_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_orderstatus"))
+            ),
+            lambda x: x["o_orderstatus"],
+        ),
+        ",",
+    )
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"), seq.alias("status_seq")
+    )
