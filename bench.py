@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_nation_pair_revenue",
+    "q13_customer_order_distribution",
+    "q19_disjunctive_predicates",
+    "range_join_event_followups",
     "agg_orders_by_status",
     "window_rank_orders",
     "events_sessionize",

@@ -83,3 +83,51 @@ def test_fs_time_range_prunes_and_pushes(spark, sf_dir):
     df = REGISTRY["fs_time_range"].fn(spark, sf_dir)
     rs = read_schemas(df)
     assert rs and "props" not in rs[0]  # unused JSON column pruned
+
+
+def test_q7_fact_shuffles_once(spark, sf_dir):
+    # five-way star: every dimension broadcasts, so the only hash
+    # exchange is the final groupBy — lineitem never moves for a join
+    df = REGISTRY["q7_nation_pair_revenue"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert count_exchanges(df) == 1
+
+
+def test_q6_pure_scan_no_shuffle(spark, sf_dir):
+    # single-group aggregate: partial on the scan, final on one row —
+    # the exchange is a 1-row SinglePartition gather, and all three
+    # predicates push to parquet
+    df = REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert pf and "l_shipdate" in pf[0] and "l_discount" in pf[0]
+    assert has_partial_aggregate(df)
+
+
+def test_minhash_signatures_no_shuffle(spark, sf_dir):
+    # the map-side formulation: signature computation is a narrow
+    # projection over the scan (modulo the small-file repartition that
+    # disappears on a multi-split scan)
+    from cust_sagemaker_feature_store_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").repartition(32)
+    sig = D.minhash_signatures(docs)
+    # repartition of the input is the only exchange; signatures add none
+    assert count_exchanges(sig) <= 1
+
+
+def test_window_zscore_single_shuffle(spark, sf_dir):
+    df = REGISTRY["window_user_zscore"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1  # one hash exchange on user_id
+
+
+def test_q16_distinct_agg_partial(spark, sf_dir):
+    df = REGISTRY["q16_supplier_count_by_brand"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)  # part dim broadcasts
+
+
+def test_q15_no_global_window(spark, sf_dir):
+    # argmax via broadcast one-row max: no single-partition window
+    from cust_sagemaker_feature_store_spark.plans import plan_string
+
+    df = REGISTRY["q15_top_supplier"].fn(spark, sf_dir)
+    assert "Window" not in plan_string(df)
