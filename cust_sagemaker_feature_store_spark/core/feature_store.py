@@ -160,6 +160,50 @@ class FeatureStore:
         )
         return row_to_record(rows[0]) if rows else None
 
+    def batch_get_record(
+        self, name: str, record_identifier_values: list
+    ) -> dict[object, list[dict[str, str]]]:
+        """[EXT] Batch point lookup (public SageMaker batch_get_record
+        analog): latest record for each requested key, absent keys
+        omitted. One job for N keys — an IN-filter over the latest view —
+        instead of N point queries."""
+        group = self._groups[name]
+        rows = (
+            self.latest_view(name)
+            .filter(F.col(group.record_identifier).isin(record_identifier_values))
+            .collect()
+        )
+        return {r[group.record_identifier]: row_to_record(r) for r in rows}
+
+    # -- online materialization (S6 at scale) -------------------------------
+
+    def online_path(self, name: str) -> str:
+        return os.path.join(self.root_path, name, "online")
+
+    def materialize_online(self, name: str) -> None:
+        """Persist the latest-per-key view as the online store.
+
+        Recompute-and-overwrite: one window pass over history, correct
+        under any arrival order. At 100 TB the incremental alternative is
+        a Delta/Iceberg MERGE keyed on the record identifier (strictly
+        less work per refresh, same result); the recompute form is the
+        engine-portable baseline and what StreamingIngest's foreachBatch
+        maintains per micro-batch."""
+        group = self._groups[name]
+        self.latest_view(name).write.mode("overwrite").parquet(
+            self.online_path(name), compression="snappy"
+        )
+
+    def online_store(self, name: str) -> DataFrame:
+        """Serving view: the materialized snapshot when present (point
+        lookups hit a key-sized table, not all of history), else the
+        derived latest view."""
+        path = self.online_path(name)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return self.latest_view(name)
+
     def feature_vector(
         self,
         name: str,

@@ -102,6 +102,33 @@ def test_point_lookup_and_defaults(store):
     assert store.feature_vector(GROUP.name, 999, ["latest_purchase_value"]) == [0.0]
 
 
+def test_batch_get_record(store):
+    got = store.batch_get_record(GROUP.name, [1, 2, 999])
+    assert set(got) == {1, 2}  # absent key omitted
+    d1 = {f["FeatureName"]: f["ValueAsString"] for f in got[1]}
+    assert d1["latest_purchase_value"] == "20.0"
+    d2 = {f["FeatureName"]: f["ValueAsString"] for f in got[2]}
+    assert d2["latest_purchase_value"] == "31.0"  # tie-break preserved
+
+
+def test_online_materialization(store):
+    # before materialization the serving view is the derived latest view
+    assert store.online_store(GROUP.name).count() == 3
+    store.materialize_online(GROUP.name)
+    snap = store.online_store(GROUP.name)
+    assert snap.count() == 3
+    assert {r["customer_id"]: r["latest_purchase_value"] for r in snap.collect()} == {
+        1: 20.0,
+        2: 31.0,
+        3: 40.0,
+    }
+    # materialized snapshot equals the derived view row-for-row
+    derived = store.latest_view(GROUP.name)
+    assert sorted(map(tuple, snap.select(*GROUP.feature_names).collect())) == sorted(
+        map(tuple, derived.collect())
+    )
+
+
 def test_latest_view_subset_of_history(store):
     hist = set(
         (r["customer_id"], r["event_time"])
