@@ -80,6 +80,45 @@ def content_fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(F.trim(_col(text))))
 
 
+def winnow_fingerprint_rows(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every char k-gram of the normalized text, take the
+    min hash of each sliding window of w hashes, dedupe. The classic
+    rolling-hash fingerprint for plagiarism/near-dup detection —
+    guaranteed to share fingerprints with any document that shares a
+    run of >= k+w-1 chars. One output row per (doc, fingerprint).
+
+    The gram-hash array is materialized behind a Generate (`inline` of
+    a one-struct array) before the sliding-window pass. This matters:
+    a single nested expression would re-evaluate the whole O(n) md5
+    array inside every window lambda — O(n*w) md5 calls per document —
+    because Catalyst cannot hoist loop-invariant subexpressions out of
+    higher-order-function lambdas, and CollapseProject re-inlines plain
+    projections. The Generate barrier pins one evaluation per row while
+    staying map-side (no shuffle, no Python)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    # gram positions 1..len-k+1 (min 1 so short docs yield one gram)
+    hi_g = F.greatest(F.length(t) - F.lit(k - 2), F.lit(2))
+    hs = F.transform(
+        F.sequence(F.lit(1), hi_g - F.lit(1)),
+        lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 8),
+    )
+    staged = df.select(
+        F.col(id_col), F.inline(F.array(F.struct(hs.alias("_hs"))))
+    )
+    arr = F.col("_hs")
+    hi_w = F.greatest(F.size(arr) - F.lit(w - 2), F.lit(2))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), hi_w - F.lit(1)),
+            lambda i: F.array_min(F.slice(arr, i, w)),
+        )
+    )
+    return staged.select(F.col(id_col), F.explode(mins).alias("fp"))
+
+
 def minhash_value(shingle: Column, seed: int) -> Column:
     """One MinHash component: the seed-th 8-hex slice of md5(shingle),
     minimized lexicographically over a document's shingle set. One md5

@@ -293,6 +293,36 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow_fingerprints",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), h AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t)-8+2, 2)),
+                   i -> substr(md5(substr(t, i, 8)), 1, 8)) AS hs
+  FROM g
+)
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+         range(1, greatest(len(hs)-4+2, 2)),
+         i -> list_min(list_slice(hs, i, i+3))))) AS fp
+FROM h
+""",
+    description=(
+        "Winnowing rolling-hash fingerprints (k=8 char-grams, window "
+        "w=4): the SIGMOD'03 document-fingerprint scheme as map-side "
+        "array expressions, one output row per distinct fingerprint."
+    ),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import _ensure_parallelism
+
+    return T.winnow_fingerprint_rows(_ensure_parallelism(docs), k=8, w=4)
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # engine-native xxhash64 — verified by property tests
     description="64-bit SimHash fingerprints over tokens (rows-only: engine-native hash, see tests).",
