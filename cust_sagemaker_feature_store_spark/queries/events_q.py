@@ -39,6 +39,34 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_schema_parse",
+    oracle="""
+SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+""",
+    description=(
+        "Schema-driven JSON parse: from_json with a declared struct "
+        "(vs. path-at-a-time get_json_object) feeding a grouped "
+        "aggregate — the parse happens once per row however many fields "
+        "are consumed."
+    ),
+)
+def events_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.filter(F.col("props").isNotNull()).withColumn(
+        "p", F.from_json("props", "k LONG")
+    )
+    return parsed.groupBy((F.col("p.k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+    )
+
+
+@register(
     "events_lag_lead",
     oracle=f"""
 SELECT event_id, user_id,

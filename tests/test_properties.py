@@ -1,0 +1,122 @@
+"""Property-based checks (SURVEY.md §5.4) via hypothesis.
+
+Three invariants the engine's semantics rest on:
+1. ISO-8601-Z strings order identically to the instants they denote —
+   the assumption behind the reference's string BETWEEN
+   (reference: historical_features.py:31).
+2. The latest snapshot is independent of arrival order given the
+   (event_time, ingest_seq) tie-break — and both implementations
+   (ranking window / max_by) agree on every input.
+3. dsum's scale-to-int64 trick really is exact: it equals Decimal
+   arithmetic regardless of value mix or partition count.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cust_sagemaker_feature_store_spark.operators.latest import (
+    latest_snapshot,
+    latest_snapshot_window,
+)
+from cust_sagemaker_feature_store_spark.queries.registry import dsum
+
+# -- 1. pure-python: ISO-Z format is order-isomorphic to instants -------
+
+REF_FORMAT = "%Y-%m-%dT%H:%M:%SZ"  # reference: update_feature_store.py:35-36
+
+# The order-isomorphism holds for 4-digit years only: python strftime
+# does not zero-pad year 999 -> "999-..." which sorts AFTER "2000-...".
+# (hypothesis found this.) Spark's `yyyy` pattern pads to 4 digits and
+# feature event times are modern, so the engine contract is years
+# 1000-9999 — the same domain the reference's data occupies.
+dt_strategy = st.datetimes(
+    min_value=datetime(1000, 1, 1),
+    max_value=datetime(9999, 12, 31),
+    timezones=st.just(timezone.utc),
+)
+
+
+@given(dt_strategy, dt_strategy)
+def test_iso_z_string_order_matches_instant_order(a, b):
+    sa, sb = a.strftime(REF_FORMAT), b.strftime(REF_FORMAT)
+    # truncate to second precision the way the wire format does
+    ta, tb = a.replace(microsecond=0), b.replace(microsecond=0)
+    assert (sa < sb) == (ta < tb)
+    assert (sa == sb) == (ta == tb)
+
+
+# -- 2. spark: latest snapshot is arrival-order independent -------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # few keys -> frequent collisions
+        st.sampled_from(
+            [
+                "2022-01-01T00:00:00Z",
+                "2022-01-01T00:00:01Z",
+                "2022-06-30T12:00:00Z",  # duplicated values force tie-breaks
+                "2022-06-30T12:00:00Z",
+                "2022-12-31T23:59:59Z",
+            ]
+        ),
+        st.integers(min_value=0, max_value=1000),  # payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, seed=st.integers(min_value=0, max_value=2**16))
+def test_latest_snapshot_order_independent_and_forms_agree(spark, events, seed):
+    import random
+
+    # ingest_seq is assigned by ORIGINAL position (write order); the
+    # rows may then arrive in any permutation
+    rows = [(k, t, v, i) for i, (k, t, v) in enumerate(events)]
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    schema = "key long, event_time string, value long, ingest_seq long"
+
+    def snap(make, data):
+        df = make(
+            spark.createDataFrame(data, schema), "key", "event_time", "ingest_seq"
+        )
+        return sorted(map(tuple, df.select("key", "event_time", "value").collect()))
+
+    base = snap(latest_snapshot_window, rows)
+    assert snap(latest_snapshot_window, shuffled) == base  # order independence
+    assert snap(latest_snapshot, shuffled) == base  # both forms agree
+
+
+# -- 3. spark: dsum is exact integer arithmetic -------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=50
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+def test_dsum_matches_decimal_any_partitioning(spark, cents, n_parts):
+    values = [c / 100.0 for c in cents]
+    expected = float(sum(Decimal(c) for c in cents) / 100)
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(n_parts)
+    from pyspark.sql import functions as F
+
+    got = df.agg(dsum(F.col("v"), 2).alias("s")).head()["s"]
+    assert got == expected
