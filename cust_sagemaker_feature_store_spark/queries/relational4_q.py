@@ -195,6 +195,34 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles_exact",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25)/100.0 AS p25,
+       quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.50)/100.0 AS p50,
+       quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.75)/100.0 AS p75
+FROM orders
+GROUP BY o_orderpriority
+""",
+    description=(
+        "Exact grouped percentiles: linear-interpolated quantiles over "
+        "integer cents are bit-identical across engines (dyadic "
+        "interpolation fractions on int64 values are exact IEEE ops), "
+        "so even order statistics pass the hash gate. The approximate "
+        "sketch twin for 100 TB is approx_percentile / percentile_approx."
+    ),
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.groupBy("o_orderpriority").agg(
+        (F.percentile(c, F.lit(0.25)) / 100.0).alias("p25"),
+        (F.percentile(c, F.lit(0.50)) / 100.0).alias("p50"),
+        (F.percentile(c, F.lit(0.75)) / 100.0).alias("p75"),
+    )
+
+
+@register(
     "agg_order_status_history",
     oracle="""
 SELECT o_custkey AS custkey,

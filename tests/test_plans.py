@@ -131,3 +131,39 @@ def test_q15_no_global_window(spark, sf_dir):
 
     df = REGISTRY["q15_top_supplier"].fn(spark, sf_dir)
     assert "Window" not in plan_string(df)
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    # salting changes physical distribution only — results identical
+    from cust_sagemaker_feature_store_spark.operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    got = salted_agg(
+        orders,
+        ["o_orderstatus"],
+        sum_exprs={"sum_cents": cents},
+        n_salts=8,
+    )
+    direct = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # bucketBy co-locates both sides at write time: the sort-merge join
+    # runs without any Exchange — the 100 TB recipe for repeated joins
+    # on the same key (pay the shuffle once at layout time, never per
+    # query)
+    left = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") % 7)
+    for name, df in [("bt_left", left), ("bt_right", right)]:
+        df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(name)
+    try:
+        j = spark.table("bt_left").join(spark.table("bt_right"), "id")
+        assert count_exchanges(j) == 0
+        assert j.count() == 1000
+    finally:
+        for name in ("bt_left", "bt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
