@@ -70,9 +70,11 @@ WHERE ns.n_name <> nc.n_name
 GROUP BY ns.n_name, nc.n_name
 """,
     description=(
-        "TPC-H Q7-style nation-pair revenue: five-way star join; every "
-        "dimension side broadcasts, so the fact table shuffles exactly "
-        "once (for the final groupBy)."
+        "TPC-H Q7-style nation-pair revenue: five-way star join. Only "
+        "the bounded dim (nation) carries a broadcast hint; orders/"
+        "customer/supplier scale with the data, so their join strategy "
+        "is left to the optimizer's size estimates — auto-broadcast at "
+        "small SF, shuffle join at 100 TB."
     ),
 )
 def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,13 +84,13 @@ def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
             F.col("c_nationkey") == F.col("cnk"),
         )
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("snk"),
@@ -126,8 +128,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return (
@@ -150,14 +152,15 @@ GROUP BY 1
 """,
     description=(
         "TPC-H Q14-style promo effect: conditional aggregation (CASE "
-        "inside SUM) per ship month over a broadcast part join."
+        "inside SUM) per ship month over a part join (strategy "
+        "size-estimated by the optimizer)."
     ),
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.groupBy(
         F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month")
     ).agg(
@@ -233,7 +236,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

@@ -42,8 +42,9 @@ GROUP BY o_year
 """,
     description=(
         "TPC-H Q8-style market share: one supplier nation's revenue "
-        "fraction inside the ASIA-customer market per order year. All "
-        "five dimension joins broadcast; the ratio divides two exact "
+        "fraction inside the ASIA-customer market per order year. "
+        "Bounded dims (nation/region) broadcast by hint, scale-variant "
+        "sides by optimizer estimate only; the ratio divides two exact "
         "integer sums so it is engine-deterministic."
     ),
 )
@@ -64,10 +65,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev_i = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     flat = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cnk"), "left_semi")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("snk"))
         .select(F.year("o_orderdate").alias("o_year"), "supp_nation", rev_i.alias("rev_i"))
     )
@@ -109,9 +110,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity"
     ) * F.col("l_tax") * 100
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -189,7 +190,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.join(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
-    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+    return top.join(supp, top.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 

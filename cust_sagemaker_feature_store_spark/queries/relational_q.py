@@ -82,7 +82,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -133,7 +133,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
