@@ -52,6 +52,49 @@ def run_query(spec, spark, sf_dir: str) -> int:
     return df.count()
 
 
+def run_ingest(spark, sf_dir: str) -> None:
+    """Dual-store ingest of the events table: offline append (date-
+    partitioned Snappy parquet) + online latest-per-key materialization.
+    The reference's equivalent path is its deliberately-throttled
+    1 record/s put_record loop (update_feature_store.py:56-58)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.core import (
+        FeatureDefinition,
+        FeatureGroup,
+        FeatureStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("event_time"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        fs = FeatureStore(spark, root)
+        fs.create_feature_group(
+            FeatureGroup(
+                name="BenchEvents",
+                record_identifier="user_id",
+                event_time_feature="event_time",
+                features=(
+                    FeatureDefinition("user_id", "Integral"),
+                    FeatureDefinition("event_time", "String"),
+                    FeatureDefinition("value", "Fractional"),
+                ),
+            )
+        )
+        fs.ingest("BenchEvents", ev)
+        fs.materialize_online("BenchEvents")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -65,6 +108,11 @@ def main() -> None:
         t0 = time.time()
         run_query(spec, spark, sf_dir)
         timings[name] = round(time.time() - t0, 3)
+
+    run_ingest(spark, sf_dir)  # warm-up
+    t0 = time.time()
+    run_ingest(spark, sf_dir)
+    timings["ingest_dual_store"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
