@@ -143,6 +143,17 @@ def test_quoted_csv_reader(spark, tmp_path):
     assert dict(df.dtypes) == {"customer_id": "string", "event_time": "string"}
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    from cust_sagemaker_feature_store_spark.sources.readers import read_orc
+
+    df = spark.range(10).withColumn("v", F.col("id") * 3)
+    loc = str(tmp_path / "orc_tbl")
+    df.write.orc(loc)
+    back = read_orc(spark, loc)
+    assert back.count() == 10
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_catalog_ddl_roundtrip(spark, tmp_path):
     df = spark.range(5).withColumnRenamed("id", "k")
     loc = str(tmp_path / "tbl")

@@ -18,6 +18,7 @@ from cust_sagemaker_feature_store_spark.operators.latest import latest_snapshot_
 from cust_sagemaker_feature_store_spark.streaming import (
     StreamingIngest,
     session_agg,
+    sliding_agg,
     tumbling_agg,
 )
 
@@ -127,6 +128,29 @@ def test_streaming_tumbling_window(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "click")] == (2, 15.0)
     assert got[("2024-01-01 01:00:00", "purchase")] == (1, 100.0)
     assert got[("2024-01-01 00:00:00", "view")] == (1, 1.0)
+
+
+def test_streaming_sliding_window(spark, tmp_path):
+    stream = _event_stream(spark, tmp_path)
+    agg = sliding_agg(stream, window_size="1 hour", slide="30 minutes", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    # user 1 events at 00:05, 00:20, 01:10; 1h windows sliding by 30m:
+    # window [23:30,00:30) sees 2, [00:00,01:00) sees 2, [01:00,02:00) sees 1
+    assert got[("2023-12-31 23:30:00", 1)] == 2
+    assert got[("2024-01-01 00:00:00", 1)] == 2
+    assert got[("2024-01-01 01:00:00", 1)] == 1
+    assert got[("2024-01-01 00:00:00", 2)] == 1
 
 
 def test_stateful_running_features(spark, tmp_path):
