@@ -188,6 +188,56 @@ def minhash_candidates(
     )
 
 
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance (Manku/Jain/Sarma,
+    WWW'07): split each 64-bit fingerprint into 4 16-bit chunks; any
+    two fingerprints within Hamming distance 3 must agree on at least
+    one chunk (pigeonhole), so candidate generation is 4 bucket-joins —
+    never an all-pairs scan. Exact popcount(xor) then filters the
+    candidates. Output: doc_a, doc_b, hamming."""
+    fp = simhash64(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("ci"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * ci)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for ci in range(4)
+        ]
+    )
+    exploded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    # same trick as minhash_candidates: hash-repartition the compact
+    # banded rows so both self-join sides share one exchange
+    exploded = exploded.repartition("ci", "cv")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()  # a pair can share several chunks
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens using xxhash64 bit votes.
 

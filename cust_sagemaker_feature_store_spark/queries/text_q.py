@@ -330,3 +330,18 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash64(docs)
+
+
+@register(
+    "dedup_simhash_candidates",
+    oracle=None,  # engine-native xxhash64 — verified by property tests
+    description=(
+        "SimHash near-dup pairs (Manku WWW'07): 16-bit-chunk bucket "
+        "join guarantees every pair within Hamming distance 3 is "
+        "generated, exact popcount(xor) filter — rows-only (engine-"
+        "native hash), locality verified in tests."
+    ),
+)
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, max_hamming=3)

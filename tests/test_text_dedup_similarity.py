@@ -27,6 +27,32 @@ def test_simhash_locality(spark):
     assert hamming(got[0], got[1]) <= 8  # near-identical -> close fingerprints
 
 
+def test_simhash_candidates_find_near_dups(spark):
+    base = "spark window join filter group sort merge hash scan table " * 5
+    near = base.replace("merge hash", "merge fast hash", 1)
+    far = "completely different vocabulary about cooking pasta sauce " * 5
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in D.simhash64(df).collect()}
+    h01 = hamming(fps[0], fps[1])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_candidates(df, max_hamming=8).collect()
+    }
+    # chunk-join completeness is guaranteed only at hamming <= 3
+    # (pigeonhole over 4 chunks); above that, candidates surface iff a
+    # 16-bit chunk happens to agree — assert exactly that contract
+    shares_chunk = any(
+        ((fps[0] >> (16 * ci)) & 0xFFFF) == ((fps[1] >> (16 * ci)) & 0xFFFF)
+        for ci in range(4)
+    )
+    if h01 <= 3 or shares_chunk:
+        assert got.get((0, 1)) == h01
+    # the far document never pairs with anything
+    assert all(2 not in pair for pair in got)
+
+
 def test_jaccard_pairs_find_near_dups(spark):
     base = "a b c d e f g h i j k l m n o p q r s t"
     near = base + " extra"
