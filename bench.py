@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_minhash_candidates",
     "sim_cosine_topk",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -323,6 +323,94 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+WITH keep1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+),
+d1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+{SQL_SHINGLE_CTE.replace("FROM documents", "FROM d1")},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+drop_docs AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM drop_docs)),
+q AS (
+  SELECT doc_id,
+         len({SQL_TOKS}) AS n_tokens,
+         len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           * 1.0 / len({SQL_TOKS}) AS stop_ratio,
+         CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS}) AS ttr
+  FROM d2
+)
+SELECT doc_id, n_tokens,
+       (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+      + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+      + CASE WHEN ttr BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) / 3.0 AS quality_score
+FROM q
+WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+     + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+     + CASE WHEN ttr BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) / 3.0 >= 0.66
+""",
+    description=(
+        "End-to-end training-corpus cleaning, composed and oracle-"
+        "checked as ONE dataflow: exact content dedup (keep min id) -> "
+        "MinHash-LSH near-dup removal (greedy: drop the higher id of "
+        "each candidate pair) -> rule-based quality gates. The whole "
+        "chain is three shuffles on compact keys; raw text never "
+        "shuffles."
+    ),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # 1. exact content dedup — one row per distinct normalized content
+    keep = (
+        docs.groupBy(T.content_fingerprint("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(keep, "doc_id", "left_semi")
+    # 2. near-dup removal — LSH candidates, drop the higher id
+    drop = (
+        D.minhash_candidates(d1, num_hashes=4, rows_per_band=2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    d2 = d1.join(drop, "doc_id", "left_anti")
+    # 3. quality gates (same formula as text_quality_filter)
+    toks = T.tokens("text")
+    n_tokens = F.size(toks)
+    stop_ratio = T.stopword_hits(toks, T.LANG_STOPWORDS["en"]) * 1.0 / n_tokens
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    gate = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    score = (
+        gate(n_tokens.between(20, 2000))
+        + gate(stop_ratio.between(0.01, 0.5))
+        + gate(ttr.between(0.1, 0.9))
+    ) / 3.0
+    return (
+        d2.select("doc_id", n_tokens.alias("n_tokens"), score.alias("quality_score"))
+        .filter(F.col("quality_score") >= 0.66)
+    )
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # engine-native xxhash64 — verified by property tests
     description="64-bit SimHash fingerprints over tokens (rows-only: engine-native hash, see tests).",
