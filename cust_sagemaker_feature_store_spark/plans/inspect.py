@@ -72,6 +72,16 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """The partition-pruning predicates applied at each scan."""
+    out = []
+    for line in plan_string(df).splitlines():
+        s = line.strip()
+        if s.startswith("PartitionFilters:"):
+            out.append(s.removeprefix("PartitionFilters:").strip())
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of each scan — column pruning evidence."""
     out = []

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.asof import asof_join, asof_join_union
+from ..operators.asof import asof_join, asof_join_agg, asof_join_union
 from ..operators.latest import latest_snapshot, latest_snapshot_window
 from .registry import REGISTRY, iso, register, sql_iso
 
@@ -172,6 +172,48 @@ def fs_latest_snapshot_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = latest_snapshot(ev, "user_id", "ts", tie_breaker="event_id")
     return latest.select(
         "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
+    )
+
+
+@register(
+    "fs_asof_join_agg",
+    oracle=REGISTRY["fs_asof_join"].oracle,
+    description=(
+        "[EXT] as-of join via inner-join + partial max_by aggregation — "
+        "shuffles only (probe, best-feature) pairs; third strategy "
+        "pinned to the same oracle as the join and union forms."
+    ),
+)
+def fs_asof_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join_agg(
+        probe,
+        feat,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        how="left",
+        tie_breaker="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("click_ts").alias("last_click_time"),
+        F.col("click_value").alias("last_click_value"),
     )
 
 

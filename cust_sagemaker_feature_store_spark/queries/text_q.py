@@ -370,9 +370,10 @@ WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
         "End-to-end training-corpus cleaning, composed and oracle-"
         "checked as ONE dataflow: exact content dedup (keep min id) -> "
         "MinHash-LSH near-dup removal (greedy: drop the higher id of "
-        "each candidate pair) -> rule-based quality gates. The whole "
-        "chain is three shuffles on compact keys; raw text never "
-        "shuffles."
+        "each candidate pair) -> rule-based quality gates. Every "
+        "shuffle carries compact derived keys (hashes, ids, buckets); "
+        "raw text moves only in the parallelism repartition of a "
+        "single-file corpus."
     ),
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

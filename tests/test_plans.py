@@ -133,6 +133,55 @@ def test_q15_no_global_window(spark, sf_dir):
     assert "Window" not in plan_string(df)
 
 
+def test_offline_store_partition_pruning(spark, tmp_path):
+    # the single biggest 100 TB lever (SURVEY §4): history_between must
+    # prune event_date partitions, not scan all history
+    from cust_sagemaker_feature_store_spark.core import (
+        FeatureDefinition,
+        FeatureGroup,
+        FeatureStore,
+    )
+    from cust_sagemaker_feature_store_spark.plans import partition_filters
+
+    fs = FeatureStore(spark, str(tmp_path / "store"))
+    fs.create_feature_group(
+        FeatureGroup(
+            name="PruneCheck",
+            record_identifier="customer_id",
+            event_time_feature="event_time",
+            features=(
+                FeatureDefinition("customer_id", "Integral"),
+                FeatureDefinition("event_time", "String"),
+                FeatureDefinition("latest_purchase_value", "Fractional"),
+            ),
+        )
+    )
+    rows = [
+        (1, "2022-01-05T00:00:00Z", 1.0),
+        (2, "2022-06-15T00:00:00Z", 2.0),
+        (3, "2022-12-25T00:00:00Z", 3.0),
+    ]
+    fs.ingest(
+        "PruneCheck",
+        spark.createDataFrame(
+            rows, "customer_id long, event_time string, latest_purchase_value double"
+        ),
+    )
+    q = fs.history_between("PruneCheck", "2022-06-01T00:00:00Z", "2022-06-30T23:59:59Z")
+    pf = partition_filters(q)
+    assert pf and "event_date" in pf[0]  # pruning predicate reached the scan
+    assert [r["customer_id"] for r in q.collect()] == [2]
+
+
+def test_clean_corpus_bounded_shuffles(spark, sf_dir):
+    # regression canary: the static plan re-states shared subtrees per
+    # branch (d1 feeds both candidate generation and the anti-join), so
+    # the count is 13 today; identical subtrees dedupe to ReusedExchange
+    # at runtime. Growth here means a lost map-side computation.
+    df = REGISTRY["pipeline_clean_corpus"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 13
+
+
 def test_salted_agg_equals_direct(spark, sf_dir):
     # salting changes physical distribution only — results identical
     from cust_sagemaker_feature_store_spark.operators.skew import salted_agg
