@@ -97,6 +97,38 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_label_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label, t.idx - 1 AS pos, CAST(embedding[t.idx] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(idx)
+)
+SELECT label, pos,
+       CAST(SUM(CAST(ROUND(v*1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS centroid_val,
+       COUNT(*) AS n_vectors
+FROM e GROUP BY 1, 2
+""",
+    description=(
+        "Per-label embedding centroids (the k-means/IVF training "
+        "primitive): posexplode to (label, dim, value), exact micro-"
+        "scaled integer sums per cell, one shuffle on (label, dim). At "
+        "100 TB the map-side combine means shuffled bytes are "
+        "O(labels x dims), independent of corpus size."
+    ),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = emb.select(
+        "label", F.posexplode(S.as_double("embedding")).alias("pos", "v")
+    )
+    s = F.sum(F.round(F.col("v") * 1000000).cast("long"))
+    return cell.groupBy("label", "pos").agg(
+        (s.cast("double") / 1000000.0 / F.count(F.lit(1))).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@register(
     "sim_lsh_ann_topk",
     oracle=None,  # approximate: recall vs brute force asserted in tests
     description="Approximate NN via BucketedRandomProjectionLSH, exact cosine re-rank of candidates (scale path).",
