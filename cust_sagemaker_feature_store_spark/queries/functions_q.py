@@ -216,3 +216,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch estimate is engine-specific; error bound checked vs exact cols
+    description=(
+        "percentile_approx (KLL-style sketch) vs the exact percentile, "
+        "side by side per priority — the single-pass mergeable-sketch "
+        "path for order statistics at 100 TB, where exact percentile's "
+        "per-group sort is the bottleneck."
+    ),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_median"),
+    )
