@@ -130,6 +130,46 @@ def test_streaming_tumbling_window(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "view")] == (1, 1.0)
 
 
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Watermarked stream-stream join: purchases attributed to clicks by
+    the same user within a 10-minute window."""
+    from cust_sagemaker_feature_store_spark.streaming import (
+        purchase_click_attribution,
+    )
+
+    rows = [
+        "event_id,ts,user_id,event_type,value",
+        "1,2024-01-01 00:05:00,1,click,0.0",
+        "2,2024-01-01 00:12:00,1,purchase,50.0",  # within 10m of click 1
+        "3,2024-01-01 00:40:00,1,purchase,60.0",  # no click within 10m
+        "4,2024-01-01 00:30:00,2,click,0.0",
+        "5,2024-01-01 00:31:00,2,purchase,70.0",  # within 10m of click 4
+    ]
+    d = tmp_path / "attr_in"
+    d.mkdir()
+    (d / "e.csv").write_text("\n".join(rows) + "\n")
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).csv(str(d), header=True)
+    out = purchase_click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        window="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    assert got == {(2, 1), (5, 4)}  # purchase 3 unattributed (inner join)
+
+
 def test_streaming_sliding_window(spark, tmp_path):
     stream = _event_stream(spark, tmp_path)
     agg = sliding_agg(stream, window_size="1 hour", slide="30 minutes", watermark="2 hours")
