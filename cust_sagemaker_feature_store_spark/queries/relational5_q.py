@@ -30,17 +30,25 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ),
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import dsum
+
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__gs_orders")
-    return spark.sql(
-        f"""
-        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(o_orderpriority, 'ALL') AS priority,
-               COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/CAST(100 AS DOUBLE) AS sum_price
-        FROM __gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
     )
 
 
