@@ -53,6 +53,41 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    description=(
+        "Top-3 orders by price per priority: the rank<=k filter "
+        "compiles to WindowGroupLimit, which keeps k rows per group per "
+        "partition BEFORE the shuffle — at 100 TB the exchange carries "
+        "k*groups rows, not the table."
+    ),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
     "fn_regex_surface",
     oracle="""
 SELECT p_partkey, p_brand,

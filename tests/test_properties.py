@@ -101,6 +101,41 @@ def test_latest_snapshot_order_independent_and_forms_agree(spark, events, seed):
 # -- 3. spark: dsum is exact integer arithmetic -------------------------
 
 
+# -- 4. spark: winnowing guarantee --------------------------------------
+
+alpha = st.text(alphabet="abcdef ", min_size=40, max_size=120)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(shared=alpha, pre=alpha, post=alpha)
+def test_winnowing_shares_fingerprint_on_shared_run(spark, shared, pre, post):
+    """SIGMOD'03 winnowing guarantee: two documents sharing a substring
+    of length >= k + w - 1 (= 11 here) share at least one fingerprint."""
+    from cust_sagemaker_feature_store_spark.operators.text import (
+        winnow_fingerprint_rows,
+    )
+
+    # bound the shared run with solid letters so trim() at document
+    # boundaries can never eat into it (a run of boundary spaces would
+    # otherwise be stripped from one doc but not the other)
+    shared = "qqqq" + shared + "qqqq"
+    doc_a = pre + shared
+    doc_b = shared + post
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], "doc_id long, text string")
+    rows = winnow_fingerprint_rows(df, k=8, w=4).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    # normalization lowercases+trims; shared is already lowercase. The
+    # guarantee needs the run to survive normalization: trim only strips
+    # ends, so the shared middle run of len>=40 >= 11 always survives.
+    assert fps[0] & fps[1], (doc_a, doc_b)
+
+
 @settings(
     max_examples=10,
     deadline=None,
