@@ -34,6 +34,7 @@ from .feature_group import FeatureGroup
 INGEST_SEQ_COL = "ingest_seq"
 EVENT_TS_COL = "event_ts"  # typed twin of the string event-time column
 EVENT_DATE_COL = "event_date"  # partition column
+DELETED_COL = "is_deleted"  # tombstone marker (public SageMaker offline-store column)
 
 
 class FeatureStore:
@@ -84,7 +85,19 @@ class FeatureStore:
         append.
         """
         group = self._groups[name]
-        df = group.validate_frame(df)
+        # validate the feature columns (tombstone marker is internal,
+        # not part of the declared schema), then project features + flag
+        # from the SAME frame so rows stay aligned
+        group.validate_frame(df.drop(DELETED_COL))
+        flag = (
+            F.col(DELETED_COL).cast("boolean")
+            if DELETED_COL in df.columns
+            else F.lit(False)
+        ).alias(DELETED_COL)
+        df = df.select(
+            *[df[f.name].cast(f.spark_type).alias(f.name) for f in group.features],
+            flag,
+        )
         tcol = group.event_time_feature
         ts = (
             parse_loose_timestamp(tcol)
@@ -107,10 +120,35 @@ class FeatureStore:
         )
         return out
 
+    def delete_record(
+        self, name: str, record_identifier_value, event_time_iso: str, base_seq: int = 0
+    ) -> None:
+        """Soft delete (public SageMaker delete_record semantics): append
+        a tombstone to the append-only history. The key disappears from
+        the online view iff the tombstone is the key's latest event;
+        an older tombstone changes nothing (same late-data rule as any
+        record). History keeps everything — audit and point-in-time
+        reads before the delete still see the record."""
+        group = self._groups[name]
+        tcol = group.event_time_feature
+        row = {group.record_identifier: record_identifier_value, tcol: event_time_iso}
+        df = self.spark.createDataFrame(
+            [tuple(row.get(c) for c in group.feature_names)],
+            group.schema,
+        ).withColumn(DELETED_COL, F.lit(True))
+        self.ingest(name, df, base_seq=base_seq)
+
     # -- offline reads (S4, P1, P2) ---------------------------------------
 
     def offline_store(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.offline_path(name))
+        df = self.spark.read.parquet(self.offline_path(name))
+        # stores written before tombstone support lack the column; a
+        # parquet file without it reads as null under the merged schema
+        if DELETED_COL in df.columns:
+            df = df.withColumn(DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        else:
+            df = df.withColumn(DELETED_COL, F.lit(False))
+        return df
 
     def history_between(
         self, name: str, lo_iso: str, hi_iso: str, columns: list[str] | None = None
@@ -133,16 +171,21 @@ class FeatureStore:
     # -- online view (A1, P3, P4) -----------------------------------------
 
     def latest_view(self, name: str) -> DataFrame:
-        """Latest record per key — the online store's contents."""
+        """Latest record per key — the online store's contents.
+
+        Tombstones participate in the latest-wins race like any record
+        (an OLDER delete must not remove a NEWER record); a key whose
+        latest event is a tombstone is absent from the view."""
         group = self._groups[name]
-        return latest_snapshot(
+        latest = latest_snapshot(
             self.offline_store(name).select(
-                *group.feature_names, EVENT_TS_COL, INGEST_SEQ_COL
+                *group.feature_names, EVENT_TS_COL, INGEST_SEQ_COL, DELETED_COL
             ),
             key_cols=group.record_identifier,
             event_time_col=group.event_time_feature,
             tie_breaker=INGEST_SEQ_COL,
-        ).select(*group.feature_names)
+        )
+        return latest.filter(~F.col(DELETED_COL)).select(*group.feature_names)
 
     def get_record(
         self, name: str, record_identifier_value

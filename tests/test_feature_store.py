@@ -102,6 +102,38 @@ def test_point_lookup_and_defaults(store):
     assert store.feature_vector(GROUP.name, 999, ["latest_purchase_value"]) == [0.0]
 
 
+def test_delete_record_tombstone(store):
+    # newest-event tombstone removes the key from the online view...
+    store.delete_record(GROUP.name, 1, "2022-07-01T00:00:00Z", base_seq=5_000_000)
+    assert store.get_record(GROUP.name, 1) is None
+    # ...but history keeps every record plus the tombstone (append-only)
+    assert store.offline_store(GROUP.name).count() == len(ROWS) + 1
+    # other keys unaffected
+    assert store.get_record(GROUP.name, 3) is not None
+
+
+def test_old_tombstone_does_not_delete(store):
+    # a tombstone OLDER than the stored record loses the latest-wins
+    # race — same late-data rule as any record
+    store.delete_record(GROUP.name, 1, "2022-02-01T00:00:00Z", base_seq=5_000_000)
+    rec = store.get_record(GROUP.name, 1)
+    assert rec is not None
+    d = {f["FeatureName"]: f["ValueAsString"] for f in rec}
+    assert d["latest_purchase_value"] == "20.0"
+
+
+def test_reingest_after_delete_resurrects(store):
+    store.delete_record(GROUP.name, 1, "2022-07-01T00:00:00Z", base_seq=5_000_000)
+    assert store.get_record(GROUP.name, 1) is None
+    fresh = store.spark.createDataFrame(
+        [(1, "2022-08-01T00:00:00Z", 99.0, 1.0)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    store.ingest(GROUP.name, fresh, base_seq=6_000_000)
+    d = {f["FeatureName"]: f["ValueAsString"] for f in store.get_record(GROUP.name, 1)}
+    assert d["latest_purchase_value"] == "99.0"
+
+
 def test_batch_get_record(store):
     got = store.batch_get_record(GROUP.name, [1, 2, 999])
     assert set(got) == {1, 2}  # absent key omitted
