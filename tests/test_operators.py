@@ -65,6 +65,30 @@ def test_asof_join_basic(spark):
     assert out.count() == 3
 
 
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(1, "2022-01-01 12:00:00", "p1")], "k long, pt string, tag string"
+    ).withColumn("pt", F.col("pt").cast("timestamp"))
+    feat = spark.createDataFrame(
+        [(1, "2022-01-01 11:00:00", 1.0), (1, "2022-01-01 08:00:00", 2.0)],
+        "k long, ft string, fv double",
+    ).withColumn("ft", F.col("ft").cast("timestamp"))
+    # 2h tolerance: the 11:00 feature qualifies (1h old), 08:00 doesn't
+    out = asof_join(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        how="left", tolerance_seconds=7200,
+    )
+    assert [r["fv"] for r in out.collect()] == [1.0]
+    # 30min tolerance: nothing qualifies but the probe row survives
+    out2 = asof_join(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        how="left", tolerance_seconds=1800,
+    )
+    assert [r["fv"] for r in out2.collect()] == [None]
+
+
 def test_asof_join_union_matches_join(spark):
     probe = spark.createDataFrame(
         [(1, "2022-01-02"), (1, "2021-12-31"), (2, "2022-01-09"), (3, "2022-01-05")],
