@@ -69,6 +69,34 @@ def fs_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fs_snapshot_asof",
+    oracle=f"""
+SELECT user_id, event_id, event_type, value, {sql_iso('ts')} AS event_time
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+) WHERE rn = 1
+""",
+    description=(
+        "Point-in-time snapshot reconstruction: the online view AS OF a "
+        "past instant (latest record per key at or before the cutoff) — "
+        "what training-set reproduction needs and a KV online store "
+        "cannot answer; the append-only history makes it one filtered "
+        "window pass."
+    ),
+)
+def fs_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    latest = latest_snapshot_window(ev, "user_id", "ts", tie_breaker="event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
+    )
+
+
+@register(
     "fs_point_lookup",
     oracle=f"""
 SELECT user_id, event_type,

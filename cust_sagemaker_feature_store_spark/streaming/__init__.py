@@ -1,7 +1,7 @@
 from .ingest import StreamingIngest
 from .joins import purchase_click_attribution
 from .stateful import running_user_features
-from .windows import session_agg, sliding_agg, tumbling_agg
+from .windows import session_agg, sliding_agg, stream_dedup, tumbling_agg
 
 __all__ = [
     "StreamingIngest",
@@ -9,5 +9,6 @@ __all__ = [
     "running_user_features",
     "session_agg",
     "sliding_agg",
+    "stream_dedup",
     "tumbling_agg",
 ]

@@ -65,6 +65,21 @@ def sliding_agg(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once source -> effectively-once stream: drop duplicate
+    keys arriving within the watermark horizon. State holds one entry
+    per key seen in the horizon and is evicted as the watermark
+    advances — bounded memory, unlike an unbounded dropDuplicates."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def session_agg(
     stream: DataFrame,
     ts_col: str = "ts",

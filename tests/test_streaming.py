@@ -130,6 +130,37 @@ def test_streaming_tumbling_window(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "view")] == (1, 1.0)
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids delivered twice (at-least-once source) are
+    emitted once."""
+    from cust_sagemaker_feature_store_spark.streaming import stream_dedup
+
+    rows = [
+        "event_id,ts,user_id,event_type,value",
+        "1,2024-01-01 00:05:00,1,click,10.0",
+        "1,2024-01-01 00:05:00,1,click,10.0",  # exact redelivery
+        "2,2024-01-01 00:06:00,1,view,1.0",
+        "1,2024-01-01 00:07:00,1,click,10.0",  # same id, later arrival
+    ]
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    (d / "e.csv").write_text("\n".join(rows) + "\n")
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).csv(str(d), header=True)
+    q = (
+        stream_dedup(ev, keys=("event_id",), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()]
+    assert sorted(got) == [1, 2]
+
+
 def test_stream_stream_join_attribution(spark, tmp_path):
     """Watermarked stream-stream join: purchases attributed to clicks by
     the same user within a 10-minute window."""
