@@ -100,6 +100,51 @@ def lsh_ann_topk(
     ).orderBy(F.col("cosine_sim").desc(), F.col(id_col))
 
 
+def lsh_dup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 6,
+) -> DataFrame:
+    """Global embedding near-dup pairs WITHOUT blocking: unit-normalize,
+    LSH self-join with L2 threshold sqrt(2 - 2*min_cosine) (exact
+    equivalence on unit vectors), then exact cosine on the candidates.
+    The scale path when no blocking key exists — candidate generation is
+    bucket-local, never the O(n²) cross product. Approximate: recall
+    depends on bucketLength/numHashTables (asserted vs the exact
+    baseline in tests)."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    unit = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            as_double(vec_col),
+            lambda x: x / l2_norm(as_double(vec_col)),
+        ).alias("__u"),
+    )
+    ml_df = _to_ml_vector(unit, "__u", "__v")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__v",
+        outputCol="__h",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(ml_df)
+    thr = math.sqrt(max(2.0 - 2.0 * min_cosine, 0.0))
+    pairs = model.approxSimilarityJoin(ml_df, ml_df, thr, distCol="l2_dist")
+    out = pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")).select(
+        F.col(f"datasetA.{id_col}").alias("vec_a"),
+        F.col(f"datasetB.{id_col}").alias("vec_b"),
+        F.round(dot(F.col("datasetA.__u"), F.col("datasetB.__u")), 6).alias("cosine_sim"),
+    )
+    return out.filter(F.col("cosine_sim") >= min_cosine)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -67,10 +67,10 @@ SELECT a.label,
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_sim
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.8
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
 """,
     description=(
-        "Embedding near-dup pairs, label-blocked: all-pairs cosine >= 0.8 "
+        "Embedding near-dup pairs, label-blocked: all-pairs cosine >= 0.4 "
         "inside each label block — the blocked (not quadratic-global) "
         "exact form."
     ),
@@ -92,7 +92,7 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.8)
+        .filter(F.col("cosine_sim") >= 0.4)
     )
 
 
@@ -136,6 +136,21 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk(emb, _query_vector(spark, sf_dir), k=TOP_K)
+
+
+@register(
+    "sim_lsh_dup_pairs",
+    oracle=None,  # approximate: recall vs the exact pair set asserted in tests
+    description=(
+        "Global embedding near-dup pairs without a blocking key: unit-"
+        "normalize, BucketedRandomProjectionLSH self-join at the L2 "
+        "threshold equivalent to cosine>=0.4, exact cosine re-check on "
+        "candidates — the no-blocking-key scale path."
+    ),
+)
+def sim_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_dup_pairs(emb, min_cosine=0.4)
 
 
 @register(

@@ -53,6 +53,36 @@ def test_simhash_candidates_find_near_dups(spark):
     assert all(2 not in pair for pair in got)
 
 
+def test_lsh_dup_pairs_recall_vs_exact(spark, sf_dir):
+    # exact global pair set at cosine>=0.45 (O(n^2), fine at test SF);
+    # thresholds chosen to be NON-vacuous on the driver data (max
+    # pairwise cosine there is ~0.48)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", S.as_double("embedding").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = S.dot(F.col("a.e"), F.col("b.e")) / (
+        S.l2_norm(F.col("a.e")) * S.l2_norm(F.col("b.e"))
+    )
+    exact = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= 0.45)
+        .collect()
+    }
+    assert exact  # the driver data must exercise the test
+    rows = S.lsh_dup_pairs(emb, min_cosine=0.4).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    # every >=0.45 pair must be recalled at the looser 0.4 threshold,
+    # and nothing below 0.4 may appear (exact re-check on candidates)
+    assert len(exact & got) / len(exact) >= 0.9
+    assert all(r["cosine_sim"] >= 0.4 for r in rows)
+
+
 def test_jaccard_pairs_find_near_dups(spark):
     base = "a b c d e f g h i j k l m n o p q r s t"
     near = base + " extra"
