@@ -9,6 +9,7 @@ from . import relational2_q  # noqa: E402,F401
 from . import relational3_q  # noqa: E402,F401
 from . import relational4_q  # noqa: E402,F401
 from . import relational5_q  # noqa: E402,F401
+from . import relational6_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import text_q  # noqa: E402,F401
 from . import similarity_q  # noqa: E402,F401

@@ -1,0 +1,150 @@
+"""TPC-H Q20/Q21-shaped queries, completing the nested-subquery join
+surface (SURVEY.md §2.3 [EXT]).
+
+The reference delegates all SQL to Athena/Presto (reference:
+historical_features.py:28-37); these two shapes are the hardest of the
+classic 22 — a semi-join against a HAVING-filtered aggregate subquery
+(Q20) and a correlated EXISTS + NOT-EXISTS self-reference (Q21). The
+testdata lacks ``partsupp`` and ``l_commitdate``/``l_receiptdate``, so
+each is adapted to the available star schema while preserving the exact
+plan character the original exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import dsum, register, sql_dsum
+
+_Q20_NATIONS = ("NATION_1", "NATION_7", "NATION_13", "NATION_19", "NATION_24")
+_Q20_NATION_SQL = ", ".join(f"'{n}'" for n in _Q20_NATIONS)
+
+
+@register(
+    "q20_heavy_part_suppliers",
+    oracle=f"""
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name IN ({_Q20_NATION_SQL}))
+  AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red %'
+        GROUP BY l.l_suppkey
+        HAVING {sql_dsum('l.l_quantity', 2)} > 2000)
+ORDER BY s.s_name
+""",
+    description=(
+        "TPC-H Q20-style potential promotion: suppliers in a nation set "
+        "who shipped > 2000 units of red parts — a semi join against a "
+        "HAVING-filtered aggregate subquery. The part dim filter "
+        "broadcasts into the lineitem scan; the aggregated supplier set "
+        "(bounded by |supplier|) broadcasts back as the IN-list, so the "
+        "only shuffle at 100 TB is the per-suppkey partial aggregate."
+    ),
+)
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 2000)
+        .select("l_suppkey")
+    )
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*_Q20_NATIONS))
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(nations),
+            supp.s_nationkey == nations.n_nationkey,
+            "left_semi",
+        )
+        .join(F.broadcast(heavy), F.col("s_suppkey") == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""",
+    description=(
+        "TPC-H Q21-style waiting suppliers: the sole supplier late on a "
+        "multi-supplier finalized order ('late' adapted to shipdate > "
+        "orderdate + 90 days, since the testdata has no commit/receipt "
+        "dates). EXISTS -> left-semi and NOT EXISTS -> left-anti, both "
+        "keyed on l_orderkey so they co-partition with the late set; "
+        "(numwait DESC, s_name) is a total order, making the top-10 "
+        "deterministic in both engines."
+    ),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waiting = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
