@@ -12,7 +12,7 @@ plan character the original exercises.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -147,4 +147,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+SELECT status, orderkey, totalprice
+FROM (
+  SELECT o_orderstatus AS status, o_orderkey AS orderkey,
+         o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 50
+""",
+    description=(
+        "Exact stratified sampling: exactly k=50 rows per o_orderstatus "
+        "stratum, the class-balanced draw a training pipeline needs when "
+        "label frequencies are skewed. Ordering by a multiplicative key "
+        "hash (not rand()) makes the draw reproducible across engines, "
+        "partitions, and reruns; rank<=k compiles to WindowGroupLimit, "
+        "so each map task keeps only k rows per stratum before the "
+        "shuffle — at 100 TB the exchange carries k*|strata| rows per "
+        "task, not the table. Complements the Bernoulli hash sample "
+        "(sample_hash_deterministic), which cannot guarantee per-class "
+        "counts."
+    ),
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("o_orderstatus").orderBy(h, "o_orderkey")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
     )
