@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q7_nation_pair_revenue",
     "q13_customer_order_distribution",
     "q19_disjunctive_predicates",
+    "q21_waiting_suppliers",
     "range_join_event_followups",
     "agg_orders_by_status",
     "window_rank_orders",

@@ -9,7 +9,7 @@ bit-for-bit by the correctness gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -434,3 +434,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_candidates(docs, max_hamming=3)
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+SELECT doc_id,
+       CAST((off - 1) / 150 AS BIGINT) AS chunk_id,
+       substr(text, CAST(off AS INTEGER), 200) AS chunk,
+       length(substr(text, CAST(off AS INTEGER), 200)) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(n_chars, 1), 150)) AS off
+  FROM documents)
+""",
+    description=(
+        "Document chunking for training-data prep: fixed 200-char "
+        "windows at stride 150 (50-char overlap so no span is lost at a "
+        "boundary). sequence + posexplode is a narrow per-row transform "
+        "— no shuffle at any scale, chunks stream out of the scan "
+        "partition-parallel; downstream ops see chunk rows keyed "
+        "(doc_id, chunk_id). Character-addressed here; a tokenizer-"
+        "addressed variant swaps the substring for a token-slice UDF."
+    ),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    offs = F.sequence(
+        F.lit(1), F.greatest(F.col("n_chars"), F.lit(1)).cast("int"), F.lit(150)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.posexplode(offs).alias("pos", "off")
+    )
+    chunk = F.col("text").substr(F.col("off"), F.lit(200))
+    return exploded.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("chunk_id"),
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+@register(
+    "text_pack_bins",
+    oracle="""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT source,
+       CAST(FLOOR((cum - n_chars) / 2000.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS bin_chars
+FROM c
+GROUP BY source, bin_id
+""",
+    description=(
+        "Sequence packing for pretraining batches: documents stream "
+        "into ~2000-char bins in deterministic (source, doc_id) order — "
+        "bin = floor(preceding-chars / budget), the running-sum "
+        "formulation of sequential first-fit. One shuffle on source for "
+        "the cumulative window, then the groupBy reuses the same "
+        "partitioning (no second exchange); at 100 TB the stream stays "
+        "partition-parallel per source shard. Char-addressed budget; a "
+        "token-addressed variant swaps n_chars for a token count."
+    ),
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            F.floor((cum - F.col("n_chars")) / 2000.0).alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+        )
+    )
