@@ -190,3 +190,36 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .drop("rn")
     )
+
+
+@register(
+    "fs_decayed_features",
+    oracle=f"""
+SELECT o_custkey AS custkey,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice * pow(0.5, CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01') / 180.0) AS BIGINT))", 4)} AS decayed_spend
+FROM orders
+GROUP BY o_custkey
+""",
+    description=(
+        "Time-decayed feature engineering: per-customer spend with a "
+        "180-day half-life relative to a reference date — the standard "
+        "recency-weighted feature a feature store materializes. The "
+        "half-life exponent is an integer (floor of age/180), so the "
+        "0.5^n weight is an exact power-of-two scaling that both "
+        "engines compute bit-identically — decayed sums stay inside the "
+        "exact-decimal gate with no float drift. Plan is scan + partial "
+        "agg: one shuffle on custkey at any scale."
+    ),
+)
+def fs_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    half_lives = F.floor(
+        F.datediff(F.lit("2001-08-01").cast("date"), F.col("o_orderdate").cast("date"))
+        / 180.0
+    )
+    decayed = F.col("o_totalprice") * F.pow(F.lit(0.5), half_lives)
+    return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(decayed, 4).alias("decayed_spend"),
+    )
