@@ -283,3 +283,93 @@ def fs_asof_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso("click_ts").alias("last_click_time"),
         F.col("click_value").alias("last_click_value"),
     )
+
+
+@register(
+    "fs_multi_group_asof",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), j1 AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_value,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+), f1 AS (SELECT purchase_id, user_id, purchase_ts, click_value FROM j1 WHERE rn = 1),
+j2 AS (
+  SELECT f1.*, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY f1.purchase_id
+           ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
+         ) AS rn
+  FROM f1 LEFT JOIN orders o
+    ON f1.user_id = o.o_custkey AND o.o_orderdate <= f1.purchase_ts
+)
+SELECT purchase_id, user_id,
+       {sql_iso('purchase_ts')} AS purchase_time,
+       click_value,
+       {sql_iso('o_orderdate')} AS last_order_time,
+       o_totalprice AS last_order_price
+FROM j2 WHERE rn = 1
+""",
+    description=(
+        "[EXT] multi-group point-in-time retrieval — the training-"
+        "dataset-generation primitive: one probe set (purchases) "
+        "enriched as-of from TWO feature tables (click events and "
+        "orders) with no leakage past each probe timestamp. Composes "
+        "asof_join per group; each stage is a WindowGroupLimit-pruned "
+        "join keyed on the entity id, so N feature groups cost N "
+        "co-partitioned joins, not a blow-up."
+    ),
+)
+def fs_multi_group_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    stage1 = asof_join(
+        probe,
+        clicks,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        how="left",
+        tie_breaker="click_id",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_value")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    stage2 = asof_join(
+        stage1,
+        orders,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="o_orderdate",
+        how="left",
+        tie_breaker="o_orderkey",
+    )
+    return stage2.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "click_value",
+        iso("o_orderdate").alias("last_order_time"),
+        F.col("o_totalprice").alias("last_order_price"),
+    )
