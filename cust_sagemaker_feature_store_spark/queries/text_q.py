@@ -521,3 +521,44 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("bin_chars"),
         )
     )
+
+
+@register(
+    "text_mixture_resample",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM (
+  SELECT source, n_chars, doc_id,
+         CASE WHEN source IN ('src0', 'src1') THEN 1000
+              WHEN source IN ('src2', 'src3') THEN 500
+              ELSE 250 END AS permille
+  FROM documents)
+WHERE (doc_id * 2654435761) % 1000 < permille
+GROUP BY source
+""",
+    description=(
+        "Dataset mixture resampling: per-source sampling rates (here "
+        "100% / 50% / 25% tiers) realize a target corpus mix — the "
+        "data-mixing step of pretraining-corpus construction. The keep "
+        "decision is a pure per-row predicate on a multiplicative key "
+        "hash: reproducible across engines and reruns, pushes into the "
+        "scan, zero shuffle before the per-source summary. Completes "
+        "the sampling trio with Bernoulli (sample_hash_deterministic) "
+        "and stratified (sample_stratified_exact) draws."
+    ),
+)
+def text_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    permille = (
+        F.when(F.col("source").isin("src0", "src1"), 1000)
+        .when(F.col("source").isin("src2", "src3"), 500)
+        .otherwise(250)
+    )
+    return (
+        docs.filter((F.col("doc_id") * F.lit(2654435761)) % 1000 < permille)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
