@@ -43,7 +43,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_bucket,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 WHERE props IS NOT NULL
 GROUP BY 1
@@ -167,9 +167,9 @@ WITH gaps AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
-  SELECT *, SUM(new_session) OVER (
+  SELECT *, CAST(SUM(new_session) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id,

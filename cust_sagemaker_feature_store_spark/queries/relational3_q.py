@@ -52,8 +52,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_returnflag",
     oracle="""
 SELECT l.l_returnflag,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY l.l_returnflag
@@ -192,18 +192,27 @@ SELECT (c.c_custkey % 10) AS cntrycode,
        {sql_dsum('c.c_acctbal', 2)} AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.v
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 GROUP BY 1
 """,
     description=(
-        "TPC-H Q22-style idle high-balance customers: scalar average "
-        "subquery (broadcast one-row join), NOT EXISTS anti join, "
-        "modulo-derived country code grouping."
+        "TPC-H Q22-style idle high-balance customers (no urgent orders): "
+        "scalar average subquery (broadcast one-row join), NOT EXISTS "
+        "anti join over a filtered build side, modulo-derived country "
+        "code grouping. The 'no orders at all' form passed vacuously "
+        "with 0 rows at sf0.01 (r1), so the idleness predicate is "
+        "priority-scoped to actually exercise the anti join."
     ),
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         davg(F.col("c_acctbal"), 2).alias("v")
     )
@@ -248,9 +257,9 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_priority_by_status",
     oracle="""
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders
 GROUP BY o_orderpriority
 """,

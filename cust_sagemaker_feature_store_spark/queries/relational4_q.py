@@ -90,7 +90,7 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation ns ON s.s_nationkey = ns.n_nationkey
-WHERE p.p_name LIKE '%5%'
+WHERE p.p_name LIKE '%red%'
 GROUP BY 1, 2
 """,
     description=(
@@ -103,7 +103,7 @@ GROUP BY 1, 2
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%")).select("p_partkey")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(

@@ -165,14 +165,23 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
 """,
-    description="Left-anti join: customers with no orders at all.",
+    description=(
+        "Left-anti join: customers with no partial-status orders. The "
+        "build side is filtered before the anti join (predicate inside "
+        "NOT EXISTS, not WHERE) — at sf0.01 every customer has *some* "
+        "order, so the unfiltered form verified nothing (r1 vacuous "
+        "0-row pass)."
+    ),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    partial = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return cust.join(partial, cust.c_custkey == partial.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 

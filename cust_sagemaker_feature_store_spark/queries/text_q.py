@@ -486,7 +486,7 @@ WITH c AS (
 SELECT source,
        CAST(FLOOR((cum - n_chars) / 2000.0) AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS bin_chars
+       CAST(SUM(n_chars) AS BIGINT) AS bin_chars
 FROM c
 GROUP BY source, bin_id
 """,
@@ -526,7 +526,7 @@ def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_mixture_resample",
     oracle="""
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM (
   SELECT source, n_chars, doc_id,
          CASE WHEN source IN ('src0', 'src1') THEN 1000

@@ -2,29 +2,51 @@
 
 Mirrors the driver's t2 gate: row count + sorted column names + an
 order-insensitive multiset of normalized values, exact equality.
+
+Fidelity notes (round-2 hardening — VERDICT r1 "What's wrong" #3): the
+driver fetches the DuckDB oracle **through pandas**, which coerces
+- HUGEINT (DuckDB's type for SUM over integers) -> float64,
+- any nullable integer column                   -> float64 with NaN,
+- DATE                                          -> midnight Timestamp.
+The old replica folded int-valued floats back to ints, which masked the
+q12/pivot driver hash failures. This version reproduces the coercion
+(oracle rows come from ``.df()``) and keeps the float/int distinction
+in ``norm_value``, so local green predicts driver green. Consequences
+for query authors: CAST integer SUMs to BIGINT in oracle SQL, avoid
+nullable integer output columns, and emit dates as ISO strings.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 from collections import Counter
 
 import duckdb
+import numpy as np
 
 
 def norm_value(v) -> str:
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
+    if isinstance(v, np.generic):  # numpy scalar from the pandas fetch
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+            # pandas renders SQL NULL in a float64 column as NaN on BOTH
+            # sides of the driver's compare, so NaN == NULL here.
+            return "NULL"
+        return repr(v)  # type-sensitive: 123.0 stays "123.0", not "123"
     if isinstance(v, int):
         return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    if isinstance(v, _dt.datetime):  # covers pd.Timestamp (a subclass)
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)
 
 
@@ -42,13 +64,20 @@ def duckdb_connection(sf_dir: str, tables: tuple[str, ...]) -> duckdb.DuckDBPyCo
     return con
 
 
+def oracle_fetch(con, oracle: str) -> tuple[list[str], list[tuple]]:
+    """Fetch oracle rows the way the driver does: through pandas, so
+    HUGEINT/nullable-int -> float64 coercion is part of what we test."""
+    pdf = con.execute(oracle).df()
+    cols = list(pdf.columns)
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def compare_spark_to_oracle(sdf, con, oracle: str) -> list[str]:
     """Return a list of problems (empty == match)."""
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    ocols, orows = oracle_fetch(con, oracle)
 
     problems: list[str] = []
     if sorted(scols) != sorted(ocols):
