@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.casts import double_with_default, row_to_record
+from ..functions.ids import with_dense_row_ids
 from ..functions.timeutil import format_iso_z, parse_iso_z, parse_loose_timestamp
 from ..operators.latest import latest_snapshot
 from .feature_group import FeatureGroup
@@ -44,6 +45,9 @@ class FeatureStore:
         self.spark = spark
         self.root_path = root_path
         self._groups: dict[str, FeatureGroup] = {}
+        # next free ingest_seq per group, lazily seeded from the stored
+        # max so sequences stay monotone across FeatureStore instances
+        self._next_seq: dict[str, int] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -83,6 +87,16 @@ class FeatureStore:
         reference's row-at-a-time put_record loop (reference:
         update_feature_store.py:56-58) collapses into one distributed
         append.
+
+        The sequence is provably monotone ACROSS batches: each batch
+        gets dense ids ``base .. base+N-1`` (functions/ids.py) where
+        ``base`` is the tracked next-free sequence — seeded from
+        ``max(ingest_seq)`` in the stored history when this instance
+        first touches the group, advanced by the batch's exact row
+        count after. ``base_seq`` acts as a floor (never lowers the
+        base), kept for callers that partition the id space themselves.
+        Later-write-wins ties (including delete tombstones) therefore
+        resolve by ingest order, never by partition layout.
         """
         group = self._groups[name]
         # validate the feature columns (tombstone marker is internal,
@@ -104,21 +118,37 @@ class FeatureStore:
             if loose_timestamp
             else parse_iso_z(tcol)
         )
-        out = (
+        normalized = (
             df.withColumn(EVENT_TS_COL, ts)
             .withColumn(tcol, format_iso_z(EVENT_TS_COL))
             .withColumn(EVENT_DATE_COL, F.to_date(F.col(EVENT_TS_COL)))
-            # monotonically_increasing_id is unique and ascending within a
-            # batch partition ordering; offset by base_seq across batches.
-            .withColumn(
-                INGEST_SEQ_COL,
-                F.monotonically_increasing_id() + F.lit(base_seq),
-            )
         )
+        base = max(self._seq_base(name), base_seq)
+        with_ids, n_rows = with_dense_row_ids(normalized, "__did")
+        out = with_ids.withColumn(
+            INGEST_SEQ_COL, F.col("__did") + F.lit(base)
+        ).drop("__did")
         out.write.partitionBy(EVENT_DATE_COL).mode("append").parquet(
             self.offline_path(name), compression="snappy"
         )
+        self._next_seq[name] = base + n_rows
         return out
+
+    def _seq_base(self, name: str) -> int:
+        """Next free ingest_seq: session cache, else stored max + 1.
+        The seed scan is column-pruned to ingest_seq and runs once per
+        (instance, group) — O(history footers + one column), not O(data)."""
+        if name not in self._next_seq:
+            try:
+                m = (
+                    self.spark.read.parquet(self.offline_path(name))
+                    .agg(F.max(INGEST_SEQ_COL))
+                    .collect()[0][0]
+                )
+                self._next_seq[name] = (m + 1) if m is not None else 0
+            except Exception:  # no offline store yet
+                self._next_seq[name] = 0
+        return self._next_seq[name]
 
     def delete_record(
         self, name: str, record_identifier_value, event_time_iso: str, base_seq: int = 0

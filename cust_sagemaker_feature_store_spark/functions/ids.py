@@ -1,0 +1,58 @@
+"""Dense, deterministic row-id assignment (ingest-sequence support).
+
+``monotonically_increasing_id`` alone is NOT a usable cross-batch
+sequence: it packs the partition index into bits 33+ (ids stride by
+2^33 per partition), so "offset the next batch by a million" does not
+dominate a prior multi-partition batch's ids — equal-event-time
+tie-breaks (including delete tombstones) could then resolve by
+partition layout instead of ingest order, silently resurrecting stale
+records. Flagged in round-1 review (ADVICE r1, feature_store.py:115).
+
+The fix assigns ids DENSE in ``0..N-1`` for a batch, so the id space a
+batch occupies is bounded by its row count — which a caller CAN
+provably offset past:
+
+1. per-partition row index = the low 33 bits of
+   ``monotonically_increasing_id`` (its documented layout: partition id
+   above bit 33, row-in-partition below);
+2. exact per-partition offsets from a count-by-partition job (narrow,
+   column-pruned — it reads no data columns; the tiny count table
+   broadcast-joins back on partition id).
+
+Two passes over the batch, no shuffle of data rows, dense regardless of
+partition count or skew. Requires the input's partitioning to be
+deterministic across the two jobs (true for file sources and persisted
+frames; both ingest paths satisfy it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MONO_ROW_MASK = (1 << 33) - 1  # low bits of monotonically_increasing_id
+
+
+def with_dense_row_ids(df: DataFrame, out_col: str) -> tuple[DataFrame, int]:
+    """Add ``out_col`` holding dense row ids ``0..N-1``; return the
+    frame and ``N``. Ids are assigned in (partition, row-in-partition)
+    order — an arbitrary but deterministic order for a deterministic
+    source."""
+    tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__row", F.monotonically_increasing_id().bitwiseAND(F.lit(MONO_ROW_MASK))
+    )
+    counts = sorted(
+        tagged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    )
+    offsets, total = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], total))
+        total += r["count"]
+    spark = df.sparkSession
+    odf = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    out = (
+        tagged.join(F.broadcast(odf), "__pid", "left")
+        .withColumn(out_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__row"))
+        .drop("__pid", "__row", "__off")
+    )
+    return out, total

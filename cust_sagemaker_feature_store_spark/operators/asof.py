@@ -68,14 +68,20 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in features.columns if c not in keys]
-    p, fa = probe.alias("__p"), features.alias("__f")
+    # Internal unique probe-row id: the rank-1 window partitions on it, so
+    # fully duplicate probe rows each keep their own output row (without
+    # it, partitioning on the probe columns silently collapsed them — a
+    # multiplicity bug flagged in round-1 review). The id is per-row
+    # identity only; its values never surface or order anything.
+    p = probe.withColumn("__pid", F.monotonically_increasing_id()).alias("__p")
+    fa = features.alias("__f")
     joined = p.join(
         fa, _range_condition(keys, probe_time, feature_time, tolerance_seconds), how
     )
     order = [F.col(f"__f.{feature_time}").desc_nulls_last()]
     if tie_breaker:
         order.append(F.col(f"__f.{tie_breaker}").desc_nulls_last())
-    w = Window.partitionBy(*[F.col(f"__p.{c}") for c in probe.columns]).orderBy(*order)
+    w = Window.partitionBy(F.col("__p.__pid")).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -132,21 +138,39 @@ def asof_join_union(
     probe_time: str,
     feature_time: str,
     feature_cols: list[str] | None = None,
+    tie_breaker: str | None = None,
 ) -> DataFrame:
     """Union-and-window as-of join: one shuffle on the key, no join
     explosion. Features sort before probes at equal timestamps (a
-    feature row AT the probe time is visible to it)."""
+    feature row AT the probe time is visible to it).
+
+    The feature payload travels as ONE struct column filled with a
+    single ``last(ignorenulls)``, so the winning feature row is selected
+    atomically — per-column fills could stitch together a mixed row
+    (column A from the latest row, column B backfilled from an older one
+    when the latest held a NULL) that no real feature row ever was.
+    `tie_breaker` (a feature column, e.g. an ingest sequence; greatest
+    wins) makes equal-timestamp picks deterministic, matching the
+    ``row_number(... DESC, tie DESC)`` semantics of the join strategy.
+    """
     keys = [on] if isinstance(on, str) else list(on)
     feature_cols = feature_cols or [
         c for c in features.columns if c not in keys and c != feature_time
     ]
     probe_payload = [c for c in probe.columns if c not in keys and c != probe_time]
 
+    feat_struct_type = (
+        "struct<"
+        + ",".join(f"{c}:{dict(features.dtypes)[c]}" for c in feature_cols)
+        + ">"
+    )
+    tie_type = dict(features.dtypes)[tie_breaker] if tie_breaker else "int"
     f_tagged = features.select(
         *keys,
         F.col(feature_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in feature_cols],
+        (F.col(tie_breaker) if tie_breaker else F.lit(0)).cast(tie_type).alias("__tie"),
+        F.struct(*[F.col(c) for c in feature_cols]).alias("__feat"),
         *[
             F.lit(None).cast(dict(probe.dtypes)[c]).alias(f"__p_{c}")
             for c in probe_payload
@@ -156,25 +180,72 @@ def asof_join_union(
         *keys,
         F.col(probe_time).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(features.dtypes)[c]).alias(c) for c in feature_cols],
+        F.lit(None).cast(tie_type).alias("__tie"),
+        F.lit(None).cast(feat_struct_type).alias("__feat"),
         *[F.col(c).alias(f"__p_{c}") for c in probe_payload],
     )
     unioned = f_tagged.unionByName(p_tagged)
+    # Order: time, then side (features before the probes they serve),
+    # then tie ascending — so among equal-time feature rows the frame's
+    # last non-null struct is the greatest-tie row, atomically.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", F.col("__tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *keys,
         "__t",
         "__side",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in feature_cols],
+        F.last(F.col("__feat"), ignorenulls=True).over(w).alias("__feat"),
         *[F.col(f"__p_{c}") for c in probe_payload],
     )
     return filled.filter(F.col("__side") == 1).select(
         *keys,
         F.col("__t").alias(probe_time),
         *[F.col(f"__p_{c}").alias(c) for c in probe_payload],
-        *feature_cols,
+        *[F.col(f"__feat.{c}").alias(c) for c in feature_cols],
+    )
+
+
+def asof_join_auto(
+    probe: DataFrame,
+    features: DataFrame,
+    on: str | list[str],
+    probe_time: str,
+    feature_time: str,
+    how: str = "left",
+    tolerance_seconds: int | None = None,
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """Strategy-picking as-of join.
+
+    The default join-then-rank strategy materializes probe x
+    qualifying-history per key before WindowGroupLimit trims it — fine
+    when a tolerance bounds the history each probe can see, a
+    scale-killer when the feature side is unbounded (every probe joins
+    its key's entire past). Rule:
+
+    - bounded candidates (``tolerance_seconds`` set): join + rank —
+      broadcastable, WindowGroupLimit prunes map-side;
+    - unbounded left join: union-and-window — one shuffle on the key,
+      never materializes the cross product;
+    - unbounded inner/other: max_by aggregation — partial agg collapses
+      candidates map-side before the exchange.
+    """
+    if tolerance_seconds is not None:
+        return asof_join(
+            probe, features, on, probe_time, feature_time, how,
+            tolerance_seconds, tie_breaker,
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in features.columns if c not in keys]
+    if how == "left":
+        joined = asof_join_union(
+            probe, features, on, probe_time, feature_time,
+            feature_cols=payload, tie_breaker=tie_breaker,
+        )
+        return joined.select(*probe.columns, *payload)
+    return asof_join_agg(
+        probe, features, on, probe_time, feature_time, how, None, tie_breaker
     )

@@ -264,6 +264,7 @@ def fs_asof_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feat = ev.filter(F.col("event_type") == "click").select(
         "user_id",
+        F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
         F.col("value").alias("click_value"),
     )
@@ -274,6 +275,7 @@ def fs_asof_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_time="purchase_ts",
         feature_time="click_ts",
         feature_cols=["click_ts", "click_value"],
+        tie_breaker="click_id",
     )
     return joined.select(
         "purchase_id",

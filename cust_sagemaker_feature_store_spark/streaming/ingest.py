@@ -29,8 +29,19 @@ from pyspark.sql import functions as F
 
 from ..core.feature_group import FeatureGroup
 from ..core.feature_store import EVENT_DATE_COL, EVENT_TS_COL, INGEST_SEQ_COL
+from ..functions.ids import with_dense_row_ids
 from ..functions.timeutil import format_iso_z, parse_iso_z
 from ..operators.latest import latest_snapshot
+
+# ingest_seq = batch_id * BATCH_SEQ_STRIDE + dense row id. Dense ids
+# (functions/ids.py) are bounded by the batch's ROW COUNT, so the
+# stride bounds capacity explicitly: up to ~1.1e12 rows per micro-batch
+# and ~8.4e6 micro-batches in an int64 — vs the former
+# monotonically_increasing_id form whose partition-indexed ids crossed
+# the stride as soon as a batch had >128 partitions. A pure function of
+# (batch_id, batch content), so checkpoint replays reassign identical
+# sequences and the snapshot merge stays idempotent.
+BATCH_SEQ_STRIDE = 1 << 40
 
 
 class StreamingIngest:
@@ -54,18 +65,20 @@ class StreamingIngest:
 
     def _normalize(self, batch: DataFrame, batch_id: int) -> DataFrame:
         tcol = self.group.event_time_feature
-        return (
+        normalized = (
             self.group.validate_frame(batch)
             .withColumn(EVENT_TS_COL, parse_iso_z(tcol))
             .withColumn(tcol, format_iso_z(EVENT_TS_COL))
             .withColumn(EVENT_DATE_COL, F.to_date(F.col(EVENT_TS_COL)))
-            # per-batch monotone sequence, offset by batch id so later
-            # micro-batches always win event-time ties (later-write-wins)
-            .withColumn(
-                INGEST_SEQ_COL,
-                F.monotonically_increasing_id() + F.lit(batch_id) * F.lit(1 << 40),
-            )
         )
+        # dense per-batch ids under a batch-id epoch: later micro-batches
+        # always win event-time ties (later-write-wins), at ANY partition
+        # count — see BATCH_SEQ_STRIDE
+        with_ids, _ = with_dense_row_ids(normalized, "__did")
+        return with_ids.withColumn(
+            INGEST_SEQ_COL,
+            F.col("__did") + F.lit(batch_id) * F.lit(BATCH_SEQ_STRIDE),
+        ).drop("__did")
 
     def _upsert_snapshot(self, normalized: DataFrame) -> None:
         """MERGE-equivalent: union stored snapshot with the batch's own

@@ -182,6 +182,64 @@ def test_schema_enforcement(store, spark):
         store.ingest(GROUP.name, unknown)
 
 
+def test_ingest_seq_dense_and_monotone_across_batches(spark, tmp_path):
+    # ingest_seq must be dense 0..N-1 within a batch and strictly
+    # greater in every later batch, regardless of partition count —
+    # monotonically_increasing_id's 2^33 partition stride must never
+    # leak into the sequence (ADVICE r1: a multi-partition batch's ids
+    # dominated later batches' million-scale offsets).
+    fs = FeatureStore(spark, str(tmp_path / "store"))
+    fs.create_feature_group(GROUP)
+    big = spark.createDataFrame(
+        [(i, "2022-01-01T00:00:00Z", float(i), 0.5) for i in range(100)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    ).repartition(37)  # many partitions: the old scheme strides to 36*2^33
+    fs.ingest(GROUP.name, big)
+    seqs1 = sorted(
+        r["ingest_seq"] for r in fs.offline_store(GROUP.name).select("ingest_seq").collect()
+    )
+    assert seqs1 == list(range(100))
+    small = spark.createDataFrame(
+        [(1, "2022-01-01T00:00:00Z", 999.0, 0.9)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    fs.ingest(GROUP.name, small)  # no base_seq: monotonicity is automatic
+    seqs2 = sorted(
+        r["ingest_seq"] for r in fs.offline_store(GROUP.name).select("ingest_seq").collect()
+    )
+    assert seqs2 == list(range(101))
+    # the later batch's equal-event-time write wins for key 1
+    by_key = {r["customer_id"]: r for r in fs.latest_view(GROUP.name).collect()}
+    assert by_key[1]["latest_purchase_value"] == 999.0
+
+
+def test_cross_batch_equal_timestamp_tombstone(spark, tmp_path):
+    # A tombstone with the SAME event time as the stored record, written
+    # in a later batch with no explicit base_seq, must win the tie by
+    # ingest order alone — the resurrect-on-replay hazard from ADVICE r1.
+    fs = FeatureStore(spark, str(tmp_path / "store"))
+    fs.create_feature_group(GROUP)
+    big = spark.createDataFrame(
+        [(i, "2022-06-01T00:00:00Z", float(i), 0.5) for i in range(64)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    ).repartition(16)
+    fs.ingest(GROUP.name, big)
+    fs.delete_record(GROUP.name, 7, "2022-06-01T00:00:00Z")
+    assert fs.get_record(GROUP.name, 7) is None
+    # a FRESH store instance (empty session cache) seeds its sequence
+    # from the stored max: re-ingesting the key at the same event time
+    # must resurrect it (later write wins again)
+    fs2 = FeatureStore(spark, str(tmp_path / "store"))
+    fs2.create_feature_group(GROUP)
+    fresh = spark.createDataFrame(
+        [(7, "2022-06-01T00:00:00Z", 123.0, 1.0)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    fs2.ingest(GROUP.name, fresh)
+    d = {f["FeatureName"]: f["ValueAsString"] for f in fs2.get_record(GROUP.name, 7)}
+    assert d["latest_purchase_value"] == "123.0"
+
+
 def test_loose_timestamp_roundtrip(spark):
     # F1/F3: '2022-01-02 7:43:18' (unpadded hour, reference:
     # test_task_data.csv:2) -> ISO-8601-Z

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from cust_sagemaker_feature_store_spark.operators import (
     asof_join,
     asof_join_agg,
+    asof_join_auto,
     asof_join_union,
     latest_snapshot,
     latest_snapshot_window,
@@ -105,3 +106,86 @@ def test_asof_join_union_matches_join(spark):
     bm = sorted((r["k"], r["pt"], r["fv"]) for r in b.collect())
     cm = sorted((r["k"], r["pt"], r["fv"]) for r in c.collect())
     assert am == bm == cm
+
+
+def test_asof_union_picks_whole_row_not_per_column(spark):
+    # The most recent feature row holds a NULL payload column. A
+    # per-column fill would backfill that column from the OLDER row,
+    # producing a (b1, a2) chimera no real feature row ever was; the
+    # struct-based fill must carry the newest row atomically.
+    probe = spark.createDataFrame([(1, "2022-01-05")], "k long, pt string")
+    feat = spark.createDataFrame(
+        [(1, "2022-01-01", "a1", "a2"), (1, "2022-01-02", "b1", None)],
+        "k long, ft string, x string, y string",
+    )
+    out = asof_join_union(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        feature_cols=["x", "y"],
+    ).collect()
+    assert [(r["x"], r["y"]) for r in out] == [("b1", None)]
+
+
+def test_asof_union_tie_breaker(spark):
+    # Two feature rows at the same timestamp: the greater tie wins,
+    # matching the join strategy's (ft DESC, tie DESC) row_number pick.
+    probe = spark.createDataFrame([(1, "2022-01-02")], "k long, pt string")
+    feat = spark.createDataFrame(
+        [(1, "2022-01-01", 10, 1.0), (1, "2022-01-01", 20, 2.0)],
+        "k long, ft string, seq long, fv double",
+    )
+    out = asof_join_union(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        feature_cols=["fv"], tie_breaker="seq",
+    ).collect()
+    assert [r["fv"] for r in out] == [2.0]
+    j = asof_join(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        how="left", tie_breaker="seq",
+    ).collect()
+    assert [r["fv"] for r in j] == [2.0]
+
+
+def test_asof_join_preserves_duplicate_probes(spark):
+    # Fully identical probe rows must each produce an output row (the
+    # operator must not dedupe the probe side as a side effect).
+    probe = spark.createDataFrame(
+        [(1, "2022-01-02"), (1, "2022-01-02"), (1, "2022-01-02")],
+        "k long, pt string",
+    )
+    feat = spark.createDataFrame([(1, "2022-01-01", 5.0)], "k long, ft string, fv double")
+    for fn in (asof_join, asof_join_union, asof_join_auto):
+        kwargs = {} if fn is asof_join_union else {"how": "left"}
+        out = fn(probe, feat, on="k", probe_time="pt", feature_time="ft", **kwargs)
+        assert out.count() == 3, fn.__name__
+
+
+def test_asof_auto_matches_explicit_strategies(spark):
+    probe = spark.createDataFrame(
+        [(1, "2022-01-02", "p1"), (1, "2021-12-31", "p2"), (3, "2022-01-05", "p3")],
+        "k long, pt string, tag string",
+    )
+    feat = spark.createDataFrame(
+        [(1, "2022-01-01", 0, 1.0), (1, "2022-01-02", 1, 2.0), (2, "2022-01-01", 2, 9.0)],
+        "k long, ft string, seq long, fv double",
+    )
+    ref = asof_join(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        how="left", tie_breaker="seq",
+    )
+    auto = asof_join_auto(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        how="left", tie_breaker="seq",
+    )
+    key = lambda r: (r["k"], r["pt"], r["tag"])  # noqa: E731
+    assert sorted(map(tuple, ref.select(*auto.columns).collect())) == sorted(
+        map(tuple, auto.collect())
+    )
+    # auto with a tolerance routes through the join strategy and keeps
+    # left semantics
+    auto_tol = asof_join_auto(
+        probe.withColumn("pt", F.col("pt").cast("timestamp")),
+        feat.withColumn("ft", F.col("ft").cast("timestamp")),
+        on="k", probe_time="pt", feature_time="ft",
+        how="left", tolerance_seconds=86400, tie_breaker="seq",
+    )
+    assert auto_tol.count() == 3
