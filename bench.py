@@ -43,7 +43,10 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_minhash_candidates",
     "sim_cosine_topk",
+    "sim_lsh_dup_pairs",
     "pipeline_clean_corpus",
+    "text_chunk_windows",
+    "text_pack_bins",
 ]
 
 
@@ -97,6 +100,63 @@ def run_ingest(spark, sf_dir: str) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _bench_group():
+    from cust_sagemaker_feature_store_spark.core import (
+        FeatureDefinition,
+        FeatureGroup,
+    )
+
+    return FeatureGroup(
+        name="BenchEventsInc",
+        record_identifier="user_id",
+        event_time_feature="event_time",
+        features=(
+            FeatureDefinition("user_id", "Integral"),
+            FeatureDefinition("event_time", "String"),
+            FeatureDefinition("value", "Fractional"),
+        ),
+    )
+
+
+def _bench_events(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("event_time"),
+        "value",
+    )
+
+
+def setup_incremental_store(spark, sf_dir: str):
+    """Untimed setup for the MERGE bench: full history ingested and the
+    bucketed online snapshot materialized once."""
+    import tempfile
+
+    from cust_sagemaker_feature_store_spark.core import FeatureStore
+
+    root = tempfile.mkdtemp(prefix="bench_store_inc_")
+    fs = FeatureStore(spark, root)
+    fs.create_feature_group(_bench_group())
+    fs.ingest("BenchEventsInc", _bench_events(spark, sf_dir))
+    fs.materialize_online("BenchEventsInc")
+    return fs, root
+
+
+def run_upsert(spark, fs, sf_dir: str) -> None:
+    """Steady-state online refresh: a ~1% micro-batch ingested and
+    MERGEd into the bucketed snapshot — the path a streaming upsert
+    takes per trigger. Work is O(batch + dirty buckets); compare with
+    ingest_dual_store, which pays the full history rebuild."""
+    from pyspark.sql import functions as F
+
+    batch = _bench_events(spark, sf_dir).filter(F.col("user_id") % 100 < 1)
+    out = fs.ingest("BenchEventsInc", batch)
+    fs.upsert_online("BenchEventsInc", out)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -115,6 +175,17 @@ def main() -> None:
     t0 = time.time()
     run_ingest(spark, sf_dir)
     timings["ingest_dual_store"] = round(time.time() - t0, 3)
+
+    import shutil
+
+    fs_inc, inc_root = setup_incremental_store(spark, sf_dir)
+    try:
+        run_upsert(spark, fs_inc, sf_dir)  # warm-up
+        t0 = time.time()
+        run_upsert(spark, fs_inc, sf_dir)
+        timings["online_incremental_upsert"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(inc_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -31,6 +31,13 @@ from ..functions.ids import with_dense_row_ids
 from ..functions.timeutil import format_iso_z, parse_iso_z, parse_loose_timestamp
 from ..operators.latest import latest_snapshot
 from .feature_group import FeatureGroup
+from .online import (
+    BUCKET_COL,
+    DEFAULT_N_BUCKETS,
+    bucket_expr,
+    read_snapshot_bucket,
+    upsert_bucketed_snapshot,
+)
 
 INGEST_SEQ_COL = "ingest_seq"
 EVENT_TS_COL = "event_ts"  # typed twin of the string event-time column
@@ -207,15 +214,23 @@ class FeatureStore:
         (an OLDER delete must not remove a NEWER record); a key whose
         latest event is a tombstone is absent from the view."""
         group = self._groups[name]
-        latest = latest_snapshot(
-            self.offline_store(name).select(
-                *group.feature_names, EVENT_TS_COL, INGEST_SEQ_COL, DELETED_COL
-            ),
-            key_cols=group.record_identifier,
-            event_time_col=group.event_time_feature,
-            tie_breaker=INGEST_SEQ_COL,
+        return self._latest_raw(name).filter(~F.col(DELETED_COL)).select(
+            *group.feature_names
         )
-        return latest.filter(~F.col(DELETED_COL)).select(*group.feature_names)
+
+    def _serving_view(self, name: str, key_values: list) -> DataFrame:
+        """Lookup path for the given keys: bucket-pruned scan of the
+        materialized snapshot when present (reads ~1/n_buckets of the
+        store), else the derived latest view."""
+        group = self._groups[name]
+        try:
+            snap = read_snapshot_bucket(
+                self.spark, self.online_path(name),
+                [group.record_identifier], key_values,
+            )
+            return snap.filter(~F.col(DELETED_COL)).select(*group.feature_names)
+        except Exception:
+            return self.latest_view(name)
 
     def get_record(
         self, name: str, record_identifier_value
@@ -226,7 +241,7 @@ class FeatureStore:
         real_time_inference.py:20-22)."""
         group = self._groups[name]
         rows = (
-            self.latest_view(name)
+            self._serving_view(name, [record_identifier_value])
             .filter(F.col(group.record_identifier) == F.lit(record_identifier_value))
             .limit(1)
             .collect()
@@ -242,7 +257,7 @@ class FeatureStore:
         instead of N point queries."""
         group = self._groups[name]
         rows = (
-            self.latest_view(name)
+            self._serving_view(name, record_identifier_values)
             .filter(F.col(group.record_identifier).isin(record_identifier_values))
             .collect()
         )
@@ -253,29 +268,67 @@ class FeatureStore:
     def online_path(self, name: str) -> str:
         return os.path.join(self.root_path, name, "online")
 
-    def materialize_online(self, name: str) -> None:
-        """Persist the latest-per-key view as the online store.
-
-        Recompute-and-overwrite: one window pass over history, correct
-        under any arrival order. At 100 TB the incremental alternative is
-        a Delta/Iceberg MERGE keyed on the record identifier (strictly
-        less work per refresh, same result); the recompute form is the
-        engine-portable baseline and what StreamingIngest's foreachBatch
-        maintains per micro-batch."""
+    def _latest_raw(self, name: str) -> DataFrame:
+        """Latest row per key INCLUDING tombstones — what the snapshot
+        must store so a tombstone keeps outranking late older records."""
         group = self._groups[name]
-        self.latest_view(name).write.mode("overwrite").parquet(
+        return latest_snapshot(
+            self.offline_store(name).select(
+                *group.feature_names, EVENT_TS_COL, INGEST_SEQ_COL, DELETED_COL
+            ),
+            key_cols=group.record_identifier,
+            event_time_col=group.event_time_feature,
+            tie_breaker=INGEST_SEQ_COL,
+        )
+
+    def materialize_online(self, name: str, n_buckets: int = DEFAULT_N_BUCKETS) -> None:
+        """Full (re)build of the bucketed online snapshot: one window
+        pass over history, written partitioned by key-hash bucket so
+        later refreshes can be incremental (`upsert_online`) and point
+        lookups prune to one bucket. Correct under any arrival order;
+        the recovery/bootstrap path — steady-state refreshes should use
+        `upsert_online`."""
+        group = self._groups[name]
+        snap = self._latest_raw(name).withColumn(
+            BUCKET_COL, bucket_expr([group.record_identifier], n_buckets)
+        )
+        snap.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
             self.online_path(name), compression="snappy"
+        )
+
+    def upsert_online(
+        self, name: str, batch: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS
+    ) -> None:
+        """Incremental online refresh: MERGE the batch returned by
+        `ingest` into the bucketed snapshot, touching only the bucket
+        partitions the batch's keys hash into — O(batch), not
+        O(snapshot) (core/online.py). Equivalent to
+        `materialize_online` when applied to every ingested batch."""
+        group = self._groups[name]
+        upsert_bucketed_snapshot(
+            self.spark,
+            self.online_path(name),
+            batch.select(
+                *group.feature_names, EVENT_TS_COL, INGEST_SEQ_COL, DELETED_COL
+            ),
+            keys=group.record_identifier,
+            event_time_col=group.event_time_feature,
+            tie_breaker=INGEST_SEQ_COL,
+            n_buckets=n_buckets,
         )
 
     def online_store(self, name: str) -> DataFrame:
         """Serving view: the materialized snapshot when present (point
         lookups hit a key-sized table, not all of history), else the
-        derived latest view."""
+        derived latest view. Tombstoned keys are filtered at read —
+        the stored snapshot keeps them (see _latest_raw)."""
+        group = self._groups[name]
         path = self.online_path(name)
         try:
-            return self.spark.read.parquet(path)
+            snap = self.spark.read.parquet(path)
         except Exception:
             return self.latest_view(name)
+        return snap.filter(~F.col(DELETED_COL)).select(*group.feature_names)
 
     def feature_vector(
         self,
@@ -288,7 +341,7 @@ class FeatureStore:
         (reference: real_time_inference.py:47)."""
         group = self._groups[name]
         row = (
-            self.latest_view(name)
+            self._serving_view(name, [record_identifier_value])
             .filter(F.col(group.record_identifier) == F.lit(record_identifier_value))
             .select(*[double_with_default(c, default).alias(c) for c in feature_cols])
             .limit(1)

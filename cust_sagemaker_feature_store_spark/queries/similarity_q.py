@@ -142,15 +142,17 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_lsh_dup_pairs",
     oracle=None,  # approximate: recall vs the exact pair set asserted in tests
     description=(
-        "Global embedding near-dup pairs without a blocking key: unit-"
-        "normalize, BucketedRandomProjectionLSH self-join at the L2 "
-        "threshold equivalent to cosine>=0.4, exact cosine re-check on "
-        "candidates — the no-blocking-key scale path."
+        "Global embedding near-dup pairs without a blocking key: banded "
+        "sign-random-projection LSH with exact cosine verification of "
+        "candidates, and a computed crossover to all-pairs-verify when "
+        "the threshold regime makes bucketing unable to prune (the "
+        "cosine>=0.4 setting here, against an isotropic corpus, is that "
+        "regime by construction — operators/similarity.py srp_dup_pairs)."
     ),
 )
 def sim_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_dup_pairs(emb, min_cosine=0.4)
+    return S.srp_dup_pairs(emb, min_cosine=0.4)
 
 
 @register(

@@ -9,10 +9,11 @@ readStream with a foreachBatch sink doing both writes per micro-batch:
 - offline: append the batch to the history parquet (partitioned by
   event_date — same layout as batch ingest, so batch and streaming
   ingest are indistinguishable to readers);
-- online: recompute-or-merge the latest snapshot. We recompute from a
-  running in-memory union of batch snapshots merged with the stored
-  snapshot — at 100 TB this becomes a Delta/Iceberg MERGE INTO keyed
-  on the record identifier; the semantics (A1 latest-wins with
+- online: keyed MERGE into a bucket-partitioned snapshot
+  (core/online.py): only the bucket partitions the batch's keys hash
+  into are read and rewritten — O(batch) per micro-batch, never
+  O(snapshot). With Delta/Iceberg present this is literally MERGE INTO
+  keyed on the record identifier; the semantics (A1 latest-wins with
   ingest_seq tie-break) are identical and tested equal to the batch
   window form.
 
@@ -29,9 +30,9 @@ from pyspark.sql import functions as F
 
 from ..core.feature_group import FeatureGroup
 from ..core.feature_store import EVENT_DATE_COL, EVENT_TS_COL, INGEST_SEQ_COL
+from ..core.online import DEFAULT_N_BUCKETS, upsert_bucketed_snapshot
 from ..functions.ids import with_dense_row_ids
 from ..functions.timeutil import format_iso_z, parse_iso_z
-from ..operators.latest import latest_snapshot
 
 # ingest_seq = batch_id * BATCH_SEQ_STRIDE + dense row id. Dense ids
 # (functions/ids.py) are bounded by the batch's ROW COUNT, so the
@@ -53,10 +54,12 @@ class StreamingIngest:
         group: FeatureGroup,
         input_dir: str,
         store_root: str,
+        n_buckets: int = DEFAULT_N_BUCKETS,
     ):
         self.spark = spark
         self.group = group
         self.input_dir = input_dir
+        self.n_buckets = n_buckets
         self.offline_dir = os.path.join(store_root, group.name, "offline")
         self.snapshot_dir = os.path.join(store_root, group.name, "online_snapshot")
         self.checkpoint_dir = os.path.join(store_root, group.name, "_checkpoint")
@@ -81,30 +84,19 @@ class StreamingIngest:
         ).drop("__did")
 
     def _upsert_snapshot(self, normalized: DataFrame) -> None:
-        """MERGE-equivalent: union stored snapshot with the batch's own
-        latest rows, keep the per-key max (event_time, ingest_seq)."""
-        batch_latest = latest_snapshot(
+        """Keyed MERGE into the bucketed snapshot: reads and rewrites
+        only the bucket partitions the batch's keys hash into —
+        O(batch + dirty buckets) per micro-batch, never O(snapshot)
+        (core/online.py; replaces the r1 full recompute + swap)."""
+        upsert_bucketed_snapshot(
+            self.spark,
+            self.snapshot_dir,
             normalized,
-            key_cols=self.group.record_identifier,
+            keys=self.group.record_identifier,
             event_time_col=self.group.event_time_feature,
             tie_breaker=INGEST_SEQ_COL,
+            n_buckets=self.n_buckets,
         )
-        try:
-            stored = self.spark.read.parquet(self.snapshot_dir)
-            merged_src = stored.unionByName(batch_latest)
-        except Exception:  # first batch: no snapshot yet
-            merged_src = batch_latest
-        merged = latest_snapshot(
-            merged_src,
-            key_cols=self.group.record_identifier,
-            event_time_col=self.group.event_time_feature,
-            tie_breaker=INGEST_SEQ_COL,
-        )
-        # write-then-swap (parquet has no transactional MERGE; Delta would)
-        tmp = self.snapshot_dir + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.snapshot_dir)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         normalized = self._normalize(batch, batch_id)

@@ -161,6 +161,42 @@ def test_online_materialization(store):
     )
 
 
+def test_incremental_upsert_equals_recompute(store, spark):
+    # MERGE path: materialize once, then upsert each later batch — the
+    # result must equal a full recompute at every step, including an
+    # equal-event-time overwrite and a tombstone.
+    store.materialize_online(GROUP.name)
+    batch2 = spark.createDataFrame(
+        [
+            (1, "2022-03-01T00:00:00Z", 77.0, 0.9),  # tie with stored latest
+            (9, "2022-04-01T00:00:00Z", 50.0, 0.4),  # brand-new key
+        ],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    out2 = store.ingest(GROUP.name, batch2)
+    store.upsert_online(GROUP.name, out2)
+    got = {
+        r["customer_id"]: r["latest_purchase_value"]
+        for r in store.online_store(GROUP.name).collect()
+    }
+    assert got == {1: 77.0, 2: 31.0, 3: 40.0, 9: 50.0}
+    # tombstone via the same incremental path
+    store.delete_record(GROUP.name, 3, "2022-12-01T00:00:00Z")
+    tomb = store.offline_store(GROUP.name).filter(F.col("is_deleted"))
+    store.upsert_online(GROUP.name, tomb)
+    assert store.get_record(GROUP.name, 3) is None
+    # stepwise-incremental snapshot == full recompute over history
+    incremental = sorted(
+        map(tuple, store.online_store(GROUP.name).collect())
+    )
+    store.materialize_online(GROUP.name)
+    assert incremental == sorted(map(tuple, store.online_store(GROUP.name).collect()))
+    # serving lookups go through the bucket-pruned materialized path
+    d = {f["FeatureName"]: f["ValueAsString"] for f in store.get_record(GROUP.name, 9)}
+    assert d["latest_purchase_value"] == "50.0"
+    assert store.get_record(GROUP.name, 424242) is None
+
+
 def test_latest_view_subset_of_history(store):
     hist = set(
         (r["customer_id"], r["event_time"])

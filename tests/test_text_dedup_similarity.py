@@ -75,12 +75,50 @@ def test_lsh_dup_pairs_recall_vs_exact(spark, sf_dir):
         .collect()
     }
     assert exact  # the driver data must exercise the test
-    rows = S.lsh_dup_pairs(emb, min_cosine=0.4).collect()
+    rows = S.srp_dup_pairs(emb, min_cosine=0.4).collect()
     got = {(r["vec_a"], r["vec_b"]) for r in rows}
     # every >=0.45 pair must be recalled at the looser 0.4 threshold,
     # and nothing below 0.4 may appear (exact re-check on candidates)
     assert len(exact & got) / len(exact) >= 0.9
     assert all(r["cosine_sim"] >= 0.4 for r in rows)
+
+
+def test_srp_banded_path_recall_and_pruning(spark):
+    # Planted near-dups at a REAL near-dup threshold (0.8): the banded
+    # SRP path must engage (no all-pairs fallback), recall every
+    # planted pair, and generate fewer candidates than all pairs.
+    import random
+
+    rng = random.Random(7)
+    dim = 32
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(60)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        # near-dup: tiny perturbation -> cosine ~0.99
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.02) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert S.srp_recall_estimate(0.85) >= 0.95  # banded path engages
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.srp_dup_pairs(emb, min_cosine=0.8).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    assert len(planted & got) / len(planted) >= 0.95
+    # every reported pair actually clears the exact threshold
+    v = emb.select("vec_id", S.as_double("embedding").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = S.dot(F.col("a.e"), F.col("b.e")) / (
+        S.l2_norm(F.col("a.e")) * S.l2_norm(F.col("b.e"))
+    )
+    exact = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"), cos.alias("c"))
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    }
+    assert got <= exact
 
 
 def test_jaccard_pairs_find_near_dups(spark):
