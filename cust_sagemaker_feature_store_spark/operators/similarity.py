@@ -313,12 +313,28 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: centroids = deterministic sample of the corpus,
     cells = argmin centroid per vector, probe the nprobe cells nearest
-    the query. All narrow ops + one small broadcast of centroids."""
-    centroids = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(
-            embeddings.orderBy(F.col(id_col)).limit(n_lists).collect()
+    the query. All narrow ops + one small broadcast of centroids.
+
+    Seeding: one representative per hash bucket — each row hashes to a
+    bucket by xxhash64(id) % n_lists and the min-hash row of each
+    bucket seeds that centroid. A deterministic uniform spread over the
+    corpus (a keyed reservoir sample of size 1 per bucket), unlike the
+    earlier first-n-rows-by-id seeding, which sampled whatever data
+    happened to sort first (r1 review: deterministic but
+    unrepresentative). One partial-agg job shuffling n_lists rows."""
+    seed_rows = (
+        embeddings.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_lists)).alias("__b"),
+            F.xxhash64(F.col(id_col), F.lit(1)).alias("__h"),
+            F.col(vec_col).alias("__v"),
         )
+        .groupBy("__b")
+        .agg(F.min_by("__v", "__h").alias("__v"))
+        .orderBy("__b")
+        .collect()
+    )
+    centroids = [
+        (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seed_rows)
     ]
 
     def nearest_cell(vec: Column) -> Column:

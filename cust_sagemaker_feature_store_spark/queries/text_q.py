@@ -494,23 +494,56 @@ GROUP BY source, bin_id
         "Sequence packing for pretraining batches: documents stream "
         "into ~2000-char bins in deterministic (source, doc_id) order — "
         "bin = floor(preceding-chars / budget), the running-sum "
-        "formulation of sequential first-fit. One shuffle on source for "
-        "the cumulative window, then the groupBy reuses the same "
-        "partitioning (no second exchange); at 100 TB the stream stays "
-        "partition-parallel per source shard. Char-addressed budget; a "
-        "token-addressed variant swaps n_chars for a token count."
+        "formulation of sequential first-fit. TWO-PHASE running sum "
+        "(r1 review follow-up): a single Window.partitionBy(source) "
+        "puts a whole source through ONE task — terabytes per task at "
+        "100 TB. Instead, rows shard by doc_id range within source; "
+        "phase 1 aggregates per-shard char totals (map-side partial, "
+        "shuffles #shards rows) and turns them into per-shard starting "
+        "offsets with a window over that TINY table; phase 2 broadcasts "
+        "the offsets back and runs the running sum inside each (source, "
+        "shard) — parallelism = sources x shards, identical result to "
+        "the global window (same oracle pins it)."
     ),
 )
 def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
+    shard_size = 4096  # doc_ids per shard: ~thousands of parallel tasks per source at 100 TB
+    sharded = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(F.col("doc_id") / shard_size).alias("__shard"),
+    )
+    # phase 1: per-shard totals (narrow partial agg), then per-source
+    # exclusive prefix over the shard totals — a window over #shards
+    # rows, not data rows
+    shard_off = (
+        sharded.groupBy("source", "__shard")
+        .agg(F.sum("n_chars").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.partitionBy("source")
+                    .orderBy("__shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("source", "__shard", "__off")
+    )
+    # phase 2: shard-local running sum + broadcast shard offset
+    inner = (
+        Window.partitionBy("source", "__shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("n_chars").over(w)
+    cum = F.sum("n_chars").over(inner) + F.col("__off")
     return (
-        docs.select(
+        sharded.join(F.broadcast(shard_off), ["source", "__shard"])
+        .select(
             "source",
             "n_chars",
             F.floor((cum - F.col("n_chars")) / 2000.0).alias("bin_id"),

@@ -125,6 +125,24 @@ def test_q16_distinct_agg_partial(spark, sf_dir):
     assert uses_broadcast_join(df)  # part dim broadcasts
 
 
+def test_pack_bins_window_is_sharded(spark, sf_dir):
+    # two-phase packing: the window over DATA rows must partition on
+    # (source, __shard) — a plain per-source window is one task per
+    # source, terabytes through a single task at 100 TB. The only
+    # source-only window allowed is the one over the tiny per-shard
+    # totals (below the broadcast of the offsets).
+    from cust_sagemaker_feature_store_spark.plans import plan_string
+
+    plan = plan_string(REGISTRY["text_pack_bins"].fn(spark, sf_dir))
+    data_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(source" in ln and "doc_id" in ln
+    ]
+    assert data_windows, "expected a running-sum window over data rows"
+    assert all("__shard" in ln for ln in data_windows)
+
+
 def test_q15_no_global_window(spark, sf_dir):
     # argmax via broadcast one-row max: no single-partition window
     from cust_sagemaker_feature_store_spark.plans import plan_string

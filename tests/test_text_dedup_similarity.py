@@ -157,7 +157,10 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     lsh = [r["vec_id"] for r in S.lsh_ann_topk(emb, q, k=10).collect()]
     ivf = [r["vec_id"] for r in S.ivf_topk(emb, q, k=10, n_lists=8, nprobe=4).collect()]
     assert len(set(exact) & set(lsh)) >= 5  # recall@10 >= 0.5
-    assert len(set(exact) & set(ivf)) >= 3  # coarse probe, lower bar
+    # bucket-hash centroid seeding (uniform corpus spread) lifted IVF
+    # recall from the >=3 the first-n-by-id seeds managed (measured 8/10
+    # at sf0.001, 6/10 at sf0.01 with n_lists=8, nprobe=4)
+    assert len(set(exact) & set(ivf)) >= 5  # recall@10 >= 0.5
     assert exact[0] == 0  # the query vector itself is its own 1-NN
 
 
