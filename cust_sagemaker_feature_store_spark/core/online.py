@@ -72,23 +72,30 @@ def upsert_bucketed_snapshot(
         )
         return
 
-    dirty = [r[0] for r in inc_latest.select(BUCKET_COL).distinct().collect()]
-    stored_dirty = stored.filter(F.col(BUCKET_COL).isin(dirty))
-    merged = latest_snapshot(
-        stored_dirty.unionByName(inc_latest), key_list, event_time_col, tie_breaker
-    )
+    # the batch's latest rows feed two actions (dirty-bucket discovery
+    # and the merge write); persist so the batch lineage — which may
+    # reach back through the ingest join — runs once
+    inc_latest.persist()
+    try:
+        dirty = [r[0] for r in inc_latest.select(BUCKET_COL).distinct().collect()]
+        stored_dirty = stored.filter(F.col(BUCKET_COL).isin(dirty))
+        merged = latest_snapshot(
+            stored_dirty.unionByName(inc_latest), key_list, event_time_col, tie_breaker
+        )
 
-    scratch = snapshot_dir + "__merge_scratch"
-    merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
-        scratch, compression="snappy"
-    )
-    (
-        spark.read.parquet(scratch)
-        .write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
-        .mode("overwrite")
-        .parquet(snapshot_dir, compression="snappy")
-    )
+        scratch = snapshot_dir + "__merge_scratch"
+        merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+            scratch, compression="snappy"
+        )
+        (
+            spark.read.parquet(scratch)
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(snapshot_dir, compression="snappy")
+        )
+    finally:
+        inc_latest.unpersist()
 
 
 def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
