@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.asof import asof_join, asof_join_agg, asof_join_union
+from ..operators.asof import (
+    asof_join,
+    asof_join_agg,
+    asof_join_auto,
+    asof_join_union,
+)
 from ..operators.latest import latest_snapshot, latest_snapshot_window
 from .registry import REGISTRY, iso, register, sql_iso
 
@@ -187,6 +192,75 @@ def fs_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fs_asof_join_tolerance",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+         c.click_ts, c.click_value,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+)
+SELECT purchase_id, user_id,
+       {sql_iso('purchase_ts')} AS purchase_time, purchase_value,
+       {sql_iso('click_ts')} AS last_click_time, click_value AS last_click_value
+FROM j WHERE rn = 1
+""",
+    description=(
+        "[EXT] bounded as-of join: latest click within ONE HOUR before "
+        "each purchase (purchases with only stale clicks keep nulls). "
+        "The tolerance is the scale lever for the join-then-rank "
+        "strategy — it bounds the per-probe candidate history the join "
+        "materializes, which is why asof_join_auto picks this strategy "
+        "exactly when a tolerance is present."
+    ),
+)
+def fs_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        probe,
+        feat,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        how="left",
+        tolerance_seconds=3600,
+        tie_breaker="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("click_ts").alias("last_click_time"),
+        F.col("click_value").alias("last_click_value"),
+    )
+
+
+@register(
     "fs_latest_snapshot_maxby",
     oracle=_LATEST_ORACLE,
     description=(
@@ -275,6 +349,51 @@ def fs_asof_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_time="purchase_ts",
         feature_time="click_ts",
         feature_cols=["click_ts", "click_value"],
+        tie_breaker="click_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("click_ts").alias("last_click_time"),
+        F.col("click_value").alias("last_click_value"),
+    )
+
+
+@register(
+    "fs_asof_join_strategy_auto",
+    oracle=REGISTRY["fs_asof_join"].oracle,
+    description=(
+        "[EXT] as-of join through the strategy-picking dispatcher "
+        "(operators/asof.asof_join_auto): unbounded left probe routes "
+        "to union-and-window — the plan that never materializes "
+        "probe x history per key — pinned to the SAME oracle as the "
+        "three explicit strategies, so the dispatcher cannot drift "
+        "semantically from them."
+    ),
+)
+def fs_asof_join_strategy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join_auto(
+        probe,
+        feat,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        how="left",
         tie_breaker="click_id",
     )
     return joined.select(

@@ -223,3 +223,38 @@ def fs_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(decayed, 4).alias("decayed_spend"),
     )
+
+
+@register(
+    "sample_split_three_way",
+    oracle=f"""
+SELECT CASE WHEN (c_custkey * 2654435761) % 1000 < 800 THEN 'train'
+            WHEN (c_custkey * 2654435761) % 1000 < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal', 2)} AS sum_bal
+FROM customer
+GROUP BY 1
+""",
+    description=(
+        "Deterministic 80/10/10 train/val/test split — the holdout "
+        "assignment a training-data pipeline must make reproducibly: a "
+        "pure per-row predicate on a multiplicative key hash, so the "
+        "same record lands in the same split on any engine, partition "
+        "layout, or rerun, and splits stay disjoint BY CONSTRUCTION "
+        "(one hash, three ranges). Completes the sampling quartet with "
+        "Bernoulli, stratified, and mixture draws. Scan-narrow: the "
+        "split column costs no shuffle; the per-split summary is one "
+        "partial-agg exchange of 3 rows."
+    ),
+)
+def sample_split_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    h = (F.col("c_custkey") * F.lit(2654435761)) % 1000
+    split = (
+        F.when(h < 800, "train").when(h < 900, "val").otherwise("test")
+    )
+    return cust.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("c_acctbal"), 2).alias("sum_bal"),
+    )

@@ -595,3 +595,36 @@ def text_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "text_scrub_entities",
+    oracle="""
+SELECT doc_id,
+       replace(text, 'customer', '<ENT>') AS scrubbed,
+       CAST((length(text) - length(replace(text, 'customer', ''))) / 8 AS BIGINT)
+         AS n_redactions
+FROM documents
+WHERE text LIKE '%customer%'
+""",
+    description=(
+        "Corpus scrubbing / entity redaction for training-data prep: "
+        "replace a sensitive literal with a placeholder token and count "
+        "redactions per document (real pipelines swap the literal for "
+        "PII regex alternations; the plumbing — narrow per-row "
+        "transform, redaction audit count, filter to touched docs — is "
+        "identical and the literal form keeps the oracle exact across "
+        "engines' regex dialects). Pure map over the scan: no shuffle "
+        "at any scale, and the LIKE pre-filter pushes into the parquet "
+        "scan so untouched documents are never rewritten."
+    ),
+)
+def text_scrub_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", "customer", "<ENT>")
+    removed = F.regexp_replace("text", "customer", "")
+    return docs.filter(F.col("text").contains("customer")).select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        ((F.length("text") - F.length(removed)) / 8).cast("long").alias("n_redactions"),
+    )
