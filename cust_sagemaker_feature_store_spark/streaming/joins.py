@@ -59,3 +59,28 @@ def purchase_click_attribution(
         "click_id",
         "click_ts",
     )
+
+
+def enrich_with_features(
+    stream: DataFrame,
+    snapshot: DataFrame,
+    on: str,
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static serving join: attach the online snapshot's latest
+    features to each live event — the streaming form of the reference's
+    per-request feature fetch (reference: real_time_inference.py:16-25),
+    which pulled one record per inference call.
+
+    Structured Streaming re-plans the static side each micro-batch, so
+    a snapshot maintained by a concurrent upsert (core/online.py) is
+    picked up at batch boundaries — serving lag is one trigger, with no
+    state store involved. The snapshot side is broadcastable (it is
+    keys x features, not history); events with no feature row keep
+    nulls (left join) so the serving layer can apply defaults
+    (functions/casts.double_with_default) explicitly.
+    """
+    feats = snapshot if feature_cols is None else snapshot.select(
+        on, *feature_cols
+    )
+    return stream.join(F.broadcast(feats), on, "left")

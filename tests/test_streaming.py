@@ -290,3 +290,51 @@ def test_streaming_session_window(spark, tmp_path):
     assert len(by_user[1]) == 2
     assert sorted(s["n_events"] for s in by_user[1]) == [1, 2]
     assert len(by_user[2]) == 1
+
+
+def test_stream_static_feature_enrichment(spark, tmp_path):
+    """Stream-static serving join: live events pick up the online
+    snapshot's latest features; unseen keys keep nulls."""
+    from cust_sagemaker_feature_store_spark.streaming import enrich_with_features
+
+    snap = spark.createDataFrame(
+        [(1, 0.9, 20.0), (2, 0.5, 30.0)],
+        "user_id long, loyalty double, last_purchase double",
+    )
+    snap_dir = tmp_path / "snap"
+    snap.write.parquet(str(snap_dir))
+    stream = _event_stream(spark, tmp_path)  # users 1 and 2 (+1 again)
+    enriched = enrich_with_features(
+        stream, spark.read.parquet(str(snap_dir)), on="user_id"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enrich_out").collect()
+    assert len(rows) == 4  # every event passes through (left join)
+    by_event = {r["event_id"]: r for r in rows}
+    assert by_event[1]["loyalty"] == 0.9
+    assert by_event[4]["loyalty"] == 0.5
+    # feature_cols projection + null for a key absent from the snapshot
+    snap2 = snap.filter(F.col("user_id") == 1)
+    (tmp_path / "b").mkdir()
+    enriched2 = enrich_with_features(
+        _event_stream(spark, tmp_path / "b"), snap2, on="user_id",
+        feature_cols=["loyalty"],
+    )
+    q2 = (
+        enriched2.writeStream.format("memory")
+        .queryName("enrich_out2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows2 = spark.sql("SELECT * FROM enrich_out2").collect()
+    assert "last_purchase" not in rows2[0].asDict()
+    assert {r["loyalty"] for r in rows2 if r["user_id"] == 2} == {None}
