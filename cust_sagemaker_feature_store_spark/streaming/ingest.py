@@ -28,8 +28,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..core.feature_group import FeatureGroup
-from ..core.feature_store import EVENT_DATE_COL, EVENT_TS_COL, INGEST_SEQ_COL
+from ..core.feature_store import (
+    DELETED_COL,
+    EVENT_DATE_COL,
+    EVENT_TS_COL,
+    INGEST_SEQ_COL,
+)
 from ..core.online import DEFAULT_N_BUCKETS, upsert_bucketed_snapshot
 from ..functions.ids import with_dense_row_ids
 from ..functions.timeutil import format_iso_z, parse_iso_z
@@ -55,11 +62,20 @@ class StreamingIngest:
         input_dir: str,
         store_root: str,
         n_buckets: int = DEFAULT_N_BUCKETS,
+        with_tombstones: bool = False,
     ):
+        """``with_tombstones`` reads an extra boolean ``is_deleted``
+        column from the stream (the CDC delete-marker shape): tombstone
+        rows land in offline history like any record, participate in
+        the latest-wins merge, and suppress their key from the serving
+        view while remaining in the stored snapshot to outrank late
+        older records — identical semantics to the batch
+        ``FeatureStore.delete_record`` path."""
         self.spark = spark
         self.group = group
         self.input_dir = input_dir
         self.n_buckets = n_buckets
+        self.with_tombstones = with_tombstones
         self.offline_dir = os.path.join(store_root, group.name, "offline")
         self.snapshot_dir = os.path.join(store_root, group.name, "online_snapshot")
         self.checkpoint_dir = os.path.join(store_root, group.name, "_checkpoint")
@@ -68,9 +84,24 @@ class StreamingIngest:
 
     def _normalize(self, batch: DataFrame, batch_id: int) -> DataFrame:
         tcol = self.group.event_time_feature
+        # validate the feature columns (tombstone marker is internal),
+        # then project features + flag from the SAME frame so rows stay
+        # aligned — mirrors FeatureStore.ingest
+        self.group.validate_frame(batch.drop(DELETED_COL))
+        flag = (
+            F.coalesce(F.col(DELETED_COL).cast("boolean"), F.lit(False))
+            if DELETED_COL in batch.columns
+            else F.lit(False)
+        ).alias(DELETED_COL)
+        base = batch.select(
+            *[
+                batch[f.name].cast(f.spark_type).alias(f.name)
+                for f in self.group.features
+            ],
+            flag,
+        )
         normalized = (
-            self.group.validate_frame(batch)
-            .withColumn(EVENT_TS_COL, parse_iso_z(tcol))
+            base.withColumn(EVENT_TS_COL, parse_iso_z(tcol))
             .withColumn(tcol, format_iso_z(EVENT_TS_COL))
             .withColumn(EVENT_DATE_COL, F.to_date(F.col(EVENT_TS_COL)))
         )
@@ -115,8 +146,14 @@ class StreamingIngest:
         """ST1/ST2: readStream over the input directory -> foreachBatch
         dual-store sink. `trigger_once` processes all available input and
         stops (the test/replay mode); continuous mode just drops it."""
+        schema = self.group.schema
+        if self.with_tombstones:
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(DELETED_COL, T.BooleanType(), nullable=True)]
+            )
         stream = (
-            self.spark.readStream.schema(self.group.schema)
+            self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .csv(self.input_dir, header=True)
         )
@@ -133,6 +170,7 @@ class StreamingIngest:
         return self.spark.read.parquet(self.offline_dir)
 
     def online_snapshot(self) -> DataFrame:
-        return self.spark.read.parquet(self.snapshot_dir).select(
-            *self.group.feature_names
-        )
+        """Serving view: tombstoned keys filtered out (the stored
+        snapshot keeps them so they outrank late older records)."""
+        snap = self.spark.read.parquet(self.snapshot_dir)
+        return snap.filter(~F.col(DELETED_COL)).select(*self.group.feature_names)

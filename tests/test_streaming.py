@@ -338,3 +338,60 @@ def test_stream_static_feature_enrichment(spark, tmp_path):
     rows2 = spark.sql("SELECT * FROM enrich_out2").collect()
     assert "last_purchase" not in rows2[0].asDict()
     assert {r["loyalty"] for r in rows2 if r["user_id"] == 2} == {None}
+
+
+def test_streaming_tombstones(spark, tmp_path):
+    """CDC-style streaming deletes: a later-event-time tombstone removes
+    the key from the serving view, stays in offline history, and a still
+    later re-ingest resurrects the key — same semantics as the batch
+    delete_record path."""
+    batches = [
+        [
+            "customer_id,event_time,latest_purchase_value,latest_loyalty_score,is_deleted",
+            "1,2022-03-01T00:00:00Z,20.0,0.6,false",
+            "2,2022-02-01T12:00:00Z,30.0,0.7,",  # empty flag -> false
+        ],
+        [
+            "customer_id,event_time,latest_purchase_value,latest_loyalty_score,is_deleted",
+            "1,2022-04-01T00:00:00Z,,,true",  # tombstone, later event time
+            "3,2022-01-05T00:00:00Z,40.0,0.9,false",
+        ],
+        [
+            "customer_id,event_time,latest_purchase_value,latest_loyalty_score,is_deleted",
+            "1,2022-05-01T00:00:00Z,99.0,1.0,false",  # resurrect
+        ],
+    ]
+    input_dir = tmp_path / "incoming"
+    input_dir.mkdir()
+    for i, lines in enumerate(batches):
+        p = input_dir / f"batch_{i}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    ingest = StreamingIngest(
+        spark, GROUP, str(input_dir), str(tmp_path / "store"), with_tombstones=True
+    )
+    # stop after the tombstone batch first: key 1 must be gone
+    q = ingest.start(trigger_once=True)
+    q.awaitTermination(120)
+    snap = {r["customer_id"]: r for r in ingest.online_snapshot().collect()}
+    assert set(snap) == {1, 2, 3}  # batch 3 already resurrected key 1
+    assert snap[1]["latest_purchase_value"] == 99.0
+    # offline history keeps every record including the tombstone
+    offline = ingest.offline_store()
+    assert offline.count() == 5
+    assert offline.filter(F.col("is_deleted")).count() == 1
+    # replay the tombstone scenario without the resurrect batch
+    input_dir2 = tmp_path / "incoming2"
+    input_dir2.mkdir()
+    for i, lines in enumerate(batches[:2]):
+        p = input_dir2 / f"batch_{i}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    ingest2 = StreamingIngest(
+        spark, GROUP, str(input_dir2), str(tmp_path / "store2"), with_tombstones=True
+    )
+    q2 = ingest2.start(trigger_once=True)
+    q2.awaitTermination(120)
+    snap2 = {r["customer_id"] for r in ingest2.online_snapshot().collect()}
+    assert snap2 == {2, 3}  # key 1 suppressed by its tombstone
