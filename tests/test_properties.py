@@ -155,3 +155,92 @@ def test_dsum_matches_decimal_any_partitioning(spark, cents, n_parts):
 
     got = df.agg(dsum(F.col("v"), 2).alias("s")).head()["s"]
     assert got == expected
+
+
+# -- 5. spark: as-of join equals a brute-force reference ----------------
+
+asof_feat_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # key
+        st.integers(min_value=0, max_value=20),  # feature time (small int domain)
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=0,
+    max_size=10,
+)
+asof_probe_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # key (4 -> sometimes unseen)
+        st.integers(min_value=0, max_value=20),  # probe time
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feats=asof_feat_strategy, probes=asof_probe_strategy)
+def test_asof_strategies_match_bruteforce(spark, feats, probes):
+    """All as-of strategies equal the obvious python reference: for each
+    probe row, the feature row with max (t, seq) among t <= probe_t for
+    the key — including duplicate probes, ties, and unseen keys."""
+    from cust_sagemaker_feature_store_spark.operators.asof import (
+        asof_join,
+        asof_join_agg,
+        asof_join_auto,
+        asof_join_union,
+    )
+
+    frows = [(k, t, v, i) for i, (k, t, v) in enumerate(feats)]
+    prows = [(k, t, j) for j, (k, t) in enumerate(probes)]
+
+    def brute(k, pt):
+        cand = [(t, seq, v) for (fk, t, v, seq) in frows if fk == k and t <= pt]
+        if not cand:
+            return None
+        t, seq, v = max(cand)
+        return v
+
+    expected = sorted(
+        (k, t, j, brute(k, t)) for (k, t, j) in prows
+    )
+
+    probe = spark.createDataFrame(prows, "k long, pt long, pid long")
+    feat = spark.createDataFrame(frows, "k long, ft long, fv long, seq long")
+    for fn, kwargs in (
+        (asof_join, {"how": "left", "tie_breaker": "seq"}),
+        (asof_join_agg, {"how": "left", "tie_breaker": "seq"}),
+        (asof_join_union, {"tie_breaker": "seq", "feature_cols": ["fv"]}),
+        (asof_join_auto, {"how": "left", "tie_breaker": "seq"}),
+    ):
+        out = fn(probe, feat, on="k", probe_time="pt", feature_time="ft", **kwargs)
+        got = sorted(
+            (r["k"], r["pt"], r["pid"], r["fv"]) for r in out.collect()
+        )
+        assert got == expected, fn.__name__
+
+
+# -- 6. spark: dense row ids are 0..N-1 under any partitioning ----------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_rows=st.integers(min_value=0, max_value=60),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+def test_dense_row_ids_dense_any_partitioning(spark, n_rows, n_parts):
+    from cust_sagemaker_feature_store_spark.functions.ids import with_dense_row_ids
+
+    df = spark.range(n_rows).repartition(n_parts)
+    out, total = with_dense_row_ids(df, "did")
+    ids = sorted(r["did"] for r in out.collect())
+    assert total == n_rows
+    assert ids == list(range(n_rows))
