@@ -154,6 +154,9 @@ def _unit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+EXACT_PAIRS_MAX_ROWS = 2_000_000  # broadcast side: ~1 GB at 64-dim float64
+
+
 def _exact_pairs(unit: DataFrame, min_cosine: float, id_col: str) -> DataFrame:
     """All-pairs exact cosine filter over pre-normalized vectors,
     executed as a sharded flat index (the FAISS-flat plan): one side is
@@ -168,6 +171,14 @@ def _exact_pairs(unit: DataFrame, min_cosine: float, id_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    n = unit.count()
+    if n > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"all-pairs exact verify on {n} vectors exceeds the "
+            f"{EXACT_PAIRS_MAX_ROWS}-row broadcast bound; raise the "
+            "cosine threshold so the banded LSH path can prune, or "
+            "tile the broadcast side into column blocks"
+        )
     data = unit.collect()
     ids = np.array([r[id_col] for r in data], dtype=np.int64)
     mat = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in data])
