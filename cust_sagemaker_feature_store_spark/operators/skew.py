@@ -45,3 +45,33 @@ def salted_agg(
         F.sum("__pn").alias(count_alias),
         *[F.sum(f"__ps_{name}").alias(name) for name in sum_exprs],
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi join: salt-replicate the small side.
+
+    The big (skewed) side gets a uniform random salt per row; the small
+    side is replicated once per salt value, so each (key, salt) bucket
+    joins in its own task — a hot key's rows spread over `n_salts`
+    reducers instead of one. Join semantics are unchanged (asserted
+    equal to the direct join in tests): every big row sees exactly one
+    replica of its key's small rows. Shuffle cost: |small| * n_salts
+    extra rows — the standard trade for unsticking a hot key when AQE's
+    runtime splitting isn't available or the skew is in a groupBy-free
+    join. `how` must keep the big side on the preserved side ('inner'
+    or 'left')."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves the big side: use 'inner' or 'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    big_s = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    small_s = small.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt"),
+    )
+    return big_s.join(small_s, keys + ["__salt"], how).drop("__salt")

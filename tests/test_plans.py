@@ -234,3 +234,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         for name in ("bt_left", "bt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_salted_join_equals_direct(spark):
+    # skewed big side: one hot key holds most rows; the salted join must
+    # return exactly the direct join's multiset for inner and left
+    from cust_sagemaker_feature_store_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1000), (3, 2000), (9, 9000)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (4, "unmatched")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        direct = sorted(
+            map(tuple, big.join(small, "k", how).select("k", "payload", "tag").collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(big, small, "k", how=how).select("k", "payload", "tag").collect())
+        )
+        assert salted == direct, how
