@@ -20,3 +20,19 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         return
     problems = compare_spark_to_oracle(sdf, duck, spec.oracle)
     assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_registry_window_prioritizes_unverified():
+    """The driver hash-checks only the first 50 registered queries.
+    Every exact-oracle query WITHOUT a prior driver-green row must sit
+    inside that window — otherwise it can never earn verification."""
+    from cust_sagemaker_feature_store_spark.queries import _R1_DRIVER_GREEN
+
+    names = list(REGISTRY)
+    window = set(names[:50])
+    green = set(_R1_DRIVER_GREEN)
+    unverified_exact = [
+        n for n, s in REGISTRY.items() if n not in green and s.oracle is not None
+    ]
+    missing = [n for n in unverified_exact if n not in window]
+    assert not missing, f"unverified exact-oracle queries outside window: {missing}"
