@@ -18,26 +18,21 @@ from . import functions_q  # noqa: E402,F401
 # -- registry ordering ---------------------------------------------------
 #
 # The driver's correctness gate checks the FIRST 50 registered queries in
-# order (CORRECTNESS_r01.json = exactly the first 50). Round 1 verified 45
-# of them green; re-listing those first would waste the whole round-2
-# window, leaving the LLM-pipeline half of the engine (text/dedup/
-# similarity/events/functions) permanently "claimed but unverified".
-#
-# So: queries WITHOUT a prior driver-green row go first — exact-oracle
-# ones (hard hash evidence) ahead of rows-only ones (weaker check) —
-# and the 45 r1-green queries go last; their evidence is already on
-# record. Newly added exact-oracle queries automatically land in the
-# window until it fills.
+# order. Policy: queries WITHOUT a current driver-green row go first —
+# exact-oracle ones (hard hash evidence) ahead of rows-only ones — and
+# already-green queries go last. "Current" means the green row was earned
+# by the SHIPPED implementation: whenever an operator or query body
+# changes after its green round, its name is REMOVED from the green list
+# so the external gate re-checks the changed behavior (round-2 advice).
 _R1_DRIVER_GREEN = [
-    # green rows in CORRECTNESS_r01.json. Excluded on purpose:
-    # q12_priority_by_returnflag / pivot_priority_by_status (r1 hash
-    # FAIL, oracle fixed this round) and join_anti_customers_without_
-    # orders / q22_idle_customers / q9_profit_by_nation_year (r1 passed
-    # vacuously with 0 rows, predicates loosened this round) — all five
-    # need fresh driver rows.
+    # green rows in CORRECTNESS_r01.json still earned by unchanged code.
+    # Removed on purpose (r2 rewrote the as-of operator internals —
+    # __pid window partitioning, atomic struct fill, tie-breaker — so
+    # the r1 evidence no longer covers the shipped code):
+    # fs_asof_join, fs_asof_join_agg, fs_asof_join_union,
+    # fs_multi_group_asof.
     "fs_time_range", "fs_latest_snapshot", "fs_snapshot_asof",
-    "fs_point_lookup", "fs_asof_join", "fs_latest_snapshot_maxby",
-    "fs_asof_join_agg", "fs_asof_join_union", "fs_multi_group_asof",
+    "fs_point_lookup", "fs_latest_snapshot_maxby",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "join_semi_customers_with_open_orders", "agg_orders_by_status",
     "agg_rollup_status_priority", "filter_part_predicates",
@@ -56,17 +51,50 @@ _R1_DRIVER_GREEN = [
     "agg_percentiles_exact",
 ]
 
+_R2_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r02.json earned by unchanged code.
+    # sim_lsh_dup_pairs / sim_ivf_topk (rows-only r2 evidence) are NOT
+    # listed: their internals (_exact_pairs tiling, IVF cell assignment)
+    # change in r3, so they rotate back into the window.
+    "fs_asof_join_tolerance", "fs_asof_join_strategy_auto",
+    "join_anti_customers_without_orders", "q12_priority_by_returnflag",
+    "q22_idle_customers", "pivot_priority_by_status",
+    "q9_profit_by_nation_year", "agg_order_status_history",
+    "agg_grouping_sets", "window_topk_per_group", "fn_regex_surface",
+    "dedup_levenshtein_verify", "q20_heavy_part_suppliers",
+    "q21_waiting_suppliers", "sample_stratified_exact",
+    "fs_decayed_features", "sample_split_three_way",
+    "events_json_extract", "events_json_schema_parse", "events_lag_lead",
+    "events_rolling_agg", "events_tumbling_hourly", "events_sessionize",
+    "text_stats", "text_quality_filter", "text_langid", "text_token_topk",
+    "text_fingerprint", "dedup_exact_groups", "dedup_jaccard_pairs",
+    "dedup_minhash_signatures", "dedup_minhash_candidates",
+    "text_winnow_fingerprints", "pipeline_clean_corpus",
+    "text_chunk_windows", "text_pack_bins", "text_mixture_resample",
+    "text_scrub_entities", "sim_cosine_topk", "sim_pairs_blocked",
+    "sim_label_centroids", "fn_scalar_surface", "udf_user_zscore",
+    "window_user_zscore", "udf_multimodal_bytes",
+    # rows-only entries whose r2 `spark_rows` evidence still matches the
+    # shipped code (no r3 changes):
+    "dedup_simhash", "dedup_simhash_candidates", "sim_lsh_ann_topk",
+]
+
+# First-in-window priority: the only registry entries with ZERO driver
+# evidence of any kind (rows-only, fell outside both prior windows).
+_WINDOW_PRIORITY = ["agg_approx_distinct", "agg_approx_percentile"]
+
 
 def _reorder_registry() -> None:
-    green = set(_R1_DRIVER_GREEN)
-    front_exact = [
-        n for n, s in REGISTRY.items() if n not in green and s.oracle is not None
-    ]
-    front_rows_only = [
-        n for n, s in REGISTRY.items() if n not in green and s.oracle is None
-    ]
+    green = set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
+    priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in green and n not in priority]
+    front_exact = [n for n in rest if REGISTRY[n].oracle is not None]
+    front_rows_only = [n for n in rest if REGISTRY[n].oracle is None]
     back = [n for n in REGISTRY if n in green]
-    ordered = {n: REGISTRY[n] for n in front_exact + front_rows_only + back}
+    ordered = {
+        n: REGISTRY[n]
+        for n in priority + front_exact + front_rows_only + back
+    }
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

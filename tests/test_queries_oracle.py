@@ -24,15 +24,20 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_registry_window_prioritizes_unverified():
     """The driver hash-checks only the first 50 registered queries.
-    Every exact-oracle query WITHOUT a prior driver-green row must sit
-    inside that window — otherwise it can never earn verification."""
-    from cust_sagemaker_feature_store_spark.queries import _R1_DRIVER_GREEN
+    Every query WITHOUT a current driver-green row — including the
+    zero-evidence priority entries — must sit inside that window,
+    otherwise it can never earn verification."""
+    from cust_sagemaker_feature_store_spark.queries import (
+        _R1_DRIVER_GREEN,
+        _R2_DRIVER_GREEN,
+        _WINDOW_PRIORITY,
+    )
 
     names = list(REGISTRY)
     window = set(names[:50])
-    green = set(_R1_DRIVER_GREEN)
-    unverified_exact = [
-        n for n, s in REGISTRY.items() if n not in green and s.oracle is not None
-    ]
-    missing = [n for n in unverified_exact if n not in window]
-    assert not missing, f"unverified exact-oracle queries outside window: {missing}"
+    green = set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
+    unverified = [n for n in REGISTRY if n not in green]
+    missing = [n for n in unverified if n not in window]
+    assert not missing, f"unverified queries outside window: {missing}"
+    # the two zero-evidence sketches lead the window
+    assert names[: len(_WINDOW_PRIORITY)] == _WINDOW_PRIORITY
