@@ -36,7 +36,10 @@ from .online import (
     DEFAULT_N_BUCKETS,
     bucket_expr,
     read_snapshot_bucket,
+    read_snapshot_meta,
+    snapshot_exists,
     upsert_bucketed_snapshot,
+    write_snapshot_meta,
 )
 
 INGEST_SEQ_COL = "ingest_seq"
@@ -55,6 +58,12 @@ class FeatureStore:
         # next free ingest_seq per group, lazily seeded from the stored
         # max so sequences stay monotone across FeatureStore instances
         self._next_seq: dict[str, int] = {}
+        # last ingested batch per group, kept persisted so the frame
+        # `ingest` returns re-reads cached blocks instead of re-running
+        # a possibly non-deterministic source lineage (round-2 advice,
+        # functions/ids.py:38); re-pinned per ingest, so at most one
+        # batch per group is cached at a time
+        self._pinned: dict[str, DataFrame] = {}
 
     # -- catalog -----------------------------------------------------------
 
@@ -73,6 +82,9 @@ class FeatureStore:
     def delete_feature_group(self, name: str) -> None:
         """Drop catalog entry (cleanup path — reference: cleanup.sh:43-60)."""
         self._groups.pop(name, None)
+        pinned = self._pinned.pop(name, None)
+        if pinned is not None:
+            pinned.unpersist()
 
     def offline_path(self, name: str) -> str:
         return os.path.join(self.root_path, name, "offline")
@@ -130,14 +142,30 @@ class FeatureStore:
             .withColumn(tcol, format_iso_z(EVENT_TS_COL))
             .withColumn(EVENT_DATE_COL, F.to_date(F.col(EVENT_TS_COL)))
         )
+        # persist BEFORE tagging: the dense-id counts job, the offline
+        # write, and any later action on the returned frame (e.g.
+        # upsert_online) must all see ONE materialization — a
+        # non-deterministic source (rand, unstable shuffle, mutable
+        # re-read) would otherwise yield colliding ids or an online
+        # snapshot diverging from offline history, silently (round-2
+        # advice, functions/ids.py:38). Pinned until the group's next
+        # ingest (or delete_feature_group) so the return value stays
+        # backed by the cached blocks.
+        normalized = normalized.persist()
+        prev = self._pinned.pop(name, None)
+        if prev is not None:
+            prev.unpersist()
+        self._pinned[name] = normalized
         base = max(self._seq_base(name), base_seq)
         with_ids, n_rows = with_dense_row_ids(normalized, "__did")
         out = with_ids.withColumn(
             INGEST_SEQ_COL, F.col("__did") + F.lit(base)
         ).drop("__did")
-        out.write.partitionBy(EVENT_DATE_COL).mode("append").parquet(
-            self.offline_path(name), compression="snappy"
-        )
+        if n_rows > 0:  # an empty append to a NEW store would leave a
+            # schema-less directory that breaks later reads
+            out.write.partitionBy(EVENT_DATE_COL).mode("append").parquet(
+                self.offline_path(name), compression="snappy"
+            )
         self._next_seq[name] = base + n_rows
         return out
 
@@ -146,14 +174,18 @@ class FeatureStore:
         The seed scan is column-pruned to ingest_seq and runs once per
         (instance, group) — O(history footers + one column), not O(data)."""
         if name not in self._next_seq:
-            try:
+            # explicit existence probe: a broad except here treated ANY
+            # read failure as "no store yet" and silently restarted
+            # ingest_seq at 0, inverting later-write-wins ties (round-2
+            # advice). A real read error now propagates.
+            if snapshot_exists(self.spark, self.offline_path(name)):
                 m = (
                     self.spark.read.parquet(self.offline_path(name))
                     .agg(F.max(INGEST_SEQ_COL))
                     .collect()[0][0]
                 )
                 self._next_seq[name] = (m + 1) if m is not None else 0
-            except Exception:  # no offline store yet
+            else:
                 self._next_seq[name] = 0
         return self._next_seq[name]
 
@@ -218,19 +250,31 @@ class FeatureStore:
             *group.feature_names
         )
 
+    def _snapshot_is_fresh(self, name: str) -> bool:
+        """True when the materialized snapshot has merged every ingested
+        sequence. The sidecar's high-water mark vs the store's next-free
+        sequence (session-cached after first use) makes staleness
+        explicit: an ingest/delete not followed by upsert_online used to
+        be silently invisible to point lookups (round-2 advice,
+        feature_store.py:221)."""
+        meta = read_snapshot_meta(self.spark, self.online_path(name))
+        if meta is None:
+            return False
+        return int(meta["seq_high"]) >= self._seq_base(name) - 1
+
     def _serving_view(self, name: str, key_values: list) -> DataFrame:
         """Lookup path for the given keys: bucket-pruned scan of the
-        materialized snapshot when present (reads ~1/n_buckets of the
-        store), else the derived latest view."""
+        materialized snapshot when present AND current (reads
+        ~1/n_buckets of the store); a missing or stale snapshot falls
+        back to the always-fresh derived latest view."""
         group = self._groups[name]
-        try:
-            snap = read_snapshot_bucket(
-                self.spark, self.online_path(name),
-                [group.record_identifier], key_values,
-            )
-            return snap.filter(~F.col(DELETED_COL)).select(*group.feature_names)
-        except Exception:
+        if not self._snapshot_is_fresh(name):
             return self.latest_view(name)
+        snap = read_snapshot_bucket(
+            self.spark, self.online_path(name),
+            [group.record_identifier], key_values,
+        )
+        return snap.filter(~F.col(DELETED_COL)).select(*group.feature_names)
 
     def get_record(
         self, name: str, record_identifier_value
@@ -287,23 +331,31 @@ class FeatureStore:
         later refreshes can be incremental (`upsert_online`) and point
         lookups prune to one bucket. Correct under any arrival order;
         the recovery/bootstrap path — steady-state refreshes should use
-        `upsert_online`."""
+        `upsert_online`. Records the bucket count and ingest high-water
+        mark in the snapshot sidecar (core/online.py)."""
         group = self._groups[name]
+        # high-water mark BEFORE the build: history is append-only, so
+        # the snapshot covers at least everything up to this sequence
+        # (single-writer assumption, as with any non-transactional store)
+        seq_high = self._seq_base(name) - 1
         snap = self._latest_raw(name).withColumn(
             BUCKET_COL, bucket_expr([group.record_identifier], n_buckets)
         )
         snap.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
             self.online_path(name), compression="snappy"
         )
+        write_snapshot_meta(self.spark, self.online_path(name), n_buckets, seq_high)
 
     def upsert_online(
-        self, name: str, batch: DataFrame, n_buckets: int = DEFAULT_N_BUCKETS
+        self, name: str, batch: DataFrame, n_buckets: int | None = None
     ) -> None:
         """Incremental online refresh: MERGE the batch returned by
         `ingest` into the bucketed snapshot, touching only the bucket
         partitions the batch's keys hash into — O(batch), not
         O(snapshot) (core/online.py). Equivalent to
-        `materialize_online` when applied to every ingested batch."""
+        `materialize_online` when applied to every ingested batch.
+        The bucket count is taken from the snapshot sidecar; passing an
+        explicit conflicting value raises (core/online.py)."""
         group = self._groups[name]
         upsert_bucketed_snapshot(
             self.spark,
@@ -318,16 +370,15 @@ class FeatureStore:
         )
 
     def online_store(self, name: str) -> DataFrame:
-        """Serving view: the materialized snapshot when present (point
-        lookups hit a key-sized table, not all of history), else the
-        derived latest view. Tombstoned keys are filtered at read —
-        the stored snapshot keeps them (see _latest_raw)."""
+        """Serving view: the materialized snapshot when present AND
+        current (point lookups hit a key-sized table, not all of
+        history), else the derived latest view. Tombstoned keys are
+        filtered at read — the stored snapshot keeps them (see
+        _latest_raw)."""
         group = self._groups[name]
-        path = self.online_path(name)
-        try:
-            snap = self.spark.read.parquet(path)
-        except Exception:
+        if not self._snapshot_is_fresh(name):
             return self.latest_view(name)
+        snap = self.spark.read.parquet(self.online_path(name))
         return snap.filter(~F.col(DELETED_COL)).select(*group.feature_names)
 
     def feature_vector(

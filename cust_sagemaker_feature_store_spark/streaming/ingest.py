@@ -82,7 +82,11 @@ class StreamingIngest:
 
     # -- micro-batch sink --------------------------------------------------
 
-    def _normalize(self, batch: DataFrame, batch_id: int) -> DataFrame:
+    def _normalize(self, batch: DataFrame) -> DataFrame:
+        """Schema-validate, cast, and time-normalize one micro-batch —
+        everything BEFORE id assignment, so the caller can persist the
+        result and the dense-id counts job + both store writes all see
+        one materialization (round-2 advice, functions/ids.py:38)."""
         tcol = self.group.event_time_feature
         # validate the feature columns (tombstone marker is internal),
         # then project features + flag from the SAME frame so rows stay
@@ -100,11 +104,13 @@ class StreamingIngest:
             ],
             flag,
         )
-        normalized = (
+        return (
             base.withColumn(EVENT_TS_COL, parse_iso_z(tcol))
             .withColumn(tcol, format_iso_z(EVENT_TS_COL))
             .withColumn(EVENT_DATE_COL, F.to_date(F.col(EVENT_TS_COL)))
         )
+
+    def _assign_seq(self, normalized: DataFrame, batch_id: int) -> DataFrame:
         # dense per-batch ids under a batch-id epoch: later micro-batches
         # always win event-time ties (later-write-wins), at ANY partition
         # count — see BATCH_SEQ_STRIDE
@@ -130,13 +136,19 @@ class StreamingIngest:
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        normalized = self._normalize(batch, batch_id)
+        normalized = self._normalize(batch)
         normalized.persist()
         try:
-            normalized.write.partitionBy(EVENT_DATE_COL).mode("append").parquet(
+            # empty micro-batch (e.g. a trigger with no new files):
+            # nothing to write, and an empty partitioned append to a NEW
+            # offline dir would fail schema inference on read-back
+            if not normalized.take(1):
+                return
+            tagged = self._assign_seq(normalized, batch_id)
+            tagged.write.partitionBy(EVENT_DATE_COL).mode("append").parquet(
                 self.offline_dir, compression="snappy"
             )
-            self._upsert_snapshot(normalized)
+            self._upsert_snapshot(tagged)
         finally:
             normalized.unpersist()
 

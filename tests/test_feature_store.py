@@ -276,6 +276,71 @@ def test_cross_batch_equal_timestamp_tombstone(spark, tmp_path):
     assert d["latest_purchase_value"] == "123.0"
 
 
+def test_nondefault_bucket_count_is_persisted(store):
+    # ADVICE r2 (online.py:105): a snapshot built with a non-default
+    # bucket count must serve correct lookups without the caller
+    # restating the count — it is recorded in the sidecar.
+    store.materialize_online(GROUP.name, n_buckets=5)
+    d = {f["FeatureName"]: f["ValueAsString"] for f in store.get_record(GROUP.name, 1)}
+    assert d["latest_purchase_value"] == "20.0"
+    assert store.get_record(GROUP.name, 999) is None
+    # an upsert with no explicit count adopts the stored layout
+    batch = store.spark.createDataFrame(
+        [(9, "2022-09-01T00:00:00Z", 5.0, 0.5)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    out = store.ingest(GROUP.name, batch)
+    store.upsert_online(GROUP.name, out)
+    d = {f["FeatureName"]: f["ValueAsString"] for f in store.get_record(GROUP.name, 9)}
+    assert d["latest_purchase_value"] == "5.0"
+
+
+def test_conflicting_bucket_count_fails_loud(store):
+    # a mismatched explicit count would prune the WRONG partitions —
+    # it must raise, not silently miss keys
+    store.materialize_online(GROUP.name, n_buckets=5)
+    batch = store.spark.createDataFrame(
+        [(9, "2022-09-01T00:00:00Z", 5.0, 0.5)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    out = store.ingest(GROUP.name, batch)
+    with pytest.raises(ValueError, match="n_buckets"):
+        store.upsert_online(GROUP.name, out, n_buckets=16)
+
+
+def test_stale_snapshot_falls_back_to_latest_view(store):
+    # ADVICE r2 (feature_store.py:221): an ingest not followed by
+    # upsert_online must still be visible to point lookups — the
+    # sidecar high-water mark flags the snapshot as stale.
+    store.materialize_online(GROUP.name)
+    newer = store.spark.createDataFrame(
+        [(1, "2023-01-01T00:00:00Z", 555.0, 1.0)],
+        "customer_id long, event_time string, latest_purchase_value double, latest_loyalty_score double",
+    )
+    store.ingest(GROUP.name, newer)  # no upsert_online on purpose
+    d = {f["FeatureName"]: f["ValueAsString"] for f in store.get_record(GROUP.name, 1)}
+    assert d["latest_purchase_value"] == "555.0"
+    assert store.online_store(GROUP.name).count() == 3
+    # a delete is equally visible without a snapshot refresh
+    store.delete_record(GROUP.name, 2, "2023-02-01T00:00:00Z")
+    assert store.get_record(GROUP.name, 2) is None
+    # refreshing the snapshot restores the pruned serving path
+    store.materialize_online(GROUP.name)
+    d = {f["FeatureName"]: f["ValueAsString"] for f in store.get_record(GROUP.name, 1)}
+    assert d["latest_purchase_value"] == "555.0"
+    assert store.get_record(GROUP.name, 2) is None
+
+
+def test_empty_upsert_batch_is_a_noop(store):
+    # ADVICE r2 (online.py:69): an empty batch must neither clobber the
+    # snapshot nor leave a schema-less write behind
+    store.materialize_online(GROUP.name)
+    before = sorted(map(tuple, store.online_store(GROUP.name).collect()))
+    empty = store.offline_store(GROUP.name).filter(F.lit(False))
+    store.upsert_online(GROUP.name, empty)
+    assert sorted(map(tuple, store.online_store(GROUP.name).collect())) == before
+
+
 def test_loose_timestamp_roundtrip(spark):
     # F1/F3: '2022-01-02 7:43:18' (unpadded hour, reference:
     # test_task_data.csv:2) -> ISO-8601-Z
