@@ -154,59 +154,104 @@ def _unit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-EXACT_PAIRS_MAX_ROWS = 2_000_000  # broadcast side: ~1 GB at 64-dim float64
+EXACT_PAIRS_BLOCK_ROWS = 60_000  # ~30 MB per packed block at 64-dim float64
 
 
-def _exact_pairs(unit: DataFrame, min_cosine: float, id_col: str) -> DataFrame:
-    """All-pairs exact cosine filter over pre-normalized vectors,
-    executed as a sharded flat index (the FAISS-flat plan): one side is
-    broadcast as a dense matrix, the other streams through partitions,
-    and each Arrow batch does a single vectorized GEMM block
-    (batch x dim @ dim x n) instead of per-pair array folds — a
-    nested-loop join with higher-order-function dot products is ~50x
-    slower because lambda expressions fall out of whole-stage codegen.
-    At corpus sizes where the broadcast side exceeds executor memory
-    the brute regime is infeasible for ANY engine; tile the broadcast
-    side into column blocks before reaching for this path."""
+def _exact_pairs(
+    unit: DataFrame,
+    min_cosine: float,
+    id_col: str,
+    block_rows: int = EXACT_PAIRS_BLOCK_ROWS,
+) -> DataFrame:
+    """All-pairs exact cosine filter over pre-normalized vectors, as a
+    DISTRIBUTED tiled GEMM (the FAISS-flat plan, sharded both ways):
+
+    1. rows hash into ~``EXACT_PAIRS_BLOCK_ROWS``-row blocks, each block
+       packed into one row executor-side (collect_list — the driver
+       never holds vectors; the former implementation collect()ed the
+       whole corpus to broadcast it and needed a 2M-row safety cap,
+       r2 review);
+    2. every block PAIR (i <= j) becomes one task: a self-join on
+       blk_a <= blk_b, repartitioned so each ~n²/B² tile is one
+       single-row partition (bounding task memory to two blocks);
+    3. each tile does ONE vectorized matmul (rows_a x dim @ dim x
+       rows_b) instead of per-pair array folds — a nested-loop join
+       with higher-order-function dot products is ~50x slower because
+       lambda expressions fall out of whole-stage codegen. Diagonal
+       tiles mask to id_a < id_b; off-diagonal tiles emit every hit
+       (each unordered pair lives in exactly one tile).
+
+    The O(n²/2) similarity work is inherent to the exact regime — what
+    tiling fixes is the memory shape: no driver collect, no full-corpus
+    broadcast, per-task footprint ~2 blocks regardless of corpus size.
+    The one driver-side scalar is count() to size the blocking — a
+    narrow O(n) job amortized against the quadratic verify."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     n = unit.count()
-    if n > EXACT_PAIRS_MAX_ROWS:
-        raise ValueError(
-            f"all-pairs exact verify on {n} vectors exceeds the "
-            f"{EXACT_PAIRS_MAX_ROWS}-row broadcast bound; raise the "
-            "cosine threshold so the banded LSH path can prune, or "
-            "tile the broadcast side into column blocks"
+    # two lower bounds on the block count: memory (each block must fit
+    # an Arrow row / task heap) and PARALLELISM (B(B+1)/2 tiles must
+    # fill the cluster — one giant tile would serialize the GEMM on a
+    # single core no matter how wide the cluster is)
+    par = unit.sparkSession.sparkContext.defaultParallelism
+    p_blocks = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2)
+    n_blocks = max(1, math.ceil(n / block_rows), p_blocks)
+    n_tiles = n_blocks * (n_blocks + 1) // 2
+
+    packed = (
+        unit.select(F.col(id_col).cast("long").alias("__id"), "__u")
+        .withColumn(
+            "__blk", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).cast("int")
         )
-    data = unit.collect()
-    ids = np.array([r[id_col] for r in data], dtype=np.int64)
-    mat = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in data])
-    spark = unit.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+        .groupBy("__blk")
+        .agg(F.collect_list(F.struct("__id", "__u")).alias("__rows"))
+    )
+    tiles = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.__blk") <= F.col("b.__blk"))
+        .select(
+            F.col("a.__blk").alias("blk_a"),
+            F.col("b.__blk").alias("blk_b"),
+            F.col("a.__rows").alias("rows_a"),
+            F.col("b.__rows").alias("rows_b"),
+        )
+        .repartition(n_tiles)
+    )
 
-    def _blocks(batches):
+    def _unpack(rows):
+        ids = np.fromiter((r["__id"] for r in rows), dtype=np.int64, count=len(rows))
+        mat = np.stack([np.asarray(r["__u"], dtype=np.float64) for r in rows])
+        return ids, mat
+
+    def _gemm_tiles(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__u"]])
-            aid = pdf["__id"].to_numpy()
-            sims = np.round(A @ b_mat.value.T, 6)
-            ai, bi = np.nonzero(
-                (sims >= min_cosine) & (aid[:, None] < b_ids.value[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": aid[ai],
-                    "vec_b": b_ids.value[bi],
-                    "cosine_sim": sims[ai, bi],
-                }
-            )
+            # the loop is per-TILE (a handful of rows per task), not
+            # per-vector; the inner math is one numpy matmul per tile
+            for blk_a, blk_b, rows_a, rows_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                aid, A = _unpack(rows_a)
+                bid, B = _unpack(rows_b)
+                sims = np.round(A @ B.T, 6)
+                mask = sims >= min_cosine
+                if blk_a == blk_b:
+                    mask &= aid[:, None] < bid[None, :]
+                ai, bi = np.nonzero(mask)
+                va, vb = aid[ai], bid[bi]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(va, vb),
+                        "vec_b": np.maximum(va, vb),
+                        "cosine_sim": sims[ai, bi],
+                    }
+                )
 
-    return unit.select(
-        F.col(id_col).cast("long").alias("__id"), "__u"
-    ).mapInPandas(_blocks, schema="vec_a long, vec_b long, cosine_sim double")
+    return tiles.mapInPandas(
+        _gemm_tiles, schema="vec_a long, vec_b long, cosine_sim double"
+    )
 
 
 SRP_BAND_BITS = 8
@@ -333,6 +378,8 @@ def ivf_topk(
     earlier first-n-rows-by-id seeding, which sampled whatever data
     happened to sort first (r1 review: deterministic but
     unrepresentative). One partial-agg job shuffling n_lists rows."""
+    import numpy as np
+
     seed_rows = (
         embeddings.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_lists)).alias("__b"),
@@ -344,27 +391,49 @@ def ivf_topk(
         .orderBy("__b")
         .collect()
     )
-    centroids = [
-        (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seed_rows)
-    ]
+    cent = np.stack(
+        [np.asarray([float(x) for x in r["__v"]], dtype=np.float64) for r in seed_rows]
+    )
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
 
-    def nearest_cell(vec: Column) -> Column:
-        best_idx, best_d = F.lit(0), F.lit(float("inf"))
-        for ci, cvec in centroids:
-            carr = F.array(*[F.lit(x) for x in cvec])
-            d = dot(vec, vec) - 2 * dot(vec, carr) + F.lit(sum(x * x for x in cvec))
-            best_idx = F.when(d < best_d, F.lit(ci)).otherwise(best_idx)
-            best_d = F.when(d < best_d, d).otherwise(best_d)
-        return best_idx
+    # cell assignment: one Arrow batch matmul per partition against the
+    # broadcast centroid matrix. The former chained-when() expression
+    # was O(n_lists) deep — fine at 16 lists, Catalyst/codegen blowup at
+    # realistic IVF scale (r2 review); this shape is flat in n_lists.
+    # argmin(||x-c||²) == argmin(c·c - 2 x·c): the x·x term is constant
+    # per row. Ties resolve to the lowest cell id (np.argmin), matching
+    # the strict-< scan it replaces.
+    def _assign(batches):
+        c = b_cent.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            pdf = pdf.assign(
+                __cell=(c_sq[None, :] - 2.0 * (M @ c.T)).argmin(axis=1).astype(np.int32)
+            )
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # a fresh StructType — .add() would mutate the frame's cached schema
+    assigned_schema = StructType(
+        list(embeddings.schema.fields) + [StructField("__cell", IntegerType())]
+    )
+    assigned = embeddings.mapInPandas(_assign, schema=assigned_schema)
 
     q = [float(x) for x in query_vec]
     q_dists = sorted(
-        (sum((a - b) ** 2 for a, b in zip(q, cvec)), ci) for ci, cvec in centroids
+        (float(((cent[ci] - np.asarray(q)) ** 2).sum()), ci)
+        for ci in range(len(cent))
     )
     probe_cells = [ci for _, ci in q_dists[:nprobe]]
 
     qcol = F.array(*[F.lit(x) for x in q])
-    assigned = embeddings.withColumn("__cell", nearest_cell(as_double(vec_col)))
     return (
         assigned.filter(F.col("__cell").isin(probe_cells))
         .select(

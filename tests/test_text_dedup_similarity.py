@@ -164,6 +164,62 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert exact[0] == 0  # the query vector itself is its own 1-NN
 
 
+def test_exact_pairs_tiled_equals_bruteforce(spark):
+    # The distributed tiled GEMM (no driver collect, r2 review) must
+    # return EXACTLY the brute-force pair set — forced across many
+    # tiles with a tiny block size so diagonal masking, off-diagonal
+    # orientation, and cross-tile completeness are all exercised.
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    # plant a few exact-direction dups so the threshold is non-vacuous
+    for i in range(5):
+        rows.append((1000 + i, [2.0 * x for x in rows[i][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unit = S._unit(emb, "vec_id", "embedding")
+    tiled = S._exact_pairs(unit, 0.5, "vec_id", block_rows=16).collect()
+    got = {(r["vec_a"], r["vec_b"]): r["cosine_sim"] for r in tiled}
+
+    v = emb.select("vec_id", S.as_double("embedding").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = S.dot(F.col("a.e"), F.col("b.e")) / (
+        S.l2_norm(F.col("a.e")) * S.l2_norm(F.col("b.e"))
+    )
+    exact = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(cos, 6).alias("c"),
+        )
+        .filter(F.col("c") >= 0.5)
+        .collect()
+    }
+    assert set(got) == exact
+    assert {(i, 1000 + i) for i in range(5)} <= set(got)
+    # every pair reported exactly once (no double emission off-diagonal)
+    assert len(tiled) == len(got)
+
+
+def test_ivf_scales_to_many_lists(spark, sf_dir):
+    # r2 review: cell assignment must be flat in n_lists (broadcast
+    # centroid matmul), not an O(n_lists)-deep when() chain. 256 lists
+    # over the test corpus must plan exactly one Python stage and still
+    # find the query vector itself.
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    res = S.ivf_topk(emb, q, k=10, n_lists=256, nprobe=32)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    rows = res.collect()
+    assert rows and rows[0]["vec_id"] == 0  # own cell always probed first
+
+
 def test_cosine_self_similarity(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     sims = emb.select(
