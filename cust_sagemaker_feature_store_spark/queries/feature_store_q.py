@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..core.feature_store import DELETED_COL
 from ..operators.asof import (
     asof_join,
     asof_join_agg,
@@ -97,6 +98,90 @@ def fs_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     latest = latest_snapshot_window(ev, "user_id", "ts", tie_breaker="event_id")
     return latest.select(
+        "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
+    )
+
+
+# late in the final event day, so BOTH races are non-vacuous at every
+# SF: some tombstoned keys have no later record (they vanish) and some
+# do (the older delete must not remove the newer write)
+TOMBSTONE_TS = "2024-01-30 18:00:00"
+TOMBSTONE_SEQ_BASE = 1_000_000_000_000  # above any event_id-derived seq
+
+
+@register(
+    "fs_tombstone_snapshot",
+    oracle=f"""
+WITH h AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         event_id AS ingest_seq, FALSE AS is_deleted
+  FROM events
+), t AS (
+  SELECT DISTINCT user_id,
+         CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS VARCHAR) AS event_type,
+         CAST(NULL AS DOUBLE) AS value,
+         TIMESTAMP '{TOMBSTONE_TS}' AS ts,
+         {TOMBSTONE_SEQ_BASE} + user_id AS ingest_seq,
+         TRUE AS is_deleted
+  FROM events WHERE user_id % 10 = 3
+), u AS (
+  SELECT * FROM h UNION ALL SELECT * FROM t
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, ingest_seq DESC
+  ) AS rn
+  FROM u
+)
+SELECT user_id, event_id, event_type, value, {sql_iso('ts')} AS event_time
+FROM r WHERE rn = 1 AND NOT is_deleted
+""",
+    description=(
+        "[EXT] CDC tombstone latest-wins — the batch twin of "
+        "delete_record + latest_view (core/feature_store.py:192,242): "
+        "every user_id % 10 = 3 gets a delete tombstone at a mid-history "
+        "instant with an ingest_seq above every record's. Exercises both "
+        "sides of the race through the SAME latest-wins primitive the "
+        "serving view uses: keys whose last activity precedes the "
+        "tombstone vanish from the snapshot, keys with LATER records "
+        "keep them (an older delete never removes a newer write), and "
+        "an exact-timestamp tie resolves to the tombstone by ingest "
+        "order (later write wins). History stays append-only — only the "
+        "derived view changes."
+    ),
+)
+def fs_tombstone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.col("event_id").alias("ingest_seq"),
+        F.lit(False).alias(DELETED_COL),
+    )
+    tomb = (
+        ev.filter(F.col("user_id") % 10 == 3)
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(TOMBSTONE_TS).cast("timestamp").alias("ts"),
+            (F.lit(TOMBSTONE_SEQ_BASE) + F.col("user_id")).alias("ingest_seq"),
+            F.lit(True).alias(DELETED_COL),
+        )
+    )
+    snap = latest_snapshot(
+        hist.unionByName(tomb),
+        key_cols="user_id",
+        event_time_col="ts",
+        tie_breaker="ingest_seq",
+    )
+    return snap.filter(~F.col(DELETED_COL)).select(
         "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
     )
 

@@ -22,6 +22,34 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
+def test_tombstone_snapshot_exercises_both_races(spark, sf_dir):
+    """fs_tombstone_snapshot must be non-vacuous on BOTH sides of the
+    latest-wins race: at least one tombstoned key vanishes (delete wins)
+    and at least one keeps a later record (older delete must not remove
+    a newer write). Guards the cutoff constant against data drift —
+    vacuous predicates were a round-1 finding."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.queries import feature_store_q as q
+
+    res = q.fs_tombstone_snapshot(spark, sf_dir)
+    kept = {
+        r["user_id"]
+        for r in res.filter(F.col("user_id") % 10 == 3).select("user_id").collect()
+    }
+    all_marked = {
+        r["user_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 3)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert kept, "no tombstoned key survived — newer-write race untested"
+    assert all_marked - kept, "no tombstoned key vanished — delete race untested"
+
+
 def test_registry_window_prioritizes_unverified():
     """The driver hash-checks only the first 50 registered queries.
     Every query WITHOUT a current driver-green row — including the
