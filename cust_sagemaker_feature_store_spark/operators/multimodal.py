@@ -126,26 +126,44 @@ def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     The frame payload is a deterministic byte slice standing in for an
     ffmpeg-decoded frame; wire the codec in decode_media."""
 
+    cols = ["media_id", "frame_index", "frame_ms", "frame_bytes"]
+
+    def _dur(meta) -> int:
+        if meta is None:
+            return 0
+        d = meta.get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]
+        return int(d or 0)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"] or {}
-                dur = (meta.get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]) or 0
-                content = r["content"] or b""
-                n_frames = max(1, int(dur // every_ms))
-                for i in range(n_frames):
-                    lo = (i * len(content)) // n_frames
-                    hi = ((i + 1) * len(content)) // n_frames
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_index": i,
-                            "frame_ms": i * every_ms,
-                            "frame_bytes": content[lo:hi],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "frame_ms", "frame_bytes"])
+            if not len(pdf):
+                continue
+            # the offset math is vectorized over the whole Arrow batch
+            # (r2 review: iterrows over binary blobs was the slow shape);
+            # only the frame slice — the codec boundary — touches Python
+            # objects, one call per OUTPUT frame, same as a real decoder.
+            contents = [c or b"" for c in pdf["content"]]
+            clen = np.fromiter(map(len, contents), dtype=np.int64, count=len(contents))
+            dur = np.fromiter(map(_dur, pdf["meta"]), dtype=np.int64, count=len(pdf))
+            n_frames = np.maximum(1, dur // every_ms)
+            row_idx = np.repeat(np.arange(len(pdf)), n_frames)
+            starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+            fidx = np.arange(len(row_idx)) - np.repeat(starts, n_frames)
+            nf, cl = n_frames[row_idx], clen[row_idx]
+            lo, hi = (fidx * cl) // nf, ((fidx + 1) * cl) // nf
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_idx],
+                    "frame_index": fidx.astype(np.int32),
+                    "frame_ms": fidx * every_ms,
+                    "frame_bytes": [
+                        contents[r][a:b] for r, a, b in zip(row_idx, lo, hi)
+                    ],
+                },
+                columns=cols,
+            )
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
 
