@@ -34,14 +34,26 @@ def _range_condition(
     probe_time: str,
     feature_time: str,
     tolerance_seconds: int | None,
+    direction: str = "backward",
 ) -> Column:
-    cond = F.col(f"__f.{feature_time}") <= F.col(f"__p.{probe_time}")
-    if tolerance_seconds is not None:
-        cond = cond & (
-            F.col(f"__f.{feature_time}")
-            >= F.col(f"__p.{probe_time}")
-            - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
-        )
+    ft, pt = F.col(f"__f.{feature_time}"), F.col(f"__p.{probe_time}")
+    tol = (
+        F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        if tolerance_seconds is not None
+        else None
+    )
+    if direction == "backward":
+        cond = ft <= pt
+        if tol is not None:
+            cond = cond & (ft >= pt - tol)
+    elif direction == "forward":
+        cond = ft >= pt
+        if tol is not None:
+            cond = cond & (ft <= pt + tol)
+    elif direction == "nearest":
+        cond = (ft >= pt - tol) & (ft <= pt + tol) if tol is not None else F.lit(True)
+    else:
+        raise ValueError(f"unknown as-of direction {direction!r}")
     for k in keys:
         cond = (F.col(f"__p.{k}") == F.col(f"__f.{k}")) & cond
     return cond
@@ -56,11 +68,20 @@ def asof_join(
     how: str = "left",
     tolerance_seconds: int | None = None,
     tie_breaker: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each probe row, attach the feature row with the greatest
-    `feature_time` <= `probe_time` for the same key(s); `tie_breaker`
-    (a feature column, e.g. an ingest sequence) makes equal-timestamp
-    picks deterministic.
+    """For each probe row, attach the qualifying feature row for the
+    same key(s); `tie_breaker` (a feature column, e.g. an ingest
+    sequence) makes equal-timestamp picks deterministic.
+
+    `direction` (pandas merge_asof semantics, [EXT] vs the reference):
+    - 'backward' (default): greatest `feature_time` <= `probe_time`;
+    - 'forward': smallest `feature_time` >= `probe_time`;
+    - 'nearest': smallest |feature_time - probe_time| within the
+      tolerance (ties prefer the backward candidate — the one that was
+      actually knowable at probe time). Without a tolerance, 'nearest'
+      scans each key's whole history; bound it when the feature side
+      is large.
 
     Output columns: all probe columns, then the feature payload columns
     (feature time included), null when no feature row qualifies and
@@ -76,9 +97,22 @@ def asof_join(
     p = probe.withColumn("__pid", F.monotonically_increasing_id()).alias("__p")
     fa = features.alias("__f")
     joined = p.join(
-        fa, _range_condition(keys, probe_time, feature_time, tolerance_seconds), how
+        fa,
+        _range_condition(keys, probe_time, feature_time, tolerance_seconds, direction),
+        how,
     )
-    order = [F.col(f"__f.{feature_time}").desc_nulls_last()]
+    ft, pt = F.col(f"__f.{feature_time}"), F.col(f"__p.{probe_time}")
+    if direction == "backward":
+        order = [ft.desc_nulls_last()]
+    elif direction == "forward":
+        order = [ft.asc_nulls_last()]
+    else:  # nearest: exact microsecond distance, backward wins ties
+        # cast tolerates ISO-string time columns, which compare fine for
+        # backward/forward but need real instants for distance math
+        dist = F.abs(
+            F.unix_micros(ft.cast("timestamp")) - F.unix_micros(pt.cast("timestamp"))
+        )
+        order = [dist.asc_nulls_last(), F.when(ft <= pt, 0).otherwise(1).asc_nulls_last()]
     if tie_breaker:
         order.append(F.col(f"__f.{tie_breaker}").desc_nulls_last())
     w = Window.partitionBy(F.col("__p.__pid")).orderBy(*order)
@@ -217,6 +251,7 @@ def asof_join_auto(
     how: str = "left",
     tolerance_seconds: int | None = None,
     tie_breaker: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Strategy-picking as-of join.
 
@@ -232,11 +267,15 @@ def asof_join_auto(
       never materializes the cross product;
     - unbounded inner/other: max_by aggregation — partial agg collapses
       candidates map-side before the exchange.
+
+    Non-backward directions always take join + rank: forward/nearest
+    are lookahead semantics the carry-forward union window can't
+    express, and they're near-always tolerance-bounded in practice.
     """
-    if tolerance_seconds is not None:
+    if direction != "backward" or tolerance_seconds is not None:
         return asof_join(
             probe, features, on, probe_time, feature_time, how,
-            tolerance_seconds, tie_breaker,
+            tolerance_seconds, tie_breaker, direction,
         )
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in features.columns if c not in keys]

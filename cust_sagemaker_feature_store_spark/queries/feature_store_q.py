@@ -346,6 +346,146 @@ def fs_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fs_asof_join_forward",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+         c.click_ts, c.click_value,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY c.click_ts ASC NULLS LAST, c.click_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.click_ts >= p.purchase_ts
+   AND c.click_ts <= p.purchase_ts + INTERVAL 1 HOUR
+)
+SELECT purchase_id, user_id,
+       {sql_iso('purchase_ts')} AS purchase_time, purchase_value,
+       {sql_iso('click_ts')} AS next_click_time, click_value AS next_click_value
+FROM j WHERE rn = 1
+""",
+    description=(
+        "[EXT] FORWARD as-of join (pandas merge_asof direction="
+        "'forward'): for each purchase, the user's EARLIEST click at or "
+        "after it within one hour — the label-attachment direction "
+        "(outcome lookahead) the backward join can't express. Same "
+        "join+rank plan, reversed rank order."
+    ),
+)
+def fs_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join_auto(
+        probe,
+        feat,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        how="left",
+        tolerance_seconds=3600,
+        tie_breaker="click_id",
+        direction="forward",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("click_ts").alias("next_click_time"),
+        F.col("click_value").alias("next_click_value"),
+    )
+
+
+@register(
+    "fs_asof_join_nearest",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+         c.click_ts, c.click_value,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY abs(epoch_us(c.click_ts) - epoch_us(p.purchase_ts)) ASC NULLS LAST,
+                    CASE WHEN c.click_ts <= p.purchase_ts THEN 0 ELSE 1 END ASC,
+                    c.click_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+   AND c.click_ts <= p.purchase_ts + INTERVAL 1 HOUR
+)
+SELECT purchase_id, user_id,
+       {sql_iso('purchase_ts')} AS purchase_time, purchase_value,
+       {sql_iso('click_ts')} AS nearest_click_time, click_value AS nearest_click_value
+FROM j WHERE rn = 1
+""",
+    description=(
+        "[EXT] NEAREST as-of join (pandas merge_asof direction="
+        "'nearest'): the click closest in time to each purchase within "
+        "±1 hour, measured at exact microsecond distance; equidistant "
+        "ties prefer the backward candidate (the one knowable at probe "
+        "time), then the ingest tie-breaker."
+    ),
+)
+def fs_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join_auto(
+        probe,
+        feat,
+        on="user_id",
+        probe_time="purchase_ts",
+        feature_time="click_ts",
+        how="left",
+        tolerance_seconds=3600,
+        tie_breaker="click_id",
+        direction="nearest",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("click_ts").alias("nearest_click_time"),
+        F.col("click_value").alias("nearest_click_value"),
+    )
+
+
+@register(
     "fs_latest_snapshot_maxby",
     oracle=_LATEST_ORACLE,
     description=(

@@ -145,6 +145,66 @@ def test_asof_union_tie_breaker(spark):
     assert [r["fv"] for r in j] == [2.0]
 
 
+def test_asof_join_directions(spark):
+    # One probe at 12:00 with features at 10:00, 11:30, 12:45, 14:00.
+    probe = spark.createDataFrame(
+        [(1, "2022-01-01 12:00:00", "p1")], "k long, pt string, tag string"
+    )
+    feat = spark.createDataFrame(
+        [
+            (1, "2022-01-01 10:00:00", 0, 10.0),
+            (1, "2022-01-01 11:30:00", 1, 11.5),
+            (1, "2022-01-01 12:45:00", 2, 12.75),
+            (1, "2022-01-01 14:00:00", 3, 14.0),
+        ],
+        "k long, ft string, seq long, fv double",
+    )
+    from pyspark.sql import functions as F
+
+    probe = probe.withColumn("pt", F.col("pt").cast("timestamp"))
+    feat = feat.withColumn("ft", F.col("ft").cast("timestamp"))
+
+    def pick(**kw):
+        out = asof_join(
+            probe, feat, on="k", probe_time="pt", feature_time="ft",
+            how="left", tie_breaker="seq", **kw,
+        ).collect()
+        assert len(out) == 1
+        return out[0]["fv"]
+
+    assert pick(direction="backward") == 11.5  # latest at-or-before
+    assert pick(direction="forward") == 12.75  # earliest at-or-after
+    assert pick(direction="nearest") == 11.5  # 30min back beats 45min fwd
+    # tolerance binds each direction's candidate set
+    assert pick(direction="forward", tolerance_seconds=1800) is None
+    assert pick(direction="nearest", tolerance_seconds=600) is None
+    # auto dispatches non-backward directions to join+rank
+    a = asof_join_auto(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        how="left", tie_breaker="seq", direction="forward",
+    ).collect()
+    assert [r["fv"] for r in a] == [12.75]
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    # Equidistant candidates: the backward one (knowable at probe time)
+    # must win regardless of tie_breaker magnitude.
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(1, "2022-01-01 12:00:00")], "k long, pt string"
+    ).withColumn("pt", F.col("pt").cast("timestamp"))
+    feat = spark.createDataFrame(
+        [(1, "2022-01-01 11:00:00", 0, 1.0), (1, "2022-01-01 13:00:00", 99, 2.0)],
+        "k long, ft string, seq long, fv double",
+    ).withColumn("ft", F.col("ft").cast("timestamp"))
+    out = asof_join(
+        probe, feat, on="k", probe_time="pt", feature_time="ft",
+        how="left", tie_breaker="seq", direction="nearest",
+    ).collect()
+    assert [r["fv"] for r in out] == [1.0]
+
+
 def test_asof_join_preserves_duplicate_probes(spark):
     # Fully identical probe rows must each produce an output row (the
     # operator must not dedupe the probe side as a side effect).
