@@ -19,6 +19,7 @@ from ..operators.asof import (
     asof_join_union,
 )
 from ..operators.latest import latest_snapshot, latest_snapshot_window
+from ..operators.resample import resample_ffill
 from .registry import REGISTRY, iso, register, sql_iso
 
 TIME_LO = "2024-01-05T00:00:00Z"
@@ -628,6 +629,68 @@ def fs_asof_join_strategy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         iso("click_ts").alias("last_click_time"),
         F.col("click_value").alias("last_click_value"),
+    )
+
+
+@register(
+    "fs_resample_ffill_6h",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id,
+         unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-30 00:00:00',
+                                INTERVAL 6 HOUR)) AS grid_ts
+  FROM (SELECT DISTINCT user_id FROM events)
+), j AS (
+  SELECT g.user_id, g.grid_ts, e.ts, e.event_id, e.value,
+         row_number() OVER (
+           PARTITION BY g.user_id, g.grid_ts
+           ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST
+         ) AS rn
+  FROM g LEFT JOIN events e
+    ON g.user_id = e.user_id AND e.ts <= g.grid_ts
+)
+SELECT user_id, {sql_iso('grid_ts')} AS grid_time,
+       {sql_iso('ts')} AS last_event_time,
+       COALESCE(event_id, -1) AS last_event_id,
+       value AS last_value
+FROM j WHERE rn = 1
+""",
+    description=(
+        "[EXT] time-grid resample + forward fill "
+        "(operators/resample.resample_ffill): every user's latest "
+        "record as of EVERY 6-hour grid instant over the event month — "
+        "the batch-serving materialization that generalizes the "
+        "reference's single latest-record view to a training-ready "
+        "regular time series. Grid rows fan out from a keys-distinct "
+        "scan via sequence(); the fill is the union-and-window as-of "
+        "strategy (one shuffle, no grid x history join)."
+    ),
+)
+def fs_resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("last_event_ts"),
+        "event_id",
+        "value",
+    )
+    res = resample_ffill(
+        ev,
+        key_cols="user_id",
+        time_col="ts",
+        start_iso="2024-01-01 00:00:00",
+        end_iso="2024-01-30 00:00:00",
+        interval_seconds=6 * 3600,
+        payload_cols=["last_event_ts", "event_id", "value"],
+        tie_breaker="event_id",
+    )
+    return res.select(
+        "user_id",
+        iso("grid_ts").alias("grid_time"),
+        iso("last_event_ts").alias("last_event_time"),
+        F.coalesce(F.col("event_id"), F.lit(-1)).alias("last_event_id"),
+        F.col("value").alias("last_value"),
     )
 
 

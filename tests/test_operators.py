@@ -205,6 +205,40 @@ def test_asof_nearest_tie_prefers_backward(spark):
     assert [r["fv"] for r in out] == [1.0]
 
 
+def test_resample_ffill_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.operators.resample import (
+        resample_ffill,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2022-01-01 03:00:00", 10.0),
+            (1, "2022-01-01 12:00:00", 20.0),  # exactly on a grid point
+            (2, "2022-01-01 20:00:00", 30.0),
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_ffill(
+        ev,
+        key_cols="k",
+        time_col="ts",
+        start_iso="2022-01-01 00:00:00",
+        end_iso="2022-01-02 00:00:00",
+        interval_seconds=12 * 3600,
+        payload_cols=["v"],
+    )
+    got = {(r["k"], str(r["grid_ts"])): r["v"] for r in out.collect()}
+    # 3 grid points per key, both keys present
+    assert len(got) == 6
+    assert got[(1, "2022-01-01 00:00:00")] is None  # before first event
+    assert got[(1, "2022-01-01 12:00:00")] == 20.0  # event AT grid instant visible
+    assert got[(1, "2022-01-02 00:00:00")] == 20.0  # carried forward
+    assert got[(2, "2022-01-01 12:00:00")] is None
+    assert got[(2, "2022-01-02 00:00:00")] == 30.0
+
+
 def test_asof_join_preserves_duplicate_probes(spark):
     # Fully identical probe rows must each produce an output row (the
     # operator must not dedupe the probe side as a side effect).
