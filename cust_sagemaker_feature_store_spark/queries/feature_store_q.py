@@ -695,6 +695,47 @@ def fs_resample_ffill_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fs_incremental_agg",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(ROUND(value*1000000) AS BIGINT))/1000000.0 AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       SUM(CAST(ROUND(value*1000000) AS BIGINT))/1000000.0/COUNT(*) AS avg_value
+FROM events GROUP BY user_id
+""",
+    description=(
+        "[EXT] incremental aggregate maintenance "
+        "(operators/incremental.py): per-user count/sum/min/max/avg "
+        "computed by splitting history at mid-month, building algebraic "
+        "partials per batch, and MERGING them — while the oracle "
+        "aggregates the whole history directly in one pass. A hash "
+        "match proves merge(partials(b1), partials(b2)) is bit-"
+        "identical to the full recompute, which is what lets a 100 TB "
+        "refresh cost O(batch), not O(history). Exact scaled-int sums "
+        "make the equality order-independent."
+    ),
+)
+def fs_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import (
+        agg_partials,
+        finalize_partials,
+        merge_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    b1 = ev.filter(F.col("ts") < cut)
+    b2 = ev.filter(F.col("ts") >= cut)
+    merged = merge_partials(
+        agg_partials(b1, "user_id", "value"),
+        agg_partials(b2, "user_id", "value"),
+    )
+    return finalize_partials(merged, "value")
+
+
+@register(
     "fs_multi_group_asof",
     oracle=f"""
 WITH p AS (

@@ -205,6 +205,41 @@ def test_asof_nearest_tie_prefers_backward(spark):
     assert [r["fv"] for r in out] == [1.0]
 
 
+def test_incremental_agg_equals_direct(spark):
+    # merge(partials(b1..bk)) must be BIT-identical to a one-pass
+    # aggregate over the union, for any split — including keys present
+    # in only one batch and an all-null-value key.
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators.incremental import (
+        agg_partials,
+        finalize_partials,
+        merge_partials,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i % 17, round(rng.uniform(-50, 50), 6) if i % 23 else None)
+        for i in range(500)
+    ] + [(99, None), (99, None)]  # key whose every value is null
+    df = spark.createDataFrame(rows, "k long, v double")
+    direct = finalize_partials(agg_partials(df, "k", "v"), "v")
+
+    batches = [[] for _ in range(4)]
+    for r in rows:
+        batches[rng.randrange(4)].append(r)
+    parts = [
+        agg_partials(spark.createDataFrame(b or [(None, None)], "k long, v double"), "k", "v")
+        for b in batches
+        if b
+    ]
+    incr = finalize_partials(merge_partials(*parts), "v")
+
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, incr.collect()))
+    assert a == b
+
+
 def test_resample_ffill_semantics(spark):
     from pyspark.sql import functions as F
 
