@@ -258,3 +258,43 @@ def sample_split_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dsum(F.col("c_acctbal"), 2).alias("sum_bal"),
     )
+
+
+# -- Z-order layout key ([EXT], SURVEY.md §4 scale lever) ----------------
+
+from ..operators.layout import sql_zvalue, zvalue  # noqa: E402
+
+_Z_DUCK_DIMS = ["o_custkey", "(CAST(epoch(o_orderdate) AS BIGINT) // 86400)"]
+
+
+@register(
+    "layout_zorder_key",
+    oracle=f"""
+SELECT o_orderkey, {sql_zvalue(_Z_DUCK_DIMS)} AS zval
+FROM orders
+""",
+    description=(
+        "[EXT] Z-order (Morton) layout key over (customer, order-day) — "
+        "operators/layout.zvalue: pure shift/mask expression arithmetic "
+        "inside whole-stage codegen, bit-identical to the SQL twin "
+        "generated from the same loop (sql_zvalue). Range-partitioning "
+        "and sorting a 100 TB write by this key gives EVERY "
+        "participating dimension ~file^(1/d) locality, so row-group "
+        "min/max stats prune multi-dimensional range predicates — the "
+        "Delta/Iceberg OPTIMIZE ZORDER effect as a plain DataFrame op "
+        "(clustering property asserted in tests/test_plans.py)."
+    ),
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zvalue(
+            [
+                F.col("o_custkey"),
+                # NTZ -> TIMESTAMP is wall-clock identity under the UTC
+                # session, so the epoch-seconds cast matches DuckDB epoch()
+                F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400"),
+            ]
+        ).alias("zval"),
+    )

@@ -256,3 +256,53 @@ def test_salted_join_equals_direct(spark):
             map(tuple, salted_join(big, small, "k", how=how).select("k", "payload", "tag").collect())
         )
         assert salted == direct, how
+
+
+def test_zorder_clusters_every_dimension(spark, sf_dir):
+    # The point of the Morton layout: after range-partitioning by the
+    # interleaved key, EVERY participating dimension has narrow
+    # per-partition ranges (a single-column sort gives one narrow dim
+    # and leaves the other at ~full width). Dims are normalized to the
+    # full 16-bit grid so the interleave weights them equally.
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.layout import (
+        zorder_repartition,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400").alias("day"),
+    )
+    lo_ck, hi_ck, lo_d, hi_d = orders.agg(
+        F.min("ck"), F.max("ck"), F.min("day"), F.max("day")
+    ).first()
+    norm = orders.select(
+        ((F.col("ck") - lo_ck) * 65535 / (hi_ck - lo_ck)).cast("long").alias("ck16"),
+        ((F.col("day") - lo_d) * 65535 / (hi_d - lo_d)).cast("long").alias("day16"),
+    )
+    z = zorder_repartition(norm, [F.col("ck16"), F.col("day16")], n_partitions=16)
+    spans = (
+        z.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("ck16") - F.min("ck16")).alias("ck_span"),
+            (F.max("day16") - F.min("day16")).alias("day_span"),
+        )
+        .agg(F.avg("ck_span"), F.avg("day_span"))
+        .first()
+    )
+    # ideal for 16 partitions / 2 dims is ~65535/4 per dim; assert the
+    # loose half-width bound that a single-dim sort cannot meet on both
+    assert spans[0] < 65535 * 0.55, f"custkey span {spans[0]}"
+    assert spans[1] < 65535 * 0.55, f"day span {spans[1]}"
+
+    # contrast: sorting by ck16 alone leaves day16 at ~full width
+    flat = norm.repartitionByRange(16, "ck16").sortWithinPartitions("ck16")
+    flat_day = (
+        flat.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("day16") - F.min("day16")).alias("s"))
+        .agg(F.avg("s"))
+        .first()[0]
+    )
+    assert flat_day > 65535 * 0.8, f"single-dim sort day span {flat_day}"
