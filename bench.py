@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "fs_latest_snapshot",
     "fs_latest_snapshot_maxby",
     "fs_asof_join",
+    "fs_tombstone_snapshot",
+    "fs_resample_ffill_6h",
+    "fs_incremental_agg",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",

@@ -266,3 +266,70 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.lit(0).cast("long"),
     )
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected dup-pair graph — the
+    step that turns candidate PAIRS into droppable CLUSTERS (keep the
+    min-id representative per component, drop the rest).
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round, labels flow one hop along edges and each node keeps
+    the minimum seen. Rounds needed = graph diameter, which for dup
+    clusters (near-cliques from LSH banding) is tiny; the loop is a
+    driver-side convergence check over per-round DISTRIBUTED joins,
+    with ``localCheckpoint`` truncating the lineage so plan depth stays
+    O(1) per round instead of O(rounds). Deterministic: the component
+    label is the component's minimum node id. Output: one row per node
+    that appears in ``pairs`` — (node, label); singletons are the
+    caller's complement set.
+
+    Raises after ``max_iter`` rounds without a fixpoint rather than
+    silently emitting half-merged clusters.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    und = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels, und["src"] == labels["node"], "inner"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the bound — raise max_iter"
+    )

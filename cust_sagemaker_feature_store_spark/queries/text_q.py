@@ -628,3 +628,64 @@ def text_scrub_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         ((F.length("text") - F.length(removed)) / 8).cast("long").alias("n_redactions"),
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT node AS doc_id, label AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+FROM cc
+""",
+    description=(
+        "[EXT] near-dup CLUSTERS from LSH candidate pairs "
+        "(operators/dedup.dup_clusters): hash-min label-propagation "
+        "connected components over the MinHash band-bucket pair graph — "
+        "the step that turns pairwise candidates into droppable groups "
+        "(keep min-id per cluster). The oracle computes the same "
+        "components with a recursive CTE, so the distributed iterative "
+        "fixpoint is hash-checked against a declarative ground truth."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    labels = D.dup_clusters(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -224,6 +224,49 @@ def test_asof_strategies_match_bruteforce(spark, feats, probes):
         assert got == expected, fn.__name__
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(feats=asof_feat_strategy, probes=asof_probe_strategy)
+def test_asof_directions_match_bruteforce(spark, feats, probes):
+    """forward picks min (t, -seq)... precisely: smallest t >= probe_t,
+    greatest seq among equal t; nearest picks min |t - probe_t| with
+    backward preferred on equidistant ties, then greatest seq."""
+    from cust_sagemaker_feature_store_spark.operators.asof import asof_join
+
+    frows = [(k, t, v, i) for i, (k, t, v) in enumerate(feats)]
+    prows = [(k, t, j) for j, (k, t) in enumerate(probes)]
+
+    def brute_forward(k, pt):
+        cand = [(t, -seq, v) for (fk, t, v, seq) in frows if fk == k and t >= pt]
+        if not cand:
+            return None
+        return min(cand)[2]
+
+    def brute_nearest(k, pt):
+        cand = [
+            (abs(t - pt), 0 if t <= pt else 1, -seq, v)
+            for (fk, t, v, seq) in frows
+            if fk == k
+        ]
+        if not cand:
+            return None
+        return min(cand)[3]
+
+    probe = spark.createDataFrame(prows, "k long, pt long, pid long")
+    feat = spark.createDataFrame(frows, "k long, ft long, fv long, seq long")
+    for direction, brute in (("forward", brute_forward), ("nearest", brute_nearest)):
+        expected = sorted((k, t, j, brute(k, t)) for (k, t, j) in prows)
+        out = asof_join(
+            probe, feat, on="k", probe_time="pt", feature_time="ft",
+            how="left", tie_breaker="seq", direction=direction,
+        )
+        got = sorted((r["k"], r["pt"], r["pid"], r["fv"]) for r in out.collect())
+        assert got == expected, direction
+
+
 # -- 6. spark: dense row ids are 0..N-1 under any partitioning ----------
 
 

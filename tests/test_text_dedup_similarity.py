@@ -228,3 +228,21 @@ def test_cosine_self_similarity(spark, sf_dir):
         ).alias("s")
     ).collect()
     assert all(abs(r["s"] - 1.0) < 1e-6 for r in sims)
+
+
+def test_dup_clusters_components(spark):
+    # A 5-node path (diameter 4 — forces multiple propagation rounds),
+    # a separate triangle, and an isolated pair: every node must label
+    # with its component's min id, and no cross-component bleed.
+    from cust_sagemaker_feature_store_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # path
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                            # pair
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["label"] for r in dup_clusters(pairs, "doc_a", "doc_b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
