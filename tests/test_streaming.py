@@ -395,3 +395,62 @@ def test_streaming_tombstones(spark, tmp_path):
     q2.awaitTermination(120)
     snap2 = {r["customer_id"] for r in ingest2.online_snapshot().collect()}
     assert snap2 == {2, 3}  # key 1 suppressed by its tombstone
+
+
+def test_streaming_incremental_agg_equals_batch(spark, tmp_path):
+    # Maintain per-key aggregate partials across micro-batches by
+    # merging each batch's partials into a running checkpointed state
+    # (operators/incremental.py) — the O(batch) aggregate-refresh shape.
+    # The finalized stream state must equal a one-pass batch aggregate
+    # over the union of all input, including keys split across batches.
+    from pyspark.sql import types as T
+
+    from cust_sagemaker_feature_store_spark.operators.incremental import (
+        agg_partials,
+        finalize_partials,
+        merge_partials,
+    )
+
+    input_dir = tmp_path / "agg_in"
+    input_dir.mkdir()
+    batches = [
+        ["1,10.5", "2,3.25", "1,-4.0"],
+        ["2,8.125", "3,0.5"],
+        ["1,2.0", "3,-1.75", "4,100.0"],
+    ]
+    for i, lines in enumerate(batches):
+        p = input_dir / f"b{i}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    state = {"partials": None, "n_batches": 0}
+
+    def sink(batch, batch_id):
+        p = agg_partials(batch, "k", "v")
+        merged = (
+            p if state["partials"] is None else merge_partials(state["partials"], p)
+        )
+        state["partials"] = merged.localCheckpoint(eager=True)
+        state["n_batches"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(input_dir))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["n_batches"] == 3  # one merge per micro-batch
+
+    streamed = finalize_partials(state["partials"], "v")
+    direct = finalize_partials(
+        agg_partials(spark.read.schema(schema).csv(str(input_dir)), "k", "v"), "v"
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
