@@ -4,10 +4,17 @@ The driver provides a TPC-H-ish star schema plus `events`, `documents`
 and `embeddings` (TESTDATA.md). Two normalizations happen here and
 nowhere else, so every operator sees clean types:
 
-- `events.ts` arrives as parquet TIMESTAMP(NANOS) which Spark cannot
-  read natively; with `nanosAsLong` it surfaces as a long that we
-  floor-divide to microseconds — bit-identical to DuckDB's own ns->us
-  truncation, so oracle comparisons stay exact.
+- `events.ts` has shipped in two encodings across driver rounds and both
+  are normalized to session-local TIMESTAMP here: (a) parquet
+  TIMESTAMP(NANOS), unreadable natively — with `nanosAsLong` it surfaces
+  as a long that we floor-divide to microseconds, bit-identical to
+  DuckDB's own ns->us truncation; (b) parquet `timestamp[us]` WITHOUT a
+  zone, which Spark 3.5+ reads as TIMESTAMP_NTZ — under the pinned UTC
+  session zone the NTZ->ltz cast is a wall-clock identity, so all
+  existing oracle hashes stay valid. Encoding (b) silently passing
+  through untouched broke every `unix_micros(ts)` expression downstream
+  and crashed the round-3 bench; tests/test_testdata_contract.py now
+  pins the post-load dtype so any future encoding drift fails loudly.
 - everything else is read as-is; schemas are explicit in TESTDATA.md and
   stable, so no inference pass is needed.
 
@@ -50,11 +57,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet TIMESTAMP(NANOS) read as long; truncate to micros with
-        # *integer* division — a double round-trip at ~1.7e18 ns loses
-        # sub-microsecond precision and can shift the truncated value.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # parquet TIMESTAMP(NANOS) read as long; truncate to micros
+            # with *integer* division — a double round-trip at ~1.7e18 ns
+            # loses sub-microsecond precision and can shift the value.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without a zone -> TIMESTAMP_NTZ in
+            # Spark 3.5+. Wall-clock-identity cast under the pinned UTC
+            # session zone; without it unix_micros() fails analysis.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -35,6 +35,21 @@ def parse_iso_z(col: Column | str) -> Column:
     return F.to_timestamp(c, ISO_Z_FORMAT)
 
 
+def to_ltz(col: Column | str) -> Column:
+    """Normalize any timestamp flavor to session-local TIMESTAMP (ltz).
+
+    Epoch arithmetic (`unix_micros` & friends) rejects TIMESTAMP_NTZ, and
+    parquet written as `timestamp[us]` *without* a zone surfaces as NTZ in
+    Spark 3.5+. Under the engine's pinned UTC session zone the NTZ->LTZ
+    cast is a wall-clock identity (the same equivalence DuckDB's `epoch()`
+    relies on — see queries/relational6_q.py), so routing every
+    epoch-consuming expression through this helper is semantics-free for
+    correct data and an analysis-error fix for NTZ data. No-op for
+    columns already typed TIMESTAMP.
+    """
+    return (F.col(col) if isinstance(col, str) else col).cast("timestamp")
+
+
 def format_iso_z(col: Column | str) -> Column:
     """F3: timestamp -> ISO-8601-Z UTC string, second precision.
 

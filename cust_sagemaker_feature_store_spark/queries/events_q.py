@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.timeutil import to_ltz
 from .registry import dsum, iso, register, sql_dsum, sql_iso
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -190,7 +191,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(to_ltz("ts"))
     gaps = ev.withColumn(
         "new_session",
         F.when(us - F.lag(us).over(w) > SESSION_GAP_US, F.lit(1)).otherwise(F.lit(0)),

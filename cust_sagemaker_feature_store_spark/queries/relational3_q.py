@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.timeutil import to_ltz
 from .registry import davg, dsum, register, sql_davg, sql_dsum
 
 
@@ -415,7 +416,7 @@ def range_join_event_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.ts") > F.col("a.ts"))
         & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
     )
-    gap_us = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    gap_us = F.unix_micros(to_ltz(F.col("b.ts"))) - F.unix_micros(to_ltz(F.col("a.ts")))
     return (
         pairs.groupBy(
             F.col("a.event_type").alias("first_type"),

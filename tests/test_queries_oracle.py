@@ -58,14 +58,17 @@ def test_registry_window_prioritizes_unverified():
     from cust_sagemaker_feature_store_spark.queries import (
         _R1_DRIVER_GREEN,
         _R2_DRIVER_GREEN,
+        _R3_DRIVER_GREEN,
         _WINDOW_PRIORITY,
     )
 
     names = list(REGISTRY)
     window = set(names[:50])
-    green = set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
+    green = (
+        set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN) | set(_R3_DRIVER_GREEN)
+    )
     unverified = [n for n in REGISTRY if n not in green]
     missing = [n for n in unverified if n not in window]
     assert not missing, f"unverified queries outside window: {missing}"
-    # the two zero-evidence sketches lead the window
+    # the freshly-repaired / invalidated queries lead the window
     assert names[: len(_WINDOW_PRIORITY)] == _WINDOW_PRIORITY
