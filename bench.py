@@ -8,6 +8,13 @@ single-pass numbers on a shared box carried 2-3x GC/scheduling noise
 between rounds (round-2 review), and min-of-2 recovers the steady-state
 cost a warm cluster would see. `value` is total recorded seconds across
 all queries.
+
+Every entry is individually crash-proof: a query that fails (analysis
+error, data drift, ...) is recorded under "errors" as {"name": message}
+and excluded from the total, instead of killing the run — one broken
+entry out of 34 zeroed the ENTIRE round-3 artifact (BENCH_r03.json
+rc=1, no numbers) when a testdata re-encoding broke a single query at
+analysis time.
 """
 
 from __future__ import annotations
@@ -223,56 +230,67 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
-    def timed(fn) -> float:
-        fn()  # warm-up
-        passes = []
-        for _ in range(2):
-            t0 = time.time()
-            fn()
-            passes.append(time.time() - t0)
-        return round(min(passes), 3)
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def timed(name: str, fn) -> None:
+        try:
+            fn()  # warm-up
+            passes = []
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                passes.append(time.time() - t0)
+            timings[name] = round(min(passes), 3)
+        except Exception as exc:  # noqa: BLE001 — one entry must not kill the artifact
+            msg = str(exc).strip().splitlines()[0][:300] if str(exc) else repr(exc)
+            errors[name] = msg
+            print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
-    timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
-        timings[name] = timed(lambda: run_query(spec, spark, sf_dir))
+        timed(name, lambda spec=spec: run_query(spec, spark, sf_dir))
 
-    timings["ingest_dual_store"] = timed(lambda: run_ingest(spark, sf_dir))
+    timed("ingest_dual_store", lambda: run_ingest(spark, sf_dir))
 
     import shutil
 
-    fs_inc, inc_root = setup_incremental_store(spark, sf_dir)
     try:
-        timings["online_incremental_upsert"] = timed(
-            lambda: run_upsert(spark, fs_inc, sf_dir)
-        )
-    finally:
-        shutil.rmtree(inc_root, ignore_errors=True)
+        fs_inc, inc_root = setup_incremental_store(spark, sf_dir)
+        try:
+            timed(
+                "online_incremental_upsert",
+                lambda: run_upsert(spark, fs_inc, sf_dir),
+            )
+        finally:
+            shutil.rmtree(inc_root, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — untimed setup can fail too
+        errors["online_incremental_upsert"] = str(exc).splitlines()[0][:300]
+        print(f"BENCH ERROR online_incremental_upsert: {exc}", file=sys.stderr)
 
     for name, salted in (
         ("skew_agg_direct", False),
         ("skew_agg_salted", True),
     ):
-        timings[name] = timed(lambda: run_skew_agg(spark, sf_dir, salted=salted))
+        timed(name, lambda s=salted: run_skew_agg(spark, sf_dir, salted=s))
     for name, salted in (
         ("skew_join_direct", False),
         ("skew_join_salted", True),
     ):
-        timings[name] = timed(lambda: run_skew_join(spark, sf_dir, salted=salted))
+        timed(name, lambda s=salted: run_skew_join(spark, sf_dir, salted=s))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

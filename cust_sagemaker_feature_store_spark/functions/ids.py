@@ -20,9 +20,17 @@ provably offset past:
    broadcast-joins back on partition id).
 
 Two passes over the batch, no shuffle of data rows, dense regardless of
-partition count or skew. Requires the input's partitioning to be
-deterministic across the two jobs (true for file sources and persisted
-frames; both ingest paths satisfy it).
+partition count or skew. Correctness requires the input's partitioning
+and row order to be IDENTICAL across the two jobs, which the function
+now enforces rather than documents (round-3 advice): an input that is
+not already persisted is pinned MEMORY_AND_DISK here, so the counts job
+materializes the blocks and the id-assignment job re-reads those same
+blocks instead of recomputing a possibly non-deterministic lineage
+(rand(), unstable shuffle, mutable re-read). Both engine ingest paths
+persist before calling and keep managing that lifecycle themselves; the
+in-function pin only catches future callers who forget. The pinned
+blocks are bounded by one ingest batch and spill to disk, and stay
+referenced for as long as the returned frame is alive.
 """
 
 from __future__ import annotations
@@ -38,6 +46,11 @@ def with_dense_row_ids(df: DataFrame, out_col: str) -> tuple[DataFrame, int]:
     frame and ``N``. Ids are assigned in (partition, row-in-partition)
     order — an arbitrary but deterministic order for a deterministic
     source."""
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        # not pinned by the caller: pin it here so both jobs see one
+        # materialization (see module docstring — determinism contract)
+        df = df.persist()
     tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__row", F.monotonically_increasing_id().bitwiseAND(F.lit(MONO_ROW_MASK))
     )

@@ -287,3 +287,26 @@ def test_dense_row_ids_dense_any_partitioning(spark, n_rows, n_parts):
     ids = sorted(r["did"] for r in out.collect())
     assert total == n_rows
     assert ids == list(range(n_rows))
+
+
+def test_dense_row_ids_nondeterministic_source(spark):
+    """An UNPINNED non-deterministic lineage (rand-keyed repartition +
+    rand filter: different rows AND different layout every
+    recomputation) must still yield dense 0..N-1 ids — the function
+    self-persists inputs the caller forgot to pin (round-3 advice,
+    functions/ids.py determinism contract)."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.functions.ids import (
+        with_dense_row_ids,
+    )
+
+    df = (
+        spark.range(2_000)
+        .filter(F.rand(seed=None) < 0.5)
+        .repartition(7, F.floor(F.rand(seed=None) * 7))
+    )
+    out, total = with_dense_row_ids(df, "did")
+    ids = sorted(r["did"] for r in out.collect())
+    assert ids == list(range(total))
+    df.unpersist()
