@@ -268,6 +268,55 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Orient every edge larger-id -> smaller-id, drop self-loops, dedupe."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: each node u links every STRICTLY LARGER neighbor to
+    the minimum of its closed neighborhood min(Γ(u) ∪ {u})."""
+    d = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = d.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    # emitted (v, m) always has v > u >= m, so orientation + no-self-loop
+    # are preserved by construction; only dedupe is needed.
+    return (
+        d.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: each node u links all its SMALLER-OR-EQUAL neighbors
+    (and itself) to the minimum of that set. Input must be canonically
+    oriented (src > dst), so the per-u smaller-neighbor set is exactly
+    u's dst list."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_link = mins.select("src", F.col("m").alias("dst"))
+    return (
+        relink.unionByName(self_link)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     src_col: str,
@@ -278,58 +327,60 @@ def dup_clusters(
     step that turns candidate PAIRS into droppable CLUSTERS (keep the
     min-id representative per component, drop the rest).
 
-    Hash-min label propagation: every node starts labeled with its own
-    id; each round, labels flow one hop along edges and each node keeps
-    the minimum seen. Rounds needed = graph diameter, which for dup
-    clusters (near-cliques from LSH banding) is tiny; the loop is a
-    driver-side convergence check over per-round DISTRIBUTED joins,
-    with ``localCheckpoint`` truncating the lineage so plan depth stays
-    O(1) per round instead of O(rounds). Deterministic: the component
-    label is the component's minimum node id. Output: one row per node
-    that appears in ``pairs`` — (node, label); singletons are the
-    caller's complement set.
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014 — public
+    algorithm): each round, large-star hangs every node's larger
+    neighbors off its neighborhood minimum, then small-star re-hangs the
+    smaller neighbors; both preserve connectivity, and the graph
+    contracts to one depth-1 star per component (every node pointing at
+    the component MINIMUM) in O(log² n) rounds REGARDLESS of diameter.
+    This replaces round-3's hash-min label propagation, which re-joined
+    the full edge set for diameter-many rounds — a pathological
+    high-diameter component (a chain of near-dups) would grind at
+    100 TB, where log² n is ~10 rounds for any corpus. Per-round work
+    also SHRINKS as stars form (edges collapse onto roots and dedupe),
+    and ``localCheckpoint`` truncates lineage so plan depth stays O(1)
+    per round. Skewed mega-components make the star root a hot join key;
+    AQE skew-join splitting handles that at runtime (the aggregation
+    side is map-side-combined and skew-safe by construction).
+
+    Deterministic: the component label is the component's minimum node
+    id. Output: one row per node appearing in ``pairs`` —
+    (node, label); singletons are the caller's complement set.
 
     Raises after ``max_iter`` rounds without a fixpoint rather than
-    silently emitting half-merged clusters.
+    silently emitting half-merged clusters (log² bound makes the
+    default unreachable for any real input).
     """
-    edges = pairs.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
+    nodes = (
+        pairs.select(F.col(src_col).cast("long").alias("node"))
+        .unionByName(pairs.select(F.col(dst_col).cast("long").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    und = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = _canonical_edges(
+        pairs.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nbr = und.join(
-            labels, und["src"] == labels["node"], "inner"
-        ).select(F.col("dst").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # canonical + distinct on both sides: equal counts plus an empty
+        # one-sided difference ⟺ identical edge sets (the star fixpoint)
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            stars = new_edges.select(
+                F.col("src").alias("node"), F.col("dst").alias("label")
+            )
+            return nodes.join(stars, "node", "left").select(
+                "node", F.coalesce("label", F.col("node")).alias("label")
+            )
+        edges = new_edges
     raise RuntimeError(
         f"dup_clusters did not converge in {max_iter} rounds; "
-        "graph diameter exceeds the bound — raise max_iter"
+        "this exceeds the O(log² n) star-contraction bound — the input "
+        "graph is larger than any supported corpus, raise max_iter"
     )

@@ -246,3 +246,65 @@ def test_dup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def _uf_labels(edges):
+    """Union-find ground truth: node -> component-minimum id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_dup_clusters_long_path_converges_sublinearly(spark):
+    """Diameter-199 chain — the skewed-graph case round-3 flagged: the
+    old hash-min loop needed diameter rounds (raising past max_iter=30);
+    star-contraction must converge within its O(log² n) bound. A large
+    star (hot root, 300 leaves) and a shuffled-id chain ride along to
+    cover skew and the id-order-adversarial layout."""
+    from cust_sagemaker_feature_store_spark.operators.dedup import dup_clusters
+
+    path = [(i, i + 1) for i in range(1, 200)]                    # 1..200 chain
+    star = [(1000, 1000 + i) for i in range(1, 301)]              # hot hub
+    # chain whose ids zig-zag so min-propagation can't shortcut by order
+    zig = [(5000 + (i * 7919) % 400, 5000 + ((i + 1) * 7919) % 400)
+           for i in range(399)]
+    pairs = spark.createDataFrame(
+        path + star + zig, "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in dup_clusters(pairs, "doc_a", "doc_b", max_iter=12).collect()
+    }
+    assert got == _uf_labels(path + star + zig)
+
+
+def test_dup_clusters_random_graphs_match_union_find(spark):
+    """Randomized components check vs a union-find oracle (fixed seeds,
+    three densities: sparse forest, ~phase-transition, dense)."""
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators.dedup import dup_clusters
+
+    for seed, n, m in ((1, 120, 60), (2, 120, 130), (3, 80, 400)):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["label"]
+            for r in dup_clusters(pairs, "doc_a", "doc_b").collect()
+        }
+        assert got == _uf_labels(edges), f"seed={seed}"
