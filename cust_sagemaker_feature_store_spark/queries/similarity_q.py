@@ -163,3 +163,47 @@ def sim_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, _query_vector(spark, sf_dir), k=TOP_K, n_lists=8, nprobe=4)
+
+
+# Per-method recall floors, chosen with margin under the measured
+# deterministic recalls (fixed seeds, so stable per sf):
+# lsh 1.0/0.9/1.0 and ivf 0.8/0.6/0.8 at sf0.001/0.01/0.1.
+ANN_RECALL_FLOORS = {"lsh": 0.7, "ivf": 0.5}
+
+
+@register(
+    "sim_ann_recall_floor",
+    oracle="""
+SELECT 'ivf' AS method, TRUE AS recall_ok
+UNION ALL
+SELECT 'lsh' AS method, TRUE AS recall_ok
+""",
+    description=(
+        "Driver-visible exactness floor for the ANN scale paths (round-3 "
+        "advice #8): computes recall of sim_lsh_ann_topk and sim_ivf_topk "
+        "against the exact brute-force top-k INSIDE Spark and returns one "
+        "(method, recall_ok) row per method. The oracle pins the expected "
+        "booleans, so a recall regression below the floor "
+        f"({ANN_RECALL_FLOORS}) hash-mismatches — the ANN surface earns a "
+        "hard green row instead of a perpetual rows-only record. The "
+        "floors sit under measured deterministic recalls (lsh >= 0.9, "
+        "ivf >= 0.6 across sf0.001/0.01/0.1)."
+    ),
+)
+def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id")
+
+    def floor_row(method: str, ann: DataFrame) -> DataFrame:
+        need = int(ANN_RECALL_FLOORS[method] * TOP_K)
+        return (
+            ann.select("vec_id")
+            .join(exact_ids, "vec_id")
+            .agg((F.count(F.lit(1)) >= need).alias("recall_ok"))
+            .select(F.lit(method).alias("method"), "recall_ok")
+        )
+
+    lsh = floor_row("lsh", S.lsh_ann_topk(emb, qv, k=TOP_K))
+    ivf = floor_row("ivf", S.ivf_topk(emb, qv, k=TOP_K, n_lists=8, nprobe=4))
+    return lsh.unionByName(ivf)
