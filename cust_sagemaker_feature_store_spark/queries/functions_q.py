@@ -234,3 +234,54 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.percentile("o_totalprice", F.lit(0.5)).alias("exact_median"),
     )
+
+
+# Relative-error ceilings for the sketch floor queries, with ~1.5-5x
+# margin over the worst error measured across sf0.001/sf0.01 groups
+# (HLL++ 9.7% on the smallest group at default rsd; KLL-style
+# percentile_approx 1.1% at accuracy 10000). Both sketches are
+# deterministic for a given input, so the floors are stable.
+HLL_REL_TOL = 0.15
+PCTL_REL_TOL = 0.05
+
+_SKETCH_FLOOR_ORACLE = """
+SELECT DISTINCT o_orderpriority, TRUE AS within_tol FROM orders
+"""
+
+
+@register(
+    "agg_approx_distinct_floor",
+    oracle=_SKETCH_FLOOR_ORACLE,
+    description=(
+        "Driver-visible accuracy floor for approx_count_distinct "
+        "(round-3 advice #8 pattern): per-group relative error vs the "
+        "exact distinct count, compared to a 15% ceiling INSIDE Spark; "
+        "the oracle pins within_tol == TRUE per group, so HLL breakage "
+        "hash-mismatches instead of hiding behind a rows-only record."
+    ),
+)
+def agg_approx_distinct_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.approx_count_distinct("o_custkey")
+    e = F.countDistinct("o_custkey")
+    return orders.groupBy("o_orderpriority").agg(
+        (F.abs(a - e) / e <= HLL_REL_TOL).alias("within_tol")
+    )
+
+
+@register(
+    "agg_approx_percentile_floor",
+    oracle=_SKETCH_FLOOR_ORACLE,
+    description=(
+        "Driver-visible accuracy floor for percentile_approx: per-group "
+        "relative error of the sketch median vs the exact median under "
+        "a 5% ceiling, oracle-pinned TRUE per group."
+    ),
+)
+def agg_approx_percentile_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.percentile_approx("o_totalprice", 0.5, 10000)
+    e = F.percentile("o_totalprice", F.lit(0.5))
+    return orders.groupBy("o_orderpriority").agg(
+        (F.abs(a - e) / e <= PCTL_REL_TOL).alias("within_tol")
+    )

@@ -207,3 +207,48 @@ def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = floor_row("lsh", S.lsh_ann_topk(emb, qv, k=TOP_K))
     ivf = floor_row("ivf", S.ivf_topk(emb, qv, k=TOP_K, n_lists=8, nprobe=4))
     return lsh.unionByName(ivf)
+
+
+PLANT_ID_OFFSET = 100_000
+PLANT_DELTA = 0.3  # worst-case planted cosine = 1/sqrt(1+delta^2) ≈ 0.958
+
+
+@register(
+    "sim_srp_banded_recall",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+       CAST(COUNT(*) AS BIGINT) AS n_found
+FROM embeddings
+""",
+    description=(
+        "Driver-visible recall check for the BANDED sign-random-"
+        "projection LSH path (the scale tier sim_lsh_dup_pairs can't "
+        "exercise at its 0.4 threshold, where the computed crossover "
+        "correctly picks the exact tier): plant one near-duplicate per "
+        "corpus vector (unit-normalize, nudge dim 0 by +0.3 — planted "
+        "cosine >= 1/sqrt(1.09) ≈ 0.958 for EVERY vector, derived, not "
+        "sampled), run srp_dup_pairs at min_cosine 0.8 where banding "
+        "engages (expected recall 0.997 at the collision-probability "
+        "bound), and count recovered planted pairs. The oracle pins "
+        "n_found == n_planted == corpus size EXACTLY: one missed pair "
+        "hash-mismatches. Deterministic via the fixed projection seed."
+    ),
+)
+def sim_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = S.as_double("embedding")
+    unit = F.transform(u, lambda x: x / S.l2_norm(u))
+    planted = emb.select(
+        (F.col("vec_id") + PLANT_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            unit,
+            lambda x, i: F.when(i == 0, x + F.lit(PLANT_DELTA)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", unit.alias("embedding")).unionByName(planted)
+    pairs = S.srp_dup_pairs(corpus, min_cosine=0.8)
+    found = pairs.filter(
+        F.col("vec_b") == F.col("vec_a") + PLANT_ID_OFFSET
+    ).select(F.count(F.lit(1)).alias("n_found"))
+    total = emb.select(F.count(F.lit(1)).alias("n_planted"))
+    return total.crossJoin(found)
