@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "pipeline_clean_corpus",
     "text_chunk_windows",
     "text_pack_bins",
+    "text_repetition_filter",
+    "text_contamination_overlap",
+    "sim_ann_recall_floor",
 ]
 
 

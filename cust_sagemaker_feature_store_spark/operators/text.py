@@ -74,6 +74,40 @@ def shingles(toks: Column, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(whole)
 
 
+def max_gram_count(grams: Column) -> Column:
+    """Occurrence count of the MOST FREQUENT element of a per-document
+    gram array (the Gopher top-n-gram repetition signal, Rae et al.
+    2021 §A1.1 — public paper). Pure column expression, entirely
+    map-side — for a doc-local statistic the explode + two-level
+    groupBy alternative would shuffle every (doc, gram) pair at 100 TB.
+    Computed as the longest equal-run of the SORTED gram array via one
+    aggregate fold: O(n log n) per row. (The obvious
+    transform-over-distinct x filter formulation is O(distinct x n)
+    interpreted lambda evaluations — measured 20s for 500 mid-size docs
+    on one core; this fold is ~100x fewer lambda steps.)"""
+    s = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
+def dup_gram_frac(grams: Column) -> Column:
+    """Fraction of a document's gram occurrences that are repeats of an
+    earlier gram (1 - distinct/total) — the Gopher duplicate-n-gram
+    fraction, doc-local and map-side like `max_gram_count`."""
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+
+
 def content_fingerprint(text: Column | str) -> Column:
     """Deterministic content hash of normalized text (lower+trim) —
     exact-dedup key and document fingerprint."""

@@ -42,6 +42,17 @@ def _sql_hits(lang: str) -> str:
     return f"len(list_filter({SQL_TOKS}, x -> list_contains([{words}], x)))"
 
 
+def _sql_grams(n: int, toks: str = "toks") -> str:
+    """DuckDB twin of operators/text.shingles(toks, n): word n-grams,
+    one whole-text gram for docs shorter than n tokens."""
+    return (
+        f"CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(generate_series(1, len({toks})-{n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
 @register(
     "text_stats",
     oracle=f"""
@@ -688,4 +699,123 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1, public paper).
+# Thresholds sit inside the measured sf0.01 distribution so the filter
+# is non-vacuous: top-2-gram fraction p5-p95 spans 0.040-0.167 (0.10
+# keeps ~80%), dup-3-gram fraction is 0 for most docs with a repeating
+# tail (0.02 drops ~1%).
+TOP2_MAX = 0.10
+DUP3_MAX = 0.02
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         {_sql_grams(2)} AS g2,
+         {_sql_grams(3)} AS g3
+  FROM tok
+),
+c2 AS (
+  SELECT doc_id, MAX(c) AS maxc FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+m AS (
+  SELECT g.doc_id, g.n_tokens,
+         c2.maxc * 2.0 / g.n_tokens AS top2_frac,
+         1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup3_frac
+  FROM g JOIN c2 USING (doc_id)
+)
+SELECT doc_id, n_tokens, top2_frac, dup3_frac,
+       (top2_frac <= {TOP2_MAX}) AND (dup3_frac <= {DUP3_MAX}) AS keep
+FROM m
+""",
+    description=(
+        "[EXT] Gopher-style repetition quality gates: per-document "
+        "top-2-gram token fraction and duplicate-3-gram fraction "
+        "(operators/text.max_gram_count / dup_gram_frac), with the "
+        "keep/drop decision at measured thresholds. Entirely map-side "
+        "column expressions — no shuffle for a doc-local statistic at "
+        "any corpus size."
+    ),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = T.tokens("text")
+    n = F.size(toks)
+    g2 = T.shingles(toks, 2)
+    g3 = T.shingles(toks, 3)
+    top2 = T.max_gram_count(g2) * F.lit(2.0) / n
+    dup3 = T.dup_gram_frac(g3)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        top2.alias("top2_frac"),
+        dup3.alias("dup3_frac"),
+        ((top2 <= TOP2_MAX) & (dup3 <= DUP3_MAX)).alias("keep"),
+    )
+
+
+CONTAM_GRAM_N = 4
+CONTAM_BENCH_MOD = 20  # doc_id % 20 == 0 -> the held-out "benchmark" 5%
+
+
+@register(
+    "text_contamination_overlap",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct({_sql_grams(CONTAM_GRAM_N)})) AS gram
+  FROM tok
+),
+b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+SELECT g.doc_id,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_grams,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
+GROUP BY g.doc_id
+""",
+    description=(
+        "[EXT] benchmark-contamination detection (the GPT-3/PaLM "
+        "n-gram-overlap decontamination step, public methodology): "
+        "corpus documents sharing any exact word 4-gram with a held-out "
+        "benchmark set (here the deterministic 5% doc_id slice), with "
+        "shared-gram and benchmark-doc counts per contaminated doc. "
+        "The benchmark side is broadcast — real benchmark suites are "
+        "MBs, so at 100 TB this is a map-side hash join on the corpus "
+        "scan, shuffling only the per-doc aggregation of hits."
+    ),
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles(T.tokens("text"), CONTAM_GRAM_N))).alias(
+            "gram"
+        ),
+    )
+    bench = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("gram").alias("bench_gram")
+    )
+    return (
+        grams.alias("g")
+        .join(
+            F.broadcast(bench).alias("b"),
+            (F.col("g.gram") == F.col("b.bench_gram"))
+            & (F.col("g.doc_id") != F.col("b.bench_id")),
+        )
+        .groupBy(F.col("g.doc_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("g.gram").alias("n_shared_grams"),
+            F.countDistinct("b.bench_id").alias("n_bench_docs"),
+        )
     )

@@ -248,6 +248,30 @@ def test_dup_clusters_components(spark):
                    20: 20, 21: 20}
 
 
+def test_max_gram_count_and_dup_frac(spark):
+    from cust_sagemaker_feature_store_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a b", "c d", "a b", "a b", "x y"]),  # "a b" x3, 2 repeats
+            (2, ["q r"]),                              # single gram
+            (3, ["", ""]),                             # degenerate empties
+        ],
+        "doc_id long, g array<string>",
+    )
+    got = {
+        r["doc_id"]: (r["m"], r["d"])
+        for r in df.select(
+            "doc_id",
+            T.max_gram_count(F.col("g")).alias("m"),
+            T.dup_gram_frac(F.col("g")).alias("d"),
+        ).collect()
+    }
+    assert got[1][0] == 3 and abs(got[1][1] - (1 - 3 / 5)) < 1e-12
+    assert got[2] == (1, 0.0)
+    assert got[3][0] == 2 and abs(got[3][1] - 0.5) < 1e-12
+
+
 def _uf_labels(edges):
     """Union-find ground truth: node -> component-minimum id."""
     parent: dict[int, int] = {}
