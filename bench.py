@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_repetition_filter",
     "text_contamination_overlap",
     "sim_ann_recall_floor",
+    "sim_gram_matrix",
 ]
 
 

@@ -443,3 +443,64 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+GRAM_SCALE = 1_000_000
+
+
+def gram_matrix(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = GRAM_SCALE,
+) -> DataFrame:
+    """Exact distributed Gram matrix G = Xᵀ X over micro-scaled integer
+    vectors — the building block for PCA / whitening / covariance over
+    an embedding column, as a classic partial-sum reduction:
+
+    1. each vector is micro-scaled to int64 with the SAME Spark `round`
+       expression the oracle-checked centroid query uses, so the
+       quantization is engine-pinned;
+    2. every partition computes its int64 partial Gram with ONE numpy
+       matmul (exact integer arithmetic, no FP drift) and emits only
+       the upper triangle — d(d+1)/2 cells per PARTITION, independent
+       of row count;
+    3. partials sum cell-wise as decimal(38,0) (int64 sums could wrap
+       at extreme corpus sizes; decimal matches the oracle's HUGEINT
+       accumulation exactly).
+
+    Shuffle volume is O(partitions · d²) regardless of corpus size —
+    the footprint a 1000-executor job wants. Output `gram_scaled` is
+    the exact integer Σ round(xᵢ·s)·round(xⱼ·s) cast to double (exact
+    below 2^53; keep the decimal column instead if a corpus can push a
+    cell past that).
+    """
+    import numpy as np
+    import pandas as pd
+
+    scaled = embeddings.select(
+        F.transform(
+            as_double(vec_col), lambda x: F.round(x * F.lit(scale)).cast("long")
+        ).alias("__v")
+    )
+
+    def _partials(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__v"]])
+            part = M.T @ M
+            acc = part if acc is None else acc + part
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "g": acc[iu, ju]}
+            )
+
+    partials = scaled.mapInPandas(_partials, schema="i int, j int, g long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("gs"))
+        .select("i", "j", F.col("gs").cast("double").alias("gram_scaled"))
+    )

@@ -209,6 +209,38 @@ def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
+@register(
+    "sim_gram_matrix",
+    oracle="""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+cell AS (
+  SELECT vec_id, t.i - 1 AS pos, v[t.i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+)
+SELECT a.pos AS i, b.pos AS j,
+       CAST(SUM(a.x * b.x) AS DOUBLE) AS gram_scaled
+FROM cell a JOIN cell b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+GROUP BY 1, 2
+""",
+    description=(
+        "[EXT] exact distributed Gram matrix (upper triangle of X^T X "
+        "over micro-scaled int64 embeddings) — the PCA/whitening/"
+        "covariance primitive (operators/similarity.gram_matrix). One "
+        "int64 numpy matmul per partition, d(d+1)/2 partial cells "
+        "shuffled per partition regardless of row count, decimal(38,0) "
+        "cell sums matching the oracle's HUGEINT accumulation exactly."
+    ),
+)
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.gram_matrix(emb)
+
+
 PLANT_ID_OFFSET = 100_000
 PLANT_DELTA = 0.3  # worst-case planted cosine = 1/sqrt(1+delta^2) ≈ 0.958
 

@@ -248,6 +248,37 @@ def test_dup_clusters_components(spark):
                    20: 20, 21: 20}
 
 
+def test_gram_matrix_exact_across_partitions(spark):
+    """Partial-sum correctness: the distributed Gram matrix over a
+    3-partition frame must equal the single-machine integer product of
+    the same micro-scaled vectors, exactly."""
+    import numpy as np
+
+    vecs = [
+        (1, [0.1, -0.25, 3.5]),
+        (2, [1.0, 0.5, -0.125]),
+        (3, [2.25, 0.0, 0.75]),
+        (4, [-0.3, 1.5, 0.2]),
+        (5, [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).repartition(3)
+    got = {
+        (r["i"], r["j"]): r["gram_scaled"]
+        for r in S.gram_matrix(df).collect()
+    }
+    M = np.array(
+        [np.round(np.asarray(v, dtype=np.float64) * 1e6) for _, v in vecs],
+        dtype=np.int64,
+    )
+    G = M.T @ M
+    want = {
+        (i, j): float(G[i, j]) for i in range(3) for j in range(3) if i <= j
+    }
+    assert got == want
+
+
 def test_max_gram_count_and_dup_frac(spark):
     from cust_sagemaker_feature_store_spark.operators import text as T
 
