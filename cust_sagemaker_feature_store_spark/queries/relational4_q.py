@@ -253,3 +253,83 @@ def agg_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_orders"), seq.alias("status_seq")
     )
+
+
+@register(
+    "ml_ols_closed_form",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM s GROUP BY 1
+),
+d AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM a
+),
+f AS (
+  SELECT l_returnflag, n,
+         (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope
+  FROM d
+)
+SELECT f.l_returnflag, f.n, f.slope,
+       (d.syd - f.slope*d.sxd) / d.nd / 100.0 AS intercept,
+       ((d.nd*d.sxyd - d.sxd*d.syd) * (d.nd*d.sxyd - d.sxd*d.syd))
+         / ((d.nd*d.sxxd - d.sxd*d.sxd) * (d.nd*d.syyd - d.syd*d.syd)) AS r2
+FROM f JOIN d USING (l_returnflag)
+""",
+    description=(
+        "[EXT] closed-form OLS (l_extendedprice ~ l_quantity per return "
+        "flag) from exact sufficient statistics: one pass computes "
+        "micro-scaled int64 sums (n, Σx, Σy, Σx², Σy², Σxy) with "
+        "map-side combine — decimal accumulation so Σy² can't wrap — "
+        "then slope/intercept/R² by the normal-equation formulas in "
+        "IEEE double, mirrored term-for-term in the oracle. The "
+        "distributed-ML primitive: training-set size only affects the "
+        "scan; the shuffle is 6 numbers per group. Complements the "
+        "RandomForest parity path (ml/regression), which the oracle "
+        "cannot reach."
+    ),
+)
+def ml_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = li.select(
+        "l_returnflag", x.alias("x"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return a.select(
+        "l_returnflag",
+        F.col("n"),
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd / F.lit(100.0)).alias("intercept"),
+        (
+            ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+            / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        ).alias("r2"),
+    )
