@@ -203,3 +203,92 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), 2).alias("session_value"),
     )
+
+
+@register(
+    "events_funnel_ordered",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT v.user_id,
+       {sql_iso('v.t1')} AS first_view,
+       {sql_iso('c.t2')} AS first_click,
+       {sql_iso('p.t3')} AS first_purchase
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON c.user_id = p.user_id
+""",
+    description=(
+        "[EXT] ordered funnel (view -> click -> purchase): per user the "
+        "first view, the first click strictly AFTER it, and the first "
+        "purchase strictly after that — the sequential-pattern analytic "
+        "(match_recognize shape) as three stage-filtered min-aggregates "
+        "chained by broadcast joins on the shrinking user set. Scales "
+        "as three pushed-filter scans; the per-stage state is one "
+        "timestamp per surviving user."
+    ),
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def stage(etype: str, prev: DataFrame | None, prev_t: str, out_t: str) -> DataFrame:
+        s = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col(prev_t)
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    v = stage("view", None, "", "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            iso("t1").alias("first_view"),
+            iso("t2").alias("first_click"),
+            iso("t3").alias("first_purchase"),
+        )
+    )
+
+
+HIST_BIN_WIDTH = 50.0
+
+
+@register(
+    "agg_value_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       {sql_dsum('value', 2)} AS sum_value
+FROM events
+GROUP BY 1
+""",
+    description=(
+        "[EXT] fixed-width histogram of events.value (width "
+        f"{HIST_BIN_WIDTH}): bin id + count + exact-decimal sum per "
+        "bin — the map-side-combined binned aggregation every feature "
+        "profile / data-quality dashboard starts from."
+    ),
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+    )
