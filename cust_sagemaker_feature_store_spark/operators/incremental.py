@@ -71,3 +71,37 @@ def finalize_partials(
         F.col("__mx").alias(f"max_{value_name}"),
         (F.col("__s") / scale / F.col("__n")).alias(f"avg_{value_name}"),
     )
+
+
+def incremental_join_refresh(
+    materialized: DataFrame,
+    a_base: DataFrame,
+    a_delta: DataFrame,
+    b_base: DataFrame,
+    b_delta: DataFrame,
+    on,  # column name(s) or a join Column expression
+) -> DataFrame:
+    """Incremental INNER-join view maintenance (classic delta rule):
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB)
+          == (A ⋈ B)  ∪  (ΔA ⋈ B)  ∪  (A ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+
+    given the four join terms are disjoint in origin (append-only
+    deltas; updates/deletes compose this with the tombstone MERGE of
+    `core/online.py`). The refresh reads the MATERIALIZED view plus
+    three joins whose probe side is a delta — O(Δ · matched rows),
+    never a rescan of A ⋈ B. At 100 TB the delta sides are broadcast-
+    or bucket-joined against the base tables' pruned partitions; the
+    stored view itself is only appended to, exactly like the offline
+    store. Every delta term is projected to the materialized view's
+    column list before the union, so all four terms share one schema.
+    """
+    delta_terms = (
+        a_delta.join(b_base, on),
+        a_base.join(b_delta, on),
+        a_delta.join(b_delta, on),
+    )
+    out = materialized
+    for t in delta_terms:
+        out = out.unionByName(t.select(*materialized.columns))
+    return out

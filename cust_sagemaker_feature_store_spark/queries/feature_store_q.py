@@ -736,6 +736,44 @@ def fs_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fs_incremental_join",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    description=(
+        "[EXT] incremental JOIN view maintenance "
+        "(operators/incremental.incremental_join_refresh): orders and "
+        "customer are each split into a deterministic base + delta, "
+        "the base x base join plays the stored materialized view, and "
+        "the refresh adds only the three delta terms (dA x B, A x dB, "
+        "dA x dB) — while the oracle joins the full tables directly. A "
+        "hash match proves the delta-rule refresh is row-identical to "
+        "the full recompute, which is what lets a join view refresh in "
+        "O(delta x match) instead of rescanning both tables at 100 TB."
+    ),
+)
+def fs_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import incremental_join_refresh
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a_base = orders.filter(F.col("o_orderkey") % 10 < 8)
+    a_delta = orders.filter(F.col("o_orderkey") % 10 >= 8)
+    b_base = cust.filter(F.col("c_custkey") % 7 != 0)
+    b_delta = cust.filter(F.col("c_custkey") % 7 == 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    materialized = a_base.join(b_base, on).select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    )
+    return incremental_join_refresh(
+        materialized, a_base, a_delta, b_base, b_delta, on=on
+    )
+
+
+@register(
     "fs_multi_group_asof",
     oracle=f"""
 WITH p AS (

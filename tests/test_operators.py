@@ -240,6 +240,33 @@ def test_incremental_agg_equals_direct(spark):
     assert a == b
 
 
+def test_incremental_join_refresh_equals_full_join(spark):
+    # the delta rule must reproduce the full join EXACTLY for any
+    # base/delta split — including matches that exist only in
+    # delta x delta, delta x base, base x delta, and unmatched rows.
+    from cust_sagemaker_feature_store_spark.operators.incremental import (
+        incremental_join_refresh,
+    )
+
+    a = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)], "aid long, k long, av double"
+    )
+    b = spark.createDataFrame(
+        [(j, j % 5, -float(j)) for j in range(15)], "bid long, k long, bv double"
+    )
+    a_base, a_delta = a.filter("aid % 3 != 0"), a.filter("aid % 3 = 0")
+    b_base, b_delta = b.filter("bid % 2 != 0"), b.filter("bid % 2 = 0")
+    cols = ["aid", "bid", "av", "bv"]
+    materialized = a_base.join(b_base, "k").select(*cols)
+    got = incremental_join_refresh(
+        materialized, a_base, a_delta, b_base, b_delta, on="k"
+    )
+    want = a.join(b, "k").select(*cols)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_resample_ffill_semantics(spark):
     from pyspark.sql import functions as F
 
