@@ -103,6 +103,114 @@ def fs_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_T1 = "2024-01-10 00:00:00"
+DIFF_T2 = "2024-01-20 00:00:00"
+
+
+@register(
+    "fs_snapshot_diff",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{DIFF_T1}'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{DIFF_T2}'
+  ) WHERE rn = 1
+)
+SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.event_id <> s2.event_id THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       s1.event_id AS old_event_id, s2.event_id AS new_event_id,
+       s1.value AS old_value, s2.value AS new_value
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE NOT (s1.user_id IS NOT NULL AND s2.user_id IS NOT NULL
+           AND s1.event_id = s2.event_id)
+""",
+    description=(
+        "[EXT] snapshot churn diff between two as-of instants: keys "
+        "added / changed (with old+new record ids and values) between "
+        "the T1 and T2 point-in-time views — the training-set drift "
+        "audit an append-only history answers with two windowed scans "
+        "and a key-sized full outer join (no history x history work)."
+    ),
+)
+def fs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(cut: str) -> DataFrame:
+        s = ev.filter(F.col("ts") <= F.lit(cut).cast("timestamp"))
+        return latest_snapshot_window(
+            s, "user_id", "ts", tie_breaker="event_id"
+        ).select("user_id", "event_id", "value")
+
+    s1 = snap(DIFF_T1).alias("s1")
+    s2 = snap(DIFF_T2).alias("s2")
+    joined = s1.join(
+        s2, F.col("s1.user_id") == F.col("s2.user_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("s1.user_id").isNull(), F.lit("added"))
+        .when(F.col("s2.user_id").isNull(), F.lit("removed"))
+        .when(F.col("s1.event_id") != F.col("s2.event_id"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("s2.user_id"), F.col("s1.user_id")).alias("user_id"),
+            status.alias("status"),
+            F.col("s1.event_id").alias("old_event_id"),
+            F.col("s2.event_id").alias("new_event_id"),
+            F.col("s1.value").alias("old_value"),
+            F.col("s2.value").alias("new_value"),
+        )
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+SCD2_OPEN_END = "9999-12-31T23:59:59Z"
+
+
+@register(
+    "fs_scd2_history",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       {sql_iso('ts')} AS effective_from,
+       COALESCE({sql_iso('lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)')},
+                '{SCD2_OPEN_END}') AS effective_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM events
+""",
+    description=(
+        "[EXT] SCD2 / temporal-table materialization of the append-only "
+        "history: per record its validity window [effective_from, "
+        "effective_to) from one lead() pass, open-ended sentinel for "
+        "the current record — the slowly-changing-dimension view that "
+        "turns the offline store into a bitemporal lookup table."
+    ),
+)
+def fs_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        iso("ts").alias("effective_from"),
+        F.coalesce(iso(nxt), F.lit(SCD2_OPEN_END)).alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 # late in the final event day, so BOTH races are non-vacuous at every
 # SF: some tombstoned keys have no later record (they vanish) and some
 # do (the older delete must not remove the newer write)
