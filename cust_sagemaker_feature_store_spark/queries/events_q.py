@@ -292,3 +292,46 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value"), 2).alias("sum_value"),
     )
+
+
+TRAIL_US = 3_600 * 1_000_000  # 1 hour in microseconds
+
+
+@register(
+    "events_trailing_1h",
+    oracle=f"""
+SELECT event_id, user_id, {sql_iso('ts')} AS event_time,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 AS sum_value_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW
+)
+""",
+    description=(
+        "[EXT] time-interval rolling features (rangeBetween, not row "
+        "frames): per event the trailing-1-hour count and exact-decimal "
+        "value sum for the same user — the sliding-window feature a "
+        "fraud/abuse pipeline computes per event. The frame is defined "
+        "on integer microseconds so both engines bound it identically; "
+        "scaled-int window sums keep the hash exact. One shuffle on "
+        "user_id at any scale."
+    ),
+)
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(to_ltz("ts")))
+        .rangeBetween(-TRAIL_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        iso("ts").alias("event_time"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0).alias(
+            "sum_value_1h"
+        ),
+    )
