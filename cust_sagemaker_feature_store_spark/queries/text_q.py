@@ -819,3 +819,147 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("b.bench_id").alias("n_bench_docs"),
         )
     )
+
+
+# -- oracle-portable SimHash twin (md5-based, 16-bit) --------------------
+#
+# The production simhash64 uses xxhash64 (engine-native, rows-only
+# evidence). This twin runs the SAME vote/assemble/chunk-bucket logic
+# over a 16-bit md5-derived token hash both engines can compute, so the
+# SimHash family earns hard hash-green rows: bit votes, fingerprint
+# assembly, and the WWW'07 chunk-bucket candidate join are all pinned.
+
+SIMHASH16_BITS = 16
+SIMHASH16_CHUNKS = 4  # 4-bit chunks; any pair with hamming<=3 shares one
+SIMHASH16_MAX_HAMMING = 3
+
+# DuckDB: value of the first 4 md5 hex chars as an integer 0..65535
+_SQL_H16 = (
+    "((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1))"
+)
+
+_SQL_VOTES = ", ".join(
+    f"SUM(CASE WHEN (({_SQL_H16} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH16_BITS)
+)
+_SQL_FP = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(SIMHASH16_BITS)
+)
+
+_SQL_SIMHASH16_CTE = f"""
+tok16 AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+),
+votes16 AS (
+  SELECT doc_id, {_SQL_VOTES} FROM tok16 GROUP BY doc_id
+),
+fp16 AS (
+  SELECT doc_id, CAST({_SQL_FP} AS BIGINT) AS simhash16 FROM votes16
+)
+"""
+
+
+def _spark_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH16_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(SIMHASH16_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash16"))
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle=f"""
+WITH {_SQL_SIMHASH16_CTE}
+SELECT doc_id, simhash16 FROM fp16
+""",
+    description=(
+        "[EXT] oracle-portable SimHash signatures: 16-bit md5-derived "
+        "token hashes, per-bit majority votes, fingerprint assembly — "
+        "the same logic as the production xxhash64 simhash64, pinned "
+        "exactly by the gate instead of rows-only."
+    ),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_simhash16(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_md5_candidates",
+    oracle=f"""
+WITH {_SQL_SIMHASH16_CTE},
+chunks AS (
+  SELECT doc_id, simhash16, c.c AS ci,
+         (simhash16 >> (4 * c.c)) & 15 AS cv
+  FROM fp16, unnest([0, 1, 2, 3]) AS c(c)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+FROM chunks a
+JOIN chunks b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {SIMHASH16_MAX_HAMMING}
+""",
+    description=(
+        "[EXT] oracle-portable SimHash near-dup candidates: WWW'07 "
+        "chunk-bucket scheme on the 16-bit md5 fingerprints (4-bit "
+        "chunks guarantee every pair within Hamming 3 shares a bucket), "
+        "exact Hamming verify on bucket collisions only — the candidate "
+        "join logic of dedup_simhash_candidates, hash-checked."
+    ),
+)
+def dedup_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _spark_simhash16(spark, sf_dir)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftright(F.col("simhash16"), 4 * c)
+                .bitwiseAND(F.lit(15))
+                .alias("cv"),
+            )
+            for c in range(SIMHASH16_CHUNKS)
+        ]
+    )
+    chunks = fp.select(
+        "doc_id", "simhash16", F.explode(chunk_structs).alias("ch")
+    ).select(
+        "doc_id",
+        "simhash16",
+        F.col("ch.ci").alias("ci"),
+        F.col("ch.cv").alias("cv"),
+    )
+    chunks = chunks.repartition("ci", "cv")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH16_MAX_HAMMING)
+    )
