@@ -335,3 +335,46 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_1h"
         ),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_day, day_offset
+""",
+    description=(
+        "[EXT] cohort retention: users grouped by first-seen day, "
+        "distinct-user activity counts per (cohort, day-offset) — the "
+        "classic retention triangle. The first-seen side is key-sized "
+        "and broadcast; the activity scan shuffles only (user, cohort, "
+        "offset) triples."
+    ),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))

@@ -963,3 +963,58 @@ def dedup_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH16_MAX_HAMMING)
     )
+
+
+@register(
+    "dedup_triangle_count",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+e AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.v = e2.u
+JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+""",
+    description=(
+        "[EXT] triangle count over the MinHash-LSH candidate-pair graph "
+        "(the standard densest-cluster / graph-quality signal next to "
+        "connected components): edges oriented low->high id, so each "
+        "triangle is counted exactly once by the canonical two-hop join. "
+        "At scale this is the classic 2-shuffle triangle enumeration on "
+        "an oriented edge list — no node's full neighborhood ever "
+        "materializes on one task beyond its out-degree."
+    ),
+)
+def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = (
+        D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
