@@ -234,9 +234,11 @@ LEFT JOIN p ON c.user_id = p.user_id
         "first view, the first click strictly AFTER it, and the first "
         "purchase strictly after that — the sequential-pattern analytic "
         "(match_recognize shape) as three stage-filtered min-aggregates "
-        "chained by broadcast joins on the shrinking user set. Scales "
-        "as three pushed-filter scans; the per-stage state is one "
-        "timestamp per surviving user."
+        "chained by joins on the shrinking user set. Scales as three "
+        "pushed-filter scans; the per-stage state is one timestamp per "
+        "surviving user, and the join strategy is left to AQE — the "
+        "stage frames are broadcast-sized for most funnels but can be "
+        "billion-key, so no forced broadcast hint."
     ),
 )
 def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,9 +247,7 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage(etype: str, prev: DataFrame | None, prev_t: str, out_t: str) -> DataFrame:
         s = ev.filter(F.col("event_type") == etype)
         if prev is not None:
-            s = s.join(F.broadcast(prev), "user_id").filter(
-                F.col("ts") > F.col(prev_t)
-            )
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
         return s.groupBy("user_id").agg(F.min("ts").alias(out_t))
 
     v = stage("view", None, "", "t1")
@@ -357,8 +357,9 @@ GROUP BY cohort_day, day_offset
         "[EXT] cohort retention: users grouped by first-seen day, "
         "distinct-user activity counts per (cohort, day-offset) — the "
         "classic retention triangle. The first-seen side is key-sized "
-        "and broadcast; the activity scan shuffles only (user, cohort, "
-        "offset) triples."
+        "(join strategy left to AQE — user sets can exceed broadcast "
+        "scale); the activity scan shuffles only (user, cohort, offset) "
+        "triples."
     ),
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,7 +368,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort_day",
