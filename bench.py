@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "text_contamination_overlap",
     "sim_ann_recall_floor",
     "sim_gram_matrix",
+    "events_trailing_1h",
+    "fs_incremental_join",
 ]
 
 
