@@ -219,6 +219,33 @@ class FeatureStore:
             df = df.withColumn(DELETED_COL, F.lit(False))
         return df
 
+    def compact_offline(self, name: str, files_per_partition: int = 1):
+        """Small-file compaction of the group's offline store — see
+        core/maintenance.py. Content-preserving (tests assert full-frame
+        equality before/after)."""
+        from .maintenance import compact_offline
+
+        return compact_offline(
+            self.spark, self.offline_path(name), files_per_partition
+        )
+
+    def vacuum_offline(self, name: str, cutoff_iso: str):
+        """Retention vacuum of the group's offline store: drops history
+        older than the cutoff while preserving each key's latest record
+        (and therefore the online view, tombstone suppression included).
+        Day-granular — see core/maintenance.py."""
+        from .maintenance import vacuum_offline
+
+        return vacuum_offline(
+            self.spark,
+            self.offline_path(name),
+            key_col=self._groups[name].record_identifier,
+            cutoff_iso=cutoff_iso,
+            event_ts_col=EVENT_TS_COL,
+            tie_breaker=INGEST_SEQ_COL,
+            event_date_col=EVENT_DATE_COL,
+        )
+
     def history_between(
         self, name: str, lo_iso: str, hi_iso: str, columns: list[str] | None = None
     ) -> DataFrame:

@@ -1,0 +1,136 @@
+"""Offline-store maintenance: small-file compaction and retention
+vacuum — the two operational jobs a 100 TB append-only store cannot
+live without.
+
+Both operate per `event_date` partition so work is bounded by the
+touched partitions, never the full store:
+
+- **Compaction.** Streaming/micro-batch ingest leaves many small files
+  per partition (each foreachBatch append adds its own); small files
+  tax every subsequent scan with per-file open/footer costs and task
+  scheduling. `compact_offline` rewrites only the partitions whose file
+  count exceeds the target, bin-packing to `files_per_partition`.
+- **Vacuum.** Retention drops history older than a cutoff while
+  PRESERVING the serving contract: every key's latest record survives
+  even if it is older than the cutoff (otherwise a quiet key would
+  vanish from the online view), and that latest record may be a
+  tombstone (so deletions stay suppressed). Point-in-time reads BEFORE
+  the cutoff are intentionally given up — that is what retention means.
+
+Partition directories are enumerated with a filesystem listing, which
+is exact for the engine's local/posix layout; on an object store a
+manifest/catalog listing replaces it (same loop, different listing).
+Each touched partition is rewritten atomically by Spark's overwrite
+protocol (staging directory + rename).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.latest import latest_snapshot
+
+EVENT_DATE_PREFIX = "event_date="
+
+
+def _partition_dirs(offline_path: str) -> list[str]:
+    """`event_date=YYYY-MM-DD` partition directory names, sorted."""
+    if not os.path.isdir(offline_path):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(offline_path)
+        if d.startswith(EVENT_DATE_PREFIX)
+        and os.path.isdir(os.path.join(offline_path, d))
+    )
+
+
+def _data_files(part_dir: str) -> list[str]:
+    return [
+        f
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def compact_offline(
+    spark: SparkSession,
+    offline_path: str,
+    files_per_partition: int = 1,
+) -> dict[str, int]:
+    """Rewrite every partition holding more than ``files_per_partition``
+    data files down to exactly that many. Returns
+    {partition_dir_name: files_before} for the rewritten partitions.
+    Row content is untouched — the maintenance tests assert full-frame
+    equality before/after."""
+    rewritten: dict[str, int] = {}
+    for d in _partition_dirs(offline_path):
+        part_path = os.path.join(offline_path, d)
+        n_files = len(_data_files(part_path))
+        if n_files <= files_per_partition:
+            continue
+        # partition-dir read excludes the (directory-encoded) partition
+        # column, so the rewrite carries exactly the original file
+        # schema. Eager localCheckpoint pins the rows BEFORE the
+        # overwrite deletes the very files the lazy plan would read.
+        sub = (
+            spark.read.parquet(part_path)
+            .coalesce(files_per_partition)
+            .localCheckpoint(eager=True)
+        )
+        sub.write.mode("overwrite").parquet(part_path, compression="snappy")
+        rewritten[d] = n_files
+    return rewritten
+
+
+def vacuum_offline(
+    spark: SparkSession,
+    offline_path: str,
+    key_col: str,
+    cutoff_iso: str,
+    event_ts_col: str = "event_ts",
+    tie_breaker: str = "ingest_seq",
+    event_date_col: str = "event_date",
+) -> list[str]:
+    """Drop history strictly older than ``cutoff_iso`` (ISO-8601-Z),
+    keeping each key's single LATEST old record iff the key has no
+    record at/after the cutoff — so the latest view is bit-identical
+    before and after (asserted in tests), including tombstone
+    suppression. Only partitions dated STRICTLY before the cutoff's
+    date are rewritten (removal is day-granular: a mid-day cutoff
+    leaves the cutoff day's partition fully intact); returns the
+    rewritten directory names.
+    """
+    cutoff = F.to_timestamp(F.lit(cutoff_iso))
+    hist = spark.read.parquet(offline_path)
+    recent_keys = (
+        hist.filter(F.col(event_ts_col) >= cutoff).select(key_col).distinct()
+    )
+    old = hist.filter(F.col(event_ts_col) < cutoff)
+    stale_latest = latest_snapshot(
+        old.join(recent_keys, key_col, "left_anti"),
+        key_col,
+        event_ts_col,
+        tie_breaker=tie_breaker,
+    )
+    # pin the kept rows before rewriting the files they are read from —
+    # lazy evaluation would otherwise read partitions mid-overwrite
+    kept_old = stale_latest.localCheckpoint(eager=True)
+
+    cutoff_date = cutoff_iso[:10]
+    touched: list[str] = []
+    for d in _partition_dirs(offline_path):
+        if d[len(EVENT_DATE_PREFIX):] >= cutoff_date:
+            continue
+        part_path = os.path.join(offline_path, d)
+        sub = kept_old.filter(
+            F.col(event_date_col) == F.lit(d[len(EVENT_DATE_PREFIX):]).cast("date")
+        ).drop(event_date_col)
+        sub.coalesce(1).write.mode("overwrite").parquet(
+            part_path, compression="snappy"
+        )
+        touched.append(d)
+    return touched

@@ -356,3 +356,88 @@ def test_partitioned_by_event_date(store):
     root = store.offline_path(GROUP.name)
     parts = [p for p in os.listdir(root) if p.startswith("event_date=")]
     assert len(parts) >= 4
+
+
+SCHEMA4 = (
+    "customer_id long, event_time string, "
+    "latest_purchase_value double, latest_loyalty_score double"
+)
+
+
+def test_compact_offline_preserves_content(spark, tmp_path):
+    from cust_sagemaker_feature_store_spark.core.maintenance import (
+        _data_files,
+        _partition_dirs,
+    )
+
+    fs = FeatureStore(spark, str(tmp_path / "cstore"))
+    fs.create_feature_group(GROUP)
+    # three ingests touching the SAME event_date -> >=3 files in it
+    for i in range(3):
+        fs.ingest(
+            GROUP.name,
+            spark.createDataFrame(
+                [(10 + i, "2022-06-01T00:00:0%dZ" % i, float(i), 0.1)], SCHEMA4
+            ),
+        )
+    path = fs.offline_path(GROUP.name)
+    import os as _os
+
+    dirs = _partition_dirs(path)
+    assert dirs == ["event_date=2022-06-01"]
+    assert len(_data_files(_os.path.join(path, dirs[0]))) >= 3
+
+    before = sorted(map(tuple, fs.offline_store(GROUP.name).collect()))
+    rewritten = fs.compact_offline(GROUP.name)
+    assert rewritten.get("event_date=2022-06-01", 0) >= 3
+    assert len(_data_files(_os.path.join(path, dirs[0]))) == 1
+    after = sorted(map(tuple, fs.offline_store(GROUP.name).collect()))
+    assert before == after
+
+
+def test_vacuum_offline_preserves_latest_view(spark, tmp_path):
+    fs = FeatureStore(spark, str(tmp_path / "vstore"))
+    fs.create_feature_group(GROUP)
+    fs.ingest(GROUP.name, spark.createDataFrame(ROWS, SCHEMA4))
+    # key 2's latest becomes a tombstone (still pre-cutoff): it must
+    # survive the vacuum or the deletion would silently un-delete
+    fs.delete_record(GROUP.name, 2, "2022-02-02T00:00:00Z", base_seq=10_000)
+
+    view_before = sorted(
+        map(tuple, fs.latest_view(GROUP.name).collect())
+    )
+    recent_before = sorted(
+        map(
+            tuple,
+            fs.history_between(
+                GROUP.name, "2022-04-01T00:00:00Z", "2022-12-31T23:59:59Z"
+            ).collect(),
+        )
+    )
+
+    touched = fs.vacuum_offline(GROUP.name, "2022-04-01T00:00:00Z")
+    assert touched  # pre-cutoff partitions were rewritten
+
+    # serving contract identical: key 1 keeps its (old) latest record,
+    # key 2 stays deleted, key 3 untouched
+    view_after = sorted(map(tuple, fs.latest_view(GROUP.name).collect()))
+    assert view_before == view_after
+    recent_after = sorted(
+        map(
+            tuple,
+            fs.history_between(
+                GROUP.name, "2022-04-01T00:00:00Z", "2022-12-31T23:59:59Z"
+            ).collect(),
+        )
+    )
+    assert recent_before == recent_after
+
+    # and history actually shrank: key 1's January row and key 2's two
+    # superseded February records are gone; kept = key1 latest (Mar 1),
+    # key2 tombstone, key3 May row
+    hist = fs.offline_store(GROUP.name)
+    assert hist.count() == 3
+    assert (
+        hist.filter(F.col("customer_id") == 1).count() == 1
+        and hist.filter(F.col("customer_id") == 2).count() == 1
+    )
