@@ -310,3 +310,107 @@ def test_dense_row_ids_nondeterministic_source(spark):
     ids = sorted(r["did"] for r in out.collect())
     assert ids == list(range(total))
     df.unpersist()
+
+
+# -- 7. spark: gram matrix partial sums are exact for any input ---------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_rows=st.integers(min_value=1, max_value=24),
+    dim=st.integers(min_value=1, max_value=6),
+    n_parts=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_gram_matrix_matches_integer_product(spark, n_rows, dim, n_parts, data):
+    """Distributed partial-sum Gram == single-machine integer product of
+    the same micro-scaled vectors, for any shape/partitioning/values
+    (incl. negatives and zeros)."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    vals = data.draw(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-100,
+                    max_value=100,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=n_rows,
+            max_size=n_rows,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>",
+    ).repartition(n_parts)
+    got = {
+        (r["i"], r["j"]): r["gram_scaled"] for r in gram_matrix(df).collect()
+    }
+    # mirror the engine's quantization: float32 storage, HALF_UP round
+    f32 = np.array(vals, dtype=np.float32).astype(np.float64)
+    M = np.floor(np.abs(f32) * 1e6 + 0.5).astype(np.int64) * np.sign(f32).astype(
+        np.int64
+    )
+    G = M.T @ M
+    want = {
+        (i, j): float(G[i, j])
+        for i in range(dim)
+        for j in range(dim)
+        if i <= j
+    }
+    assert got == want
+
+
+# -- 8. spark: incremental join delta rule is exact for any split -------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_a=st.integers(min_value=0, max_value=30),
+    n_b=st.integers(min_value=0, max_value=20),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_incremental_join_refresh_any_split(spark, n_a, n_b, seed):
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators.incremental import (
+        incremental_join_refresh,
+    )
+
+    rng = random.Random(seed)
+    a_rows = [(i, rng.randrange(6)) for i in range(n_a)]
+    b_rows = [(j, rng.randrange(6)) for j in range(n_b)]
+    a = spark.createDataFrame(a_rows or [(None, None)], "aid long, k long").filter(
+        "aid IS NOT NULL"
+    )
+    b = spark.createDataFrame(b_rows or [(None, None)], "bid long, k long").filter(
+        "bid IS NOT NULL"
+    )
+    cut_a, cut_b = rng.randrange(3), rng.randrange(2)
+    a_base, a_delta = a.filter(f"aid % 3 != {cut_a}"), a.filter(f"aid % 3 = {cut_a}")
+    b_base, b_delta = b.filter(f"bid % 2 != {cut_b}"), b.filter(f"bid % 2 = {cut_b}")
+    cols = ["aid", "bid"]
+    materialized = a_base.join(b_base, "k").select(*cols)
+    got = incremental_join_refresh(
+        materialized, a_base, a_delta, b_base, b_delta, on="k"
+    )
+    want = a.join(b, "k").select(*cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
