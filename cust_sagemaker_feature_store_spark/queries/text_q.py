@@ -1018,3 +1018,91 @@ def dedup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+WITH RECURSIVE {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM tok
+),
+ranked AS (
+  SELECT cc.label AS cluster_id, cc.node AS doc_id, q.ttr,
+         row_number() OVER (
+           PARTITION BY cc.label ORDER BY q.ttr DESC, cc.node ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY cc.label) AS n_members
+  FROM cc JOIN q ON q.doc_id = cc.node
+)
+SELECT cluster_id, doc_id AS canonical_doc_id,
+       CAST(n_members AS BIGINT) AS n_members, ttr AS canonical_ttr
+FROM ranked WHERE rn = 1
+""",
+    description=(
+        "[EXT] canonical-document selection: inside every near-dup "
+        "cluster keep the HIGHEST-QUALITY copy (type-token ratio, "
+        "doc-id tie-break) instead of an arbitrary representative — "
+        "what a production dedup actually ships. Composes the LSH "
+        "candidate graph, star-contraction connected components, and "
+        "the quality metric; the oracle recomputes all three "
+        "declaratively (recursive CTE + window argmax)."
+    ),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    labels = D.dup_clusters(pairs, "doc_a", "doc_b")
+    toks = T.tokens("text")
+    q = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    m = labels.join(q, labels["node"] == q["doc_id"]).select(
+        F.col("label").alias("cluster_id"), F.col("node").alias("member_id"), "ttr"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("ttr").desc(), F.col("member_id").asc()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("member_id").alias("canonical_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("ttr").alias("canonical_ttr"),
+        )
+    )
