@@ -284,3 +284,76 @@ def sim_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.count(F.lit(1)).alias("n_found"))
     total = emb.select(F.count(F.lit(1)).alias("n_planted"))
     return total.crossJoin(found)
+
+
+@register(
+    "sim_text_embedding_agreement",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks)-2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM tok
+),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT p.doc_a, p.doc_b,
+       ROUND(list_dot_product(va.e, vb.e)
+             / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+             6) AS emb_cosine
+FROM pairs p
+JOIN v va ON va.vec_id = p.doc_a
+JOIN v vb ON vb.vec_id = p.doc_b
+""",
+    description=(
+        "[EXT] cross-modal near-dup agreement: every text-LSH candidate "
+        "pair re-scored by the cosine of the documents' embedding "
+        "vectors — the check a pipeline runs before trusting surface "
+        "dedup to stand in for semantic dedup (or vice versa). Candidate "
+        "generation is the banded MinHash join (never all-pairs); the "
+        "embedding re-score touches only candidate rows."
+    ),
+)
+def sim_text_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    v = emb.select("vec_id", S.as_double("embedding").alias("e"))
+    va = v.select(F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"))
+    return (
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                S.dot(F.col("ea"), F.col("eb"))
+                / (S.l2_norm(F.col("ea")) * S.l2_norm(F.col("eb"))),
+                6,
+            ).alias("emb_cosine"),
+        )
+    )
