@@ -306,3 +306,25 @@ def test_zorder_clusters_every_dimension(spark, sf_dir):
         .first()[0]
     )
     assert flat_day > 65535 * 0.8, f"single-dim sort day span {flat_day}"
+
+
+def test_gram_matrix_single_exchange_partial_agg(spark, sf_dir):
+    """The Gram matrix's only shuffle is the d(d+1)/2-cell partial-sum
+    merge — partition-count-bounded, corpus-size-independent."""
+    df = REGISTRY["sim_gram_matrix"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert has_partial_aggregate(df)
+
+
+def test_trailing_window_single_exchange(spark, sf_dir):
+    """rangeBetween trailing window: one user-keyed exchange, nothing
+    else."""
+    df = REGISTRY["events_trailing_1h"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_contamination_benchmark_is_broadcast(spark, sf_dir):
+    """The held-out benchmark gram set must join as a broadcast — the
+    corpus side's raw grams never shuffle."""
+    df = REGISTRY["text_contamination_overlap"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
