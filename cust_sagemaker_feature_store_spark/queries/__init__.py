@@ -110,6 +110,17 @@ _R3_DRIVER_GREEN = [
 # by the external gate before anything else.
 _WINDOW_PRIORITY = ["range_join_event_followups", "events_sessionize"]
 
+# ROUND-5 MAINTENANCE (do this first next round): read
+# CORRECTNESS_r04.json, add an _R4_DRIVER_GREEN list holding its
+# hash-green names (and rows-only names whose code is unchanged), fold
+# it into `green` below, and empty/retarget _WINDOW_PRIORITY. The r4
+# window leads with: the two repaired queries, dedup_clusters
+# (star-contraction rewrite), and the ~20 new r4 queries (floors,
+# gram/OLS/IVM, funnel/cohort/SCD2/diff/trailing, repetition/
+# contamination/canonical/triangle/cross-modal, simhash-md5 twins).
+# Evidence invalidation applies to BOTH code changes and input-schema
+# drift — see the policy note above and tests/test_testdata_contract.py.
+
 
 def _reorder_registry() -> None:
     green = (
