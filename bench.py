@@ -68,6 +68,14 @@ BENCH_QUERIES = [
 ]
 
 
+def _err_msg(exc: Exception) -> str:
+    """First line of the exception message, never raising itself — an
+    empty or whitespace-only str(exc) (e.g. ValueError()) must not turn
+    the error handler into the crash it guards against."""
+    lines = str(exc).strip().splitlines()
+    return (lines[0] if lines else repr(exc))[:300]
+
+
 def run_query(spec, spark, sf_dir: str) -> int:
     df = spec.fn(spark, sf_dir)
     # count() forces full execution of every operator while keeping the
@@ -249,9 +257,8 @@ def main() -> None:
                 passes.append(time.time() - t0)
             timings[name] = round(min(passes), 3)
         except Exception as exc:  # noqa: BLE001 — one entry must not kill the artifact
-            msg = str(exc).strip().splitlines()[0][:300] if str(exc) else repr(exc)
-            errors[name] = msg
-            print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
+            errors[name] = _err_msg(exc)
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
     for name in names:
@@ -272,8 +279,11 @@ def main() -> None:
         finally:
             shutil.rmtree(inc_root, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001 — untimed setup can fail too
-        errors["online_incremental_upsert"] = str(exc).splitlines()[0][:300]
-        print(f"BENCH ERROR online_incremental_upsert: {exc}", file=sys.stderr)
+        errors["online_incremental_upsert"] = _err_msg(exc)
+        print(
+            f"BENCH ERROR online_incremental_upsert: {errors['online_incremental_upsert']}",
+            file=sys.stderr,
+        )
 
     for name, salted in (
         ("skew_agg_direct", False),

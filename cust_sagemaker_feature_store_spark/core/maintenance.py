@@ -20,17 +20,28 @@ touched partitions, never the full store:
 Partition directories are enumerated with a filesystem listing, which
 is exact for the engine's local/posix layout; on an object store a
 manifest/catalog listing replaces it (same loop, different listing).
-Each touched partition is rewritten atomically by Spark's overwrite
-protocol (staging directory + rename).
+
+Crash safety: every rewrite is STAGE-AND-SWAP, never overwrite-in-
+place. The replacement is written to a hidden staging sibling (Spark's
+file index skips dot-prefixed directories, so a leftover never
+corrupts reads), then two directory renames swap it in. A crash at any
+point leaves at least one complete copy of the partition on disk:
+before the first rename the original is untouched; between the renames
+the original survives under its `.<dir>.old` name (recover by renaming
+back); after the swap the new copy is live and the `.old` backup is
+garbage. Plain `mode("overwrite")` to the live path would instead
+delete the only durable copy before the new files commit.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import parse_iso_z
 from ..operators.latest import latest_snapshot
 
 EVENT_DATE_PREFIX = "event_date="
@@ -56,6 +67,21 @@ def _data_files(part_dir: str) -> list[str]:
     ]
 
 
+def _stage_and_swap(df: DataFrame, offline_path: str, part_dir: str) -> None:
+    """Write ``df`` as the new contents of ``offline_path/part_dir`` via
+    a hidden staging directory and two renames — see the module
+    docstring's crash-safety contract."""
+    live = os.path.join(offline_path, part_dir)
+    staging = os.path.join(offline_path, f".{part_dir}.staging")
+    backup = os.path.join(offline_path, f".{part_dir}.old")
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging, compression="snappy")
+    os.rename(live, backup)
+    os.rename(staging, live)
+    shutil.rmtree(backup)
+
+
 def compact_offline(
     spark: SparkSession,
     offline_path: str,
@@ -65,7 +91,9 @@ def compact_offline(
     data files down to exactly that many. Returns
     {partition_dir_name: files_before} for the rewritten partitions.
     Row content is untouched — the maintenance tests assert full-frame
-    equality before/after."""
+    equality before/after. The source files are read lazily while the
+    replacement is written to the staging sibling, so no in-memory copy
+    of the partition is ever the only copy."""
     rewritten: dict[str, int] = {}
     for d in _partition_dirs(offline_path):
         part_path = os.path.join(offline_path, d)
@@ -73,15 +101,9 @@ def compact_offline(
         if n_files <= files_per_partition:
             continue
         # partition-dir read excludes the (directory-encoded) partition
-        # column, so the rewrite carries exactly the original file
-        # schema. Eager localCheckpoint pins the rows BEFORE the
-        # overwrite deletes the very files the lazy plan would read.
-        sub = (
-            spark.read.parquet(part_path)
-            .coalesce(files_per_partition)
-            .localCheckpoint(eager=True)
-        )
-        sub.write.mode("overwrite").parquet(part_path, compression="snappy")
+        # column, so the rewrite carries exactly the original file schema
+        sub = spark.read.parquet(part_path).coalesce(files_per_partition)
+        _stage_and_swap(sub, offline_path, d)
         rewritten[d] = n_files
     return rewritten
 
@@ -95,16 +117,22 @@ def vacuum_offline(
     tie_breaker: str = "ingest_seq",
     event_date_col: str = "event_date",
 ) -> list[str]:
-    """Drop history strictly older than ``cutoff_iso`` (ISO-8601-Z),
-    keeping each key's single LATEST old record iff the key has no
-    record at/after the cutoff — so the latest view is bit-identical
-    before and after (asserted in tests), including tombstone
-    suppression. Only partitions dated STRICTLY before the cutoff's
-    date are rewritten (removal is day-granular: a mid-day cutoff
-    leaves the cutoff day's partition fully intact); returns the
-    rewritten directory names.
+    """Drop history strictly older than ``cutoff_iso`` (ISO-8601-Z,
+    parsed by the engine's pinned `parse_iso_z` grammar), keeping each
+    key's single LATEST old record iff the key has no record at/after
+    the cutoff — so the latest view is bit-identical before and after
+    (asserted in tests), including tombstone suppression. Only
+    partitions dated STRICTLY before the cutoff's date are rewritten
+    (removal is day-granular: a mid-day cutoff leaves the cutoff day's
+    partition fully intact); returns the rewritten directory names.
     """
-    cutoff = F.to_timestamp(F.lit(cutoff_iso))
+    # fail FAST on a malformed cutoff: a column-side parse returning
+    # null would make every filter false and rewrite the pre-cutoff
+    # partitions empty — destructive ops validate their inputs eagerly
+    from datetime import datetime
+
+    datetime.strptime(cutoff_iso, "%Y-%m-%dT%H:%M:%SZ")
+    cutoff = parse_iso_z(F.lit(cutoff_iso))
     hist = spark.read.parquet(offline_path)
     recent_keys = (
         hist.filter(F.col(event_ts_col) >= cutoff).select(key_col).distinct()
@@ -116,8 +144,8 @@ def vacuum_offline(
         event_ts_col,
         tie_breaker=tie_breaker,
     )
-    # pin the kept rows before rewriting the files they are read from —
-    # lazy evaluation would otherwise read partitions mid-overwrite
+    # pin the kept rows before the loop starts swapping the partitions
+    # the lazy plan would otherwise re-read mid-rewrite
     kept_old = stale_latest.localCheckpoint(eager=True)
 
     cutoff_date = cutoff_iso[:10]
@@ -125,12 +153,9 @@ def vacuum_offline(
     for d in _partition_dirs(offline_path):
         if d[len(EVENT_DATE_PREFIX):] >= cutoff_date:
             continue
-        part_path = os.path.join(offline_path, d)
         sub = kept_old.filter(
             F.col(event_date_col) == F.lit(d[len(EVENT_DATE_PREFIX):]).cast("date")
         ).drop(event_date_col)
-        sub.coalesce(1).write.mode("overwrite").parquet(
-            part_path, compression="snappy"
-        )
+        _stage_and_swap(sub.coalesce(1), offline_path, d)
         touched.append(d)
     return touched

@@ -23,14 +23,17 @@ Two passes over the batch, no shuffle of data rows, dense regardless of
 partition count or skew. Correctness requires the input's partitioning
 and row order to be IDENTICAL across the two jobs, which the function
 now enforces rather than documents (round-3 advice): an input that is
-not already persisted is pinned MEMORY_AND_DISK here, so the counts job
-materializes the blocks and the id-assignment job re-reads those same
-blocks instead of recomputing a possibly non-deterministic lineage
-(rand(), unstable shuffle, mutable re-read). Both engine ingest paths
-persist before calling and keep managing that lifecycle themselves; the
-in-function pin only catches future callers who forget. The pinned
-blocks are bounded by one ingest batch and spill to disk, and stay
-referenced for as long as the returned frame is alive.
+not already persisted is pinned via an EAGER ``localCheckpoint`` here,
+so the counts job and the id-assignment job both read one fixed
+materialization instead of recomputing a possibly non-deterministic
+lineage (rand(), unstable shuffle, mutable re-read). Both engine ingest
+paths persist before calling and keep managing that lifecycle
+themselves; the in-function pin only catches future callers who
+forget. localCheckpoint (not ``persist``) because its blocks are
+reclaimed by the ContextCleaner once the frame is garbage-collected —
+a ``persist`` registered here could never be safely unpersisted
+in-function (the returned frame still needs the blocks) and would
+accumulate one leaked cache entry per call in a long-running caller.
 """
 
 from __future__ import annotations
@@ -49,8 +52,9 @@ def with_dense_row_ids(df: DataFrame, out_col: str) -> tuple[DataFrame, int]:
     lvl = df.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
         # not pinned by the caller: pin it here so both jobs see one
-        # materialization (see module docstring — determinism contract)
-        df = df.persist()
+        # materialization (see module docstring — determinism contract,
+        # and why this is a localCheckpoint rather than a persist)
+        df = df.localCheckpoint(eager=True)
     tagged = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__row", F.monotonically_increasing_id().bitwiseAND(F.lit(MONO_ROW_MASK))
     )

@@ -461,13 +461,19 @@ def gram_matrix(
     1. each vector is micro-scaled to int64 with the SAME Spark `round`
        expression the oracle-checked centroid query uses, so the
        quantization is engine-pinned;
-    2. every partition computes its int64 partial Gram with ONE numpy
-       matmul (exact integer arithmetic, no FP drift) and emits only
-       the upper triangle — d(d+1)/2 cells per PARTITION, independent
-       of row count;
-    3. partials sum cell-wise as decimal(38,0) (int64 sums could wrap
-       at extreme corpus sizes; decimal matches the oracle's HUGEINT
-       accumulation exactly).
+    2. every ARROW BATCH computes its partial Gram with one int64 numpy
+       matmul (exact while within the checked bound below) and the
+       batches accumulate into a Python-int (object-dtype) array, so a
+       partition's running partial can NEVER wrap no matter how many
+       rows it holds; only the upper triangle is emitted — d(d+1)/2
+       cells per partition, independent of row count;
+    3. per-batch safety: int64 wraps inside the matmul itself if
+       rows_per_batch · max|scaled value|² ≥ 2⁶³ — that bound is
+       checked per batch and raises loudly (lower the Arrow batch size
+       or the scale) instead of ever wrapping silently;
+    4. partition partials cross the shuffle as decimal(38,0) and sum
+       cell-wise in decimal — the same 38-digit exactness as the
+       oracle's HUGEINT accumulation.
 
     Shuffle volume is O(partitions · d²) regardless of corpus size —
     the footprint a 1000-executor job wants. Output `gram_scaled` is
@@ -475,6 +481,8 @@ def gram_matrix(
     below 2^53; keep the decimal column instead if a corpus can push a
     cell past that).
     """
+    from decimal import Decimal
+
     import numpy as np
     import pandas as pd
 
@@ -490,17 +498,29 @@ def gram_matrix(
             if not len(pdf):
                 continue
             M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["__v"]])
-            part = M.T @ M
+            peak = int(np.abs(M).max())
+            if peak and len(M) > (2**62) // (peak * peak):
+                raise ValueError(
+                    "gram_matrix: this Arrow batch could overflow int64 "
+                    f"inside the matmul (rows={len(M)}, max|scaled|={peak}); "
+                    "lower spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    "the scale"
+                )
+            part = (M.T @ M).astype(object)  # exact Python-int accumulation
             acc = part if acc is None else acc + part
         if acc is not None:
             iu, ju = np.triu_indices(acc.shape[0])
             yield pd.DataFrame(
-                {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "g": acc[iu, ju]}
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "g": [Decimal(int(v)) for v in acc[iu, ju]],
+                }
             )
 
-    partials = scaled.mapInPandas(_partials, schema="i int, j int, g long")
+    partials = scaled.mapInPandas(_partials, schema="i int, j int, g decimal(38,0)")
     return (
         partials.groupBy("i", "j")
-        .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("gs"))
+        .agg(F.sum("g").alias("gs"))
         .select("i", "j", F.col("gs").cast("double").alias("gram_scaled"))
     )

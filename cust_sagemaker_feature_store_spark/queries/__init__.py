@@ -97,8 +97,9 @@ _R3_DRIVER_GREEN = [
     "fs_asof_join_nearest", "fs_asof_join_agg", "fs_asof_join_union",
     "fs_resample_ffill_6h", "fs_incremental_agg", "fs_multi_group_asof",
     "layout_zorder_key",
-    # dedup_clusters NOT listed: r4 rewrites the label-propagation loop
-    # (frontier shrinking for skewed graphs), invalidating its r3 green.
+    # dedup_clusters NOT listed: r4 replaces hash-min label propagation
+    # with large-star/small-star contraction (diameter-independent
+    # rounds for skewed/chain graphs), invalidating its r3 green.
     # rows-only entries whose r3 `spark_rows` evidence covers unchanged
     # code (no exact oracle exists by construction):
     "agg_approx_distinct", "agg_approx_percentile", "sim_lsh_dup_pairs",

@@ -193,7 +193,11 @@ SELECT 'lsh' AS method, TRUE AS recall_ok
 def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id")
+    # eager checkpoint: both method branches reference this k-row frame,
+    # and without it the plan recomputes the full-corpus exact scan twice
+    exact_ids = (
+        S.cosine_topk(emb, qv, k=TOP_K).select("vec_id").localCheckpoint(eager=True)
+    )
 
     def floor_row(method: str, ann: DataFrame) -> DataFrame:
         need = int(ANN_RECALL_FLOORS[method] * TOP_K)

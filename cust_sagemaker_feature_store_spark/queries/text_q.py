@@ -680,12 +680,14 @@ FROM cc
 """,
     description=(
         "[EXT] near-dup CLUSTERS from LSH candidate pairs "
-        "(operators/dedup.dup_clusters): hash-min label-propagation "
-        "connected components over the MinHash band-bucket pair graph — "
-        "the step that turns pairwise candidates into droppable groups "
-        "(keep min-id per cluster). The oracle computes the same "
-        "components with a recursive CTE, so the distributed iterative "
-        "fixpoint is hash-checked against a declarative ground truth."
+        "(operators/dedup.dup_clusters): connected components via "
+        "alternating large-star/small-star contraction (Kiveris et al. "
+        "2014 — O(log² n) rounds regardless of diameter) over the "
+        "MinHash band-bucket pair graph — the step that turns pairwise "
+        "candidates into droppable groups (keep min-id per cluster). "
+        "The oracle computes the same components with a recursive CTE, "
+        "so the distributed iterative fixpoint is hash-checked against "
+        "a declarative ground truth."
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -309,7 +309,8 @@ def test_dense_row_ids_nondeterministic_source(spark):
     out, total = with_dense_row_ids(df, "did")
     ids = sorted(r["did"] for r in out.collect())
     assert ids == list(range(total))
-    df.unpersist()
+    # the in-function pin is a localCheckpoint, reclaimed on GC — there
+    # is deliberately nothing for the caller to unpersist here
 
 
 # -- 7. spark: gram matrix partial sums are exact for any input ---------
