@@ -441,3 +441,49 @@ def test_vacuum_offline_preserves_latest_view(spark, tmp_path):
         hist.filter(F.col("customer_id") == 1).count() == 1
         and hist.filter(F.col("customer_id") == 2).count() == 1
     )
+
+
+def test_stage_and_swap_leftovers_are_harmless(spark, tmp_path):
+    """Crash-safety contract of core/maintenance: a leftover staging or
+    backup directory from an interrupted rewrite must neither break
+    store reads (dot-prefixed dirs are invisible to Spark's file index)
+    nor corrupt a subsequent maintenance run (stale leftovers are
+    cleared before re-staging)."""
+    import os as _os
+
+    fs = FeatureStore(spark, str(tmp_path / "sstore"))
+    fs.create_feature_group(GROUP)
+    for i in range(2):
+        fs.ingest(
+            GROUP.name,
+            spark.createDataFrame(
+                [(20 + i, "2022-07-01T00:00:0%dZ" % i, float(i), 0.2)], SCHEMA4
+            ),
+        )
+    path = fs.offline_path(GROUP.name)
+    before = sorted(map(tuple, fs.offline_store(GROUP.name).collect()))
+
+    # simulate an interrupted rewrite: stale staging + backup dirs with
+    # junk parquet-less content sitting next to the live partition
+    for leftover in (
+        ".event_date=2022-07-01.staging",
+        ".event_date=2022-07-01.old",
+    ):
+        d = _os.path.join(path, leftover)
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "garbage.txt"), "w") as fh:
+            fh.write("not parquet")
+
+    # reads ignore the hidden leftovers entirely
+    assert sorted(map(tuple, fs.offline_store(GROUP.name).collect())) == before
+
+    # a new maintenance run clears them and still round-trips content
+    rewritten = fs.compact_offline(GROUP.name)
+    assert rewritten  # the 2-file partition was compacted
+    assert sorted(map(tuple, fs.offline_store(GROUP.name).collect())) == before
+    leftovers = [
+        d
+        for d in _os.listdir(path)
+        if d.startswith(".") and (".staging" in d or ".old" in d)
+    ]
+    assert leftovers == []
