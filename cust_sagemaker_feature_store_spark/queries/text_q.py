@@ -1108,3 +1108,71 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ttr").alias("canonical_ttr"),
         )
     )
+
+
+@register(
+    "text_token_doc_freq",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM tok)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS collection_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM e GROUP BY token
+""",
+    description=(
+        "[EXT] full token-level corpus statistics: collection frequency "
+        "and document frequency per token — the TF-IDF/vocabulary-"
+        "pruning building block. One shuffle on token with map-side "
+        "combine; output is vocabulary-sized, independent of corpus "
+        "row count."
+    ),
+)
+def text_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    return e.groupBy("token").agg(
+        F.count(F.lit(1)).alias("collection_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+@register(
+    "text_unigram_familiarity",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+cf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY token)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cf.c) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+       CAST(MIN(cf.c) AS BIGINT) AS rarest_token_freq
+FROM e JOIN cf ON e.token = cf.token
+GROUP BY e.doc_id
+""",
+    description=(
+        "[EXT] corpus-statistics quality feature (the exact-arithmetic "
+        "stand-in for CCNet-style LM-perplexity filtering, which needs "
+        "libm log and would break cross-engine hashing): per document "
+        "the mean and minimum CORPUS frequency of its tokens — "
+        "rare-vocabulary documents score low, boilerplate scores high. "
+        "Two shuffles (vocab count, per-doc agg); the vocab table "
+        "joins back by token and is broadcast-sized for natural-"
+        "language vocabularies."
+    ),
+)
+def text_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    cf = e.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        e.join(cf, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+            F.min("c").alias("rarest_token_freq"),
+        )
+    )
