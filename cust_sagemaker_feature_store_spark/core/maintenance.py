@@ -27,10 +27,15 @@ file index skips dot-prefixed directories, so a leftover never
 corrupts reads), then two directory renames swap it in. A crash at any
 point leaves at least one complete copy of the partition on disk:
 before the first rename the original is untouched; between the renames
-the original survives under its `.<dir>.old` name (recover by renaming
-back); after the swap the new copy is live and the `.old` backup is
-garbage. Plain `mode("overwrite")` to the live path would instead
-delete the only durable copy before the new files commit.
+the original survives under its `.<dir>.old` name; after the swap the
+new copy is live and the `.old` backup is garbage. Recovery is
+AUTOMATED, not manual: `recover_interrupted_swaps` runs at the start
+of every maintenance entry point and repairs each crash state by its
+unambiguous leftover signature (see its docstring) — including moving
+a mid-swap backup's rows back into a live dir that a later ingest
+re-created, so no cleanup can ever delete the only copy. Plain
+`mode("overwrite")` to the live path would instead delete the only
+durable copy before the new files commit.
 """
 
 from __future__ import annotations
@@ -67,10 +72,60 @@ def _data_files(part_dir: str) -> list[str]:
     ]
 
 
+def recover_interrupted_swaps(offline_path: str) -> list[str]:
+    """Repair any partition whose stage-and-swap was interrupted — runs
+    automatically at the start of every maintenance entry point (and is
+    safe to call any time). The leftover combination identifies the
+    crash point unambiguously:
+
+    - ``.<d>.staging`` + ``.<d>.old`` present → crashed BETWEEN the two
+      renames: ``.old`` holds the pre-crash rows. Its data files are
+      moved back into the live dir (merging with — never overwriting —
+      any files a later ingest appended; file names are UUID-unique),
+      then both leftovers are dropped. Without this, the pre-crash rows
+      were invisible to every read and one blind cleanup away from
+      deletion.
+    - ``.<d>.old`` alone → crashed AFTER the swap completed: the live
+      dir already holds the new copy; the backup is superseded garbage.
+    - ``.<d>.staging`` alone → crashed BEFORE the first rename: the
+      live dir was never touched; the staging copy was never activated.
+
+    Returns the partition dir names that needed repair.
+    """
+    if not os.path.isdir(offline_path):
+        return []
+    repaired: set[str] = set()
+    for entry in sorted(os.listdir(offline_path)):
+        if not (entry.startswith(".") and entry.endswith(".old")):
+            continue
+        d = entry[1 : -len(".old")]
+        backup = os.path.join(offline_path, entry)
+        staging = os.path.join(offline_path, f".{d}.staging")
+        live = os.path.join(offline_path, d)
+        if os.path.isdir(staging):
+            # mid-swap crash: restore the pre-crash rows
+            os.makedirs(live, exist_ok=True)
+            for f in os.listdir(backup):
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    os.rename(os.path.join(backup, f), os.path.join(live, f))
+            shutil.rmtree(staging, ignore_errors=True)
+            repaired.add(d)
+        shutil.rmtree(backup, ignore_errors=True)
+    for entry in sorted(os.listdir(offline_path)):
+        if entry.startswith(".") and entry.endswith(".staging"):
+            # pre-swap crash (or cleaned above): never activated
+            shutil.rmtree(os.path.join(offline_path, entry), ignore_errors=True)
+            repaired.add(entry[1 : -len(".staging")])
+    return sorted(repaired)
+
+
 def _stage_and_swap(df: DataFrame, offline_path: str, part_dir: str) -> None:
     """Write ``df`` as the new contents of ``offline_path/part_dir`` via
     a hidden staging directory and two renames — see the module
-    docstring's crash-safety contract."""
+    docstring's crash-safety contract. Callers must have run
+    `recover_interrupted_swaps` first (both public entry points do), so
+    any leftover here is from THIS process's completed prior iteration
+    and safe to clear."""
     live = os.path.join(offline_path, part_dir)
     staging = os.path.join(offline_path, f".{part_dir}.staging")
     backup = os.path.join(offline_path, f".{part_dir}.old")
@@ -94,6 +149,7 @@ def compact_offline(
     equality before/after. The source files are read lazily while the
     replacement is written to the staging sibling, so no in-memory copy
     of the partition is ever the only copy."""
+    recover_interrupted_swaps(offline_path)
     rewritten: dict[str, int] = {}
     for d in _partition_dirs(offline_path):
         part_path = os.path.join(offline_path, d)
@@ -128,10 +184,20 @@ def vacuum_offline(
     """
     # fail FAST on a malformed cutoff: a column-side parse returning
     # null would make every filter false and rewrite the pre-cutoff
-    # partitions empty — destructive ops validate their inputs eagerly
+    # partitions empty — destructive ops validate their inputs eagerly.
+    # strptime ALONE is too lenient (it accepts unpadded month/day/hour,
+    # which Spark's strict yyyy-MM-dd'T'HH:mm:ss'Z' grammar null-parses,
+    # and an unpadded date also breaks the lexicographic partition-name
+    # comparison below), so shape is pinned by regex first.
+    import re
     from datetime import datetime
 
-    datetime.strptime(cutoff_iso, "%Y-%m-%dT%H:%M:%SZ")
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z", cutoff_iso):
+        raise ValueError(
+            f"vacuum cutoff must be zero-padded ISO-8601-Z, got {cutoff_iso!r}"
+        )
+    datetime.strptime(cutoff_iso, "%Y-%m-%dT%H:%M:%SZ")  # calendar validity
+    recover_interrupted_swaps(offline_path)
     cutoff = parse_iso_z(F.lit(cutoff_iso))
     hist = spark.read.parquet(offline_path)
     recent_keys = (

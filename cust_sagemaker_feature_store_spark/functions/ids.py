@@ -29,11 +29,15 @@ materialization instead of recomputing a possibly non-deterministic
 lineage (rand(), unstable shuffle, mutable re-read). Both engine ingest
 paths persist before calling and keep managing that lifecycle
 themselves; the in-function pin only catches future callers who
-forget. localCheckpoint (not ``persist``) because its blocks are
-reclaimed by the ContextCleaner once the frame is garbage-collected —
-a ``persist`` registered here could never be safely unpersisted
-in-function (the returned frame still needs the blocks) and would
-accumulate one leaked cache entry per call in a long-running caller.
+forget. localCheckpoint (not ``persist``) for two reasons: its blocks
+are reclaimed by the ContextCleaner once the frame is garbage-
+collected (a ``persist`` registered here could never be safely
+unpersisted in-function and would leak one cache entry per call), and
+— decisive for the CONTRACT — on executor loss persist silently
+*recomputes* evicted blocks from lineage, which for a non-
+deterministic source re-introduces the very divergence this pin
+exists to prevent; a lost localCheckpoint block instead fails the job
+loudly. Loud failure beats silent id corruption.
 """
 
 from __future__ import annotations

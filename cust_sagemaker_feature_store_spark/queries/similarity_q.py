@@ -193,11 +193,12 @@ SELECT 'lsh' AS method, TRUE AS recall_ok
 def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    # eager checkpoint: both method branches reference this k-row frame,
-    # and without it the plan recomputes the full-corpus exact scan twice
-    exact_ids = (
-        S.cosine_topk(emb, qv, k=TOP_K).select("vec_id").localCheckpoint(eager=True)
-    )
+    # lazy persist: both method branches reference this k-row frame, and
+    # without it the plan recomputes the full-corpus exact scan twice.
+    # Lazy (not an eager checkpoint) so merely BUILDING the DataFrame —
+    # plan audits, explain() — runs no job; the first action
+    # materializes the k rows once for both branches.
+    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id").persist()
 
     def floor_row(method: str, ann: DataFrame) -> DataFrame:
         need = int(ANN_RECALL_FLOORS[method] * TOP_K)

@@ -487,3 +487,63 @@ def test_stage_and_swap_leftovers_are_harmless(spark, tmp_path):
         if d.startswith(".") and (".staging" in d or ".old" in d)
     ]
     assert leftovers == []
+
+
+def test_recover_interrupted_mid_swap_with_later_ingest(spark, tmp_path):
+    """The worst interrupted-rewrite case: crash BETWEEN the two swap
+    renames (live dir gone, pre-crash rows only in .old, staging
+    leftover present), followed by a NEW ingest that re-creates the
+    live partition dir. Recovery must merge the pre-crash rows back
+    without touching the newly ingested ones — and must classify an
+    .old WITHOUT staging (post-swap crash) as garbage."""
+    import os as _os
+    import shutil as _shutil
+
+    from cust_sagemaker_feature_store_spark.core.maintenance import (
+        recover_interrupted_swaps,
+    )
+
+    fs = FeatureStore(spark, str(tmp_path / "rstore"))
+    fs.create_feature_group(GROUP)
+    fs.ingest(
+        GROUP.name,
+        spark.createDataFrame(
+            [(40, "2022-08-01T00:00:00Z", 1.0, 0.1),
+             (41, "2022-08-01T01:00:00Z", 2.0, 0.2),
+             (49, "2022-09-09T00:00:00Z", 9.0, 0.9)],  # untouched partition
+            SCHEMA4,
+        ),
+    )
+    path = fs.offline_path(GROUP.name)
+    live = _os.path.join(path, "event_date=2022-08-01")
+    before = sorted(map(tuple, fs.offline_store(GROUP.name).collect()))
+
+    # simulate the mid-swap crash: live renamed to .old, staging left
+    _os.rename(live, _os.path.join(path, ".event_date=2022-08-01.old"))
+    _os.makedirs(_os.path.join(path, ".event_date=2022-08-01.staging"))
+    # the crashed partition is now invisible to reads
+    assert sorted(
+        r["customer_id"] for r in fs.offline_store(GROUP.name).collect()
+    ) == [49]
+
+    # a later ingest re-creates the live dir with NEW rows
+    fs.ingest(
+        GROUP.name,
+        spark.createDataFrame(
+            [(42, "2022-08-01T02:00:00Z", 3.0, 0.3)], SCHEMA4
+        ),
+    )
+
+    repaired = recover_interrupted_swaps(path)
+    assert repaired == ["event_date=2022-08-01"]
+    after = sorted(map(tuple, fs.offline_store(GROUP.name).collect()))
+    ids = sorted(r[0] for r in after)
+    assert ids == [40, 41, 42, 49]  # pre-crash rows restored, new row kept
+    assert [t for t in before if t in after] == before
+
+    # post-swap crash signature: .old alone, live present -> garbage
+    bak = _os.path.join(path, ".event_date=2022-08-01.old")
+    _os.makedirs(bak)
+    assert recover_interrupted_swaps(path) == []
+    assert not _os.path.isdir(bak)
+    _shutil.rmtree(str(tmp_path / "rstore"), ignore_errors=True)
