@@ -1,9 +1,11 @@
 """Text-analysis operators for LLM data pipelines (SURVEY.md §2.10 [EXT]).
 
-All pure Column expressions over `pyspark.sql.functions` — JVM-side,
-whole-stage-codegen'd, no Python in the hot path. Each has an exact SQL
-twin used by the DuckDB oracles (queries/text_q.py), so semantics are
-pinned by the correctness gate, not by convention.
+Pure Column expressions over `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path — plus two
+DataFrame-level operators built from them (`winnow_fingerprint_rows`,
+`contamination_overlap`). Each has an exact SQL twin used by the DuckDB
+oracles (queries/text_q.py), so semantics are pinned by the correctness
+gate, not by convention.
 
 Design note for 100 TB: everything here is embarrassingly parallel
 (per-row narrow transforms). The only shuffles in the downstream
@@ -13,7 +15,7 @@ derived columns, never the raw text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -151,6 +153,92 @@ def winnow_fingerprint_rows(
         )
     )
     return staged.select(F.col(id_col), F.explode(mins).alias("fp"))
+
+
+CONTAM_BROADCAST_MAX_DOCS = 50_000
+"""Benchmark-size cutoff for the broadcast plan in
+`contamination_overlap`'s auto strategy. Real benchmark suites are
+10^2..10^5 documents (MBs of grams — comfortably under Spark's default
+10 MB autoBroadcast threshold after dedup); anything larger joins as a
+shuffle so the driver never materializes an unbounded gram set."""
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    gram_n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    exclude_same_id: bool = False,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Benchmark-contamination detection (the GPT-3/PaLM n-gram-overlap
+    decontamination step, public methodology): every corpus document
+    sharing at least one exact word `gram_n`-gram with any benchmark
+    document, with shared-gram and benchmark-doc counts per hit.
+    Returns (doc_id, n_shared_grams, n_bench_docs).
+
+    The benchmark is a caller-supplied DataFrame, NOT a corpus slice —
+    the join strategy is chosen by benchmark size, never corpus size:
+
+    - ``strategy="broadcast"``: hint the (deduped, compact) benchmark
+      gram set for a map-side hash join — the corpus's raw grams never
+      shuffle. Right whenever the benchmark is a real suite (MBs).
+    - ``strategy="shuffle"``: SHUFFLE_HASH hint on the benchmark side;
+      both sides exchange on `gram` and the benchmark is never
+      materialized on one node, even when catalog stats underestimate
+      it (the failure mode this strategy exists to rule out). Right
+      when the benchmark is itself corpus-scale (e.g. corpus x corpus
+      contamination studies).
+    - ``strategy="auto"`` (default): one bounded probe job counts
+      benchmark *documents* (column-pruned scan of the benchmark side
+      only) and picks broadcast iff it is <= CONTAM_BROADCAST_MAX_DOCS.
+      The probe never touches the corpus, so its cost is independent of
+      corpus scale.
+
+    `exclude_same_id` drops gram matches where the corpus id equals the
+    benchmark id — for held-out-slice fixtures where the benchmark is
+    carved from the corpus itself and every doc trivially matches
+    itself.
+    """
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(tokens(text_col), gram_n))).alias("gram"),
+    )
+    bench_grams = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(
+            F.array_distinct(shingles(tokens(bench_text_col), gram_n))
+        ).alias("bench_gram"),
+    )
+    if strategy == "auto":
+        n_bench = benchmark.select(bench_id_col).count()
+        strategy = (
+            "broadcast" if n_bench <= CONTAM_BROADCAST_MAX_DOCS else "shuffle"
+        )
+    if strategy == "broadcast":
+        bench_grams = F.broadcast(bench_grams)
+    else:
+        bench_grams = bench_grams.hint("shuffle_hash")
+    cond = F.col("g.gram") == F.col("b.bench_gram")
+    if exclude_same_id:
+        cond = cond & (F.col("g.doc_id") != F.col("b.bench_id"))
+    return (
+        grams.alias("g")
+        .join(bench_grams.alias("b"), cond)
+        .groupBy(F.col("g.doc_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("g.gram").alias("n_shared_grams"),
+            F.countDistinct("b.bench_id").alias("n_bench_docs"),
+        )
+    )
 
 
 def minhash_value(shingle: Column, seed: int) -> Column:

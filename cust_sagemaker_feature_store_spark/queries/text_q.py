@@ -790,36 +790,26 @@ GROUP BY g.doc_id
         "[EXT] benchmark-contamination detection (the GPT-3/PaLM "
         "n-gram-overlap decontamination step, public methodology): "
         "corpus documents sharing any exact word 4-gram with a held-out "
-        "benchmark set (here the deterministic 5% doc_id slice), with "
-        "shared-gram and benchmark-doc counts per contaminated doc. "
-        "The benchmark side is broadcast — real benchmark suites are "
-        "MBs, so at 100 TB this is a map-side hash join on the corpus "
-        "scan, shuffling only the per-doc aggregation of hits."
+        "benchmark set, with shared-gram and benchmark-doc counts per "
+        "contaminated doc. Thin fixture over "
+        "operators.text.contamination_overlap — the operator takes the "
+        "benchmark as a caller-supplied DataFrame and sizes the join by "
+        "a benchmark-only probe (broadcast iff small, shuffle "
+        "otherwise), so the plan never depends on corpus scale; this "
+        "fixture's benchmark is the deterministic 5% doc_id slice, "
+        "which the auto probe correctly classifies as broadcastable at "
+        "test SFs."
     ),
 )
 def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(T.shingles(T.tokens("text"), CONTAM_GRAM_N))).alias(
-            "gram"
-        ),
-    )
-    bench = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), F.col("gram").alias("bench_gram")
-    )
-    return (
-        grams.alias("g")
-        .join(
-            F.broadcast(bench).alias("b"),
-            (F.col("g.gram") == F.col("b.bench_gram"))
-            & (F.col("g.doc_id") != F.col("b.bench_id")),
-        )
-        .groupBy(F.col("g.doc_id").alias("doc_id"))
-        .agg(
-            F.countDistinct("g.gram").alias("n_shared_grams"),
-            F.countDistinct("b.bench_id").alias("n_bench_docs"),
-        )
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    return T.contamination_overlap(
+        docs,
+        bench,
+        gram_n=CONTAM_GRAM_N,
+        exclude_same_id=True,
+        strategy="auto",
     )
 
 

@@ -324,7 +324,21 @@ def test_trailing_window_single_exchange(spark, sf_dir):
 
 
 def test_contamination_benchmark_is_broadcast(spark, sf_dir):
-    """The held-out benchmark gram set must join as a broadcast — the
-    corpus side's raw grams never shuffle."""
+    """Fixture (auto strategy, small benchmark): the benchmark gram set
+    joins as a broadcast — the corpus side's raw grams never shuffle."""
     df = REGISTRY["text_contamination_overlap"].fn(spark, sf_dir)
     assert uses_broadcast_join(df)
+
+
+def test_contamination_shuffle_strategy_never_broadcasts(spark, sf_dir):
+    """Corpus-scale benchmark escape hatch: strategy='shuffle' must not
+    plan a BroadcastExchange (a TB-scale benchmark would OOM the
+    driver) — both gram sides exchange on the gram key instead."""
+    from cust_sagemaker_feature_store_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    df = T.contamination_overlap(
+        docs, bench, exclude_same_id=True, strategy="shuffle"
+    )
+    assert not uses_broadcast_join(df)

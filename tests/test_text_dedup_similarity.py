@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from cust_sagemaker_feature_store_spark.catalog import load_table
 from cust_sagemaker_feature_store_spark.operators import dedup as D
 from cust_sagemaker_feature_store_spark.operators import similarity as S
+from cust_sagemaker_feature_store_spark.operators import text as T
 
 
 def hamming(a: int, b: int) -> int:
@@ -363,3 +364,57 @@ def test_dup_clusters_random_graphs_match_union_find(spark):
             for r in dup_clusters(pairs, "doc_a", "doc_b").collect()
         }
         assert got == _uf_labels(edges), f"seed={seed}"
+
+
+def test_contamination_overlap_external_benchmark(spark):
+    """Operator form: benchmark is a separate frame (not a corpus
+    slice); corpus docs sharing a word 4-gram with it are flagged with
+    exact shared-gram / bench-doc counts, and all strategies agree."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox sleeps all day long"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "watch the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    expect = {1: (2, 1), 3: (1, 1)}  # doc2 shares no 4-gram
+    results = {}
+    for strategy in ("broadcast", "shuffle", "auto"):
+        got = {
+            r["doc_id"]: (r["n_shared_grams"], r["n_bench_docs"])
+            for r in T.contamination_overlap(
+                corpus, bench, strategy=strategy
+            ).collect()
+        }
+        results[strategy] = got
+        assert got == expect, strategy
+    assert results["broadcast"] == results["shuffle"] == results["auto"]
+
+
+def test_contamination_overlap_column_remap_and_self_exclusion(spark):
+    """bench_id_col/bench_text_col remap a differently-shaped benchmark;
+    exclude_same_id drops the trivial self-match when the benchmark is
+    carved from the corpus."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "alpha beta gamma delta epsilon")],
+        "bid string, body string",
+    )
+    got = T.contamination_overlap(
+        corpus, bench, bench_id_col="bid", bench_text_col="body"
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1}
+
+    # held-out-slice fixture shape: benchmark == subset of corpus
+    hits = T.contamination_overlap(
+        corpus, corpus.filter(F.col("doc_id") == 1), exclude_same_id=True
+    ).collect()
+    assert hits == []  # only the self-match existed, and it's excluded
