@@ -36,6 +36,18 @@ a mid-swap backup's rows back into a live dir that a later ingest
 re-created, so no cleanup can ever delete the only copy. Plain
 `mode("overwrite")` to the live path would instead delete the only
 durable copy before the new files commit.
+
+Concurrency contract (explicit, ADVICE r4): maintenance requires a
+SINGLE WRITER and NO CONCURRENT READERS on the store it is rewriting —
+between the two swap renames the live partition dir briefly does not
+exist, so a concurrent reader can transiently observe a vanished
+partition, and a concurrent ingest re-creating the dir makes the
+second rename fail. That failure mode is handled loudly rather than
+left as leftovers: the swap catches it, routes the partition through
+`recover_interrupted_swaps` (restoring the backup's rows alongside the
+concurrent writer's new files), and raises. Schedule compaction/vacuum
+in the ingest job's off-window, exactly as you would VACUUM/OPTIMIZE
+on a table format without a transaction log.
 """
 
 from __future__ import annotations
@@ -133,7 +145,23 @@ def _stage_and_swap(df: DataFrame, offline_path: str, part_dir: str) -> None:
     shutil.rmtree(backup, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging, compression="snappy")
     os.rename(live, backup)
-    os.rename(staging, live)
+    try:
+        os.rename(staging, live)
+    except OSError as exc:
+        # A concurrent ingest re-created the live dir between the two
+        # renames — the module's single-writer contract was violated.
+        # Repair immediately (restores the backup's rows alongside the
+        # concurrent writer's files, drops the staging copy) and fail
+        # loudly; leaving the leftovers for the NEXT maintenance run
+        # would hide an ongoing writer conflict behind a clean return.
+        offline = os.path.dirname(live)
+        recover_interrupted_swaps(offline)
+        raise RuntimeError(
+            f"concurrent writer re-created {live!r} mid-swap; partition "
+            "restored (original rows + concurrent files merged). Run "
+            "maintenance in the ingest off-window — see the module "
+            "concurrency contract."
+        ) from exc
     shutil.rmtree(backup)
 
 
@@ -148,7 +176,9 @@ def compact_offline(
     Row content is untouched — the maintenance tests assert full-frame
     equality before/after. The source files are read lazily while the
     replacement is written to the staging sibling, so no in-memory copy
-    of the partition is ever the only copy."""
+    of the partition is ever the only copy. Requires the single-writer,
+    no-concurrent-reader window described in the module concurrency
+    contract."""
     recover_interrupted_swaps(offline_path)
     rewritten: dict[str, int] = {}
     for d in _partition_dirs(offline_path):
@@ -181,6 +211,8 @@ def vacuum_offline(
     partitions dated STRICTLY before the cutoff's date are rewritten
     (removal is day-granular: a mid-day cutoff leaves the cutoff day's
     partition fully intact); returns the rewritten directory names.
+    Requires the single-writer, no-concurrent-reader window described
+    in the module concurrency contract.
     """
     # fail FAST on a malformed cutoff: a column-side parse returning
     # null would make every filter false and rewrite the pre-cutoff

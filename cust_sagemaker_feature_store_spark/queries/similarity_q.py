@@ -193,12 +193,19 @@ SELECT 'lsh' AS method, TRUE AS recall_ok
 def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    # lazy persist: both method branches reference this k-row frame, and
+    # lazy pin: both method branches reference this k-row frame, and
     # without it the plan recomputes the full-corpus exact scan twice.
-    # Lazy (not an eager checkpoint) so merely BUILDING the DataFrame —
-    # plan audits, explain() — runs no job; the first action
-    # materializes the k rows once for both branches.
-    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id").persist()
+    # Lazy (eager=False) so merely BUILDING the DataFrame — plan audits,
+    # explain() — runs no job; the first action materializes the k rows
+    # once for both branches. localCheckpoint, NOT persist: there is no
+    # in-function point where unpersist would be safe (the frame is
+    # consumed by the caller's later action), and a persist here leaked
+    # one pinned frame per invocation (ADVICE r4) — checkpoint blocks
+    # are instead reclaimed by the ContextCleaner once the frame is
+    # garbage-collected, the same lifecycle argument as functions/ids.py.
+    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id").localCheckpoint(
+        eager=False
+    )
 
     def floor_row(method: str, ann: DataFrame) -> DataFrame:
         need = int(ANN_RECALL_FLOORS[method] * TOP_K)
@@ -246,7 +253,6 @@ def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.gram_matrix(emb)
 
 
-PLANT_ID_OFFSET = 100_000
 PLANT_DELTA = 0.3  # worst-case planted cosine = 1/sqrt(1+delta^2) ≈ 0.958
 
 
@@ -273,10 +279,17 @@ FROM embeddings
 )
 def sim_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Planted ids must not collide with real ids at ANY SF (ADVICE r4:
+    # a constant offset breaks silently once vec_id reaches it), so the
+    # offset is derived from the data — one bounded, column-pruned probe
+    # job over vec_id at query-build time.
+    plant_offset = (
+        emb.agg(F.max("vec_id").cast("long")).head()[0] or 0
+    ) + 1
     u = S.as_double("embedding")
     unit = F.transform(u, lambda x: x / S.l2_norm(u))
     planted = emb.select(
-        (F.col("vec_id") + PLANT_ID_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + plant_offset).alias("vec_id"),
         F.transform(
             unit,
             lambda x, i: F.when(i == 0, x + F.lit(PLANT_DELTA)).otherwise(x),
@@ -285,7 +298,7 @@ def sim_srp_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", unit.alias("embedding")).unionByName(planted)
     pairs = S.srp_dup_pairs(corpus, min_cosine=0.8)
     found = pairs.filter(
-        F.col("vec_b") == F.col("vec_a") + PLANT_ID_OFFSET
+        F.col("vec_b") == F.col("vec_a") + plant_offset
     ).select(F.count(F.lit(1)).alias("n_found"))
     total = emb.select(F.count(F.lit(1)).alias("n_planted"))
     return total.crossJoin(found)

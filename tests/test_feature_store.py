@@ -547,3 +547,55 @@ def test_recover_interrupted_mid_swap_with_later_ingest(spark, tmp_path):
     assert recover_interrupted_swaps(path) == []
     assert not _os.path.isdir(bak)
     _shutil.rmtree(str(tmp_path / "rstore"), ignore_errors=True)
+
+
+def test_swap_concurrent_writer_raises_and_restores(spark, tmp_path, monkeypatch):
+    """Single-writer contract violation (ADVICE r4): a concurrent ingest
+    re-creating the live dir between the two swap renames must make the
+    maintenance job fail LOUDLY after routing the partition through
+    recovery — original rows restored, the concurrent writer's new rows
+    kept, zero hidden leftovers."""
+    import os as _os
+
+    from cust_sagemaker_feature_store_spark.core import maintenance as M
+
+    fs = FeatureStore(spark, str(tmp_path / "wstore"))
+    fs.create_feature_group(GROUP)
+    for i in range(2):  # two files in one partition so compaction engages
+        fs.ingest(
+            GROUP.name,
+            spark.createDataFrame(
+                [(30 + i, "2022-07-02T00:00:0%dZ" % i, float(i), 0.3)], SCHEMA4
+            ),
+        )
+    before = sorted(map(tuple, fs.offline_store(GROUP.name).collect()))
+
+    real_rename = _os.rename
+
+    def racing_rename(src, dst):
+        if src.endswith(".staging"):
+            # a concurrent ingest lands between the two renames,
+            # re-creating the live partition dir with a new row
+            fs.ingest(
+                GROUP.name,
+                spark.createDataFrame(
+                    [(99, "2022-07-02T09:00:00Z", 9.0, 0.9)], SCHEMA4
+                ),
+            )
+        real_rename(src, dst)
+
+    monkeypatch.setattr(M.os, "rename", racing_rename)
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        fs.compact_offline(GROUP.name)
+    monkeypatch.undo()
+
+    after = sorted(map(tuple, fs.offline_store(GROUP.name).collect()))
+    assert sorted(r[0] for r in after) == [30, 31, 99]
+    assert [t for t in after if t in before] == before  # originals intact
+    path = fs.offline_path(GROUP.name)
+    leftovers = [
+        d
+        for d in _os.listdir(path)
+        if d.startswith(".") and (d.endswith(".staging") or d.endswith(".old"))
+    ]
+    assert leftovers == []
