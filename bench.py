@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "fs_latest_snapshot",
     "fs_latest_snapshot_maxby",
     "fs_asof_join",
+    # the large-x-large scale path: auto-dispatch routes the unbounded
+    # left probe to union-and-window (no join, one shuffle) — benched
+    # alongside the BHJ plan so the 100x story is measured, not asserted
+    "fs_asof_join_strategy_auto",
     "fs_tombstone_snapshot",
     "fs_resample_ffill_6h",
     "fs_incremental_agg",

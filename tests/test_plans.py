@@ -323,6 +323,37 @@ def test_trailing_window_single_exchange(spark, sf_dir):
     assert count_exchanges(df) == 1
 
 
+def test_asof_auto_unbounded_left_never_broadcasts_or_joins(spark, sf_dir):
+    """The 100x-scale contract of the flagship operator: an UNBOUNDED
+    left as-of probe must dispatch to the union-and-window path — no
+    join operator of any kind (the probe x full-history cross product
+    is what kills the join-then-rank plan at scale, broadcast or not)
+    and exactly ONE exchange, on the key."""
+    from cust_sagemaker_feature_store_spark.operators.asof import asof_join_auto
+    from cust_sagemaker_feature_store_spark.plans import plan_string
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    feat = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    df = asof_join_auto(
+        probe, feat, on="user_id", probe_time="purchase_ts",
+        feature_time="click_ts", how="left", tie_breaker="click_id",
+    )
+    plan = plan_string(df)
+    assert not uses_broadcast_join(df)
+    assert "Join" not in plan  # union-and-window: no join at all
+    assert count_exchanges(df) == 1
+
+
 def test_contamination_benchmark_is_broadcast(spark, sf_dir):
     """Fixture (auto strategy, small benchmark): the benchmark gram set
     joins as a broadcast — the corpus side's raw grams never shuffle."""
