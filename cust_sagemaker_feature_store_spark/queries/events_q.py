@@ -379,3 +379,83 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+ATTRIBUTION_WINDOW = "6 hours"  # SQL twin below must stay in lockstep
+
+
+@register(
+    "stream_attribution_twin",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id AS purchase_id,
+       {sql_iso('p.ts')} AS purchase_time, p.value AS purchase_value,
+       c.event_id AS click_id, {sql_iso('c.ts')} AS click_time
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 6 HOUR
+""",
+    description=(
+        "[EXT] batch twin of the watermarked stream-stream attribution "
+        "join (streaming/joins.purchase_click_attribution): each "
+        "purchase paired with every same-user click in the preceding "
+        "6-hour attribution window. Runs the STREAMING operator's own "
+        "function on batch frames (withWatermark is a no-op in batch "
+        "execution), so the oracle pins the join predicate and column "
+        "contract of the code the stream actually runs; bounded-state "
+        "streaming execution itself is pinned by tests/test_streaming.py."
+    ),
+)
+def stream_attribution_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import purchase_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = purchase_click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        window=ATTRIBUTION_WINDOW,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        "click_id",
+        iso("click_ts").alias("click_time"),
+    )
+
+
+@register(
+    "stream_running_features_twin",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total_value,
+       {sql_iso('MAX(ts)')} AS last_time
+FROM events
+GROUP BY user_id
+""",
+    description=(
+        "[EXT] batch twin of the applyInPandasWithState running-feature "
+        "operator (streaming/stateful.running_user_features): the final "
+        "per-user state — event count, exact-cents value total, last "
+        "event time — computed through the SAME _fold_events update "
+        "rule via applyInPandas. The oracle pins the fold's arithmetic "
+        "(dsum cents discipline, null-skipping, max-ts) as hard hash "
+        "evidence; cross-micro-batch state round-trip and restart "
+        "exactly-once are pinned by tests/test_streaming.py."
+    ),
+)
+def stream_running_features_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_features_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = running_user_features_batch(ev.select("user_id", "ts", "value"))
+    return out.select(
+        "user_id", "n_events", "total_value", iso("last_ts").alias("last_time")
+    )

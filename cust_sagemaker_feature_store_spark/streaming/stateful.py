@@ -51,18 +51,25 @@ RUNNING_STATE_SCHEMA = StructType(
 )
 
 
-def _update_user_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n, cents, last_us = state.get if state.exists else (0, 0, None)
-    for pdf in pdfs:
-        n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
-        batch_last = pdf["ts"].max()
-        batch_us = int(batch_last.value // 1000)  # pandas ns -> us
+def _fold_events(
+    n: int, cents: int, last_us: int | None, pdf: pd.DataFrame
+) -> tuple[int, int, int | None]:
+    """The single state-update rule both execution modes share: fold one
+    Arrow batch of a key's events into (n, cents, last_us). Null values
+    contribute no cents (SQL SUM semantics); rounding follows the dsum
+    cents discipline."""
+    n += len(pdf)
+    vals = pdf["value"].dropna()
+    cents += int((vals * 100).round().astype("int64").sum())
+    ts = pdf["ts"].dropna()
+    if len(ts):
+        batch_us = int(ts.max().value // 1000)  # pandas ns -> us
         last_us = batch_us if last_us is None or batch_us > last_us else last_us
-    state.update((n, cents, last_us))
-    yield pd.DataFrame(
+    return n, cents, last_us
+
+
+def _state_row(key: tuple, n: int, cents: int, last_us: int | None) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
@@ -70,6 +77,16 @@ def _update_user_state(
             "last_ts": [pd.Timestamp(last_us * 1000) if last_us is not None else pd.NaT],
         }
     )
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, cents, last_us = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        n, cents, last_us = _fold_events(n, cents, last_us, pdf)
+    state.update((n, cents, last_us))
+    yield _state_row(key, n, cents, last_us)
 
 
 def running_user_features(stream: DataFrame) -> DataFrame:
@@ -81,4 +98,22 @@ def running_user_features(stream: DataFrame) -> DataFrame:
         stateStructType=RUNNING_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_features_batch(df: DataFrame) -> DataFrame:
+    """Batch twin of `running_user_features`: the FINAL state every key
+    would hold after the whole frame streamed through — computed by the
+    SAME `_fold_events` rule via applyInPandas, so the DuckDB oracle
+    pinning this twin (queries/events_q.stream_running_features_twin)
+    is evidence about the stateful operator's actual update logic, not
+    a reimplementation. Equivalence of the streaming execution itself
+    (state round-trip across micro-batches, restarts) is pinned by
+    tests/test_streaming.py."""
+
+    def final_state(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _state_row(key, *_fold_events(0, 0, None, pdf))
+
+    return df.groupBy("user_id").applyInPandas(
+        final_state, schema=RUNNING_OUTPUT_SCHEMA
     )
