@@ -358,6 +358,51 @@ def srp_dup_pairs(
     )
 
 
+def _seed_vectors(
+    embeddings: DataFrame,
+    n_seeds: int,
+    id_col: str,
+    vec_col: str,
+    salt: int | None = None,
+):
+    """Deterministic uniform corpus sample as a numpy matrix: each row
+    hashes to one of `n_seeds` buckets by xxhash64(id[, salt]) and the
+    min-hash row of each bucket is its representative — a keyed
+    reservoir sample of size 1 per bucket, unlike first-n-rows-by-id
+    seeding, which sampled whatever data happened to sort first (r1
+    review: deterministic but unrepresentative). One partial-agg job
+    shuffling `n_seeds` rows. ``salt=None`` reproduces the original
+    (unsalted) ivf_topk seeding bit-for-bit — its driver evidence
+    depends on those exact centroids; salted callers draw an
+    independent sample."""
+    import numpy as np
+
+    bucket_hash = (
+        F.xxhash64(F.col(id_col))
+        if salt is None
+        else F.xxhash64(F.col(id_col), F.lit(salt))
+    )
+    tie_hash = (
+        F.xxhash64(F.col(id_col), F.lit(1))
+        if salt is None
+        else F.xxhash64(F.col(id_col), F.lit(salt + 1))
+    )
+    seed_rows = (
+        embeddings.select(
+            F.pmod(bucket_hash, F.lit(n_seeds)).alias("__b"),
+            tie_hash.alias("__h"),
+            F.col(vec_col).alias("__v"),
+        )
+        .groupBy("__b")
+        .agg(F.min_by("__v", "__h").alias("__v"))
+        .orderBy("__b")
+        .collect()
+    )
+    return np.stack(
+        [np.asarray([float(x) for x in r["__v"]], dtype=np.float64) for r in seed_rows]
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -367,33 +412,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample of the corpus,
-    cells = argmin centroid per vector, probe the nprobe cells nearest
-    the query. All narrow ops + one small broadcast of centroids.
-
-    Seeding: one representative per hash bucket — each row hashes to a
-    bucket by xxhash64(id) % n_lists and the min-hash row of each
-    bucket seeds that centroid. A deterministic uniform spread over the
-    corpus (a keyed reservoir sample of size 1 per bucket), unlike the
-    earlier first-n-rows-by-id seeding, which sampled whatever data
-    happened to sort first (r1 review: deterministic but
-    unrepresentative). One partial-agg job shuffling n_lists rows."""
+    """IVF-style ANN: centroids = deterministic sample of the corpus
+    (`_seed_vectors`), cells = argmin centroid per vector, probe the
+    nprobe cells nearest the query. All narrow ops + one small
+    broadcast of centroids."""
     import numpy as np
 
-    seed_rows = (
-        embeddings.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_lists)).alias("__b"),
-            F.xxhash64(F.col(id_col), F.lit(1)).alias("__h"),
-            F.col(vec_col).alias("__v"),
-        )
-        .groupBy("__b")
-        .agg(F.min_by("__v", "__h").alias("__v"))
-        .orderBy("__b")
-        .collect()
-    )
-    cent = np.stack(
-        [np.asarray([float(x) for x in r["__v"]], dtype=np.float64) for r in seed_rows]
-    )
+    cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
     spark = embeddings.sparkSession
     b_cent = spark.sparkContext.broadcast(cent)
 
@@ -436,6 +461,185 @@ def ivf_topk(
     qcol = F.array(*[F.lit(x) for x in q])
     return (
         assigned.filter(F.col("__cell").isin(probe_cells))
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+PQ_SEED_SALT = 7  # independent of the coarse-centroid sample
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    cent,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou/Douze/Schmid, TPAMI 2011 —
+    public methodology): each vector is assigned to its nearest coarse
+    centroid and its RESIDUAL is encoded as M small codes, one per
+    subvector block, each the argmin-distance entry of that block's
+    codebook. Output is the IVFADC index representation
+    ``(id, __cell, __codes)`` — M bytes-ish per vector instead of
+    4·d bytes, which is WHY PQ matters at 100 TB (memory per vector is
+    the binding constraint for in-RAM ANN serving; see SCALING.md).
+
+    One mapInPandas pass: an Arrow-batched numpy matmul per partition
+    against the broadcast centroid matrix, then M small argmins on the
+    residual blocks. No shuffle; the index frame is narrow.
+
+    `cent` is (n_lists, d); `codebooks` is (M, n_codes, d/M) — both tiny
+    driver-side numpy arrays (KBs), broadcast once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_lists, d = cent.shape
+    m, n_codes, sub = codebooks.shape
+    if m * sub != d:
+        raise ValueError(f"codebook blocks {m}x{sub} do not tile dim {d}")
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
+    b_books = spark.sparkContext.broadcast(codebooks)
+
+    def _encode(batches):
+        c = b_cent.value
+        books = b_books.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = (c_sq[None, :] - 2.0 * (M @ c.T)).argmin(axis=1)
+            resid = M - c[cells]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                rb = resid[:, j * sub : (j + 1) * sub]  # (n, sub)
+                cb = books[j]  # (n_codes, sub)
+                d2 = ((rb[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "__cell": cells.astype(np.int32),
+                    "__codes": list(codes),
+                }
+            )
+
+    return embeddings.mapInPandas(
+        _encode, schema=f"{id_col} long, __cell int, __codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 6,
+    m_subvectors: int = 16,
+    n_codes: int = 64,
+    rerank: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC ANN (Jégou et al. 2011): coarse-quantize to `n_lists`
+    cells, PQ-encode residuals, answer queries by ASYMMETRIC distance —
+    the full-precision query residual against per-block distance TABLES
+    (one (M, n_codes) lookup table per probed cell, computed driver-side
+    in microseconds), so shortlist selection touches ONLY the compact
+    codes, never the original vectors. The `rerank`-sized shortlist is
+    then re-scored exactly by cosine against the raw vectors (the
+    standard re-rank tier) and the top k returned.
+
+    Codebook training: deterministic — coarse centroids and PQ
+    codebooks are independent `_seed_vectors` samples (codebook j =
+    block j of the salted sample's residuals). Production systems
+    refine these with a few Lloyd iterations offline; the recall floor
+    (queries/similarity_q.sim_ivfpq_recall_floor) is pinned against
+    exactly this seeding, so any future training change must re-prove
+    recall to the driver gate.
+
+    Scale shape: two narrow corpus passes (encode; ADC filter+lookup),
+    one TakeOrdered of `rerank` rows, one broadcast join back to the
+    raw vectors for the exact tier. Driver state: centroids, codebooks,
+    tables — KBs, independent of corpus size.
+    """
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    d = len(q)
+    if d % m_subvectors:
+        raise ValueError(f"m_subvectors={m_subvectors} must divide dim {d}")
+    sub = d // m_subvectors
+
+    cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
+    n_lists = len(cent)  # tiny corpora may yield fewer buckets
+    seed_resid_src = _seed_vectors(
+        embeddings, n_codes, id_col, vec_col, salt=PQ_SEED_SALT
+    )
+    # codebooks live in RESIDUAL space: subtract each seed's own cell
+    # centroid, then slice the sample into per-block codebooks
+    c_sq = (cent * cent).sum(axis=1)
+    seed_cells = (c_sq[None, :] - 2.0 * (seed_resid_src @ cent.T)).argmin(axis=1)
+    seed_resid = seed_resid_src - cent[seed_cells]
+    codebooks = np.stack(
+        [seed_resid[:, j * sub : (j + 1) * sub] for j in range(m_subvectors)]
+    )  # (M, n_codes_eff, sub)
+
+    index = pq_encode(embeddings, cent, codebooks, id_col, vec_col)
+
+    # probe cells nearest the query; one ADC table per probed cell
+    q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    probe_cells = [int(ci) for ci in q_cells[:nprobe]]
+    tables = {}
+    for ci in probe_cells:
+        qr = q - cent[ci]
+        tables[ci] = np.stack(
+            [
+                ((qr[j * sub : (j + 1) * sub][None, :] - codebooks[j]) ** 2).sum(
+                    axis=1
+                )
+                for j in range(m_subvectors)
+            ]
+        )  # (M, n_codes_eff)
+    spark = embeddings.sparkSession
+    b_tables = spark.sparkContext.broadcast(tables)
+
+    def _adc(batches):
+        import pandas as pd
+
+        tbl = b_tables.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dists = np.empty(len(pdf), dtype=np.float64)
+            codes = np.stack(pdf["__codes"].to_numpy())
+            cells = pdf["__cell"].to_numpy()
+            for ci in np.unique(cells):
+                mask = cells == ci
+                t = tbl[int(ci)]  # (M, n_codes)
+                dists[mask] = t[np.arange(t.shape[0])[None, :], codes[mask]].sum(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "__adc": dists}
+            )
+
+    shortlist = (
+        index.filter(F.col("__cell").isin(probe_cells))
+        .mapInPandas(_adc, schema=f"{id_col} long, __adc double")
+        .orderBy(F.col("__adc").asc(), F.col(id_col))
+        .limit(rerank)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        embeddings.join(F.broadcast(shortlist), id_col)
         .select(
             F.col(id_col),
             F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),

@@ -221,6 +221,41 @@ def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
+IVFPQ_RECALL_FLOOR = 0.6  # measured 0.8/0.8/0.7 at sf0.001/0.01/0.1
+
+
+@register(
+    "sim_ivfpq_recall_floor",
+    oracle="SELECT 'ivfpq' AS method, TRUE AS recall_ok",
+    description=(
+        "Driver-visible recall floor for the IVFADC tier "
+        "(operators/similarity.ivfpq_topk — Jégou et al. 2011, public "
+        "methodology): coarse quantization + product-quantized "
+        "residual codes + asymmetric-distance shortlist + exact cosine "
+        "re-rank. Recall vs the exact brute-force top-k is computed "
+        "INSIDE Spark and the oracle pins recall_ok=TRUE at floor "
+        f"{IVFPQ_RECALL_FLOOR} (measured deterministic recalls 0.8/0.8/"
+        "0.7 across sf0.001/0.01/0.1 with the default n_lists=8, "
+        "nprobe=6, M=16, 64 codes, rerank=150). PQ is the rung that "
+        "matters at 100 TB: the shortlist stage reads 16 code bytes "
+        "per vector instead of the raw floats — see SCALING.md."
+    ),
+)
+def sim_ivfpq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    # single consumer — no pin needed (contrast sim_ann_recall_floor)
+    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id")
+    need = int(IVFPQ_RECALL_FLOOR * TOP_K)
+    return (
+        S.ivfpq_topk(emb, qv, k=TOP_K)
+        .select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg((F.count(F.lit(1)) >= need).alias("recall_ok"))
+        .select(F.lit("ivfpq").alias("method"), "recall_ok")
+    )
+
+
 @register(
     "sim_gram_matrix",
     oracle="""

@@ -4,6 +4,7 @@ constructed near-duplicates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cust_sagemaker_feature_store_spark.catalog import load_table
@@ -418,3 +419,36 @@ def test_contamination_overlap_column_remap_and_self_exclusion(spark):
         corpus, corpus.filter(F.col("doc_id") == 1), exclude_same_id=True
     ).collect()
     assert hits == []  # only the self-match existed, and it's excluded
+
+
+def test_ivfpq_recall_and_index_compactness(spark, sf_dir):
+    """IVFADC: recall@10 >= the registered floor vs brute force, the
+    shortlist stage consumes only (id, cell, codes) — M small ints per
+    vector — and every code is a valid codebook index."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r["vec_id"] for r in S.cosine_topk(emb, q, k=10).collect()}
+    pq = [r["vec_id"] for r in S.ivfpq_topk(emb, q, k=10).collect()]
+    assert len(exact & set(pq)) >= 6  # floor 0.6, measured 0.8/0.8/0.7
+    assert pq[0] == 0  # the query vector itself survives both tiers
+
+    cent = S._seed_vectors(emb, 8, "vec_id", "embedding")
+    seeds = S._seed_vectors(emb, 64, "vec_id", "embedding", salt=S.PQ_SEED_SALT)
+    c_sq = (cent * cent).sum(axis=1)
+    resid = seeds - cent[(c_sq[None, :] - 2.0 * (seeds @ cent.T)).argmin(axis=1)]
+    books = np.stack([resid[:, j * 4 : (j + 1) * 4] for j in range(16)])
+    index = S.pq_encode(emb, cent, books).collect()
+    assert len(index) == emb.count()
+    for r in index[:20]:
+        assert 0 <= r["__cell"] < len(cent)
+        assert len(r["__codes"]) == 16
+        assert all(0 <= c < len(seeds) for c in r["__codes"])
+
+
+def test_ivfpq_rejects_nontiling_blocks(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [0.0] * 64
+    with pytest.raises(ValueError, match="must divide"):
+        S.ivfpq_topk(emb, q, m_subvectors=7)
