@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_repetition_filter",
     "text_contamination_overlap",
     "sim_ann_recall_floor",
+    "sim_ivfpq_recall_floor",
     "sim_gram_matrix",
     "events_trailing_1h",
     "fs_incremental_join",
@@ -243,6 +244,36 @@ def run_skew_join(spark, sf_dir: str, salted: bool) -> int:
     return joined.groupBy("w").count().count()
 
 
+def run_runtime_filter(spark, sf_dir: str, reduced: bool) -> int:
+    """Bench pair for the semi-join scan-reduction lever: the same
+    q5-shaped region gate executed as a plain LEFT SEMI join (fact scan
+    reads everything, join filters after) vs the runtime-filtered form
+    (dim keys pushed into the fact scan as a sargable predicate)."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.runtime_filter import (
+        runtime_filtered_semi_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = cust.join(nat, cust["c_nationkey"] == nat["n_nationkey"]).join(
+        reg, nat["n_regionkey"] == reg["r_regionkey"]
+    )
+    if reduced:
+        fact = runtime_filtered_semi_join(orders, dim, "c_custkey", "o_custkey")
+    else:
+        fact = orders.join(
+            dim.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_semi",
+        )
+    return fact.groupBy("o_orderstatus").count().count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -299,6 +330,11 @@ def main() -> None:
         ("skew_join_salted", True),
     ):
         timed(name, lambda s=salted: run_skew_join(spark, sf_dir, salted=s))
+    for name, reduced in (
+        ("runtime_filter_semi_direct", False),
+        ("runtime_filter_scan_reduced", True),
+    ):
+        timed(name, lambda r=reduced: run_runtime_filter(spark, sf_dir, reduced=r))
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -298,3 +298,48 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("zval"),
     )
+
+
+@register(
+    "join_runtime_filter_orders",
+    oracle=f"""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o.o_totalprice', 2)} AS total_price
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA')
+GROUP BY o.o_orderstatus
+""",
+    description=(
+        "[EXT] semi-join scan reduction (runtime filter) on the q5 star "
+        "shape: orders of one region's customers, aggregated by status. "
+        "The region-filtered customer key set is collected (bounded by "
+        "the operator's IN-list cutoff) and pushed into the orders scan "
+        "as a sargable IN predicate, so the fact table's parquet reader "
+        "prunes before any join — the dynamic-filter lever Catalyst's "
+        "runtime bloom filter does not apply in broadcast-star layouts "
+        "(operators/runtime_filter.runtime_filtered_semi_join; plan "
+        "pinned in tests/test_plans.py, exact fallback-regime "
+        "equivalence in tests/test_operators.py)."
+    ),
+)
+def join_runtime_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.runtime_filter import runtime_filtered_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = cust.join(
+        nat, cust["c_nationkey"] == nat["n_nationkey"]
+    ).join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+    fact = runtime_filtered_semi_join(orders, dim, "c_custkey", "o_custkey")
+    return fact.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("total_price"),
+    )

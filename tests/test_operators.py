@@ -345,3 +345,36 @@ def test_asof_auto_matches_explicit_strategies(spark):
         how="left", tolerance_seconds=86400, tie_breaker="seq",
     )
     assert auto_tol.count() == 3
+
+
+def test_runtime_filter_regimes_agree(spark, sf_dir):
+    """Both runtime-filter regimes (IN-list, range+semi) must return
+    exactly the plain LEFT SEMI join's rows — the scan reduction is a
+    plan optimization, never a semantics change."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.runtime_filter import (
+        runtime_filtered_semi_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    plain = sorted(
+        r["o_orderkey"]
+        for r in orders.join(
+            dim.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_semi",
+        ).collect()
+    )
+    for cutoff in (10_000, 3):  # IN-list regime, then forced fallback
+        got = sorted(
+            r["o_orderkey"]
+            for r in runtime_filtered_semi_join(
+                orders, dim, "c_custkey", "o_custkey", max_in_keys=cutoff
+            ).collect()
+        )
+        assert got == plain, f"max_in_keys={cutoff}"

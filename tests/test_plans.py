@@ -323,6 +323,40 @@ def test_trailing_window_single_exchange(spark, sf_dir):
     assert count_exchanges(df) == 1
 
 
+def test_runtime_filter_reaches_fact_scan(spark, sf_dir):
+    """Semi-join scan reduction: the region-filtered customer key set
+    must arrive at the ORDERS parquet scan as a pushed IN predicate,
+    and the semi join must be gone from the plan (IN-list regime)."""
+    df = REGISTRY["join_runtime_filter_orders"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("o_custkey" in f and "In" in f for f in pf)
+    from cust_sagemaker_feature_store_spark.plans import plan_string
+
+    assert "Join" not in plan_string(df)
+
+
+def test_runtime_filter_fallback_pushes_range_envelope(spark, sf_dir):
+    """Past the IN-list cutoff, the operator must still push a sargable
+    min/max envelope into the fact scan and keep an exact semi join."""
+    from cust_sagemaker_feature_store_spark.operators.runtime_filter import (
+        runtime_filtered_semi_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    )
+    df = runtime_filtered_semi_join(
+        orders, dim, "c_custkey", "o_custkey", max_in_keys=10
+    )
+    pf = pushed_filters(df)
+    assert any("o_custkey" in f and "GreaterThanOrEqual" in f for f in pf)
+    assert any("o_custkey" in f and "LessThanOrEqual" in f for f in pf)
+    from cust_sagemaker_feature_store_spark.plans import plan_string
+
+    assert "LeftSemi" in plan_string(df)
+
+
 def test_asof_auto_unbounded_left_never_broadcasts_or_joins(spark, sf_dir):
     """The 100x-scale contract of the flagship operator: an UNBOUNDED
     left as-of probe must dispatch to the union-and-window path — no
