@@ -285,3 +285,64 @@ def agg_approx_percentile_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         (F.abs(a - e) / e <= PCTL_REL_TOL).alias("within_tol")
     )
+
+
+FREQ_SUPPORT = 0.03  # top-of-vocabulary tokens sit at ~3.5% frequency
+
+
+@register(
+    "agg_freq_items_floor",
+    oracle="""
+SELECT 'count_min' AS method, TRUE AS guarantee_ok
+UNION ALL
+SELECT 'freq_items' AS method, TRUE AS guarantee_ok
+""",
+    description=(
+        "Driver-visible guarantee floor for the frequent-items sketches "
+        "(completing the sketch family next to the HLL/KLL floors): "
+        "exact token heavy hitters (frequency > support, via groupBy "
+        "count) must ALL appear in DataFrame.stat.freqItems's output "
+        "(Karp-Shenker-Papadimitriou one-pass guarantee: no false "
+        "negatives above the support threshold), and "
+        "DataFrame.stat.countMinSketch must estimate each heavy "
+        "hitter's count at >= its true count (CMS errs strictly upward "
+        "by construction). Both checks computed in-engine over the "
+        "documents token stream; the oracle pins the two booleans, so a "
+        "sketch regression hash-mismatches. All driver-side state is "
+        "bounded by 1/support and the sketch dimensions — "
+        "corpus-size-independent."
+    ),
+)
+def agg_freq_items_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    total = toks.count()
+    thresh = FREQ_SUPPORT * total
+    # bounded collect: at most 1/support heavy hitters exist
+    heavy = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > thresh)
+        .collect()
+    )
+    fi = set(toks.stat.freqItems(["token"], FREQ_SUPPORT).head()[0])
+    fi_ok = all(r["token"] in fi for r in heavy)
+    # the CMS aggregate runs distributed (partial sketches merged
+    # map-side); only the fixed-size serialized sketch reaches the
+    # driver, deserialized through Spark's public sketch class
+    sk = toks.agg(
+        F.count_min_sketch(
+            "token", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("s")
+    ).head()["s"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    cms_ok = all(cms.estimateCount(r["token"]) >= r["n"] for r in heavy)
+    return spark.createDataFrame(
+        [("count_min", bool(cms_ok)), ("freq_items", bool(fi_ok))],
+        "method string, guarantee_ok boolean",
+    )

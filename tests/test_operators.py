@@ -378,3 +378,38 @@ def test_runtime_filter_regimes_agree(spark, sf_dir):
             ).collect()
         )
         assert got == plain, f"max_in_keys={cutoff}"
+
+
+def test_freq_items_floor_is_nonvacuous(spark, sf_dir):
+    """The frequent-items floor only means something if heavy hitters
+    actually exist at the registered support — pin that, and that CMS
+    point estimates are within its eps*N error bound, not just above
+    the true count."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.text import tokens
+    from cust_sagemaker_feature_store_spark.queries.functions_q import (
+        FREQ_SUPPORT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    total = toks.count()
+    heavy = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > FREQ_SUPPORT * total)
+        .collect()
+    )
+    assert heavy  # the support threshold cuts through the vocabulary
+    sk = toks.agg(
+        F.count_min_sketch("token", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("s")
+    ).head()["s"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(sk))
+    )
+    for r in heavy:
+        est = cms.estimateCount(r["token"])
+        assert r["n"] <= est <= r["n"] + 0.001 * total + 1
