@@ -12,6 +12,7 @@ from . import relational5_q  # noqa: E402,F401
 from . import relational6_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import text_q  # noqa: E402,F401
+from . import retrieval_q  # noqa: E402,F401
 from . import similarity_q  # noqa: E402,F401
 from . import functions_q  # noqa: E402,F401
 

@@ -59,13 +59,15 @@ def test_registry_window_prioritizes_unverified():
         _R1_DRIVER_GREEN,
         _R2_DRIVER_GREEN,
         _R3_DRIVER_GREEN,
+        _R4_DRIVER_GREEN,
         _WINDOW_PRIORITY,
     )
 
     names = list(REGISTRY)
     window = set(names[:50])
     green = (
-        set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN) | set(_R3_DRIVER_GREEN)
+        set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
+        | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
     )
     unverified = [n for n in REGISTRY if n not in green]
     missing = [n for n in unverified if n not in window]
