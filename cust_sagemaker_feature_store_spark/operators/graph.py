@@ -1,0 +1,98 @@
+"""Distributed graph operators on edge-list DataFrames (SURVEY.md
+§2.10 [EXT]) — iterative algorithms expressed as joins/aggregations so
+Catalyst plans them; companions to the large-star/small-star connected
+components in operators/dedup.py.
+
+PageRank here is *integer-exact*: ranks live on a fixed 1e-12 grid as
+int64 and every step is integer division/multiplication/addition, so
+the result is bit-reproducible across engines and partitionings — the
+per-node inbound sum is an int64 SUM, which is order-independent,
+unlike the usual double-precision PageRank whose FP summation order
+varies run to run. That determinism is what lets a DuckDB SQL oracle
+pin the result hash-exactly.
+
+Scale: each iteration is one shuffle (groupBy dst) plus one broadcast
+(the 1-row node count); out-degrees are computed once. Rank mass lost
+to integer-division truncation is bounded by <1 ulp (1e-12) per edge
+per iteration — at 1e12 edges that is <1 rank unit of drift, and the
+fixture pins the exact truncated semantics, not an approximation of
+real-valued PageRank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 10**12
+DAMPING_PCT = 85  # d = 0.85 as an integer percentage
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge list.
+
+    Requires every node to appear as a source (no dangling nodes) —
+    symmetric graphs, e.g. co-occurrence graphs, satisfy this by
+    construction. r0 = scale div n; each step:
+
+        r' = (15*scale) div (100*n)  +  (85 * sum_in(r_u div outdeg_u)) div 100
+
+    all in int64 (margins: 15*scale = 1.5e13, 85*sum <= 85*scale).
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    nodes = e.select(F.col("__s").alias("node")).distinct()
+    deg = e.groupBy("__s").agg(F.count("*").cast("long").alias("__outdeg"))
+    n_row = nodes.agg(F.count("*").cast("long").alias("__n"))
+
+    rank = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select("node", F.expr(f"{scale} div __n").alias("rank_scaled"))
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "__s")
+            .join(rank.withColumnRenamed("node", "__s"), "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("rank_scaled div __outdeg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum("__c").cast("long").alias("__sc")
+        )
+        rank = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                (
+                    F.expr(f"({100 - DAMPING_PCT} * {scale}) div (100 * __n)")
+                    + F.expr(f"({DAMPING_PCT} * coalesce(__sc, 0)) div 100")
+                ).alias("rank_scaled"),
+            )
+        )
+    return rank
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Symmetric distinct co-occurrence edges: (a, b) for every pair of
+    items sharing a group, both directions, no self-loops. Group sizes
+    bound the per-group pair blowup (TPC-H orders carry <= 13 lines),
+    which is what keeps the self-join linear-ish at scale; skewed
+    groups would need a per-group pair cap first."""
+    a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src"))
+    b = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("dst"))
+    return (
+        a.join(b, "__g")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )

@@ -13,6 +13,7 @@ from . import relational6_q  # noqa: E402,F401
 from . import events_q  # noqa: E402,F401
 from . import text_q  # noqa: E402,F401
 from . import retrieval_q  # noqa: E402,F401
+from . import graph_q  # noqa: E402,F401
 from . import similarity_q  # noqa: E402,F401
 from . import functions_q  # noqa: E402,F401
 
