@@ -19,7 +19,7 @@ Scale ladder:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -727,4 +727,92 @@ def gram_matrix(
         partials.groupBy("i", "j")
         .agg(F.sum("g").alias("gs"))
         .select("i", "j", F.col("gs").cast("double").alias("gram_scaled"))
+    )
+
+
+# -- semantic dedup (cluster -> intra-cluster prune) --------------------
+
+def label_centroid_vectors(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, c): per-label mean vectors as double arrays, using the
+    exact micro-scaled integer sum per cell (bit-reproducible across
+    partitionings — same arithmetic as the sim_label_centroids query)."""
+    cell = emb.select(
+        label_col, F.posexplode(as_double(vec_col)).alias("pos", "v")
+    )
+    s = F.sum(F.round(F.col("v") * 1000000).cast("long"))
+    cent = cell.groupBy(label_col, "pos").agg(
+        (s.cast("double") / 1000000.0 / F.count(F.lit(1))).alias("cv")
+    )
+    return cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda st: st["cv"],
+        ).alias("c")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid by
+    cosine, then compare pairs ONLY within a cluster and drop the
+    higher-id member of every pair with cosine >= threshold (greedy
+    min-id retention — a deterministic canonical-selection rule, where
+    the paper's variants also allow e.g. farthest-from-centroid).
+
+    Returns (id, cluster, kept) for every input vector.
+
+    Scale design: the centroid table is O(k x d) and broadcast, so
+    assignment is map-side (one argmax per vector, no shuffle of the
+    corpus against itself). The quadratic step is confined to each
+    cluster — the whole point of the method; at 100 TB you raise k so
+    the expected cluster size stays bounded (k ~ n / target_size), and
+    the pairwise stage stays executor-local per cluster after one hash
+    shuffle on the cluster key.
+    """
+    cents = centroids if centroids is not None else label_centroid_vectors(
+        emb, label_col, vec_col
+    )
+    e = emb.select(id_col, as_double(vec_col).alias("__v"))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        F.col(label_col).alias("cluster"),
+        cosine(F.col("__v"), F.col("c")).alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cluster"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster")
+    )
+    av = assigned.join(e, id_col)
+    a = av.select(
+        F.col(id_col).alias("__ida"), F.col("cluster").alias("__ca"),
+        F.col("__v").alias("__va"),
+    )
+    b = av.select(
+        F.col(id_col).alias("__idb"), F.col("cluster").alias("__cb"),
+        F.col("__v").alias("__vb"),
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (F.col("__ida") < F.col("__idb")),
+        )
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dup.withColumn("__dup", F.lit(1)), id_col, "left")
+        .select(id_col, "cluster", F.col("__dup").isNull().alias("kept"))
     )

@@ -410,3 +410,55 @@ def sim_text_embedding_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("emb_cosine"),
         )
     )
+
+
+SEMDEDUP_THRESHOLD = 0.30
+
+
+@register(
+    "sim_semantic_dedup",
+    oracle=f"""
+WITH cell AS (
+  SELECT label, t.idx - 1 AS pos, CAST(embedding[t.idx] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(idx)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(v*1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS cv
+  FROM cell GROUP BY 1, 2
+),
+cvec AS (SELECT label, list(cv ORDER BY pos) AS c FROM cent GROUP BY 1),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, cvec.label,
+         list_dot_product(e.v, cvec.c)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cvec.c, cvec.c))) AS cos
+  FROM e CROSS JOIN cvec
+),
+assigned AS (
+  SELECT vec_id, label AS cluster FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, label) = 1
+),
+av AS (SELECT a.vec_id, a.cluster, e.v FROM assigned a JOIN e USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
+""",
+    description=(
+        "SemDeDup-shaped semantic dedup (arXiv:2303.09540): nearest-"
+        "centroid assignment against broadcast exact-mean centroids, "
+        "then near-dup pruning (cosine >= 0.30, greedy min-id "
+        "retention) confined to each cluster — the quadratic step never "
+        "crosses cluster boundaries, which is what makes embedding "
+        "dedup tractable at 100 TB (raise k to bound cluster size)."
+    ),
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=SEMDEDUP_THRESHOLD)

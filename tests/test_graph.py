@@ -51,3 +51,29 @@ def test_cooccurrence_edges_symmetric_no_self_loops(spark):
     )
     edges = {(r["src"], r["dst"]) for r in G.cooccurrence_edges(df, "g", "item").collect()}
     assert edges == {(10, 11), (11, 10)}
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """Near-identical vectors in the same cluster: higher id dropped.
+    Near-identical vectors in different clusters: both kept (the
+    SemDeDup contract — the quadratic step never crosses clusters)."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.05], label=0),
+            Row(vec_id=2, embedding=[1.0, 0.06], label=0),   # dup of 1, same cluster
+            Row(vec_id=3, embedding=[0.05, 1.0], label=1),
+            Row(vec_id=4, embedding=[0.06, 1.0], label=1),   # dup of 3, same cluster
+            Row(vec_id=5, embedding=[-1.0, -0.9], label=0),  # no near neighbor
+        ]
+    )
+    out = {r["vec_id"]: r for r in S.semantic_dedup(emb, threshold=0.95).collect()}
+    assert len(out) == 5
+    assert out[1]["kept"] and not out[2]["kept"]
+    assert out[3]["kept"] and not out[4]["kept"]
+    assert out[5]["kept"]
+    # 1,2 share a cluster; 3,4 share a different one
+    assert out[1]["cluster"] == out[2]["cluster"] != out[3]["cluster"]
