@@ -384,3 +384,77 @@ def dup_clusters(
         "this exceeds the O(log² n) star-contraction bound — the input "
         "graph is larger than any supported corpus, raise max_iter"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 2,
+    max_df: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram containment C(A,B) = |A∩B| / |A| — catches
+    quote-inclusion / partial-copy pairs that symmetric Jaccard dilutes
+    (a short doc fully quoted inside a long one has high containment
+    but low Jaccard).
+
+    Candidate generation is *rare-gram blocking*: only shingles whose
+    document frequency lies in [min_df, max_df] propose pairs, so the
+    pair blowup per shingle is bounded by max_df choose 2 and stopword-
+    grade shingles propose nothing — the inverted-index analogue of a
+    skew guard. Exact intersection sizes are then computed only for
+    proposed candidates. A pair sharing exclusively ultra-common grams
+    is invisible by design (contract: rare-gram evidence required).
+
+    Output: doc_a < doc_b with n_common/n_a/n_b and both containment
+    directions (each one exact int64 division), filtered to
+    max(C(A,B), C(B,A)) >= threshold.
+    """
+    sets_ = shingle_sets(df, text_col, id_col, k)
+    sizes = sets_.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("__c"))
+    rare = dfreq.filter(F.col("__c").between(min_df, max_df)).select("shingle")
+    blocked = sets_.join(rare, "shingle")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = sets_.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("__sh"))
+    y = sets_.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("__sh"))
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "__sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment_a", F.col("n_common").cast("double") / F.col("n_a")
+        )
+        .withColumn(
+            "containment_b", F.col("n_common").cast("double") / F.col("n_b")
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "containment_a", "containment_b",
+    )

@@ -1166,3 +1166,46 @@ def text_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c").alias("rarest_token_freq"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+dfq AS (SELECT shingle, COUNT(*) AS c FROM d GROUP BY 1),
+rare AS (SELECT shingle FROM dfq WHERE c BETWEEN 2 AND 8),
+blocked AS (SELECT d.doc_id, d.shingle FROM d JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN d x ON x.doc_id = c.doc_a
+  JOIN d y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a, sb.n AS n_b,
+       CAST(i.n_common AS DOUBLE) / sa.n AS containment_a,
+       CAST(i.n_common AS DOUBLE) / sb.n AS containment_b
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.doc_a
+JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE greatest(CAST(i.n_common AS DOUBLE) / sa.n,
+               CAST(i.n_common AS DOUBLE) / sb.n) >= 0.5
+""",
+    description=(
+        "Asymmetric shingle-containment near-dup tier with rare-gram "
+        "blocking: only shingles with df in [2,8] propose candidate "
+        "pairs (bounded pair blowup per shingle — stopword-grade grams "
+        "propose nothing), exact |A∩B| computed for candidates only, "
+        "both containment directions as exact int64 divisions. Catches "
+        "quote-inclusion pairs symmetric Jaccard dilutes."
+    ),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, min_df=2, max_df=8, threshold=0.5)

@@ -77,3 +77,30 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert out[5]["kept"]
     # 1,2 share a cluster; 3,4 share a different one
     assert out[1]["cluster"] == out[2]["cluster"] != out[3]["cluster"]
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0
+    even though Jaccard is diluted below a 0.4 threshold."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import dedup as D
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quote),
+            Row(doc_id=2, text=quote + " " + filler),
+            Row(doc_id=3, text="totally unrelated content here now"),
+        ]
+    )
+    pairs = D.containment_pairs(
+        docs, min_df=2, max_df=8, threshold=0.5
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    p = pairs[0]
+    assert p["containment_a"] == 1.0           # all of doc 1 inside doc 2
+    assert p["containment_b"] < 0.4            # Jaccard-style view dilutes
+    jac = D.jaccard_pairs(docs, threshold=0.4).collect()
+    assert not jac, "Jaccard at 0.4 must miss the quote-inclusion pair"
