@@ -70,6 +70,14 @@ BENCH_QUERIES = [
     "sim_gram_matrix",
     "events_trailing_1h",
     "fs_incremental_join",
+    # round-5 additions: retrieval scoring, iterative graph, semantic
+    # dedup and the containment tier — the new corpus-scale paths
+    "text_bm25_topk",
+    "text_inverted_index",
+    "text_bigram_lift",
+    "graph_pagerank_parts",
+    "sim_semantic_dedup",
+    "dedup_containment_pairs",
 ]
 
 
