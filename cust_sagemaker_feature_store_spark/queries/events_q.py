@@ -459,3 +459,74 @@ def stream_running_features_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "n_events", "total_value", iso("last_ts").alias("last_time")
     )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v FROM events
+),
+m AS (
+  SELECT user_id, median(v) AS med, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1
+),
+d AS (
+  SELECT e.user_id, abs(e.v - m.med) AS dev
+  FROM e JOIN m USING (user_id)
+),
+md AS (SELECT user_id, median(dev) AS mad FROM d GROUP BY 1),
+o AS (
+  SELECT d.user_id,
+         CAST(COUNT(*) FILTER (WHERE d.dev > 3 * md.mad) AS BIGINT) AS n_outliers
+  FROM d JOIN md USING (user_id) GROUP BY 1
+)
+SELECT m.user_id, m.n_events,
+       m.med / 100.0 AS median_value,
+       md.mad / 100.0 AS mad_value,
+       o.n_outliers
+FROM m JOIN md USING (user_id) JOIN o USING (user_id)
+""",
+    description=(
+        "Robust per-user outlier detection: median + median-absolute-"
+        "deviation with a 3xMAD fence. Values are lifted onto the exact "
+        "cent grid first, so every median/deviation lands on a "
+        "dyadic-exact grid and interpolated medians agree bit-for-bit "
+        "across engines — robust statistics without FP drift. Two "
+        "shuffles on user_id; at 100 TB the three aggregates reuse one "
+        "hash partitioning."
+    ),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    m = e.groupBy("user_id").agg(
+        F.median("v").alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    d = e.join(m.select("user_id", "med"), "user_id").select(
+        "user_id", (F.abs(F.col("v") - F.col("med"))).alias("dev")
+    )
+    md = d.groupBy("user_id").agg(F.median("dev").alias("mad"))
+    o = (
+        d.join(md, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        m.join(md, "user_id")
+        .join(o, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("med") / 100.0).alias("median_value"),
+            (F.col("mad") / 100.0).alias("mad_value"),
+            "n_outliers",
+        )
+    )
