@@ -411,9 +411,27 @@ def containment_pairs(
     Output: doc_a < doc_b with n_common/n_a/n_b and both containment
     directions (each one exact int64 division), filtered to
     max(C(A,B), C(B,A)) >= threshold.
+
+    The distinct (id, shingle) relation feeds several differently-
+    grouped consumers whose aliases differ, so Catalyst's
+    ReusedExchange never fires and the tokenize→shingle→explode→
+    distinct pipeline would re-run for each (measured: 16 scans, 0
+    reuse before this layout). It is pinned once, eagerly — exactly
+    what a 100 TB run would do by materializing the gram relation
+    before fan-out. localCheckpoint, not persist: blocks are
+    GC-reclaimed, no caller-managed unpersist (functions/ids.py
+    rationale).
+
+    Intersections are computed as array_intersect over per-document
+    gram ARRAYS (bounded by document length — safe to collect, unlike
+    corpus-keyed lists), joined to the candidate pairs. The naive
+    alternative — candidates x gram-rows twice, then count — shuffles
+    |pairs| x |grams/doc| narrow rows (measured 18M at sf0.1 and
+    collapsed to one task by AQE's byte-based estimate); the array
+    form moves the same O(len) per-pair work without the row
+    explosion, and n_a/n_b fall out of the same arrays for free.
     """
-    sets_ = shingle_sets(df, text_col, id_col, k)
-    sizes = sets_.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sets_ = shingle_sets(df, text_col, id_col, k).localCheckpoint(eager=True)
     dfreq = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("__c"))
     rare = dfreq.filter(F.col("__c").between(min_df, max_df)).select("shingle")
     blocked = sets_.join(rare, "shingle")
@@ -430,19 +448,20 @@ def containment_pairs(
         )
         .distinct()
     )
-    x = sets_.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("__sh"))
-    y = sets_.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("__sh"))
-    inter = (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "__sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    garr = sets_.groupBy(id_col).agg(F.collect_list("shingle").alias("__g"))
+    ga = garr.select(F.col(id_col).alias("doc_a"), F.col("__g").alias("__ga"))
+    gb = garr.select(F.col(id_col).alias("doc_b"), F.col("__g").alias("__gb"))
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _ensure_parallelism(cand)
+        .join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ga", "__gb")).cast("long").alias("n_common"),
+            F.size("__ga").cast("long").alias("n_a"),
+            F.size("__gb").cast("long").alias("n_b"),
+        )
         .withColumn(
             "containment_a", F.col("n_common").cast("double") / F.col("n_a")
         )

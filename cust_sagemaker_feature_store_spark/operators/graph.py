@@ -34,6 +34,7 @@ def pagerank_integer(
     dst: str = "dst",
     iterations: int = 3,
     scale: int = RANK_SCALE,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
@@ -45,6 +46,17 @@ def pagerank_integer(
 
     all in int64 (margins: 15*scale = 1.5e13, 85*sum <= 85*scale).
     """
+    # NOT eagerly materialized: the edge derivation ends in a shuffle
+    # (distinct), and Spark re-uses shuffle map outputs across the
+    # repeated references — each iteration's job shows the earlier
+    # stages as skipped, locally and on a cluster (shuffle files
+    # outlive the stage). Measured here: eager localCheckpoint of the
+    # sf0.1 edge set made the 3-iteration query 5x SLOWER (7.5s vs
+    # 1.3s) by paying materialization for reuse Spark already provides.
+    # What DOES grow with iterations is plan/lineage depth — for deep
+    # runs pass checkpoint_every (lineage truncation, same rationale
+    # as dup_clusters' per-round checkpoint, which iterates to an
+    # unknown fixpoint and must re-diff edges every round).
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
     nodes = e.select(F.col("__s").alias("node")).distinct()
     deg = e.groupBy("__s").agg(F.count("*").cast("long").alias("__outdeg"))
@@ -54,7 +66,7 @@ def pagerank_integer(
         nodes.crossJoin(F.broadcast(n_row))
         .select("node", F.expr(f"{scale} div __n").alias("rank_scaled"))
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e.join(deg, "__s")
             .join(rank.withColumnRenamed("node", "__s"), "__s")
@@ -77,6 +89,12 @@ def pagerank_integer(
                 ).alias("rank_scaled"),
             )
         )
+        if (
+            checkpoint_every is not None
+            and i < iterations - 1
+            and (i + 1) % checkpoint_every == 0
+        ):
+            rank = rank.localCheckpoint(eager=True)
     return rank
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _ensure_parallelism
 from . import text as T
 
 SCORE_SCALE = 1_000_000
@@ -38,9 +39,12 @@ def term_frequencies(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, term, tf, dl): whitespace-token term frequencies plus the
-    document length — the base relation for every scorer here."""
+    document length — the base relation for every scorer here. The
+    single-split small-SF corpus is spread first (no-op at real scale;
+    measured 5x on the one-file fixture — the explode+group pipeline
+    was serializing on one core)."""
     toks = T.tokens(text_col)
-    exploded = docs.select(
+    exploded = _ensure_parallelism(docs).select(
         F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
     )
     return exploded.groupBy(id_col, "dl", "term").agg(
@@ -72,7 +76,11 @@ def inverted_index(
     `postings_cap` even for stopword-grade terms — the unbounded
     collect_list is the classic 100 TB executor-OOM shape this avoids.
     """
-    tf = term_frequencies(docs, id_col, text_col)
+    # tf feeds two differently-grouped consumers (term stats + capped
+    # postings) whose exchanges don't alias-match, so the token explode
+    # would run twice; pin it once (GC-reclaimed checkpoint blocks —
+    # functions/ids.py rationale).
+    tf = term_frequencies(docs, id_col, text_col).localCheckpoint(eager=True)
     stats = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),

@@ -192,10 +192,11 @@ LIMIT {LIFT_TOP_K}
 )
 def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as T
+    from ..operators.dedup import _ensure_parallelism
 
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
-    tok = docs.select("doc_id", toks.alias("toks"))
+    tok = _ensure_parallelism(docs).select("doc_id", toks.alias("toks"))
 
     uni = (
         tok.select(F.explode("toks").alias("tok"))
