@@ -206,9 +206,11 @@ def contamination_overlap(
     """
     if strategy not in ("auto", "broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    from .dedup import _ensure_parallelism
+
     bench_id_col = bench_id_col or id_col
     bench_text_col = bench_text_col or text_col
-    grams = corpus.select(
+    grams = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(tokens(text_col), gram_n))).alias("gram"),
     )
