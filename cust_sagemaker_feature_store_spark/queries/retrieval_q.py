@@ -242,3 +242,125 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("bigram"))
         .limit(LIFT_TOP_K)
     )
+
+
+N_HASH_BUCKETS = 64
+_SIGN_BIT = 10
+
+# DuckDB twin of conv(substr(md5(token),1,4),16,10): first 4 md5 hex
+# chars as an integer 0..65535 (same idiom as text_q's simhash16)
+_SQL_H16 = (
+    "((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(token), 4, 1)) - 1))"
+)
+
+
+@register(
+    "ml_hashed_features",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents),
+h AS (
+  SELECT doc_id,
+         {_SQL_H16} % {N_HASH_BUCKETS} AS bucket,
+         CASE WHEN (({_SQL_H16} >> {_SIGN_BIT}) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+  FROM tok
+)
+SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS feature_value
+FROM h GROUP BY 1, 2
+HAVING CAST(SUM(sgn) AS BIGINT) <> 0
+""",
+    description=(
+        "Feature hashing (the hashing trick, Weinberger et al. 2009, "
+        "public methodology): tokens -> signed counts in a fixed "
+        "64-bucket space via an oracle-portable md5-derived 16-bit "
+        "hash; the sign bit makes collisions cancel in expectation. "
+        "Output is the sparse (doc, bucket, value) relation — the "
+        "fixed-width featurizer that needs no vocabulary build, which "
+        "is why it scales to 100 TB: one narrow map + one "
+        "map-side-combined aggregation, no global dictionary shuffle."
+    ),
+)
+def ml_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators import text as T
+
+    tok = _ensure_parallelism(docs).select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long")
+    sgn = F.when(
+        F.shiftright(h, _SIGN_BIT).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", (h % N_HASH_BUCKETS).alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("feature_value"))
+        .filter(F.col("feature_value") != 0)
+    )
+
+
+TARGET_SMOOTHING = 20  # pseudo-observations of the global mean
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderpriority AS category,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o
+),
+c AS (
+  SELECT category, CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o GROUP BY 1
+)
+SELECT c.category, c.n AS n_rows,
+       (CAST(c.s AS DOUBLE) / c.n) / 100.0 AS category_mean,
+       ((c.s + {TARGET_SMOOTHING} * (CAST(g.tot AS DOUBLE) / g.n))
+        / (c.n + {TARGET_SMOOTHING})) / 100.0 AS encoded_value
+FROM c CROSS JOIN g
+""",
+    description=(
+        "Smoothed target encoding (the category->mean-label feature, "
+        "m-estimate smoothing): per-category mean blended with the "
+        "global mean weighted by 20 pseudo-observations, all on the "
+        "exact cent grid with a fixed IEEE op tree. Two map-side-"
+        "combined aggregates, category-sized output, global stats "
+        "broadcast — no per-row state at any scale."
+    ),
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = o.agg(
+        F.sum("cents").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    c = o.groupBy("category").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sm = F.lit(TARGET_SMOOTHING)
+    return c.crossJoin(F.broadcast(g)).select(
+        "category",
+        F.col("n").alias("n_rows"),
+        ((F.col("s").cast("double") / F.col("n")) / 100.0).alias("category_mean"),
+        (
+            (
+                (F.col("s") + sm * (F.col("tot").cast("double") / F.col("gn")))
+                / (F.col("n") + sm)
+            )
+            / 100.0
+        ).alias("encoded_value"),
+    )
