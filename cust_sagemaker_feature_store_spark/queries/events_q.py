@@ -530,3 +530,45 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "ml_quantile_binning",
+    oracle="""
+WITH t AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value*100) AS BIGINT) AS cents,
+         NTILE(10) OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(ROUND(value*100) AS BIGINT), event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) / 100.0 AS lo_value,
+       MAX(cents) / 100.0 AS hi_value
+FROM t GROUP BY 1, 2
+""",
+    description=(
+        "Equal-frequency discretization (decile binning) per event "
+        "type — the numeric-feature bucketizer: NTILE over the exact "
+        "cent grid with an event_id tie-break makes bin membership "
+        "deterministic across engines; output is the bin-edge table "
+        "(10 x |types| rows) a downstream encoder consumes. One "
+        "window shuffle on event_type."
+    ),
+)
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        ev.select("event_type", "event_id", cents.alias("cents"))
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.min("cents") / 100.0).alias("lo_value"),
+            (F.max("cents") / 100.0).alias("hi_value"),
+        )
+    )
