@@ -204,3 +204,60 @@ def test_video_frame_sampling(spark):
     assert [f["frame_index"] for f in sorted(frames, key=lambda f: f["frame_index"])] == [0, 1, 2]
     assert [f["frame_ms"] for f in sorted(frames, key=lambda f: f["frame_index"])] == [0, 1000, 2000]
     assert b"".join(f["frame_bytes"] for f in sorted(frames, key=lambda f: f["frame_index"])) == payload
+
+
+def test_writer_roundtrips(spark, tmp_path):
+    """Every sink must read back value-identical through its reader
+    twin (CSV reads back all-strings by design, like the reference's
+    quoted result files)."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.sources import readers, writers
+
+    df = spark.createDataFrame(
+        [Row(k=1, s="a,b", d=1.5), Row(k=2, s=None, d=-0.25)]
+    )
+    base = str(tmp_path)
+
+    writers.write_parquet(df, base + "/p", partition_by=["k"])
+    got = readers.read_parquet(spark, base + "/p")
+    assert {tuple(r) for r in got.select("k", "s", "d").collect()} == {
+        (1, "a,b", 1.5), (2, None, -0.25)
+    }
+
+    writers.write_orc(df, base + "/o")
+    got = readers.read_orc(spark, base + "/o")
+    assert {tuple(r) for r in got.select("k", "s", "d").collect()} == {
+        (1, "a,b", 1.5), (2, None, -0.25)
+    }
+
+    writers.write_json_lines(df, base + "/j")
+    got = readers.read_json_lines(spark, base + "/j", df.schema)
+    assert {tuple(r) for r in got.select("k", "s", "d").collect()} == {
+        (1, "a,b", 1.5), (2, None, -0.25)
+    }
+
+    writers.write_csv(df, base + "/c")
+    got = readers.read_quoted_csv_as_strings(spark, base + "/c", ["k", "s", "d"])
+    assert {tuple(r) for r in got.select("k", "s", "d").collect()} == {
+        ("1", "a,b", "1.5"), ("2", None, "-0.25")
+    }
+
+
+def test_parquet_schema_evolution_additive(spark, tmp_path):
+    """Files written before a column existed stay readable: mergeSchema
+    unions footers and back-fills the missing column with NULL."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.sources import writers
+
+    base = str(tmp_path / "store")
+    v1 = spark.createDataFrame([Row(k=1, v=10)])
+    writers.write_parquet(v1, base)
+    v2 = spark.createDataFrame([Row(k=2, v=20, extra="new")])
+    writers.write_parquet(v2, base, mode="append")
+
+    got = writers.read_parquet_evolved(spark, base)
+    assert set(got.columns) == {"k", "v", "extra"}
+    rows = {r["k"]: r["extra"] for r in got.collect()}
+    assert rows == {1: None, 2: "new"}
