@@ -343,3 +343,35 @@ def join_runtime_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# -- Hilbert layout key ([EXT] r5, SURVEY.md §4 scale lever) -------------
+
+from ..operators.layout import hilbert_value, sql_hilbert_query  # noqa: E402
+
+_H_DAY_SQL = "(CAST(epoch(o_orderdate) AS BIGINT) // 86400)"
+
+
+@register(
+    "layout_hilbert_key",
+    oracle=sql_hilbert_query(
+        "orders", "o_orderkey", "o_orderkey", "o_custkey", _H_DAY_SQL
+    ),
+    description=(
+        "[EXT] 2-D Hilbert layout key over (customer, order-day) — the "
+        "better-locality sibling of layout_zorder_key: consecutive key "
+        "values are always ADJACENT cells (unit Manhattan step — Z-order "
+        "jumps diagonally at quadrant boundaries), so files in a "
+        "range-partitioned write cover tighter rectangles of both "
+        "dimensions. One aggregate fold per row (plan linear in bits), "
+        "bit-identical to the list_reduce SQL twin generated from the "
+        "same per-level rotate-and-accumulate."
+    ),
+)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400")
+    return orders.select(
+        "o_orderkey",
+        hilbert_value(F.col("o_custkey"), day).alias("hval"),
+    )

@@ -407,3 +407,76 @@ def test_contamination_shuffle_strategy_never_broadcasts(spark, sf_dir):
         docs, bench, exclude_same_id=True, strategy="shuffle"
     )
     assert not uses_broadcast_join(df)
+
+
+def test_hilbert_matches_reference_and_is_a_true_curve(spark):
+    """hilbert_value must equal the classic xy2d (n-1-flip orientation)
+    on a full 4-bit grid, be bijective, and take only unit Manhattan
+    steps — the locality property that distinguishes it from Z-order,
+    which jumps diagonally at quadrant boundaries."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.layout import hilbert_value
+
+    N = 16  # bits=4
+    pts = spark.createDataFrame([Row(x=x, y=y) for x in range(N) for y in range(N)])
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in pts.select(
+            "x", "y", hilbert_value(F.col("x"), F.col("y"), bits=4).alias("h")
+        ).collect()
+    }
+
+    def xy2d(bits, x, y):
+        n1 = (1 << bits) - 1
+        d = 0
+        for lvl in range(bits - 1, -1, -1):
+            s = 1 << lvl
+            rx, ry = (x // s) % 2, (y // s) % 2
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                x, y = (n1 - y, n1 - x) if rx == 1 else (y, x)
+        return d
+
+    assert all(got[(x, y)] == xy2d(4, x, y) for x in range(N) for y in range(N))
+    assert sorted(got.values()) == list(range(N * N)), "not bijective"
+    inv = {v: k for k, v in got.items()}
+    assert all(
+        abs(inv[i][0] - inv[i + 1][0]) + abs(inv[i][1] - inv[i + 1][1]) == 1
+        for i in range(N * N - 1)
+    ), "consecutive Hilbert indexes must be adjacent cells"
+
+
+def test_hilbert_clusters_every_dimension(spark, sf_dir):
+    # Same contract as the Morton layout, same bound: after
+    # range-partitioning by the Hilbert key, BOTH dimensions show
+    # narrow per-partition spans.
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.layout import (
+        hilbert_repartition,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400").alias("day"),
+    )
+    lo_ck, hi_ck, lo_d, hi_d = orders.agg(
+        F.min("ck"), F.max("ck"), F.min("day"), F.max("day")
+    ).first()
+    norm = orders.select(
+        ((F.col("ck") - lo_ck) * 65535 / (hi_ck - lo_ck)).cast("long").alias("ck16"),
+        ((F.col("day") - lo_d) * 65535 / (hi_d - lo_d)).cast("long").alias("day16"),
+    )
+    h = hilbert_repartition(norm, F.col("ck16"), F.col("day16"), n_partitions=16)
+    spans = (
+        h.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("ck16") - F.min("ck16")).alias("ck_span"),
+            (F.max("day16") - F.min("day16")).alias("day_span"),
+        )
+        .agg(F.avg("ck_span"), F.avg("day_span"))
+        .first()
+    )
+    assert spans[0] < 65535 * 0.55, f"custkey span {spans[0]}"
+    assert spans[1] < 65535 * 0.55, f"day span {spans[1]}"
