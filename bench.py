@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "graph_pagerank_parts",
     "sim_semantic_dedup",
     "dedup_containment_pairs",
+    "ml_hashed_features",
+    "events_mad_outliers",
+    "layout_hilbert_key",
 ]
 
 

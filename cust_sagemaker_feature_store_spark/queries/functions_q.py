@@ -346,3 +346,111 @@ def agg_freq_items_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("count_min", bool(cms_ok)), ("freq_items", bool(fi_ok))],
         "method string, guarantee_ok boolean",
     )
+
+
+@register(
+    "fn_array_surface",
+    oracle="""
+SELECT p_partkey,
+       len(toks) AS n_words,
+       list_sort(toks) AS words_sorted,
+       toks[1] AS first_word,
+       toks[len(toks)] AS last_word,
+       list_sort(list_distinct(toks)) AS words_distinct,
+       len(list_filter(toks, w -> length(w) > 5)) AS n_long_words,
+       array_to_string(list_reverse(list_sort(toks)), '-') AS joined_desc,
+       list_contains(toks, 'green') AS has_green
+FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+""",
+    description=(
+        "[EXT] array-function surface over split part names: size/"
+        "sort/index/distinct/lambda-filter/reverse-join/contains — the "
+        "collection builtins (SURVEY §2.8), all JVM expression "
+        "arithmetic inside codegen, no UDF."
+    ),
+)
+def fn_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    t = part.select("p_partkey", toks.alias("toks"))
+    return t.select(
+        "p_partkey",
+        F.size("toks").alias("n_words"),
+        F.sort_array("toks").alias("words_sorted"),
+        F.element_at("toks", 1).alias("first_word"),
+        F.element_at("toks", F.size("toks")).alias("last_word"),
+        F.sort_array(F.array_distinct("toks")).alias("words_distinct"),
+        F.size(F.filter("toks", lambda w: F.length(w) > 5)).alias("n_long_words"),
+        F.concat_ws("-", F.reverse(F.sort_array("toks"))).alias("joined_desc"),
+        F.array_contains("toks", "green").alias("has_green"),
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    description=(
+        "[EXT] first_value/last_value/nth_value over per-user event "
+        "history with an explicit unbounded frame (the default frame "
+        "truncates last_value at the current row) and a deterministic "
+        "(ts, event_id) order. One window shuffle."
+    ),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@register(
+    "agg_mode_value",
+    oracle="""
+SELECT user_id, event_type AS mode_type, n
+FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+""",
+    description=(
+        "[EXT] grouped mode (most frequent value) with a deterministic "
+        "lexicographic tie-break — count + window argmax, never a "
+        "collect; map-side combine keeps the shuffle at "
+        "|users x types| rows."
+    ),
+)
+def agg_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
