@@ -480,3 +480,25 @@ def test_hilbert_clusters_every_dimension(spark, sf_dir):
     )
     assert spans[0] < 65535 * 0.55, f"custkey span {spans[0]}"
     assert spans[1] < 65535 * 0.55, f"day span {spans[1]}"
+
+
+def test_inverted_index_caps_postings_with_window_group_limit(spark, sf_dir):
+    """The postings cap must compile to WindowGroupLimit (rank filter
+    pushed below the sort), so map tasks keep <= cap rows per term
+    BEFORE the shuffle — the guard against unbounded stopword postings."""
+    q = REGISTRY["text_inverted_index"].fn(spark, sf_dir)
+    assert has_window_group_limit(q)
+
+
+def test_bm25_broadcasts_query_side_stats(spark, sf_dir):
+    """The per-term df table and the 1-row corpus stats are |query|-
+    sized and must broadcast — the corpus-side tf relation never
+    shuffles for the join."""
+    q = REGISTRY["text_bm25_topk"].fn(spark, sf_dir)
+    assert uses_broadcast_join(q)
+    assert uses_take_ordered(q)  # top-k never sorts the full corpus
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_dir):
+    q = REGISTRY["sim_semantic_dedup"].fn(spark, sf_dir)
+    assert uses_broadcast_join(q)

@@ -415,3 +415,49 @@ def test_incremental_join_refresh_any_split(spark, n_a, n_b, seed):
     )
     want = a.join(b, "k").select(*cols)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# -- BM25 exact-arithmetic property (r5) --------------------------------
+
+_vocab = ["spark", "join", "data", "x", "y", "the"]
+_doc_strategy = st.lists(st.sampled_from(_vocab), min_size=1, max_size=12)
+_corpus_strategy = st.lists(_doc_strategy, min_size=2, max_size=8)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_corpus_strategy)
+def test_bm25_matches_python_reference(spark, corpus):
+    """bm25_topk must equal a direct Python evaluation of the same
+    integer-rational formulation on ANY corpus — pins the operator
+    semantics independently of the DuckDB oracle's fixed fixture."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import retrieval as R
+
+    docs = [" ".join(d) for d in corpus]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    terms = ["spark", "join"]
+    got = {
+        r["doc_id"]: r["score_u"]
+        for r in R.bm25_topk(df, terms, k=100).collect()
+    }
+
+    n = len(corpus)
+    tt = sum(len(d) for d in corpus)
+    import math
+
+    expected: dict[int, int] = {}
+    for t in terms:
+        dft = sum(1 for d in corpus if t in d)
+        for i, d in enumerate(corpus):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = float(2 * n - 2 * dft + 1) / float(2 * dft + 1)
+            sat = float(22 * tf * tt) / float(
+                10 * tf * tt + 3 * tt + 9 * len(d) * n
+            )
+            expected[i] = expected.get(i, 0) + math.floor(idf * sat * 1e6)
+    assert got == expected
