@@ -364,3 +364,137 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("encoded_value"),
     )
+
+
+LM_TOP_K = 100
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY 1
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+bi AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM tok WHERE len(toks) >= 2
+  )
+  GROUP BY 1, 2
+)
+SELECT b.w1, b.w2, b.c_xy, u.c AS c_w1,
+       CAST(b.c_xy + 1 AS DOUBLE) / CAST(u.c + v.vocab AS DOUBLE) AS prob_laplace
+FROM bi b JOIN uni u ON u.tok = b.w1 CROSS JOIN v
+ORDER BY b.c_xy DESC, b.w1, b.w2
+LIMIT {LM_TOP_K}
+""",
+    description=(
+        "Bigram language-model table with add-one (Laplace) smoothing: "
+        "P(w2|w1) = (c_xy+1)/(c_w1+V) as ONE exact int64 division — the "
+        "n-gram LM build that backs perplexity-style quality filtering, "
+        "without log arithmetic. Counts are map-side combined and "
+        "vocabulary-sized; the unigram join side broadcasts at scale."
+    ),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    tok = _ensure_parallelism(docs).select("doc_id", toks.alias("toks"))
+
+    uni = (
+        tok.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    bi = (
+        tok.filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split("bigram", " ")[0].alias("w1"),
+            F.split("bigram", " ")[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+    )
+    u = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_w1"))
+    prob = (F.col("c_xy") + 1).cast("double") / (
+        (F.col("c_w1") + F.col("vocab")).cast("double")
+    )
+    return (
+        bi.join(F.broadcast(u), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "w2", "c_xy", "c_w1", prob.alias("prob_laplace"))
+        .orderBy(F.desc("c_xy"), F.asc("w1"), F.asc("w2"))
+        .limit(LM_TOP_K)
+    )
+
+
+DROPOUT_RATE_PCT = 10  # drop ~10% of token positions
+DROPOUT_SEED = 7
+
+
+@register(
+    "text_word_dropout",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       array_to_string(
+         list_transform(
+           list_filter(generate_series(1, len(toks)),
+             i -> ((strpos('0123456789abcdef', substr(md5(doc_id || '-' || i || '-' || {DROPOUT_SEED}), 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(doc_id || '-' || i || '-' || {DROPOUT_SEED}), 2, 1)) - 1))
+                  % 100 >= {DROPOUT_RATE_PCT}),
+           i -> toks[i]),
+         ' ') AS dropped_text
+FROM tok
+""",
+    description=(
+        "Deterministic word-dropout augmentation: each token position "
+        "is kept iff an md5-derived hash of (doc_id, position, seed) "
+        "clears the drop rate — reproducible across engines, reruns "
+        "and partitionings (no rand()), so augmented corpora are "
+        "versionable. Pure narrow map at any scale."
+    ),
+)
+def text_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    tok = _ensure_parallelism(docs).select("doc_id", toks.alias("toks"))
+
+    def keep(i):
+        h = F.md5(
+            F.concat_ws("-", F.col("doc_id"), i, F.lit(DROPOUT_SEED))
+        )
+        h8 = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+        return (h8 % 100) >= DROPOUT_RATE_PCT
+
+    kept = F.transform(
+        F.filter(F.sequence(F.lit(1), F.size("toks")), keep),
+        lambda i: F.element_at("toks", i),
+    )
+    return tok.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.concat_ws(" ", kept).alias("dropped_text"),
+    )
