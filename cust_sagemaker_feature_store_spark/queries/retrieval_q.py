@@ -186,8 +186,8 @@ LIMIT {LIFT_TOP_K}
         "Bigram collocation lift p(xy)/(p(x)p(y)) — PMI's monotone "
         "twin, kept exact as ((c_xy*TU)*TU)/((TB*c_x)*c_y) with a fixed "
         "IEEE op tree (no log). Unigram/bigram counts are map-side "
-        "combined, vocabulary-sized; the unigram join sides are "
-        "broadcast at scale."
+        "combined; the unigram join strategy is left to AQE because "
+        "vocabulary is power-law unbounded at corpus scale."
     ),
 )
 def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,8 +234,11 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bi.withColumn("__x", x)
         .withColumn("__y", y)
-        .join(F.broadcast(ux), "__x")
-        .join(F.broadcast(uy), "__y")
+        # no broadcast hint on the unigram sides: vocabulary is power-law
+        # unbounded at corpus scale (typos/URLs), so the join strategy is
+        # left to AQE — the r4 contamination lesson applied at design time
+        .join(ux, "__x")
+        .join(uy, "__y")
         .crossJoin(F.broadcast(tu))
         .crossJoin(F.broadcast(tb_full))
         .select("bigram", "c_xy", "c_x", "c_y", lift.alias("lift"))
@@ -398,8 +401,9 @@ LIMIT {LM_TOP_K}
         "Bigram language-model table with add-one (Laplace) smoothing: "
         "P(w2|w1) = (c_xy+1)/(c_w1+V) as ONE exact int64 division — the "
         "n-gram LM build that backs perplexity-style quality filtering, "
-        "without log arithmetic. Counts are map-side combined and "
-        "vocabulary-sized; the unigram join side broadcasts at scale."
+        "without log arithmetic. Counts are map-side combined; the "
+        "unigram join strategy is left to AQE (vocabulary is power-law "
+        "unbounded at corpus scale, so a forced broadcast would not hold)."
     ),
 )
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +442,9 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_w1") + F.col("vocab")).cast("double")
     )
     return (
-        bi.join(F.broadcast(u), "w1")
+        # unigram side un-hinted for the same vocabulary-scale reason as
+        # text_bigram_lift; only the 1-row vocab total is broadcast
+        bi.join(u, "w1")
         .crossJoin(F.broadcast(v))
         .select("w1", "w2", "c_xy", "c_w1", prob.alias("prob_laplace"))
         .orderBy(F.desc("c_xy"), F.asc("w1"), F.asc("w2"))
