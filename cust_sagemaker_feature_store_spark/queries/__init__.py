@@ -137,6 +137,14 @@ _R4_DRIVER_GREEN = [
 # the window so the external gate re-proves them before anything else;
 # brand-new r5 queries follow automatically as non-green exact-oracle
 # entries.
+#
+# ROUND-6 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r05.json's green rows into an _R5_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r6 changes — and note that
+# r5 touched, late in the round, the shared operators behind
+# term_frequencies/bigram queries, containment, contamination and
+# pagerank AFTER their local verification, so their r5 rows are the
+# evidence), then retarget _WINDOW_PRIORITY at whatever r6 invalidates.
 _WINDOW_PRIORITY = [
     "text_contamination_overlap", "sim_srp_banded_recall",
     "sim_ann_recall_floor",
