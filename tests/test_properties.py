@@ -461,3 +461,52 @@ def test_bm25_matches_python_reference(spark, corpus):
             )
             expected[i] = expected.get(i, 0) + math.floor(idf * sat * 1e6)
     assert got == expected
+
+
+# -- containment-pairs property (r5) ------------------------------------
+
+_cvocab = ["a", "b", "c", "dd", "ee"]
+_cdoc = st.lists(st.sampled_from(_cvocab), min_size=1, max_size=10)
+_ccorpus = st.lists(_cdoc, min_size=2, max_size=7)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_ccorpus)
+def test_containment_pairs_match_python_reference(spark, corpus):
+    """containment_pairs must equal a direct Python evaluation of the
+    same semantics (3-gram shingles with whole-doc fallback, rare-gram
+    blocking df in [min_df, max_df], exact intersections) on ANY
+    corpus."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import dedup as D
+
+    min_df, max_df, thr = 2, 3, 0.5
+    docs = [" ".join(d) for d in corpus]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in D.containment_pairs(
+            df, min_df=min_df, max_df=max_df, threshold=thr
+        ).collect()
+    }
+
+    def grams(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets_ = {i: grams(d) for i, d in enumerate(corpus)}
+    from collections import Counter
+
+    dfreq = Counter(g for s in sets_.values() for g in s)
+    rare = {g for g, c in dfreq.items() if min_df <= c <= max_df}
+    expected = {}
+    for i in sets_:
+        for j in sets_:
+            if i < j and (sets_[i] & sets_[j] & rare):
+                inter = len(sets_[i] & sets_[j])
+                ca, cb = inter / len(sets_[i]), inter / len(sets_[j])
+                if max(ca, cb) >= thr:
+                    expected[(i, j)] = (inter, len(sets_[i]), len(sets_[j]))
+    assert got == expected
