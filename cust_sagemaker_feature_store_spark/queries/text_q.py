@@ -1209,3 +1209,121 @@ WHERE greatest(CAST(i.n_common AS DOUBLE) / sa.n,
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, min_df=2, max_df=8, threshold=0.5)
+
+
+@register(
+    "pipeline_curate_v2",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+q AS (
+  SELECT doc_id,
+         len({SQL_TOKS}) AS n_tokens,
+         len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           * 1.0 / len({SQL_TOKS}) AS stop_ratio,
+         CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS}) AS ttr
+  FROM documents
+),
+qs AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+        + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+        + CASE WHEN ttr BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) / 3.0 AS quality_score
+  FROM q
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+dfq AS (SELECT shingle, COUNT(*) AS c FROM d GROUP BY 1),
+rare AS (SELECT shingle FROM dfq WHERE c BETWEEN 2 AND 8),
+blocked AS (SELECT d.doc_id, d.shingle FROM d JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocked a JOIN blocked b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN d x ON x.doc_id = c.doc_a
+  JOIN d y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_common AS DOUBLE) / sa.n AS ca,
+         CAST(i.n_common AS DOUBLE) / sb.n AS cb
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE greatest(CAST(i.n_common AS DOUBLE) / sa.n,
+                 CAST(i.n_common AS DOUBLE) / sb.n) >= 0.5
+),
+cont_drop AS (
+  SELECT DISTINCT CASE WHEN ca > cb THEN doc_a
+                       WHEN cb > ca THEN doc_b
+                       ELSE greatest(doc_a, doc_b) END AS doc_id
+  FROM cpairs
+),
+g4 AS (
+  SELECT doc_id, unnest(list_distinct({_sql_grams(4)})) AS gram FROM tok
+),
+b4 AS (SELECT doc_id AS bench_id, gram FROM g4 WHERE doc_id % 20 = 0),
+contam AS (
+  SELECT DISTINCT g4.doc_id
+  FROM g4 JOIN b4 ON g4.gram = b4.gram AND g4.doc_id <> b4.bench_id
+)
+SELECT qs.doc_id, qs.n_tokens, qs.quality_score
+FROM qs
+WHERE qs.quality_score >= 0.66
+  AND qs.doc_id % 20 <> 0
+  AND qs.doc_id NOT IN (SELECT doc_id FROM cont_drop)
+  AND qs.doc_id NOT IN (SELECT doc_id FROM contam)
+""",
+    description=(
+        "[EXT] second-generation curation pipeline composing the r5 "
+        "operators: quality gates -> containment near-dup removal "
+        "(drop the CONTAINED doc — higher containment loses, id "
+        "tie-break) -> benchmark decontamination (exact 4-gram overlap "
+        "vs the held-out slice, the slice itself excluded as test "
+        "data). Each stage is the independently-oracled operator; the "
+        "composition is one staged anti-join chain, every stage "
+        "blocked/bounded as in its standalone query."
+    ),
+)
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+
+    toks = T.tokens("text")
+    n = F.size(toks)
+    stop_ratio = T.stopword_hits(toks, T.LANG_STOPWORDS["en"]) * F.lit(1.0) / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    score = (
+        F.when(n.between(20, 2000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when(ttr.between(0.1, 0.9), 1).otherwise(0)
+    ) / 3.0
+    qs = docs.select(
+        "doc_id", n.alias("n_tokens"), score.alias("quality_score")
+    ).filter(F.col("quality_score") >= 0.66)
+
+    pairs = D.containment_pairs(docs, min_df=2, max_df=8, threshold=0.5)
+    cont_drop = pairs.select(
+        F.when(F.col("containment_a") > F.col("containment_b"), F.col("doc_a"))
+        .when(F.col("containment_b") > F.col("containment_a"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+        .alias("doc_id")
+    ).distinct()
+
+    contam = (
+        T.contamination_overlap(
+            docs, bench, gram_n=CONTAM_GRAM_N, exclude_same_id=True,
+            strategy="auto",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        qs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(cont_drop, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+    )
