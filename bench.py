@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "ml_hashed_features",
     "events_mad_outliers",
     "layout_hilbert_key",
+    "pipeline_curate_v2",
 ]
 
 
