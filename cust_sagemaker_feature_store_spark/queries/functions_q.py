@@ -454,3 +454,44 @@ def agg_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@register(
+    "fn_map_surface",
+    oracle="""
+WITH m AS (
+  SELECT o_orderkey,
+         MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS meta
+  FROM orders
+)
+SELECT o_orderkey,
+       meta['status'][1] AS status_val,
+       meta['priority'][1] AS priority_val,
+       CAST(cardinality(meta) AS INTEGER) AS n_entries,
+       array_to_string(map_keys(meta), ',') AS keys_joined,
+       list_contains(map_keys(meta), 'status') AS has_status
+FROM m
+""",
+    description=(
+        "[EXT] map-function surface (SURVEY §2.8): map construction "
+        "from columns, value lookup, cardinality, key enumeration and "
+        "membership — scalar outputs only, because map column "
+        "renderings differ across engines while lookups pin the same "
+        "semantics. All codegen expressions."
+    ),
+)
+def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    meta = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    m = orders.select("o_orderkey", meta.alias("meta"))
+    return m.select(
+        "o_orderkey",
+        F.element_at("meta", "status").alias("status_val"),
+        F.element_at("meta", "priority").alias("priority_val"),
+        F.size("meta").alias("n_entries"),
+        F.concat_ws(",", F.map_keys("meta")).alias("keys_joined"),
+        F.array_contains(F.map_keys("meta"), "status").alias("has_status"),
+    )
