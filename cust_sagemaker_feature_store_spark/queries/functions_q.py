@@ -495,3 +495,47 @@ def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.map_keys("meta")).alias("keys_joined"),
         F.array_contains(F.map_keys("meta"), "status").alias("has_status"),
     )
+
+
+@register(
+    "fn_datetime_surface",
+    oracle="""
+SELECT event_id,
+       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+       CAST(EXTRACT(year FROM ts) AS INTEGER) AS y,
+       CAST(EXTRACT(month FROM ts) AS INTEGER) AS m,
+       CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow_sunday0,
+       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+       CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE)::VARCHAR AS next_week,
+       date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS days_since_95,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted
+FROM events
+""",
+    description=(
+        "[EXT] temporal-builtin surface (SURVEY §2.8): truncation, "
+        "field extraction (incl. day-of-week normalized to Sunday=0 — "
+        "Spark's dayofweek is 1-based), date arithmetic, day diffs and "
+        "formatting, emitted as strings/ints so both engines hash "
+        "identically. Narrow map over the normalized ts (the "
+        "TIMESTAMP_NTZ chokepoint is upstream in catalog.load_table)."
+    ),
+)
+def fn_datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        (F.dayofweek("ts") - 1).alias("dow_sunday0"),
+        F.hour("ts").alias("h"),
+        F.date_format(F.date_add(F.to_date("ts"), 7), "yyyy-MM-dd").alias(
+            "next_week"
+        ),
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+    )
