@@ -35,12 +35,17 @@ def pagerank_integer(
     iterations: int = 3,
     scale: int = RANK_SCALE,
     checkpoint_every: int | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a directed edge list.
 
     Requires every node to appear as a source (no dangling nodes) —
     symmetric graphs, e.g. co-occurrence graphs, satisfy this by
-    construction. r0 = scale div n; each step:
+    construction; a dangling node would silently LEAK its rank mass
+    every iteration. ``validate=True`` spends one extra anti-join job
+    to raise loudly on dangling destinations instead (off by default:
+    the check is a full pass over the edge list, wasted when the graph
+    is symmetric by construction). r0 = scale div n; each step:
 
         r' = (15*scale) div (100*n)  +  (85 * sum_in(r_u div outdeg_u)) div 100
 
@@ -59,6 +64,19 @@ def pagerank_integer(
     # unknown fixpoint and must re-diff edges every round).
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
     nodes = e.select(F.col("__s").alias("node")).distinct()
+    if validate:
+        n_dangling = (
+            e.select(F.col("__d").alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_anti")
+            .count()
+        )
+        if n_dangling:
+            raise ValueError(
+                f"pagerank_integer: {n_dangling} dangling node(s) appear "
+                "only as destinations; their rank mass would leak every "
+                "iteration. Symmetrize the edges or add self-loops."
+            )
     deg = e.groupBy("__s").agg(F.count("*").cast("long").alias("__outdeg"))
     n_row = nodes.agg(F.count("*").cast("long").alias("__n"))
 

@@ -104,3 +104,14 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     assert p["containment_b"] < 0.4            # Jaccard-style view dilutes
     jac = D.jaccard_pairs(docs, threshold=0.4).collect()
     assert not jac, "Jaccard at 0.4 must miss the quote-inclusion pair"
+
+
+def test_pagerank_validate_rejects_dangling_nodes(spark):
+    import pytest
+
+    e = spark.createDataFrame([Row(src=1, dst=2)])  # 2 never a source
+    with pytest.raises(ValueError, match="dangling"):
+        G.pagerank_integer(e, iterations=1, validate=True)
+    # symmetric edges pass validation
+    e2 = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=1)])
+    assert G.pagerank_integer(e2, iterations=1, validate=True).count() == 2
