@@ -572,3 +572,48 @@ def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("cents") / 100.0).alias("hi_value"),
         )
     )
+
+
+FRESHNESS_ASOF_S = 1706659200  # 2024-01-31T00:00:00Z, just past max(ts) so bands split
+
+
+@register(
+    "fs_freshness_stats",
+    oracle=f"""
+WITH latest AS (
+  SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT user_id, {sql_iso('last_ts')} AS last_time, n_events,
+       1706659200 - CAST(floor(epoch(last_ts)) AS BIGINT) AS age_seconds,
+       CASE WHEN 1706659200 - CAST(floor(epoch(last_ts)) AS BIGINT) <= 21600 THEN 'fresh'
+            WHEN 1706659200 - CAST(floor(epoch(last_ts)) AS BIGINT) <= 86400 THEN 'day_stale'
+            ELSE 'stale' END AS freshness_band
+FROM latest
+""",
+    description=(
+        "[EXT] feature-freshness monitoring: per-key age of the latest "
+        "record at a fixed as-of instant, banded 6h/1d/stale — the "
+        "operational staleness report a serving store needs (alerts on "
+        "keys whose features stopped updating). Key-sized output, one "
+        "map-side-combined aggregate; integer epoch-second arithmetic."
+    ),
+)
+def fs_freshness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(to_ltz("ts")).alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    asof_s = F.lit(FRESHNESS_ASOF_S).cast("long")
+    age = (asof_s - (F.unix_micros("last_ts") / 1_000_000).cast("long")).alias(
+        "age_seconds"
+    )
+    band = (
+        F.when(F.col("age_seconds") <= 21600, "fresh")
+        .when(F.col("age_seconds") <= 86400, "day_stale")
+        .otherwise("stale")
+    )
+    return latest.select(
+        "user_id", iso("last_ts").alias("last_time"), "n_events", age
+    ).withColumn("freshness_band", band)
