@@ -1327,3 +1327,65 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cont_drop, "doc_id", "left_anti")
         .join(contam, "doc_id", "left_anti")
     )
+
+
+@register(
+    "text_char_diversity",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(replace(text, ' ', ''), '')) AS c
+  FROM documents
+),
+cc AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ch WHERE c <> '' GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM cc GROUP BY 1
+)
+SELECT doc_id, total AS n_chars_nospace, n_distinct,
+       CAST(sum_sq AS DOUBLE) / CAST(total * total AS DOUBLE) AS collision_prob
+FROM tot
+""",
+    description=(
+        "[EXT] character-diversity quality signal: per-doc collision "
+        "probability sum(c_i^2)/n^2 (the Simpson index — a Renyi-2 "
+        "entropy proxy that needs NO log arithmetic, so it stays an "
+        "exact int64 ratio). High collision probability flags "
+        "degenerate/repetitive text the Gopher gates quantify at the "
+        "n-gram level; this is the cheaper character-level screen. "
+        "Narrow map + one map-side-combined aggregate."
+    ),
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        _ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace("text", " ", ""), "")
+            ).alias("c"),
+        )
+        .filter(F.col("c") != "")
+    )
+    cc = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return tot.select(
+        "doc_id",
+        F.col("total").alias("n_chars_nospace"),
+        "n_distinct",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total") * F.col("total")).cast("double")
+        ).alias("collision_prob"),
+    )
