@@ -617,3 +617,50 @@ def fs_freshness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", iso("last_ts").alias("last_time"), "n_events", age
     ).withColumn("freshness_band", band)
+
+
+@register(
+    "events_type_transitions",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+row_tot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY 1
+)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / r.row_n AS p_transition
+FROM t JOIN row_tot r USING (prev_type)
+""",
+    description=(
+        "[EXT] first-order Markov transition matrix over per-user "
+        "event sequences: lag() pairs within the (ts, event_id) order, "
+        "counts map-side combined to a |types|^2-sized matrix, "
+        "transition probabilities as exact int64 ratios. The "
+        "sequence-mining primitive behind next-event prediction "
+        "features; one window shuffle on user_id."
+    ),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_tot = t.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return (
+        t.join(row_tot, "prev_type")
+        .select(
+            "prev_type", "next_type", "n",
+            (F.col("n").cast("double") / F.col("row_n")).alias("p_transition"),
+        )
+    )
