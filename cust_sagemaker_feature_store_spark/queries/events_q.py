@@ -492,9 +492,11 @@ FROM m JOIN md USING (user_id) JOIN o USING (user_id)
         "deviation with a 3xMAD fence. Values are lifted onto the exact "
         "cent grid first, so every median/deviation lands on a "
         "dyadic-exact grid and interpolated medians agree bit-for-bit "
-        "across engines — robust statistics without FP drift. Two "
-        "shuffles on user_id; at 100 TB the three aggregates reuse one "
-        "hash partitioning."
+        "across engines — robust statistics without FP drift. The "
+        "median stages shuffle the events on user_id; the re-join and "
+        "fence stages exchange only key-sized frames (the plan shows "
+        "several exchanges but all post-aggregate ones carry one row "
+        "per user)."
     ),
 )
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
