@@ -816,3 +816,73 @@ def semantic_dedup(
         assigned.join(dup.withColumn("__dup", F.lit(1)), id_col, "left")
         .select(id_col, "cluster", F.col("__dup").isNull().alias("kept"))
     )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Lloyd's k-means refinement with bit-reproducible arithmetic —
+    the IVF/SemDeDup centroid-training primitive as a first-class
+    operator instead of a seeding heuristic.
+
+    Initialized from the per-label exact-mean centroids, then
+    `iterations` rounds of: assign every vector to its nearest centroid
+    by cosine (deterministic argmax — ties break to the lowest cluster
+    id), recompute exact micro-scaled integer means per cluster. Both
+    steps are engine-agnostic: assignments compare identical doubles,
+    means are int64 sums divided once — so the fixed point after k
+    rounds is hash-pinnable, unlike float-accumulated k-means whose
+    centroids drift with partitioning.
+
+    A cluster that loses every member simply disappears (standard
+    Lloyd's degeneracy; callers needing constant k re-seed). Returns
+    the final update round's (cluster, pos, centroid_val, n_vectors)
+    rows — i.e. the centroids after `iterations` assignment-update
+    rounds, with the member count that produced each.
+
+    Scale: per round, one broadcast of the O(k x d) centroid table, a
+    map-side argmax per vector, and one (cluster, dim)-keyed exchange
+    whose size is independent of corpus size — the same per-round cost
+    profile MLlib's KMeans pays, with determinism MLlib does not give.
+    """
+    if iterations < 1:
+        raise ValueError("kmeans_refine needs iterations >= 1")
+    cents = label_centroid_vectors(emb, label_col, vec_col)
+    e = emb.select(id_col, as_double(vec_col).alias("__v"))
+    s = F.sum(F.round(F.col("__val") * 1000000).cast("long"))
+    for _ in range(iterations):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            F.col(label_col).alias("__cl"),
+            cosine(F.col("__v"), F.col("c")).alias("__cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("__cl"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "__cl")
+        )
+        cell = assigned.join(e, id_col).select(
+            "__cl", F.posexplode("__v").alias("pos", "__val")
+        )
+        per_cell = cell.groupBy("__cl", "pos").agg(
+            (s.cast("double") / 1000000.0 / F.count(F.lit(1))).alias("cv"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        cents = per_cell.groupBy("__cl").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda st: st["cv"],
+            ).alias("c")
+        ).withColumnRenamed("__cl", label_col)
+    # the last round's per-cell stats ARE the refined centroids
+    return per_cell.select(
+        F.col("__cl").alias("cluster"),
+        "pos",
+        F.col("cv").alias("centroid_val"),
+        F.col("__n").alias("n_vectors"),
+    )

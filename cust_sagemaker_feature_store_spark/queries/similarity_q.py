@@ -462,3 +462,75 @@ FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=SEMDEDUP_THRESHOLD)
+
+
+KMEANS_ITERATIONS = 2
+
+
+def _kmeans_oracle(iterations: int) -> str:
+    """Unrolled Lloyd's rounds as chained CTEs (the pagerank/hilbert
+    oracle pattern), generated from the same per-round structure as
+    operators/similarity.kmeans_refine."""
+    parts = [
+        """
+WITH cell0 AS (
+  SELECT label, t.idx - 1 AS pos, CAST(embedding[t.idx] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(idx)
+),
+cent0 AS (
+  SELECT label AS cluster, pos,
+         CAST(SUM(CAST(ROUND(v*1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS cv
+  FROM cell0 GROUP BY 1, 2
+),
+cvec0 AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM cent0 GROUP BY 1),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, cv.cluster,
+           list_dot_product(e.v, cv.c)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.c, cv.c))) AS cos
+    FROM e CROSS JOIN cvec{i - 1} cv)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) = 1
+),
+cell{i} AS (
+  SELECT a.cluster, t.idx - 1 AS pos, e.v[t.idx] AS val
+  FROM a{i} a JOIN e USING (vec_id),
+       unnest(generate_series(1, len(e.v))) AS t(idx)
+),
+cent{i} AS (
+  SELECT cluster, pos,
+         CAST(SUM(CAST(ROUND(val*1000000) AS BIGINT)) AS DOUBLE)/1000000.0/COUNT(*) AS cv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cell{i} GROUP BY 1, 2
+),
+cvec{i} AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM cent{i} GROUP BY 1)"""
+        )
+    parts.append(
+        f"""
+SELECT cluster, pos, cv AS centroid_val, n AS n_vectors
+FROM cent{iterations}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_kmeans_refined",
+    oracle=_kmeans_oracle(KMEANS_ITERATIONS),
+    description=(
+        "Lloyd's k-means refinement (2 rounds from the per-label "
+        "exact-mean seeds) with bit-reproducible arithmetic: "
+        "deterministic cosine argmax assignment, exact micro-scaled "
+        "integer means — the IVF/SemDeDup centroid-training primitive "
+        "whose fixed point the oracle pins hash-exactly (float-"
+        "accumulated k-means drifts with partitioning; this cannot). "
+        "Per round: one O(k x d) broadcast, map-side argmax, one "
+        "(cluster, dim)-keyed exchange independent of corpus size."
+    ),
+)
+def sim_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_refine(emb, iterations=KMEANS_ITERATIONS)
