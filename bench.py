@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "events_mad_outliers",
     "layout_hilbert_key",
     "pipeline_curate_v2",
+    "sim_kmeans_refined",
 ]
 
 
