@@ -504,3 +504,131 @@ def text_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("n_tokens"),
         F.concat_ws(" ", kept).alias("dropped_text"),
     )
+
+
+NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test fold
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({SQL_TOKS}) AS token FROM documents
+),
+train AS (SELECT * FROM tok WHERE doc_id % {NB_TEST_MOD} <> 0),
+test  AS (SELECT * FROM tok WHERE doc_id % {NB_TEST_MOD} = 0),
+prior AS (
+  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM train GROUP BY 1
+),
+vocab AS (SELECT DISTINCT token FROM train),
+vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+ctot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t FROM train GROUP BY 1),
+cnt AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n_tc
+  FROM train GROUP BY 1, 2
+),
+tt AS (
+  SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM test t JOIN vocab v ON t.token = v.token
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT tt.doc_id, p.lang,
+         ln(p.n_docs)
+         + SUM(tt.c * ln(COALESCE(cnt.n_tc, 0) + 1))
+         - SUM(tt.c) * ln(ctot.t + vsize.v) AS score
+  FROM tt
+  CROSS JOIN prior p
+  JOIN ctot ON ctot.lang = p.lang
+  CROSS JOIN vsize
+  LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.token = tt.token
+  GROUP BY tt.doc_id, p.lang, p.n_docs, ctot.t, vsize.v
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM sc
+),
+truth AS (
+  SELECT doc_id, lang AS true_lang FROM documents
+  WHERE doc_id % {NB_TEST_MOD} = 0
+)
+SELECT truth.true_lang, pred.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred JOIN truth USING (doc_id)
+WHERE rn = 1
+GROUP BY 1, 2
+""",
+    description=(
+        "Multinomial Naive Bayes language classifier, trained and "
+        "scored in one distributed plan (the counts-based classifier "
+        "every large-corpus pipeline can afford at 100 TB because "
+        "training IS aggregation): add-one-smoothed per-class token "
+        "log-likelihoods from exact int64 counts, held-out fold by "
+        "deterministic doc_id hash, argmax with a lexicographic "
+        "tie-break. Output is the integer confusion matrix — float "
+        "scores decide the argmax (min top-2 gap ~3e-4 at sf0.01, "
+        "9 decimal orders above cross-engine libm noise) but never "
+        "appear in the result, so the hash gate pins it exactly. "
+        "Scale: model state = (class x token) counts (vocabulary-"
+        "sized, map-side combined); scoring joins the token stream "
+        "to the model by token — no per-row driver state anywhere."
+    ),
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("token")
+    )
+    train = tok.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = tok.filter(F.col("doc_id") % NB_TEST_MOD == 0)
+
+    prior = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    vocab = train.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    ctot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    cnt = train.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("n_tc")
+    )
+    tt = (
+        test.join(vocab, "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sc = (
+        tt.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(ctot), "lang")
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["lang", "token"], "left")
+        .groupBy("doc_id", "lang", "n_docs", "t", "v")
+        .agg(
+            (
+                F.log(F.col("n_docs"))
+                + F.sum(
+                    F.col("c")
+                    * F.log(F.coalesce(F.col("n_tc"), F.lit(0)) + 1)
+                )
+                - F.sum("c") * F.log(F.col("t") + F.col("v"))
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang")
+    )
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    truth = docs.filter(F.col("doc_id") % NB_TEST_MOD == 0).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return pred.join(truth, "doc_id").groupBy(
+        "true_lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
