@@ -333,3 +333,192 @@ def ml_ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
         ).alias("r2"),
     )
+
+
+def _sql_corr(a: str, b: str) -> str:
+    """Pearson r from exact int sums, term-for-term IEEE mirror."""
+    return (
+        f"(nd*s{a}{b} - s{a}*s{b})"
+        f" / sqrt((nd*s{a}{a} - s{a}*s{a}) * (nd*s{b}{b} - s{b}*s{b}))"
+    )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(p AS HUGEINT)) AS sp,
+         SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(q AS HUGEINT)*q) AS sqq, SUM(CAST(p AS HUGEINT)*p) AS spp,
+         SUM(CAST(d AS HUGEINT)*d) AS sdd,
+         SUM(CAST(q AS HUGEINT)*p) AS sqp, SUM(CAST(q AS HUGEINT)*d) AS sqd,
+         SUM(CAST(p AS HUGEINT)*d) AS spd
+  FROM s GROUP BY 1
+),
+c AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         CAST(sq AS DOUBLE) AS sq, CAST(sp AS DOUBLE) AS sp,
+         CAST(sd AS DOUBLE) AS sd,
+         CAST(sqq AS DOUBLE) AS sqq, CAST(spp AS DOUBLE) AS spp,
+         CAST(sdd AS DOUBLE) AS sdd,
+         CAST(sqp AS DOUBLE) AS sqp, CAST(sqd AS DOUBLE) AS sqd,
+         CAST(spd AS DOUBLE) AS spd
+  FROM a
+)
+SELECT l_returnflag, n,
+       {_sql_corr('q', 'p')} AS corr_qty_price,
+       {_sql_corr('q', 'd')} AS corr_qty_disc,
+       {_sql_corr('p', 'd')} AS corr_price_disc
+FROM c
+""",
+    description=(
+        "[EXT] pairwise Pearson correlation matrix (quantity, "
+        "extendedprice, discount per return flag) from one pass of "
+        "exact sufficient statistics: per-row cent-grid int64s, "
+        "decimal(38,0) accumulation so squared-cent sums cannot wrap, "
+        "then the textbook r = (nSxy-SxSy)/sqrt((nSxx-Sx^2)(nSyy-Sy^2)) "
+        "in IEEE double, mirrored term-for-term (sqrt is correctly "
+        "rounded by the standard, so both engines emit identical "
+        "bits). The shuffle is 11 numbers per group regardless of "
+        "table size — the same distributed-ML sufficient-statistics "
+        "pattern as ml_ols_closed_form, widened to the full "
+        "covariance structure."
+    ),
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = (
+        li.select("l_returnflag", q.alias("q"), p.alias("p"), d.alias("d"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("q"))).alias("sq"),
+            F.sum(dec(F.col("p"))).alias("sp"),
+            F.sum(dec(F.col("d"))).alias("sd"),
+            F.sum(dec(F.col("q") * F.col("q"))).alias("sqq"),
+            F.sum(dec(F.col("p") * F.col("p"))).alias("spp"),
+            F.sum(dec(F.col("d") * F.col("d"))).alias("sdd"),
+            F.sum(dec(F.col("q") * F.col("p"))).alias("sqp"),
+            F.sum(dec(F.col("q") * F.col("d"))).alias("sqd"),
+            F.sum(dec(F.col("p") * F.col("d"))).alias("spd"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    v = {k: F.col(k).cast("double") for k in
+         ["sq", "sp", "sd", "sqq", "spp", "sdd", "sqp", "sqd", "spd"]}
+
+    def corr(x, y, xy, xx, yy):
+        return (nd * v[xy] - v[x] * v[y]) / F.sqrt(
+            (nd * v[xx] - v[x] * v[x]) * (nd * v[yy] - v[y] * v[y])
+        )
+
+    return a.select(
+        "l_returnflag",
+        "n",
+        corr("sq", "sp", "sqp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sq", "sd", "sqd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("sp", "sd", "spd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+CUST_BAL_CUT = -800
+SUPP_BAL_CUT = -200
+
+
+@register(
+    "join_full_outer_distress",
+    oracle=f"""
+WITH c AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+         {sql_dsum('c_acctbal', 2)} AS cust_bal
+  FROM customer WHERE c_acctbal < {CUST_BAL_CUT} GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+         {sql_dsum('s_acctbal', 2)} AS supp_bal
+  FROM supplier WHERE s_acctbal < {SUPP_BAL_CUT} GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(c.cust_bal, 0.0) AS cust_bal,
+       COALESCE(s.n_supp, 0) AS n_supp,
+       COALESCE(s.supp_bal, 0.0) AS supp_bal,
+       CASE WHEN c.nationkey IS NULL THEN 'supplier_only'
+            WHEN s.nationkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS coverage
+FROM c FULL OUTER JOIN s USING (nationkey)
+JOIN nation n ON n.n_nationkey = COALESCE(c.nationkey, s.nationkey)
+""",
+    description=(
+        "[EXT] FULL OUTER join surface (the one join type the rest of "
+        "the registry never exercises): distressed-balance customers "
+        "vs suppliers per nation, with NULL-side coalescing and a "
+        "coverage tag; thresholds chosen so all three coverage cases "
+        "are non-empty at the driver's sf0.01 gate. Both inputs "
+        "pre-aggregate to nation-sized frames before the outer join, "
+        "so the join itself is trivially broadcastable at any corpus "
+        "scale; USING-key coalescing is the standard Spark "
+        "full-outer idiom."
+    ),
+)
+def join_full_outer_distress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    c = (
+        cust.filter(F.col("c_acctbal") < CUST_BAL_CUT)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(F.col("c_acctbal"), 2).alias("cust_bal"),
+        )
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") < SUPP_BAL_CUT)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            dsum(F.col("s_acctbal"), 2).alias("supp_bal"),
+        )
+    )
+    cs = c.alias("c").join(
+        s.alias("s"),
+        F.col("c.nationkey") == F.col("s.nationkey"),
+        "full_outer",
+    )
+    coverage = (
+        F.when(F.col("c.nationkey").isNull(), F.lit("supplier_only"))
+        .when(F.col("s.nationkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    nk = F.coalesce(F.col("c.nationkey"), F.col("s.nationkey"))
+    return (
+        cs.select(
+            nk.alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("cust_bal"), F.lit(0.0)).alias("cust_bal"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+            F.coalesce(F.col("supp_bal"), F.lit(0.0)).alias("supp_bal"),
+            coverage.alias("coverage"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_cust", "cust_bal", "n_supp", "supp_bal", "coverage",
+        )
+    )
