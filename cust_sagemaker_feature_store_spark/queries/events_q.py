@@ -666,3 +666,141 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("row_n")).alias("p_transition"),
         )
     )
+
+
+SPINE_START, SPINE_END = "2024-01-01", "2024-01-31"
+
+
+@register(
+    "events_dense_spine",
+    oracle=f"""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '{SPINE_START}',
+                                     DATE '{SPINE_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {sql_dsum('value', 2)} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(days.day, '%Y-%m-%d') AS day, types.event_type,
+       COALESCE(daily.n_events, 0) AS n_events,
+       COALESCE(daily.total_value, 0.0) AS total_value
+FROM days CROSS JOIN types
+LEFT JOIN daily ON daily.day = days.day
+               AND daily.event_type = types.event_type
+""",
+    description=(
+        "[EXT] dense time spine: day x event-type grid generated by "
+        "sequence()+explode cross-joined against the observed type "
+        "set, daily aggregates left-joined on, gaps zero-filled — the "
+        "canonical gap-free series a downstream model or dashboard "
+        "needs (a plain GROUP BY silently drops empty days). The "
+        "spine is calendar-sized and the type set is tiny, so the "
+        "cross join and the left join's build side are both "
+        "broadcast; the only full-data pass is the map-side-combined "
+        "daily aggregate. Spine bounds cover the testdata's pinned "
+        "Jan-2024 window (TESTDATA.md)."
+    ),
+)
+def events_dense_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(SPINE_START).cast("date"),
+                F.lit(SPINE_END).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("total_value"),
+    )
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(F.broadcast(daily), ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+EWMA_K = 8  # trailing window; decay 0.8 = 4/5 per step
+# integer weights 4^j * 5^(K-1-j): w_j / sum(w) == 0.8^j renormalized,
+# so the whole EWMA is exact int64 arithmetic with ONE final division.
+EWMA_W = [4 ** j * 5 ** (EWMA_K - 1 - j) for j in range(EWMA_K)]
+
+
+@register(
+    "events_ewma_window",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         {' , '.join(
+             f"LAG(CAST(ROUND(value * 100) AS BIGINT), {j}) OVER "
+             f"(PARTITION BY user_id ORDER BY ts, event_id) AS c{j}"
+             for j in range(1, EWMA_K)
+         )}
+  FROM s0
+)
+SELECT event_id, user_id,
+       CAST(({' + '.join(
+            f"CASE WHEN c{j} IS NULL THEN 0 ELSE {EWMA_W[j]} * c{j} END"
+            if j else f"{EWMA_W[0]} * c"
+            for j in range(EWMA_K)
+        )}) AS DOUBLE)
+       / ({' + '.join(
+            f"CASE WHEN c{j} IS NULL THEN 0 ELSE {EWMA_W[j]} END"
+            if j else f"{EWMA_W[0]}"
+            for j in range(EWMA_K)
+        )})
+       / 100.0 AS ewma_value
+FROM s
+""".replace("FROM s0", "FROM events"),
+    description=(
+        "[EXT] trailing exponentially-weighted moving average per user "
+        "(decay 0.8 over the last 8 events, re-normalized over the "
+        "weights actually present near series heads) — the bounded-"
+        "window EWMA feature a streaming feature store materializes. "
+        "Exactness without rounding: 0.8^j is rational (4/5)^j, so "
+        "integer weights 4^j*5^(K-1-j) make numerator and denominator "
+        "exact int64 sums; the single final division produces the "
+        "identical double in both engines (a naive double-weight sum "
+        "differed by 1 ulp on 3 of 10k rows — FMA contraction). One "
+        "shuffle (the per-user window sort); the K lag columns are "
+        "one WindowExec pass, not K self-joins."
+    ),
+)
+def events_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    s = ev.select(
+        "event_id", "user_id",
+        c.alias("c"),
+        *[F.lag(c, j).over(w).alias(f"c{j}") for j in range(1, EWMA_K)],
+    )
+    num = F.lit(EWMA_W[0]) * F.col("c")
+    den = F.lit(EWMA_W[0])
+    for j in range(1, EWMA_K):
+        present = F.col(f"c{j}").isNotNull()
+        num = num + F.when(
+            present, F.lit(EWMA_W[j]) * F.col(f"c{j}")
+        ).otherwise(F.lit(0))
+        den = den + F.when(present, F.lit(EWMA_W[j])).otherwise(F.lit(0))
+    return s.select(
+        "event_id", "user_id",
+        (num.cast("double") / den / F.lit(100.0)).alias("ewma_value"),
+    )
