@@ -1389,3 +1389,59 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total") * F.col("total")).cast("double")
         ).alias("collision_prob"),
     )
+
+
+WSAMPLE_K = 50
+_WS_MOD = 1_000_000  # hash-uniform grid: u = (h+1)/(MOD+1) in (0,1)
+
+
+@register(
+    "sample_weighted_docs",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ln(CAST((doc_id * 2654435761) % {_WS_MOD} + 1 AS DOUBLE)
+            / {_WS_MOD + 1}) / n_chars AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS sample_rank
+  FROM k
+)
+SELECT doc_id, n_chars, sample_rank FROM r
+WHERE sample_rank <= {WSAMPLE_K}
+""",
+    description=(
+        "[EXT] weighted sampling without replacement (Efraimidis-"
+        "Spirakis 2006, public methodology): each doc draws a "
+        "deterministic hash-uniform u and is ranked by ln(u)/w with "
+        "w = n_chars, so inclusion probability is proportional to "
+        "size — the quality/length-weighted subsample a mixture "
+        "builder takes from a 100 TB corpus. rand()-free, so the "
+        "sample is reproducible across engines, reruns and "
+        "partitionings; ln only orders the top-k (keys are ~1e-3 "
+        "apart, 13 orders above libm noise) and no float reaches "
+        "the output. Executes as TakeOrderedAndProject over a "
+        "narrow map — no full sort, no shuffle of the corpus."
+    ),
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % _WS_MOD + 1).cast("double")
+        / F.lit(float(_WS_MOD + 1))
+    )
+    k = docs.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("key")
+    )
+    # top-k first (TakeOrderedAndProject — per-partition heads merged
+    # on the driver, no global sort / single-task window), THEN rank
+    # the k-row result; a global row_number window over the corpus
+    # would be one task holding every row.
+    top = k.orderBy(F.col("key").desc(), "doc_id").limit(WSAMPLE_K)
+    w = Window.orderBy(F.col("key").desc(), "doc_id")
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w))
+        .select("doc_id", "n_chars", "sample_rank")
+    )
