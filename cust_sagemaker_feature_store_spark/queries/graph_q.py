@@ -79,3 +79,102 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_scaled",
         (F.col("rank_scaled").cast("double") / float(_SCALE)).alias("pagerank"),
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle="""
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+e AS (SELECT s AS u, d AS v FROM und WHERE s < d),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1),
+deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY 1)
+SELECT deg.node AS part_key, deg.degree,
+       COALESCE(t.n_tri, 0) AS n_triangles,
+       CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+         / (deg.degree * (deg.degree - 1)) AS clustering_coeff
+FROM deg LEFT JOIN t ON t.node = deg.node
+WHERE deg.degree >= 2
+""",
+    description=(
+        "[EXT] per-node local clustering coefficient on the part "
+        "co-purchase graph (Watts-Strogatz 1998, public methodology) "
+        "— the community-density signal that separates parts bought "
+        "in coherent bundles from promiscuous hubs. Triangles come "
+        "from the canonical oriented (u<v) two-hop join — each "
+        "triangle enumerated exactly once, then credited to all "
+        "three corners — so per-task work is bounded by out-degree, "
+        "never a node's full neighborhood; degrees come from the "
+        "undirected edge list; the coefficient 2T/(d(d-1)) is one "
+        "exact int64 division. Same 2-shuffle scaling as the global "
+        "triangle count, with a node-sized output."
+    ),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    e = und.filter(F.col("s") < F.col("d")).select(
+        F.col("s").alias("u"), F.col("d").alias("v")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    t = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(t, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("node").alias("part_key"),
+            "degree",
+            n_tri.alias("n_triangles"),
+            (
+                (2 * n_tri).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("clustering_coeff"),
+        )
+    )

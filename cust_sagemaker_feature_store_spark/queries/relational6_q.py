@@ -375,3 +375,98 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         hilbert_value(F.col("o_custkey"), day).alias("hval"),
     )
+
+
+DQ_DATE_LO, DQ_DATE_HI = "1995-01-01", "2000-12-31"
+DQ_PRICE_FLOOR = 1100.0
+
+
+@register(
+    "dq_profile_orders",
+    oracle=f"""
+WITH base AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS rows_total,
+    CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS orderkey_nulls,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS orderkey_dupes,
+    CAST(COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice < {DQ_PRICE_FLOOR})
+         AS BIGINT) AS price_below_floor,
+    CAST(COUNT(*) FILTER (o_orderdate < TIMESTAMP '{DQ_DATE_LO}'
+                          OR o_orderdate > TIMESTAMP '{DQ_DATE_HI}')
+         AS BIGINT) AS date_out_of_range,
+    CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+         AS BIGINT) AS status_domain_violations
+  FROM orders
+),
+orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+  WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'rows_total' AS check_name, rows_total AS n FROM base
+UNION ALL SELECT 'orderkey_nulls', orderkey_nulls FROM base
+UNION ALL SELECT 'orderkey_dupes', orderkey_dupes FROM base
+UNION ALL SELECT 'price_below_floor', price_below_floor FROM base
+UNION ALL SELECT 'date_out_of_range', date_out_of_range FROM base
+UNION ALL SELECT 'status_domain_violations', status_domain_violations FROM base
+UNION ALL SELECT 'custkey_orphans', n FROM orphans
+""",
+    description=(
+        "[EXT] declarative data-quality profile (the Deequ-style "
+        "expectation suite a 100 TB ingest gate runs before "
+        "publishing a table): completeness (null counts), uniqueness "
+        "(key duplicate count), range plausibility (price floor, "
+        "date window), domain membership (status codes), and "
+        "referential integrity (FK orphans via anti join). All "
+        "row-level checks fold into ONE map-side-combined pass over "
+        "the fact table — conditional aggregates, not per-check "
+        "scans — and the FK check is a key-only left-anti join; the "
+        "output is check-count rows regardless of table size. "
+        "Thresholds are chosen so the profile is non-vacuous at "
+        "sf0.01 (date/price checks fire; null/dupe/orphan checks "
+        "prove absence)."
+    ),
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    base = orders.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        cnt(F.col("o_orderkey").isNull()).alias("orderkey_nulls"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("orderkey_dupes"),
+        cnt(
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") < DQ_PRICE_FLOOR)
+        ).alias("price_below_floor"),
+        cnt(
+            (F.col("o_orderdate") < F.lit(DQ_DATE_LO).cast("timestamp"))
+            | (F.col("o_orderdate") > F.lit(DQ_DATE_HI).cast("timestamp"))
+        ).alias("date_out_of_range"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "status_domain_violations"
+        ),
+    )
+    checks = base.selectExpr(
+        "stack(6, "
+        "'rows_total', rows_total, "
+        "'orderkey_nulls', orderkey_nulls, "
+        "'orderkey_dupes', orderkey_dupes, "
+        "'price_below_floor', price_below_floor, "
+        "'date_out_of_range', date_out_of_range, "
+        "'status_domain_violations', status_domain_violations"
+        ") AS (check_name, n)"
+    )
+    orphans = (
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("custkey_orphans").alias("check_name"), "n")
+    )
+    return checks.unionByName(orphans)
