@@ -804,3 +804,159 @@ def events_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         (num.cast("double") / den / F.lit(100.0)).alias("ewma_value"),
     )
+
+
+ANOM_K2 = 4  # flag |z| > 2: (x*n - S)^2 > K^2 * (n*SS - S^2)
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+keyed AS (
+  SELECT *, (day - DATE '1970-01-01') % 7 AS dow FROM daily
+),
+base AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s, SUM(CAST(x AS HUGEINT) * x) AS ss
+  FROM keyed GROUP BY 1, 2
+)
+SELECT k.event_type, strftime(k.day, '%Y-%m-%d') AS day, k.x AS n_events,
+       (CAST(k.x * b.n - b.s AS HUGEINT) * (k.x * b.n - b.s))
+         > """ + str(ANOM_K2) + """ * (b.n * b.ss - CAST(b.s AS HUGEINT) * b.s)
+         AS is_anomaly
+FROM keyed k JOIN base b ON k.event_type = b.event_type AND k.dow = b.dow
+""",
+    description=(
+        "[EXT] seasonal anomaly detection on the event stream: daily "
+        "counts per event type are scored against their day-of-week "
+        "baseline (weekday seasonality), flagging days where the "
+        "squared deviation exceeds K^2 times the population variance — "
+        "i.e. |z| > 2 — computed ENTIRELY in cross-multiplied integer "
+        "arithmetic ((x*n - S)^2 > K^2*(n*SS - S^2)), so there is no "
+        "float epsilon and both engines agree exactly. Day-of-week is "
+        "derived as epoch-days mod 7 (engine-neutral, no locale). Two "
+        "tiny shuffles over a calendar-sized frame; the only full-data "
+        "pass is the map-side-combined daily count. The same rewrite "
+        "is how a 100 TB monitor avoids per-row float z-scores: the "
+        "baseline is 7 rows per series, broadcastable everywhere."
+    ),
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    keyed = daily.withColumn(
+        "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = keyed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("ss"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("s")
+    return keyed.join(F.broadcast(base), ["event_type", "dow"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("n_events"),
+        (
+            dec(dev) * dev
+            > F.lit(ANOM_K2) * (F.col("n") * F.col("ss") - dec(F.col("s")) * F.col("s"))
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "events_active_sessions_peak",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM gaps
+), intervals AS (
+  SELECT user_id, session_id,
+         epoch_us(MIN(ts)) // 60000000 AS m0,
+         epoch_us(MAX(ts)) // 60000000 AS m1
+  FROM sessions GROUP BY 1, 2
+), minutes AS (
+  SELECT UNNEST(range(m0, m1 + 1)) AS minute FROM intervals
+), per_min AS (
+  SELECT minute, CAST(COUNT(*) AS BIGINT) AS active,
+         CAST(minute // 1440 AS BIGINT) AS epoch_day
+  FROM minutes GROUP BY 1
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY epoch_day ORDER BY active DESC, minute) AS rn
+  FROM per_min
+)
+SELECT strftime(DATE '1970-01-01' + CAST(epoch_day AS INTEGER), '%Y-%m-%d') AS day,
+       strftime(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL (minute) MINUTE,
+                '%Y-%m-%dT%H:%M:%SZ') AS peak_minute,
+       active AS peak_active
+FROM ranked WHERE rn = 1
+""",
+    description=(
+        "[EXT] interval-overlap analytics: per calendar day, the "
+        "minute-granularity peak of concurrently active sessions (gap-"
+        "based sessions from events_sessionize, exploded onto a minute "
+        "spine, counted per minute, window-argmaxed per day with the "
+        "earliest-minute tie-break). The minute-bucket formulation is "
+        "the distributed-friendly rewrite of the classic sweep-line "
+        "max-overlap: a global ordered cumulative sum would serialize "
+        "on one task, while bucket counting is a plain hash shuffle "
+        "that scales with executors; precision is the bucket width, "
+        "chosen at the resolution dashboards actually read. Explode "
+        "factor is bounded by session length in minutes."
+    ),
+)
+def events_active_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(to_ltz("ts"))
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > SESSION_GAP_US, F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = gaps.withColumn("session_id", F.sum("new_session").over(run))
+    intervals = sessions.groupBy("user_id", "session_id").agg(
+        F.floor(F.unix_micros(to_ltz(F.min("ts"))) / F.lit(60_000_000)).alias("m0"),
+        F.floor(F.unix_micros(to_ltz(F.max("ts"))) / F.lit(60_000_000)).alias("m1"),
+    )
+    per_min = (
+        intervals.select(F.explode(F.sequence("m0", "m1")).alias("minute"))
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("active"))
+        .withColumn("epoch_day", F.floor(F.col("minute") / F.lit(1440)))
+    )
+    rank_w = Window.partitionBy("epoch_day").orderBy(
+        F.col("active").desc(), F.col("minute")
+    )
+    return (
+        per_min.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.col("epoch_day").cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            iso(F.timestamp_seconds(F.col("minute") * 60)).alias("peak_minute"),
+            F.col("active").alias("peak_active"),
+        )
+    )

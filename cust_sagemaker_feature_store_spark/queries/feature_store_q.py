@@ -967,3 +967,170 @@ def fs_multi_group_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso("o_orderdate").alias("last_order_time"),
         F.col("o_totalprice").alias("last_order_price"),
     )
+
+
+TTL_ASOF = "2024-01-15 00:00:00"
+TTL_EXPIRY = "2024-01-12 00:00:00"  # as-of minus the 3-day TtlDuration
+
+
+@register(
+    "fs_ttl_snapshot",
+    oracle=f"""
+SELECT user_id, event_id, event_type, value, {sql_iso('ts')} AS event_time
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '{TTL_ASOF}' AND ts > TIMESTAMP '{TTL_EXPIRY}'
+) WHERE rn = 1
+""",
+    description=(
+        "[EXT] online snapshot with record TTL (SageMaker online-store "
+        "TtlDuration semantics, public API: records expire TtlDuration "
+        "after their event time and vanish from GetRecord): the view AS "
+        "OF an instant contains the latest record per key among records "
+        "younger than the TTL; keys whose freshest record has expired "
+        "are absent entirely. Because event times are scanned, not "
+        "stored-state, the filter composes with the same single "
+        "window pass as fs_snapshot_asof — the TTL predicate is pushed "
+        "to the parquet scan, so expired history is never shuffled."
+    ),
+)
+def fs_ttl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") <= F.lit(TTL_ASOF).cast("timestamp"))
+        & (F.col("ts") > F.lit(TTL_EXPIRY).cast("timestamp"))
+    )
+    latest = latest_snapshot_window(ev, "user_id", "ts", tie_breaker="event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
+    )
+
+
+DRIFT_SPLIT = "2024-01-16 00:00:00"  # reference window | current window
+DRIFT_BINS = 10
+DRIFT_BIN_WIDTH = 50.0  # value spans [0, 500) across all SFs
+
+
+@register(
+    "fs_feature_drift_psi",
+    oracle=f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(FLOOR(value / {DRIFT_BIN_WIDTH}) AS BIGINT) AS bin,
+         CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+spine AS (
+  SELECT DISTINCT b.event_type, s.bin
+  FROM binned b CROSS JOIN (SELECT UNNEST(range({DRIFT_BINS})) AS bin) s
+),
+cnt AS (
+  SELECT event_type, bin,
+         SUM(is_ref) AS n_ref, SUM(1 - is_ref) AS n_cur
+  FROM binned GROUP BY 1, 2
+),
+dense AS (
+  SELECT s.event_type, s.bin,
+         CAST(COALESCE(c.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(c.n_cur, 0) AS BIGINT) AS n_cur
+  FROM spine s LEFT JOIN cnt c
+    ON s.event_type = c.event_type AND s.bin = c.bin
+),
+tot AS (
+  SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+  FROM dense GROUP BY 1
+),
+term AS (
+  SELECT d.event_type, d.n_ref, d.n_cur, t.t_ref, t.t_cur,
+         (CAST(d.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + {DRIFT_BINS} AS DOUBLE)) AS p,
+         (CAST(d.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + {DRIFT_BINS} AS DOUBLE)) AS q
+  FROM dense d JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+       SUM(CAST(ROUND((p - q) * ln(p / q) * 1000000000) AS BIGINT)) / 1000000000.0 AS psi,
+       CAST(SUM(ABS(n_ref * t_cur - n_cur * t_ref)) AS DOUBLE)
+         / (2.0 * MAX(t_ref) * MAX(t_cur)) AS tvd
+FROM term
+GROUP BY event_type
+""",
+    description=(
+        "[EXT] feature drift monitor per feature group (the Model-"
+        "Monitor-style data-quality check a feature store runs between "
+        "a training reference window and the serving window): events."
+        "value is binned on a fixed grid, and per event_type the "
+        "Population Stability Index (Laplace-smoothed, sum of "
+        "(p-q)*ln(p/q) over a DENSE bin spine so empty bins count) and "
+        "the exact total-variation distance (integer cross-multiplied "
+        "|n_ref*T_cur - n_cur*T_ref| — no float summation order "
+        "anywhere) come out of one scan + one vocabulary-sized shuffle. "
+        "PSI per-bin terms are rounded to a 1e-9 grid and summed as "
+        "int64 so both engines agree bit-for-bit; output is "
+        "#event_types rows regardless of corpus size."
+    ),
+)
+def fs_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.floor(F.col("value") / DRIFT_BIN_WIDTH).cast("long").alias("bin"),
+        F.when(
+            F.col("ts") < F.lit(DRIFT_SPLIT).cast("timestamp"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_ref"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+    )
+    spine = (
+        binned.select("event_type").distinct()
+        .crossJoin(
+            ev.sparkSession.range(DRIFT_BINS).select(F.col("id").alias("bin"))
+        )
+    )
+    dense = (
+        spine.join(cnt, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + DRIFT_BINS
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + DRIFT_BINS
+    ).cast("double")
+    term = dense.join(tot, "event_type").select(
+        "event_type", "n_ref", "n_cur", "t_ref", "t_cur",
+        p.alias("p"), q.alias("q"),
+    )
+    return term.groupBy("event_type").agg(
+        F.max("t_ref").cast("long").alias("n_ref"),
+        F.max("t_cur").cast("long").alias("n_cur"),
+        (
+            F.sum(
+                F.round(
+                    (F.col("p") - F.col("q"))
+                    * F.log(F.col("p") / F.col("q"))
+                    * F.lit(1_000_000_000)
+                ).cast("long")
+            )
+            / F.lit(1_000_000_000.0)
+        ).alias("psi"),
+        (
+            F.sum(
+                F.abs(
+                    F.col("n_ref") * F.col("t_cur")
+                    - F.col("n_cur") * F.col("t_ref")
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / (F.lit(2.0) * F.max("t_ref") * F.max("t_cur"))
+        ).alias("tvd"),
+    )
