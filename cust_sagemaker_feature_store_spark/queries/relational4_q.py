@@ -522,3 +522,254 @@ def join_full_outer_distress(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cust", "cust_bal", "n_supp", "supp_bal", "coverage",
         )
     )
+
+
+@register(
+    "agg_chi_squared",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT pri, SUM(o) AS r FROM cells GROUP BY 1),
+ct AS (SELECT st, SUM(o) AS c FROM cells GROUP BY 1),
+n AS (SELECT SUM(o) AS n FROM cells),
+term AS (
+  SELECT cells.o,
+         CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+  FROM cells JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN n
+)
+SELECT SUM(CAST(ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                       * 1000000000) AS BIGINT)) / 1000000000.0 AS chi2,
+       CAST((SELECT (COUNT(DISTINCT pri) - 1) * (COUNT(DISTINCT st) - 1)
+             FROM cells) AS BIGINT) AS dof,
+       (SELECT CAST(n AS BIGINT) FROM n) AS n
+FROM term
+""",
+    description=(
+        "[EXT] chi-squared test of independence (o_orderpriority x "
+        "o_orderstatus): observed cell counts from one map-side-"
+        "combined pass, expected counts row_total*col_total/N, "
+        "statistic = sum (o-e)^2/e with each cell's term rounded to a "
+        "1e-9 grid and summed as int64 (bit-stable across engines and "
+        "summation orders). The contingency table is "
+        "|priorities|x|statuses| rows — KBs however large the fact "
+        "table — so marginals and the statistic are driver-trivial "
+        "joins on a broadcast-sized frame; the data-sized work is "
+        "exactly one aggregate scan. The categorical-association "
+        "screen feature selection runs over 100 TB of labels."
+    ),
+)
+def agg_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("pri").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("st").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    od = F.col("o").cast("double")
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast(
+        "double"
+    )
+    term = (
+        cells.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(n))
+        .select("o", "pri", "st", e.alias("e"))
+    )
+    dof = cells.agg(
+        (
+            (F.count_distinct("pri") - 1) * (F.count_distinct("st") - 1)
+        ).cast("long").alias("dof")
+    )
+    chi2 = term.agg(
+        (
+            F.sum(
+                F.round(
+                    (F.col("o").cast("double") - F.col("e"))
+                    * (F.col("o").cast("double") - F.col("e"))
+                    / F.col("e")
+                    * F.lit(1_000_000_000)
+                ).cast("long")
+            )
+            / F.lit(1_000_000_000.0)
+        ).alias("chi2")
+    )
+    return chi2.crossJoin(dof).crossJoin(n.select(F.col("n").cast("long").alias("n")))
+
+
+RIDGE_LAMBDA = 1_000_000.0  # on the 100-scaled integer grid (= 100 raw units^2)
+
+
+@register(
+    "ml_ridge_closed_form",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x1 AS HUGEINT)*x1) AS s11, SUM(CAST(x2 AS HUGEINT)*x2) AS s22,
+         SUM(CAST(x1 AS HUGEINT)*x2) AS s12,
+         SUM(CAST(x1 AS HUGEINT)*y) AS s1y, SUM(CAST(x2 AS HUGEINT)*y) AS s2y
+  FROM s GROUP BY 1
+),
+d AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(sy AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS s11,
+         CAST(s22 AS DOUBLE) AS s22, CAST(s12 AS DOUBLE) AS s12,
+         CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y
+  FROM a
+),
+c AS (
+  SELECT l_returnflag, n, nd, s1, s2, sy,
+         s11 - s1*s1/nd AS c11, s22 - s2*s2/nd AS c22,
+         s12 - s1*s2/nd AS c12, s1y - s1*sy/nd AS c1y,
+         s2y - s2*sy/nd AS c2y
+  FROM d
+),
+f AS (
+  SELECT l_returnflag, n, nd, s1, s2, sy,
+         ((c22 + {RIDGE_LAMBDA}) * c1y - c12 * c2y)
+           / ((c11 + {RIDGE_LAMBDA}) * (c22 + {RIDGE_LAMBDA}) - c12 * c12)
+           AS slope_qty,
+         ((c11 + {RIDGE_LAMBDA}) * c2y - c12 * c1y)
+           / ((c11 + {RIDGE_LAMBDA}) * (c22 + {RIDGE_LAMBDA}) - c12 * c12)
+           AS slope_disc
+  FROM c
+)
+SELECT l_returnflag, n, slope_qty, slope_disc,
+       (sy - slope_qty*s1 - slope_disc*s2) / nd / 100.0 AS intercept
+FROM f
+""",
+    description=(
+        "[EXT] closed-form ridge regression (l_extendedprice ~ "
+        "l_quantity + l_discount per return flag, L2 penalty on the "
+        "centered 2x2 normal equations, intercept unpenalized): one "
+        "pass computes exact micro-scaled int64/decimal sufficient "
+        "statistics, then the 2x2 Cramer solve with (C + lambda*I) in "
+        "IEEE double, mirrored term-for-term in the oracle. Extends "
+        "ml_ols_closed_form to multivariate + regularized — still the "
+        "distributed-ML shape where the shuffle is 10 numbers per "
+        "group no matter how many rows were scanned, and lambda "
+        "guards the near-collinear case that makes plain OLS blow up."
+    ),
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.round(F.col("l_quantity") * 100).cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = li.select(
+        "l_returnflag", x1.alias("x1"), x2.alias("x2"), y.alias("y")
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x1"))).alias("s1"),
+        F.sum(dec(F.col("x2"))).alias("s2"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).alias("s11"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).alias("s22"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).alias("s12"),
+        F.sum(dec(F.col("x1") * F.col("y"))).alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    sy = F.col("sy").cast("double")
+    c11 = F.col("s11").cast("double") - s1 * s1 / nd
+    c22 = F.col("s22").cast("double") - s2 * s2 / nd
+    c12 = F.col("s12").cast("double") - s1 * s2 / nd
+    c1y = F.col("s1y").cast("double") - s1 * sy / nd
+    c2y = F.col("s2y").cast("double") - s2 * sy / nd
+    lam = F.lit(RIDGE_LAMBDA)
+    det = (c11 + lam) * (c22 + lam) - c12 * c12
+    b1 = ((c22 + lam) * c1y - c12 * c2y) / det
+    b2 = ((c11 + lam) * c2y - c12 * c1y) / det
+    return a.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        b1.alias("slope_qty"),
+        b2.alias("slope_disc"),
+        ((sy - b1 * s1 - b2 * s2) / nd / F.lit(100.0)).alias("intercept"),
+    )
+
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "agg_key_skew_profile",
+    oracle=f"""
+WITH per_key AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS total, COUNT(*) AS n_keys FROM per_key),
+top AS (
+  SELECT o_custkey, n_orders,
+         row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rank
+  FROM per_key
+  QUALIFY rank <= {SKEW_TOP_K}
+)
+SELECT rank, o_custkey, n_orders,
+       CAST(n_orders AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share,
+       CAST(SUM(n_orders) OVER (ORDER BY rank) AS DOUBLE)
+         / CAST(tot.total AS DOUBLE) AS cum_share,
+       CAST(tot.n_keys AS BIGINT) AS n_keys
+FROM top CROSS JOIN tot
+""",
+    description=(
+        "[EXT] shuffle-skew diagnosis: the top-10 heaviest join keys "
+        "(orders per o_custkey), each with its share and cumulative "
+        "share of all rows plus the total key cardinality — exactly "
+        "the profile that decides between a plain hash join, AQE skew "
+        "splitting, or the salted operators in operators/skew.py. The "
+        "heavy-hitter extraction is orderBy+limit (TakeOrderedAndProject "
+        "— per-partition top-k then a 10-row driver merge, never a "
+        "global sort), the totals are a scalar aggregate, and the "
+        "cumulative window runs over 10 rows; nothing keys-cardinality-"
+        "sized is ever single-tasked."
+    ),
+)
+def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = per_key.agg(
+        F.sum("n_orders").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = per_key.orderBy(F.col("n_orders").desc(), "o_custkey").limit(SKEW_TOP_K)
+    rank_w = Window.orderBy(F.col("n_orders").desc(), "o_custkey")
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .select(
+            "rank",
+            "o_custkey",
+            "n_orders",
+            (
+                F.col("n_orders").cast("double") / F.col("total").cast("double")
+            ).alias("share"),
+            (
+                F.sum("n_orders").over(cum_w).cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+    )
