@@ -886,3 +886,62 @@ def kmeans_refine(
         F.col("cv").alias("centroid_val"),
         F.col("__n").alias("n_vectors"),
     )
+
+
+# -- PCA top component over the distributed Gram ------------------------
+
+def pca_top_component(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 200,
+):
+    """Top principal direction of the (uncentered) second-moment matrix
+    XᵀX via power iteration on the EXACT distributed Gram from
+    `gram_matrix` — the embedding-whitening / dominant-direction
+    primitive (e.g. the all-but-the-top anisotropy correction for text
+    embeddings).
+
+    The data-sized work is entirely the gram_matrix reduction (one
+    int64 matmul per partition, O(partitions·d²) shuffle); only the
+    d(d+1)/2 exact cells reach the driver, where fixed-start
+    (1/√d,...) power iteration runs on the d×d matrix — microseconds
+    for any realistic embedding width, and deterministic because the
+    start vector, iteration count and input are all pinned. Returns
+    (eigvec, eigval, gram) with eigval in the micro-scaled integer
+    units of gram_matrix (scale² × raw units²).
+    """
+    import numpy as np
+
+    cells = gram_matrix(embeddings, id_col=id_col, vec_col=vec_col).collect()
+    d = max(r["j"] for r in cells) + 1
+    G = np.zeros((d, d))
+    for r in cells:
+        G[r["i"], r["j"]] = r["gram_scaled"]
+        G[r["j"], r["i"]] = r["gram_scaled"]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = G @ v
+        nw = np.linalg.norm(w)
+        if nw == 0.0:  # zero matrix: any direction is an eigenvector
+            break
+        v = w / nw
+    # Rayleigh-quotient inverse iteration polish: power iteration alone
+    # converges like (λ₂/λ₁)^k — useless when the spectrum is flat
+    # (embedding second-moment matrices routinely have λ₂/λ₁ > 0.98) —
+    # while RQI is cubically convergent once power iteration lands in
+    # the right basin. (G - λI) going singular IS convergence: solve
+    # blows up toward the eigenvector, and the renormalized result is
+    # still what we want, so a LinAlgError just stops early.
+    for _ in range(8):
+        lam = float(v @ (G @ v))
+        try:
+            w = np.linalg.solve(G - lam * np.eye(d), v)
+        except np.linalg.LinAlgError:
+            break
+        nw = np.linalg.norm(w)
+        if not np.isfinite(nw) or nw == 0.0:
+            break
+        v = w / nw
+    lam = float(v @ (G @ v))
+    return v, lam, G

@@ -539,3 +539,56 @@ def fn_datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_95"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
     )
+
+
+HLL_SPLIT = "2024-01-16 00:00:00"
+HLL_REL_TOL = 0.05  # lgConfigK=12 gives ~1.6% standard error
+
+
+@register(
+    "agg_hll_merge_floor",
+    oracle="""
+SELECT 'union_merge_equals_direct' AS check_name, TRUE AS guarantee_ok
+UNION ALL
+SELECT 'estimate_within_tol' AS check_name, TRUE AS guarantee_ok
+""",
+    description=(
+        "[EXT] mergeability floor for the HLL distinct-count sketch "
+        "(DataSketches HllSketch via hll_sketch_agg/hll_union_agg/"
+        "hll_sketch_estimate): sketching each half of the event stream "
+        "separately and UNIONING the two sketches must estimate "
+        "exactly what one direct sketch over the whole stream "
+        "estimates (HLL union is an elementwise register max, so "
+        "partial sketches lose nothing) — THE property that lets a "
+        "100 TB pipeline pre-aggregate per-partition/per-day sketches "
+        "and fold them into any rollup later without rescanning — and "
+        "the merged estimate must sit within 5%% of the exact distinct "
+        "count (lgK=12 standard error is ~1.6%%). Both booleans are "
+        "computed in-engine and pinned TRUE by the oracle; a sketch/"
+        "union regression hash-mismatches. Complements the HLL "
+        "accuracy floor (agg_approx_distinct_floor), which checks "
+        "accuracy only, not re-aggregation."
+    ),
+)
+def agg_hll_merge_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.withColumn(
+        "half",
+        (F.col("ts") < F.lit(HLL_SPLIT).cast("timestamp")).cast("int"),
+    )
+    per_half = halves.groupBy("half").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_half.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).head()["est"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).head()["est"]
+    exact = ev.agg(F.count_distinct("user_id").alias("n")).head()["n"]
+    merge_ok = bool(merged == direct)
+    tol_ok = bool(abs(merged - exact) <= HLL_REL_TOL * exact)
+    return spark.createDataFrame(
+        [("union_merge_equals_direct", merge_ok), ("estimate_within_tol", tol_ok)],
+        "check_name string, guarantee_ok boolean",
+    )

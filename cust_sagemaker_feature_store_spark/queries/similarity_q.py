@@ -534,3 +534,37 @@ FROM cent{iterations}"""
 def sim_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_refine(emb, iterations=KMEANS_ITERATIONS)
+
+
+@register(
+    "sim_pca_power_floor",
+    oracle="""
+SELECT 'residual' AS check_name, TRUE AS guarantee_ok
+UNION ALL
+SELECT 'rayleigh_bounds' AS check_name, TRUE AS guarantee_ok
+""",
+    description=(
+        "[EXT] driver-visible guarantee floor for the distributed-PCA "
+        "primitive (operators/similarity.pca_top_component): the top "
+        "eigenpair of X^T X computed by power iteration over the EXACT "
+        "distributed Gram must satisfy ||Gv - lambda*v|| <= 1e-9 * "
+        "lambda (convergence residual) and 0 < lambda <= trace(G) "
+        "(Rayleigh bounds — the top eigenvalue of a PSD matrix). The "
+        "oracle pins both booleans, so a regression in gram_matrix, "
+        "the scaling, or the iteration hash-mismatches. Scale shape: "
+        "the corpus-sized work is the gram reduction; the driver only "
+        "ever sees d(d+1)/2 cells."
+    ),
+)
+def sim_pca_power_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, lam, G = S.pca_top_component(emb)
+    residual = float(np.linalg.norm(G @ v - lam * v))
+    res_ok = bool(residual <= 1e-9 * lam)
+    ray_ok = bool(0.0 < lam <= float(np.trace(G)) + 1e-9 * lam)
+    return spark.createDataFrame(
+        [("residual", res_ok), ("rayleigh_bounds", ray_ok)],
+        "check_name string, guarantee_ok boolean",
+    )

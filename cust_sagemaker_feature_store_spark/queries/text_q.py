@@ -1445,3 +1445,95 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("sample_rank", F.row_number().over(w))
         .select("doc_id", "n_chars", "sample_rank")
     )
+
+
+@register(
+    "text_kl_domain_shift",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, UNNEST({SQL_TOKS}) AS token FROM documents
+),
+st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_st
+  FROM tok GROUP BY 1, 2
+),
+gtok AS (
+  SELECT token, SUM(n_st) AS n_t FROM st GROUP BY 1
+),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, SUM(n_t) AS t FROM gtok),
+stot AS (SELECT source, SUM(n_st) AS t_s FROM st GROUP BY 1),
+spine AS (
+  SELECT s.source, g.token, g.n_t
+  FROM (SELECT DISTINCT source FROM st) s CROSS JOIN gtok g
+),
+dense AS (
+  SELECT sp.source, sp.token, COALESCE(st.n_st, 0) AS n_st, sp.n_t
+  FROM spine sp LEFT JOIN st
+    ON sp.source = st.source AND sp.token = st.token
+),
+term AS (
+  SELECT d.source, stot.t_s,
+         CAST(d.n_st + 1 AS DOUBLE) / CAST(stot.t_s + vocab.v AS DOUBLE) AS p,
+         CAST(d.n_t + 1 AS DOUBLE) / CAST(vocab.t + vocab.v AS DOUBLE) AS q
+  FROM dense d JOIN stot USING (source) CROSS JOIN vocab
+)
+SELECT source, CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+       SUM(CAST(ROUND(p * ln(p / q) * 1000000000) AS BIGINT))
+         / 1000000000.0 AS kl_bits_nat
+FROM term GROUP BY source
+""",
+    description=(
+        "[EXT] domain-shift ranking for data-mixture curation: per "
+        "source, the KL divergence KL(P_source || P_corpus) of its "
+        "Laplace-smoothed unigram distribution against the whole-"
+        "corpus distribution, over a DENSE source x vocabulary spine "
+        "so words a source never uses still contribute. The output "
+        "ranks which domains are most idiosyncratic — the signal "
+        "mixture-weight tuning and upsampling decisions read. All "
+        "counts are exact int64; per-token KL terms are rounded to a "
+        "1e-9 grid and summed as int64, so both engines agree bit-for-"
+        "bit. Work is one tokenize scan plus vocabulary-sized "
+        "shuffles; the spine is |sources| x |vocab| rows — independent "
+        "of corpus row count, and the n_st frame joined onto it is "
+        "the same size, so nothing here scales with the 100 TB side."
+    ),
+)
+def text_kl_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens("text")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    glob = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    vocab = glob.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("n_t").alias("t")
+    )
+    stot = st.groupBy("source").agg(F.sum("n_st").alias("t_s"))
+    spine = st.select("source").distinct().crossJoin(glob)
+    dense = (
+        spine.join(st, ["source", "token"], "left")
+        .select(
+            "source", "token", F.coalesce("n_st", F.lit(0)).alias("n_st"), "n_t"
+        )
+    )
+    p = (F.col("n_st") + 1).cast("double") / (
+        F.col("t_s") + F.col("v")
+    ).cast("double")
+    q = (F.col("n_t") + 1).cast("double") / (
+        F.col("t") + F.col("v")
+    ).cast("double")
+    term = (
+        dense.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vocab))
+        .select("source", "t_s", p.alias("p"), q.alias("q"))
+    )
+    return term.groupBy("source").agg(
+        F.max("t_s").cast("long").alias("n_tokens"),
+        (
+            F.sum(
+                F.round(
+                    F.col("p") * F.log(F.col("p") / F.col("q"))
+                    * F.lit(1_000_000_000)
+                ).cast("long")
+            )
+            / F.lit(1_000_000_000.0)
+        ).alias("kl_bits_nat"),
+    )
