@@ -452,3 +452,34 @@ def test_ivfpq_rejects_nontiling_blocks(spark, sf_dir):
     q = [0.0] * 64
     with pytest.raises(ValueError, match="must divide"):
         S.ivfpq_topk(emb, q, m_subvectors=7)
+
+
+def test_pca_top_component_matches_eigh(spark):
+    """The power-iteration + RQI eigenpair must agree with numpy's
+    dense symmetric eigensolver on the same Gram matrix: eigenvalue to
+    1e-9 relative, eigenvector to |cos| > 1 - 1e-9 (sign-free)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).repartition(4)
+    v, lam, G = S.pca_top_component(df)
+    w, V = np.linalg.eigh(G)
+    assert abs(lam - w[-1]) <= 1e-9 * abs(w[-1])
+    assert abs(float(v @ V[:, -1])) > 1 - 1e-9
+    assert np.linalg.norm(G @ v - lam * v) <= 1e-9 * lam
+
+
+def test_pca_top_component_zero_matrix(spark):
+    """All-zero vectors: the zero-matrix guard returns without dividing
+    by zero and reports eigenvalue 0."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    v, lam, G = S.pca_top_component(df)
+    assert lam == 0.0
+    assert (G == 0).all()
