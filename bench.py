@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     "layout_hilbert_key",
     "pipeline_curate_v2",
     "sim_kmeans_refined",
+    # round-5 late additions: monitoring, stats and the PCA/KL paths
+    "fs_feature_drift_psi",
+    "fs_ttl_snapshot",
+    "events_active_sessions_peak",
+    "text_kl_domain_shift",
+    "sim_pca_power_floor",
+    "agg_chi_squared",
 ]
 
 

@@ -556,3 +556,34 @@ def test_hilbert_prunes_no_worse_than_zorder(spark, sf_dir):
         return total / 100
 
     assert avg_touched(h) <= avg_touched(z)
+
+
+def test_ttl_snapshot_pushes_both_time_bounds(spark, sf_dir):
+    """The TTL predicate must reach the parquet scan: expired history is
+    pruned at the source, never shuffled into the window."""
+    df = REGISTRY["fs_ttl_snapshot"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "ts" in pf
+    assert pf.count("ts") >= 2  # both the as-of upper AND TTL lower bound
+
+
+def test_seasonal_anomaly_broadcasts_baseline(spark, sf_dir):
+    """The day-of-week baseline is 7 rows per series — it must join
+    broadcast, and the daily count must partial-aggregate map-side."""
+    df = REGISTRY["events_seasonal_anomaly"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert has_partial_aggregate(df)
+
+
+def test_skew_profile_uses_take_ordered(spark, sf_dir):
+    """Heavy-hitter extraction must be per-partition top-k merged on the
+    driver (TakeOrderedAndProject), not a global sort of all keys."""
+    df = REGISTRY["agg_key_skew_profile"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_drift_psi_partial_aggregates_scan(spark, sf_dir):
+    """The only corpus-sized work in the drift monitor is the binned
+    count — it must combine map-side before its exchange."""
+    df = REGISTRY["fs_feature_drift_psi"].fn(spark, sf_dir)
+    assert has_partial_aggregate(df)
