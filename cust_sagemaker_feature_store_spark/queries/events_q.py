@@ -960,3 +960,45 @@ def events_active_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active").alias("peak_active"),
         )
     )
+
+
+@register(
+    "events_running_distinct_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+),
+per_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM per_day
+""",
+    description=(
+        "[EXT] cumulative distinct users by day (the audience-growth "
+        "curve): a naive COUNT(DISTINCT) OVER a running frame holds "
+        "per-day distinct state proportional to the user universe; the "
+        "scalable rewrite is first-seen-day per user (one hash "
+        "aggregate), daily new-user counts, and a running sum over the "
+        "CALENDAR-sized day frame — the only ordered window in the "
+        "plan runs over ~tens of rows regardless of corpus size. Same "
+        "formulation on both engines."
+    ),
+)
+def events_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    cum_w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(cum_w).alias("cum_users"),
+    )

@@ -20,7 +20,7 @@ from ..operators.asof import (
 )
 from ..operators.latest import latest_snapshot, latest_snapshot_window
 from ..operators.resample import resample_ffill
-from .registry import REGISTRY, iso, register, sql_iso
+from .registry import REGISTRY, iso, register, sql_davg, sql_dsum, sql_iso
 
 TIME_LO = "2024-01-05T00:00:00Z"
 TIME_HI = "2024-01-20T23:59:59Z"
@@ -1133,4 +1133,64 @@ def fs_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / (F.lit(2.0) * F.max("t_ref") * F.max("t_cur"))
         ).alias("tvd"),
+    )
+
+
+@register(
+    "fs_rollup_reaggregation",
+    oracle=f"""
+SELECT event_type,
+       (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value', 2)} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       {sql_davg('value', 2)} AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    description=(
+        "[EXT] hierarchical rollup by re-aggregation of STORED partials "
+        "(operators/incremental.agg_partials): weekly statistics are "
+        "computed by merging the per-day partial states — never by "
+        "rescanning raw history — and the oracle computes the weekly "
+        "numbers DIRECTLY from raw rows, so the hash match proves the "
+        "partial->merge path is bit-identical to a full recompute. "
+        "This is the day->week->month rollup pattern a 100 TB store "
+        "lives on: each level's input is the level below (calendar-"
+        "sized), and the exact-int64 sum discipline makes the merge "
+        "order unobservable. Week ids are epoch-days//7 (engine-"
+        "neutral, no locale week rules)."
+    ),
+)
+def fs_rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import agg_partials
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = agg_partials(ev, ["event_type", "day"], "value", scale_decimals=2)
+    weekly = (
+        daily.withColumn(
+            "week",
+            F.floor(
+                F.datediff("day", F.lit("1970-01-01").cast("date")) / F.lit(7)
+            ),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.sum("__n").alias("__n"),
+            F.sum("__s").alias("__s"),
+            F.min("__mn").alias("__mn"),
+            F.max("__mx").alias("__mx"),
+        )
+    )
+    return weekly.select(
+        "event_type",
+        "week",
+        F.col("__n").alias("n"),
+        (F.col("__s") / F.lit(100.0)).alias("sum_value"),
+        F.col("__mn").alias("min_value"),
+        F.col("__mx").alias("max_value"),
+        (F.col("__s") / F.lit(100.0) / F.col("__n")).alias("avg_value"),
     )
