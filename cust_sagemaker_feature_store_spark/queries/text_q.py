@@ -1537,3 +1537,108 @@ def text_kl_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000_000.0)
         ).alias("kl_bits_nat"),
     )
+
+
+ZIPF_TOP_R = 30  # fit over the head ranks present at every SF
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tok AS (
+  SELECT UNNEST({SQL_TOKS}) AS token FROM documents
+),
+cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1
+),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM cnt QUALIFY rank <= {ZIPF_TOP_R}
+),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM ranked
+),
+a AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(x AS HUGEINT)*y) AS sxy,
+         SUM(CAST(y AS HUGEINT)*y) AS syy
+  FROM pts
+),
+d AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST(k AS DOUBLE) AS kd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(syy AS DOUBLE) AS syy
+  FROM a
+),
+f AS (
+  SELECT k, kd, sx, sy, syy, sxx, sxy,
+         (kd*sxy - sx*sy) / (kd*sxx - sx*sx) AS slope
+  FROM d
+)
+SELECT k AS n_ranks, slope,
+       (sy - slope*sx) / kd / 1000000.0 AS intercept,
+       ((kd*sxy - sx*sy) * (kd*sxy - sx*sy))
+         / ((kd*sxx - sx*sx) * (kd*syy - sy*sy)) AS r2
+FROM f
+""",
+    description=(
+        "[EXT] Zipf-law fit over the corpus vocabulary: OLS of "
+        "ln(frequency) on ln(rank) for the head ranks — the classic "
+        "corpus-health statistic (natural text sits near slope -1; "
+        "generated/templated corpora drift off it). Log points are "
+        "snapped to a 1e-6 integer grid so every OLS sufficient "
+        "statistic is an exact integer sum (order-independent across "
+        "engines), then slope/intercept/R^2 by the same term-for-term "
+        "IEEE normal-equation formulas as ml_ols_closed_form. The "
+        "rank table is vocabulary-sized; the only corpus-sized work "
+        "is the token count."
+    ),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # top-R via TakeOrderedAndProject (per-partition top-k + driver
+    # merge), then the rank window runs over R rows — the full
+    # vocabulary is never globally sorted or single-tasked.
+    top = cnt.orderBy(F.col("n").desc(), "token").limit(ZIPF_TOP_R)
+    rank_w = Window.orderBy(F.col("n").desc(), "token")
+    ranked = top.withColumn("rank", F.row_number().over(rank_w))
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1_000_000)
+        .cast("long").alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * 1_000_000)
+        .cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    return a.select(
+        F.col("k").cast("long").alias("n_ranks"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / kd / F.lit(1_000_000.0)).alias("intercept"),
+        (
+            ((kd * sxy - sx * sy) * (kd * sxy - sx * sy))
+            / ((kd * sxx - sx * sx) * (kd * syy - sy * sy))
+        ).alias("r2"),
+    )
