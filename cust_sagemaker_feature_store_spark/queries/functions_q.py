@@ -542,7 +542,7 @@ def fn_datetime_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HLL_SPLIT = "2024-01-16 00:00:00"
-HLL_REL_TOL = 0.05  # lgConfigK=12 gives ~1.6% standard error
+HLL_MERGE_REL_TOL = 0.05  # lgConfigK=12 gives ~1.6% standard error
 
 
 @register(
@@ -587,7 +587,7 @@ def agg_hll_merge_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).head()["est"]
     exact = ev.agg(F.count_distinct("user_id").alias("n")).head()["n"]
     merge_ok = bool(merged == direct)
-    tol_ok = bool(abs(merged - exact) <= HLL_REL_TOL * exact)
+    tol_ok = bool(abs(merged - exact) <= HLL_MERGE_REL_TOL * exact)
     return spark.createDataFrame(
         [("union_merge_equals_direct", merge_ok), ("estimate_within_tol", tol_ok)],
         "check_name string, guarantee_ok boolean",
