@@ -477,3 +477,96 @@ def containment_pairs(
         "doc_a", "doc_b", "n_common", "n_a", "n_b",
         "containment_a", "containment_b",
     )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows for cross-frame probing — the
+    storable dedup index an incremental ingest pipeline keeps for the
+    corpus so a new batch can be checked without re-signing history.
+    Band construction mirrors `minhash_candidates` exactly (same md5
+    bucket over `rows_per_band` signature components); it is kept as a
+    separate function rather than refactoring `minhash_candidates`
+    through it so the shipped self-join operator — and the driver-green
+    evidence attached to its bytes — stays untouched."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"mh{bi * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+
+
+def incremental_dedup_status(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Classify each NEW-batch document against an existing corpus
+    index: 'exact_dup' (content hash already present), 'near_dup'
+    (shares an LSH band bucket with some corpus doc), else 'new' —
+    the incremental-ingest dedup mode a 100 TB pipeline actually runs
+    (dedup the delta against stored indexes, never re-dedup history).
+
+    `corpus_hashes` is a 1-column frame of md5(lower(trim(text)))
+    values; `corpus_bands` is a (band, bucket) frame — both are the
+    byte-sized INDEX of the corpus (what would be persisted between
+    batches), so the corpus text itself is never rescanned here. Both
+    probes are left-semi joins: nothing corpus-sized flows to the
+    batch side beyond the matched keys."""
+    bh = batch.select(
+        F.col(id_col), F.md5(F.lower(F.trim(F.col(text_col)))).alias("__h")
+    )
+    exact = bh.join(
+        corpus_hashes.select(F.col(corpus_hashes.columns[0]).alias("__h")),
+        "__h",
+        "semi",
+    ).select(id_col)
+    bb = minhash_bands(batch, text_col, id_col, num_hashes, rows_per_band, k)
+    near = (
+        bb.join(
+            corpus_bands.select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            "semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        batch.select(id_col)
+        .join(exact.withColumn("__e", F.lit(1)), id_col, "left")
+        .join(near.withColumn("__n", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__e") == 1, F.lit("exact_dup"))
+            .when(F.col("__n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -1642,3 +1642,65 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((kd * sxx - sx * sx) * (kd * syy - sy * sy))
         ).alias("r2"),
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+hashes AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+exact AS (
+  SELECT DISTINCT b.doc_id FROM hashes b JOIN hashes c ON b.h = c.h
+  WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+),
+near AS (
+  SELECT DISTINCT b.doc_id FROM bands b
+  JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+  WHERE b.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+)
+SELECT d0.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d0
+LEFT JOIN exact e ON d0.doc_id = e.doc_id
+LEFT JOIN near n ON d0.doc_id = n.doc_id
+""",
+    description=(
+        "[EXT] incremental cross-shard dedup (operators/dedup."
+        "incremental_dedup_status): a new ingest batch (doc_id%10==7 "
+        "as the fixture delta) is classified against the EXISTING "
+        "corpus's stored dedup index — 'exact_dup' if its content hash "
+        "is already present, 'near_dup' if it shares a MinHash LSH "
+        "band bucket with any corpus doc, else 'new'. This is the "
+        "dedup mode a 100 TB pipeline actually runs day-to-day: the "
+        "corpus is never re-deduplicated, only the delta is probed "
+        "against byte-sized hash/band indexes (persisted between "
+        "batches; derived inline here so the oracle can see them), "
+        "and both probes are left-semi joins. Complements "
+        "pipeline_clean_corpus (the full-corpus batch mode)."
+    ),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+    corpus_hashes = corpus.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    ).distinct()
+    corpus_bands = D.minhash_bands(corpus).select("band", "bucket")
+    return D.incremental_dedup_status(batch, corpus_hashes, corpus_bands)

@@ -483,3 +483,28 @@ def test_pca_top_component_zero_matrix(spark):
     v, lam, G = S.pca_top_component(df)
     assert lam == 0.0
     assert (G == 0).all()
+
+
+def test_incremental_dedup_status_planted(spark):
+    """Planted batch outcomes: an exact copy of a corpus doc ->
+    exact_dup, a one-word edit -> near_dup (shares a band bucket but
+    not the content hash), and unrelated text -> new."""
+    base = "spark window join filter group sort merge hash scan table " * 5
+    near = "alpha " + base  # shares both band buckets with base
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "some other corpus doc about storage engines " * 5)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, near), (12, "totally unrelated cooking pasta " * 5)],
+        "doc_id long, text string",
+    )
+    hashes = corpus.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    ).distinct()
+    bands = D.minhash_bands(corpus).select("band", "bucket")
+    got = {
+        r["doc_id"]: r["status"]
+        for r in D.incremental_dedup_status(batch, hashes, bands).collect()
+    }
+    assert got == {10: "exact_dup", 11: "near_dup", 12: "new"}
