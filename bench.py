@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "text_kl_domain_shift",
     "sim_pca_power_floor",
     "agg_chi_squared",
+    "dedup_incremental_batch",
 ]
 
 
