@@ -851,9 +851,11 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("x"))
+    # lazy pin: the baseline aggregate and the scoring join both read
+    # this calendar-sized frame; unpinned each branch rescans events.
     keyed = daily.withColumn(
         "dow", F.datediff("day", F.lit("1970-01-01").cast("date")) % 7
-    )
+    ).localCheckpoint(eager=False)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     base = keyed.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).alias("n"),

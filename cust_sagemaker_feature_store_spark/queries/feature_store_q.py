@@ -1079,12 +1079,17 @@ def fs_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts") < F.lit(DRIFT_SPLIT).cast("timestamp"), F.lit(1)
         ).otherwise(F.lit(0)).alias("is_ref"),
     )
+    # lazy pin: the spine, the dense join and the per-type totals all
+    # read this #types x #bins frame; unpinned each branch re-scans and
+    # re-bins the event history (per-branch pruning defeats
+    # ReuseExchange). The spine's type set comes from cnt itself — any
+    # type present anywhere has at least one non-empty bin.
     cnt = binned.groupBy("event_type", "bin").agg(
         F.sum("is_ref").alias("n_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
-    )
+    ).localCheckpoint(eager=False)
     spine = (
-        binned.select("event_type").distinct()
+        cnt.select("event_type").distinct()
         .crossJoin(
             ev.sparkSession.range(DRIFT_BINS).select(F.col("id").alias("bin"))
         )

@@ -563,10 +563,15 @@ FROM term
 )
 def agg_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # lazy pin: five branches (marginals, total, dof, terms) read this
+    # contingency frame, and per-branch column pruning makes their
+    # subplans non-identical, so ReuseExchange does NOT collapse them —
+    # measured 11 fact-table scans unpinned. The frame is
+    # |priorities|x|statuses| rows, so the checkpoint is KBs.
     cells = orders.groupBy(
         F.col("o_orderpriority").alias("pri"),
         F.col("o_orderstatus").alias("st"),
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False)
     rt = cells.groupBy("pri").agg(F.sum("o").alias("r"))
     ct = cells.groupBy("st").agg(F.sum("o").alias("c"))
     n = cells.agg(F.sum("o").alias("n"))
@@ -747,9 +752,11 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    # lazy pin: both the totals branch and the top-k branch read this
+    # per-key frame; unpinned they each rescan the fact table.
     per_key = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders")
-    )
+    ).localCheckpoint(eager=False)
     tot = per_key.agg(
         F.sum("n_orders").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )

@@ -1501,7 +1501,13 @@ FROM term GROUP BY source
 def text_kl_domain_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(T.tokens("text")).alias("token"))
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    # lazy pin: four branches (global counts, vocabulary totals, source
+    # totals, spine join) read this |sources|x|vocab|-sized frame; their
+    # per-branch pruning defeats ReuseExchange, so unpinned each branch
+    # re-tokenizes the corpus.
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n_st")
+    ).localCheckpoint(eager=False)
     glob = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
     vocab = glob.agg(
         F.count(F.lit(1)).alias("v"), F.sum("n_t").alias("t")
