@@ -548,26 +548,30 @@ HLL_MERGE_REL_TOL = 0.05  # lgConfigK=12 gives ~1.6% standard error
 @register(
     "agg_hll_merge_floor",
     oracle="""
-SELECT 'union_merge_equals_direct' AS check_name, TRUE AS guarantee_ok
+SELECT 'union_merge_within_tol' AS check_name, TRUE AS guarantee_ok
 UNION ALL
-SELECT 'estimate_within_tol' AS check_name, TRUE AS guarantee_ok
+SELECT 'direct_within_tol' AS check_name, TRUE AS guarantee_ok
 """,
     description=(
         "[EXT] mergeability floor for the HLL distinct-count sketch "
         "(DataSketches HllSketch via hll_sketch_agg/hll_union_agg/"
         "hll_sketch_estimate): sketching each half of the event stream "
-        "separately and UNIONING the two sketches must estimate "
-        "exactly what one direct sketch over the whole stream "
-        "estimates (HLL union is an elementwise register max, so "
-        "partial sketches lose nothing) — THE property that lets a "
-        "100 TB pipeline pre-aggregate per-partition/per-day sketches "
-        "and fold them into any rollup later without rescanning — and "
-        "the merged estimate must sit within 5%% of the exact distinct "
-        "count (lgK=12 standard error is ~1.6%%). Both booleans are "
-        "computed in-engine and pinned TRUE by the oracle; a sketch/"
-        "union regression hash-mismatches. Complements the HLL "
-        "accuracy floor (agg_approx_distinct_floor), which checks "
-        "accuracy only, not re-aggregation."
+        "separately and UNIONING the two sketches must land within 5%% "
+        "of the exact distinct count (a union that dropped a partial "
+        "would read ~50%% low), and so must the direct one-pass sketch "
+        "— THE property that lets a 100 TB pipeline pre-aggregate "
+        "per-partition/per-day sketches and fold them into any rollup "
+        "later without rescanning. The two estimates are deliberately "
+        "NOT pinned equal: DataSketches uses the HIP estimator for a "
+        "directly-built sketch and a union discards HIP state for the "
+        "composite estimator (Dasgupta et al., the published "
+        "DataSketches HLL design), so direct=1499 vs merged=1488 vs "
+        "exact=1500 at sf0.1 is correct behavior, both well inside "
+        "the 5%% floor (lgK=12 standard error is ~1.6%%). Both "
+        "booleans are computed in-engine and pinned TRUE by the "
+        "oracle; a sketch/union regression hash-mismatches. "
+        "Complements agg_approx_distinct_floor, which checks accuracy "
+        "only, not re-aggregation."
     ),
 )
 def agg_hll_merge_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,9 +590,9 @@ def agg_hll_merge_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
     ).head()["est"]
     exact = ev.agg(F.count_distinct("user_id").alias("n")).head()["n"]
-    merge_ok = bool(merged == direct)
-    tol_ok = bool(abs(merged - exact) <= HLL_MERGE_REL_TOL * exact)
+    merge_ok = bool(abs(merged - exact) <= HLL_MERGE_REL_TOL * exact)
+    direct_ok = bool(abs(direct - exact) <= HLL_MERGE_REL_TOL * exact)
     return spark.createDataFrame(
-        [("union_merge_equals_direct", merge_ok), ("estimate_within_tol", tol_ok)],
+        [("union_merge_within_tol", merge_ok), ("direct_within_tol", direct_ok)],
         "check_name string, guarantee_ok boolean",
     )
