@@ -51,10 +51,12 @@ def test_tombstone_snapshot_exercises_both_races(spark, sf_dir):
 
 
 def test_registry_window_prioritizes_unverified():
-    """The driver hash-checks only the first 50 registered queries.
-    Every query WITHOUT a current driver-green row — including the
-    zero-evidence priority entries — must sit inside that window,
-    otherwise it can never earn verification."""
+    """The driver hash-checks only the first 50 registered queries. The
+    invariant is no WASTED slot: an already-green query may occupy a
+    window position only when every unverified query is also inside —
+    i.e. while more than 50 queries await verification, the window must
+    consist exclusively of unverified ones (the spill earns its row
+    next round, per the maintenance note in queries/__init__.py)."""
     from cust_sagemaker_feature_store_spark.queries import (
         _R1_DRIVER_GREEN,
         _R2_DRIVER_GREEN,
@@ -64,14 +66,18 @@ def test_registry_window_prioritizes_unverified():
     )
 
     names = list(REGISTRY)
-    window = set(names[:50])
+    window = names[:50]
     green = (
         set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
-    )
+    ) - set(_WINDOW_PRIORITY)
     unverified = [n for n in REGISTRY if n not in green]
-    missing = [n for n in unverified if n not in window]
-    assert not missing, f"unverified queries outside window: {missing}"
+    if len(unverified) <= 50:
+        missing = [n for n in unverified if n not in set(window)]
+        assert not missing, f"unverified queries outside window: {missing}"
+    else:
+        wasted = [n for n in window if n in green]
+        assert not wasted, f"green queries wasting window slots: {wasted}"
     # the freshly-repaired / invalidated queries lead the window
     assert names[: len(_WINDOW_PRIORITY)] == _WINDOW_PRIORITY
 
