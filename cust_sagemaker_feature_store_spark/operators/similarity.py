@@ -788,10 +788,16 @@ def semantic_dedup(
         cosine(F.col("__v"), F.col("c")).alias("__cos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cluster"))
+    # lazy pin: the assignment feeds both sides of the intra-cluster
+    # pair join AND the final kept-flag join; per-branch pruning defeats
+    # ReuseExchange, so unpinned each branch re-runs the centroid-argmax
+    # pipeline over the corpus (measured 8 scans -> 3). The frame is
+    # (id, cluster) — the narrow materialization SemDeDup keeps anyway.
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(id_col, "cluster")
+        .localCheckpoint(eager=False)
     )
     av = assigned.join(e, id_col)
     a = av.select(

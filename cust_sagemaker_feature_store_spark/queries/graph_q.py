@@ -137,6 +137,13 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
         )
         .distinct()
+        # lazy pin: the oriented edge list (x3 triangle-join aliases) and
+        # the degree count all derive from this frame, and per-branch
+        # pruning defeats ReuseExchange — measured 20 fact-table scans
+        # unpinned. Pinning the distinct edge list (the canonical graph
+        # materialization every triangle algorithm starts from) drops
+        # that to one co-purchase self-join.
+        .localCheckpoint(eager=False)
     )
     e = und.filter(F.col("s") < F.col("d")).select(
         F.col("s").alias("u"), F.col("d").alias("v")

@@ -198,10 +198,16 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T.tokens("text")
     tok = _ensure_parallelism(docs).select("doc_id", toks.alias("toks"))
 
+    # lazy pins: the unigram table feeds three branches (total count +
+    # both join sides) and the unfiltered bigram table two (total mass
+    # + the lift candidates); per-branch pruning defeats ReuseExchange,
+    # so unpinned each branch re-tokenizes the corpus — measured 5
+    # corpus scans, 2 after pinning. Both frames are vocabulary-sized.
     uni = (
         tok.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     tu = uni.agg(F.sum("c").cast("long").alias("tu"))
 
@@ -211,18 +217,15 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at("toks", i), F.element_at("toks", i + 1)
         ),
     )
-    bi = (
+    bi_all = (
         tok.filter(F.size("toks") >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").cast("long").alias("c_xy"))
-        .filter(F.col("c_xy") >= MIN_BIGRAM_COUNT)
+        .localCheckpoint(eager=False)
     )
-    tb_full = (
-        tok.filter(F.size("toks") >= 2)
-        .select((F.size("toks") - 1).alias("nb"))
-        .agg(F.sum("nb").cast("long").alias("tb"))
-    )
+    bi = bi_all.filter(F.col("c_xy") >= MIN_BIGRAM_COUNT)
+    tb_full = bi_all.agg(F.sum("c_xy").cast("long").alias("tb"))
 
     x = F.split(F.col("bigram"), " ")[0]
     y = F.split(F.col("bigram"), " ")[1]
@@ -414,10 +417,13 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T.tokens("text")
     tok = _ensure_parallelism(docs).select("doc_id", toks.alias("toks"))
 
+    # lazy pin: the vocab total and the c_w1 join side both read the
+    # unigram table; unpinned each re-tokenizes the corpus (3 scans -> 2)
     uni = (
         tok.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     v = uni.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
 
@@ -590,12 +596,18 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = train.groupBy("lang").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
-    vocab = train.select("token").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    ctot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    # lazy pin: cnt IS the trained model ((class x token) counts,
+    # vocabulary-sized), and the vocabulary, its size, and the per-class
+    # token totals are all marginals of it — deriving them from the
+    # pinned model instead of from `train` drops the corpus tokenize
+    # from 5 passes to 1 (ReuseExchange cannot collapse the branches:
+    # per-branch pruning makes their subplans non-identical).
     cnt = train.groupBy("lang", "token").agg(
         F.count(F.lit(1)).alias("n_tc")
-    )
+    ).localCheckpoint(eager=False)
+    vocab = cnt.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    ctot = cnt.groupBy("lang").agg(F.sum("n_tc").cast("long").alias("t"))
     tt = (
         test.join(vocab, "token")
         .groupBy("doc_id", "token")
