@@ -504,14 +504,22 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "user_id", F.round(F.col("value") * 100).cast("long").alias("v")
     )
+    # lazy pins on the two key-sized aggregate frames: the median feeds
+    # the deviation join, the MAD join and the final select, and the MAD
+    # feeds the fence and the final select — per-branch pruning defeats
+    # ReuseExchange, so unpinned the event history is scanned 7 times
+    # (3 after pinning; the deviation stream itself is recomputed rather
+    # than pinned because it is corpus-sized).
     m = e.groupBy("user_id").agg(
         F.median("v").alias("med"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
+    ).localCheckpoint(eager=False)
     d = e.join(m.select("user_id", "med"), "user_id").select(
         "user_id", (F.abs(F.col("v") - F.col("med"))).alias("dev")
     )
-    md = d.groupBy("user_id").agg(F.median("dev").alias("mad"))
+    md = d.groupBy("user_id").agg(
+        F.median("dev").alias("mad")
+    ).localCheckpoint(eager=False)
     o = (
         d.join(md, "user_id")
         .groupBy("user_id")
