@@ -1012,3 +1012,42 @@ def events_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "new_users",
         F.sum("new_users").over(cum_w).alias("cum_users"),
     )
+
+
+@register(
+    "events_sliding_2h_hourly",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts) - TO_HOURS(k), '%Y-%m-%dT%H:%M:%SZ')
+         AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 2)} AS total_value
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+GROUP BY 1
+""",
+    description=(
+        "[EXT] sliding event-time windows (2-hour width, 1-hour slide) "
+        "via F.window's slideDuration — the overlapping-window batch "
+        "twin of streaming/windows.sliding_agg, completing the oracle "
+        "coverage of Spark's three windowing modes (tumbling: "
+        "events_tumbling_hourly; session: events_sessionize). Each "
+        "event lands in exactly width/slide = 2 windows; the oracle "
+        "reproduces that by cross-joining each row with hour offsets "
+        "{{0,1}} — the same replicate-then-group plan Spark generates "
+        "for a sliding window, still one map-side-combined aggregate "
+        "with a bounded x2 expansion."
+    ),
+)
+def events_sliding_2h_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
+        .select(
+            iso("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
