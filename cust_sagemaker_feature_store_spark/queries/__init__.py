@@ -145,7 +145,7 @@ _R4_DRIVER_GREEN = [
 # term_frequencies/bigram queries, containment, contamination and
 # pagerank AFTER their local verification, so their r5 rows are the
 # evidence), then retarget _WINDOW_PRIORITY at whatever r6 invalidates.
-# The r5 front has 55 non-green entries for 50 slots, so the last five
+# The r5 front has 56 non-green entries for 50 slots, so the last six
 # (window_first_last_nth, agg_mode_value, fn_map_surface,
 # fn_datetime_surface, agg_hll_merge_floor) spill past the window; they
 # stay non-green and auto-lead the r6 window — all 55 are locally

@@ -1051,3 +1051,81 @@ def events_sliding_2h_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "ml_winsorize_robust_scale",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) AS c
+  FROM events
+),
+s1 AS (
+  SELECT event_type,
+         quantile_cont(c, 0.05) AS p05,
+         quantile_cont(c, 0.95) AS p95,
+         quantile_cont(c, 0.5) AS med
+  FROM e GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(ABS(e.c - s1.med), 0.5) AS mad
+  FROM e JOIN s1 USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       LEAST(GREATEST(CAST(e.c AS DOUBLE), s1.p05), s1.p95) / 100.0
+         AS clipped_value,
+       CASE WHEN mad.mad = 0 THEN 0.0
+            ELSE (LEAST(GREATEST(CAST(e.c AS DOUBLE), s1.p05), s1.p95)
+                  - s1.med) / mad.mad END AS robust_z
+FROM e JOIN s1 USING (event_type) JOIN mad USING (event_type)
+""",
+    description=(
+        "[EXT] winsorization + robust scaling per feature group — the "
+        "outlier-tolerant featurizer (clip to [p5, p95], then "
+        "(x - median)/MAD): the preprocessing step that makes "
+        "heavy-tailed features usable without letting a single "
+        "corrupt reading dominate, companion to events_mad_outliers' "
+        "detection. Values sit on the exact cent grid so interpolated "
+        "percentiles are dyadic-exact and engine-agnostic; the scale "
+        "itself is one IEEE division (zero-MAD guarded to 0). Plan "
+        "shape: two type-sized aggregate passes (pinned, broadcast "
+        "back onto the stream), then a narrow map — per-row output "
+        "with model state that is |types| rows at any corpus size."
+    ),
+)
+def ml_winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    # lazy pin: the deviation pass and the final scaling both read the
+    # percentile stats; pinned so the event history is scanned twice
+    # (stats + output), not four times.
+    s1 = e.groupBy("event_type").agg(
+        F.percentile("c", F.lit(0.05)).alias("p05"),
+        F.percentile("c", F.lit(0.95)).alias("p95"),
+        F.percentile("c", F.lit(0.5)).alias("med"),
+    ).localCheckpoint(eager=False)
+    mad = (
+        e.join(F.broadcast(s1), "event_type")
+        .select("event_type", F.abs(F.col("c") - F.col("med")).alias("dev"))
+        .groupBy("event_type")
+        .agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    )
+    clipped = F.least(
+        F.greatest(F.col("c").cast("double"), F.col("p05")), F.col("p95")
+    )
+    return (
+        e.join(F.broadcast(s1), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (clipped / 100.0).alias("clipped_value"),
+            F.when(F.col("mad") == 0, F.lit(0.0))
+            .otherwise((clipped - F.col("med")) / F.col("mad"))
+            .alias("robust_z"),
+        )
+    )
