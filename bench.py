@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "sim_pca_power_floor",
     "agg_chi_squared",
     "dedup_incremental_batch",
+    "ml_naive_bayes",
+    "graph_clustering_coeff",
+    "ml_winsorize_robust_scale",
 ]
 
 
