@@ -1129,3 +1129,77 @@ def ml_winsorize_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("robust_z"),
         )
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s
+  FROM daily GROUP BY 1
+),
+cum AS (
+  SELECT d.event_type, d.day, t.n,
+         SUM(d.x * t.n - t.s) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp
+  FROM daily d JOIN tot t USING (event_type)
+),
+ranked AS (
+  SELECT event_type, day, ABS(sp) AS a, n,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ABS(sp) DESC, day) AS rn
+  FROM cum
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS changepoint_day,
+       CAST(a AS DOUBLE) / n AS cusum_peak
+FROM ranked WHERE rn = 1
+""",
+    description=(
+        "[EXT] CUSUM changepoint detection on the daily event series "
+        "(Page 1954, public methodology): per event type, the running "
+        "sum of deviations from the series mean, kept EXACT by the "
+        "cross-multiplied form sum(x_i*n - S) — integers, no float "
+        "accumulation — and the level-shift estimate is the day where "
+        "|CUSUM| peaks (earliest-day tie-break), reported in units of "
+        "events (one final division). The only full-data pass is the "
+        "map-side-combined daily count; the ordered cumulative sum "
+        "runs over a calendar-sized frame partitioned by series — "
+        "tens of rows per task regardless of corpus size."
+    ),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # lazy pin: totals and the cumulative pass both read the daily frame
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x")).localCheckpoint(eager=False)
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    cw = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.sum(F.col("x") * F.col("n") - F.col("s")).over(cw).alias("sp"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("sp")).desc(), F.col("day")
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            (F.abs(F.col("sp")).cast("double") / F.col("n")).alias("cusum_peak"),
+        )
+    )

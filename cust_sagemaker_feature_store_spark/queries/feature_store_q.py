@@ -1199,3 +1199,44 @@ def fs_rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__mx").alias("max_value"),
         (F.col("__s") / F.lit(100.0) / F.col("__n")).alias("avg_value"),
     )
+
+
+BT_EVENT_ASOF = "2024-01-15 00:00:00"  # event-time cutoff (what happened)
+BT_KNOWLEDGE_SEQ = 5000  # processing-time cutoff (what was known)
+
+
+@register(
+    "fs_bitemporal_asof",
+    oracle=f"""
+SELECT user_id, event_id, event_type, value, {sql_iso('ts')} AS event_time
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '{BT_EVENT_ASOF}' AND event_id <= {BT_KNOWLEDGE_SEQ}
+) WHERE rn = 1
+""",
+    description=(
+        "[EXT] bitemporal snapshot — the reproducibility query a "
+        "feature store must answer when data arrives LATE: 'what was "
+        "the state as of event time T, using only records the store "
+        "had ingested by processing point K'. Event time is ts; "
+        "processing time is the monotone ingest sequence (event_id "
+        "here — functions/ids.with_dense_row_ids provides it for real "
+        "ingests). A training run pinned to (T, K) reproduces its "
+        "exact inputs forever, even after late records for t <= T "
+        "arrive with seq > K — the un-pinned fs_snapshot_asof view "
+        "silently changes under it, which is how offline/online skew "
+        "and unreproducible models happen. Same single filtered "
+        "window pass as fs_snapshot_asof; both cutoffs push to the "
+        "parquet scan."
+    ),
+)
+def fs_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") <= F.lit(BT_EVENT_ASOF).cast("timestamp"))
+        & (F.col("event_id") <= BT_KNOWLEDGE_SEQ)
+    )
+    latest = latest_snapshot_window(ev, "user_id", "ts", tie_breaker="event_id")
+    return latest.select(
+        "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
+    )

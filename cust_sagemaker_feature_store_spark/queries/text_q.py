@@ -1710,3 +1710,66 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     corpus_bands = D.minhash_bands(corpus).select("band", "bucket")
     return D.incremental_dedup_status(batch, corpus_hashes, corpus_bands)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM d GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM d JOIN firsts f USING (shingle)
+GROUP BY d.doc_id
+""",
+    description=(
+        "[EXT] n-gram novelty scoring: per document, the fraction of "
+        "its distinct word 3-grams whose FIRST corpus occurrence "
+        "(minimum doc_id over an ingest-ordered corpus) is the "
+        "document itself — the directional redundancy signal curation "
+        "uses to keep originals and drop echoes (complementing "
+        "symmetric Jaccard and asymmetric containment, which say THAT "
+        "two docs overlap but not which came first). Exact integer "
+        "counts, one ratio division; the gram->first-doc table is "
+        "vocabulary-sized and the join is gram-keyed — nothing "
+        "quadratic, nothing corpus x corpus."
+    ),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import _ensure_parallelism
+
+    d = (
+        _ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.explode(D.shingles(T.tokens("text"), 3)).alias("shingle"),
+        )
+        .distinct()
+        # lazy pin: the first-occurrence table and the per-doc join both
+        # read the (doc, gram) frame; unpinned each re-shingles the corpus
+        .localCheckpoint(eager=False)
+    )
+    firsts = d.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        d.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+            (
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )
