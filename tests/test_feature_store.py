@@ -599,3 +599,48 @@ def test_swap_concurrent_writer_raises_and_restores(spark, tmp_path, monkeypatch
         if d.startswith(".") and (d.endswith(".staging") or d.endswith(".old"))
     ]
     assert leftovers == []
+
+
+def test_bitemporal_pin_is_stable_under_late_data(spark):
+    """The (event-time T, knowledge K) bitemporal snapshot must be
+    byte-identical before and after a LATE record (event time <= T,
+    ingest seq > K) lands — that is the reproducibility contract — and
+    the knowledge-unpinned as-of view must change, which is why the
+    pin exists."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.operators.latest import (
+        latest_snapshot_window,
+    )
+
+    schema = "user_id long, seq long, ts timestamp, value double"
+    base = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-05 00:00:00", 1.0),
+            (1, 11, "2024-01-08 00:00:00", 2.0),
+            (2, 12, "2024-01-09 00:00:00", 5.0),
+        ],
+        schema,
+    )
+    late = spark.createDataFrame(
+        # event time before T=Jan-10, but ingested after K=20
+        [(1, 99, "2024-01-09 12:00:00", 7.0)],
+        schema,
+    )
+
+    def snap(df, pin_knowledge):
+        f = df.filter(F.col("ts") <= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        if pin_knowledge:
+            f = f.filter(F.col("seq") <= 20)
+        return sorted(
+            (r["user_id"], r["seq"], r["value"])
+            for r in latest_snapshot_window(
+                f, "user_id", "ts", tie_breaker="seq"
+            ).collect()
+        )
+
+    before = snap(base, pin_knowledge=True)
+    after = snap(base.unionByName(late), pin_knowledge=True)
+    assert before == after == [(1, 11, 2.0), (2, 12, 5.0)]
+    # without the knowledge pin the late record rewrites history
+    assert snap(base.unionByName(late), pin_knowledge=False) != before
