@@ -613,20 +613,22 @@ def test_bitemporal_pin_is_stable_under_late_data(spark):
         latest_snapshot_window,
     )
 
-    schema = "user_id long, seq long, ts timestamp, value double"
-    base = spark.createDataFrame(
+    schema = "user_id long, seq long, ts string, value double"
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    base = frame(
         [
             (1, 10, "2024-01-05 00:00:00", 1.0),
             (1, 11, "2024-01-08 00:00:00", 2.0),
             (2, 12, "2024-01-09 00:00:00", 5.0),
-        ],
-        schema,
+        ]
     )
-    late = spark.createDataFrame(
-        # event time before T=Jan-10, but ingested after K=20
-        [(1, 99, "2024-01-09 12:00:00", 7.0)],
-        schema,
-    )
+    # event time before T=Jan-10, but ingested after K=20
+    late = frame([(1, 99, "2024-01-09 12:00:00", 7.0)])
 
     def snap(df, pin_knowledge):
         f = df.filter(F.col("ts") <= F.lit("2024-01-10 00:00:00").cast("timestamp"))
