@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "ml_naive_bayes",
     "graph_clustering_coeff",
     "ml_winsorize_robust_scale",
+    "fs_bitemporal_asof",
+    "events_changepoint_cusum",
+    "text_ngram_novelty",
 ]
 
 
