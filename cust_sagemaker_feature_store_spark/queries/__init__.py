@@ -145,14 +145,14 @@ _R4_DRIVER_GREEN = [
 # term_frequencies/bigram queries, containment, contamination and
 # pagerank AFTER their local verification, so their r5 rows are the
 # evidence), then retarget _WINDOW_PRIORITY at whatever r6 invalidates.
-# The r5 front has 59 non-green entries for 50 slots, so the last nine
-# (sim_kmeans_refined, sim_pca_power_floor, agg_freq_items_floor,
-# fn_array_surface, window_first_last_nth, agg_mode_value,
-# fn_map_surface, fn_datetime_surface, agg_hll_merge_floor) spill past
-# the window; they stay non-green and auto-lead the r6 window — all 59
-# are locally verified via tools/verify_oracle.py (179/179 full-run
-# green + the bitemporal/CUSUM/novelty trio added after that run,
-# verified individually at all three SFs), 2026-08-14.
+# The r5 front has 61 non-green entries for 50 slots, so the last eleven
+# (per list(REGISTRY)[50:] at import: the kmeans/PCA/freq-items
+# floors, the fn_* surface entries, the mode/first-last windows and
+# the HLL merge floor) spill past the window; they stay non-green and
+# auto-lead the r6 window — all 61 are locally verified via
+# tools/verify_oracle.py (182/182 full-run green + the feature-vector
+# pivot and inter-arrival pair added after that run, verified
+# individually at all three SFs), 2026-08-14.
 _WINDOW_PRIORITY = [
     "text_contamination_overlap", "sim_srp_banded_recall",
     "sim_ann_recall_floor",

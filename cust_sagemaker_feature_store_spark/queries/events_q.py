@@ -1203,3 +1203,48 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("sp")).cast("double") / F.col("n")).alias("cusum_peak"),
         )
     )
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       quantile_cont(gap_us, 0.5) AS median_gap_us,
+       quantile_cont(gap_us, 0.9) AS p90_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""",
+    description=(
+        "[EXT] inter-arrival statistics per entity (min/median/p90/max "
+        "gap between consecutive events) — the activity-cadence "
+        "features behind churn models and the empirical basis for "
+        "choosing sessionization gaps and watermark delays. Gaps are "
+        "exact integer microseconds from one lag() pass; interpolated "
+        "percentiles over integers are dyadic-exact, so both engines "
+        "agree bit-for-bit. One window shuffle + one map-side-combined "
+        "aggregate, both keyed by the entity."
+    ),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(to_ltz("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+        F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -1240,3 +1240,54 @@ def fs_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id", "event_id", "event_type", "value", iso("ts").alias("event_time")
     )
+
+
+FV_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "fs_feature_vector_pivot",
+    oracle=f"""
+WITH latest AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT user_id,
+       {", ".join(f"MAX(CASE WHEN event_type = '{t}' THEN value END) AS latest_{t}" for t in FV_TYPES)}
+FROM latest GROUP BY user_id
+""",
+    description=(
+        "[EXT] wide feature-vector assembly — the serving-side record "
+        "shape: per entity, the LATEST value of every feature (event "
+        "type) pivoted into one row with NULLs where a feature was "
+        "never observed (downstream imputation's job, P4). One "
+        "(user,type)-keyed window pass then a pivot on the small fixed "
+        "type set — the declared-schema form (explicit type list, like "
+        "a feature group's feature definitions) so the output schema "
+        "is stable however the data drifts. This is the batch "
+        "materialization of what real_time_inference.py assembles "
+        "per-record from the online store (reference: "
+        "real_time_inference.py:16-25)."
+    ),
+)
+def fs_feature_vector_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    return latest.groupBy("user_id").agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == t, F.col("value"))
+            ).alias(f"latest_{t}")
+            for t in FV_TYPES
+        ]
+    )
