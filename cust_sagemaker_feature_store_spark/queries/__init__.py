@@ -145,14 +145,14 @@ _R4_DRIVER_GREEN = [
 # term_frequencies/bigram queries, containment, contamination and
 # pagerank AFTER their local verification, so their r5 rows are the
 # evidence), then retarget _WINDOW_PRIORITY at whatever r6 invalidates.
-# The r5 front has 61 non-green entries for 50 slots, so the last eleven
+# The r5 front has 63 non-green entries for 50 slots, so the last thirteen
 # (per list(REGISTRY)[50:] at import: the kmeans/PCA/freq-items
 # floors, the fn_* surface entries, the mode/first-last windows and
 # the HLL merge floor) spill past the window; they stay non-green and
-# auto-lead the r6 window — all 61 are locally verified via
+# auto-lead the r6 window — all 63 are locally verified via
 # tools/verify_oracle.py (182/182 full-run green + the feature-vector
-# pivot and inter-arrival pair added after that run, verified
-# individually at all three SFs), 2026-08-14.
+# pivot, inter-arrival, AUC and calibration additions after that run,
+# each verified individually at all three SFs), 2026-08-14.
 _WINDOW_PRIORITY = [
     "text_contamination_overlap", "sim_srp_banded_recall",
     "sim_ann_recall_floor",

@@ -780,3 +780,122 @@ def agg_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_keys").cast("long").alias("n_keys"),
         )
     )
+
+
+@register(
+    "ml_auc_exact",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+hist AS (
+  SELECT s, SUM(y) AS p, SUM(1 - y) AS n
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT s, p, n,
+         COALESCE(SUM(n) OVER (
+           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_n_before
+  FROM hist
+),
+tot AS (SELECT SUM(p) AS pp, SUM(n) AS nn FROM hist)
+SELECT CAST(tot.pp AS BIGINT) AS n_pos, CAST(tot.nn AS BIGINT) AS n_neg,
+       CAST(SUM(p * (2 * cum_n_before + n)) AS DOUBLE)
+         / (2.0 * tot.pp * tot.nn) AS auc
+FROM cum CROSS JOIN tot
+GROUP BY tot.pp, tot.nn
+""",
+    description=(
+        "[EXT] exact distributed AUC (Mann-Whitney rank-sum with "
+        "average-rank tie handling) for a score/label stream — the "
+        "model-evaluation primitive a 100 TB training pipeline runs on "
+        "held-out data ('does value rank purchases above "
+        "non-purchases'). The scalable rewrite: instead of a global "
+        "rank window over every row, counts fold into a per-SCORE "
+        "histogram (cent-grid cardinality, independent of row count), "
+        "the cumulative-negatives pass runs over that histogram, and "
+        "AUC = sum p_s*(2*cumN_before + n_s) / (2*P*N) in exact "
+        "integers with ONE final division — ties contribute exactly "
+        "1/2 per the Mann-Whitney definition. At extreme score "
+        "cardinality the ordered pass shards like text_pack_bins; on "
+        "a cent grid it is thousands of rows at any corpus size."
+    ),
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("p"), F.sum(F.lit(1) - F.col("y")).alias("n")
+    )
+    cw = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cum_n_before", F.coalesce(F.sum("n").over(cw), F.lit(0))
+    )
+    tot = hist.agg(F.sum("p").alias("pp"), F.sum("n").alias("nn"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("pp", "nn")
+        .agg(
+            (
+                F.sum(
+                    F.col("p") * (2 * F.col("cum_n_before") + F.col("n"))
+                ).cast("double")
+                / (F.lit(2.0) * F.col("pp") * F.col("nn"))
+            ).alias("auc")
+        )
+        .select(
+            F.col("pp").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            "auc",
+        )
+    )
+
+
+CAL_BINS = 10
+CAL_BIN_WIDTH = 50.0  # value spans [0, 500)
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+SELECT CAST(FLOOR(value / {CAL_BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS pos_rate,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*)
+         AS mean_score
+FROM events
+GROUP BY 1
+""",
+    description=(
+        "[EXT] calibration / reliability table: fixed score bins with "
+        "observed positive rate and exact-decimal mean score per bin — "
+        "AUC's companion diagnostic (ranking can be perfect while "
+        "probabilities are off; the reliability curve is how you see "
+        "it). One map-side-combined pass; output is #bins rows at any "
+        "corpus size. Counts are exact int64, the two ratios are one "
+        "IEEE division each."
+    ),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy(
+        F.floor(F.col("value") / CAL_BIN_WIDTH).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).cast("long").alias("n_pos"),
+        (F.sum(y).cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        (F.sum(cents) / F.lit(100.0) / F.count(F.lit(1))).alias("mean_score"),
+    )
