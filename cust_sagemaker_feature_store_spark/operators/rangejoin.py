@@ -1,0 +1,63 @@
+"""Keyless time-tolerance join (SURVEY.md §2.3 [EXT]).
+
+`range_join_event_followups` covers the common interval join that has
+an equi key (user_id) to hash on; this operator covers the harder case
+with NO equi key — "every pair of rows within `tol` of each other,
+across the whole table" — where a naive theta join degenerates to a
+cross product with a residual filter (O(n²) pairs examined however few
+match).
+
+The standard distributed rewrite (the same bucketing Structured
+Streaming's interval join state uses): bucket both sides on
+floor(t / tol). Any pair with |t_l - t_r| <= tol sits in the same or
+an adjacent bucket, so replicating ONE side to its three adjacent
+bucket ids turns the theta join into an equi join on the bucket key
+plus an exact residual filter. Cost: 3x replication of one side and a
+hash shuffle — pairs examined shrink from |L|·|R| to the pairs inside
+co-located buckets, which is what bounds the work when timestamps are
+spread (the dense-bucket worst case is inherent to the problem: those
+pairs are real output candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def time_tolerance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_us: Column,
+    right_us: Column,
+    tol_us: int,
+) -> DataFrame:
+    """Inner-join rows with |left_us - right_us| <= tol_us, no equi key.
+
+    `left_us` / `right_us` are integer-microsecond Columns over the
+    respective frames. Returns left.* + right.* with helper columns
+    dropped; callers filter/aggregate the joined frame. Column names
+    must be disjoint between the two sides.
+    """
+    if tol_us <= 0:
+        raise ValueError("time_tolerance_join needs tol_us > 0")
+    l = left.withColumn("__lus", left_us).withColumn(
+        "__b", F.floor(F.col("__lus") / F.lit(tol_us))
+    )
+    r = (
+        right.withColumn("__rus", right_us)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.array(
+                    F.floor(F.col("__rus") / F.lit(tol_us)) - 1,
+                    F.floor(F.col("__rus") / F.lit(tol_us)),
+                    F.floor(F.col("__rus") / F.lit(tol_us)) + 1,
+                )
+            ),
+        )
+    )
+    joined = l.join(r, "__b").filter(
+        F.abs(F.col("__lus") - F.col("__rus")) <= F.lit(tol_us)
+    )
+    return joined.drop("__b", "__lus", "__rus")

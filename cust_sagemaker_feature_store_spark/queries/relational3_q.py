@@ -429,3 +429,51 @@ def range_join_event_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+KEYLESS_TOL_US = 60 * 1_000_000  # +/- 1 minute
+
+
+@register(
+    "range_join_keyless_nearby",
+    oracle=f"""
+SELECT a.event_type AS err_type, b.event_type AS near_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM events WHERE event_type = 'error') a
+JOIN (SELECT * FROM events WHERE event_type IN ('purchase', 'signup')) b
+  ON ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= {KEYLESS_TOL_US}
+GROUP BY 1, 2
+""",
+    description=(
+        "[EXT] KEYLESS time-tolerance join (operators/rangejoin."
+        "time_tolerance_join): purchases/signups within +/-1 minute of "
+        "any error event, across ALL users — the incident-correlation "
+        "query that has no equi key to hash on. The naive theta form "
+        "(what the oracle runs) examines |errors| x |others| pairs; "
+        "the operator buckets both sides on floor(t/tol) and "
+        "replicates one side to its three adjacent buckets, turning "
+        "it into a hash equi join on the bucket key + exact residual "
+        "— pairs examined collapse to co-located buckets only. "
+        "Exact integer-microsecond arithmetic throughout."
+    ),
+)
+def range_join_keyless_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import time_tolerance_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_type").alias("err_type"), F.col("ts").alias("err_ts")
+    )
+    others = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        F.col("event_type").alias("near_type"), F.col("ts").alias("near_ts")
+    )
+    joined = time_tolerance_join(
+        errors,
+        others,
+        F.unix_micros(to_ltz(F.col("err_ts"))),
+        F.unix_micros(to_ltz(F.col("near_ts"))),
+        KEYLESS_TOL_US,
+    )
+    return joined.groupBy("err_type", "near_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

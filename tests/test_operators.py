@@ -413,3 +413,51 @@ def test_freq_items_floor_is_nonvacuous(spark, sf_dir):
     for r in heavy:
         est = cms.estimateCount(r["token"])
         assert r["n"] <= est <= r["n"] + 0.001 * total + 1
+
+
+def test_time_tolerance_join_equals_theta_join(spark):
+    """The bucketed keyless join must produce exactly the pairs a naive
+    theta join produces — including pairs straddling bucket edges (the
+    adjacent-bucket replication's job) — on an adversarial fixture with
+    boundary-exact gaps."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.operators.rangejoin import (
+        time_tolerance_join,
+    )
+
+    tol = 100
+    lrows = [(i, t) for i, t in enumerate([0, 99, 100, 101, 250, 999, 1000])]
+    rrows = [(i + 100, t) for i, t in enumerate([50, 100, 199, 200, 201, 900, 1100])]
+    l = spark.createDataFrame(lrows, "lid long, lt long")
+    r = spark.createDataFrame(rrows, "rid long, rt long")
+    got = {
+        (x["lid"], x["rid"])
+        for x in time_tolerance_join(
+            l, r, F.col("lt"), F.col("rt"), tol
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lt in lrows
+        for rid, rt in rrows
+        if abs(lt - rt) <= tol
+    }
+    assert got == want
+
+
+def test_time_tolerance_join_is_not_a_cross_product(spark):
+    """The physical plan must be a hash equi join on the bucket key —
+    never a BroadcastNestedLoopJoin / CartesianProduct theta join."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.operators.rangejoin import (
+        time_tolerance_join,
+    )
+
+    l = spark.range(1000).select(F.col("id").alias("lid"), (F.col("id") * 37).alias("lt"))
+    r = spark.range(1000).select(F.col("id").alias("rid"), (F.col("id") * 53).alias("rt"))
+    df = time_tolerance_join(l, r, F.col("lt"), F.col("rt"), 500)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
