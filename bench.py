@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "fs_bitemporal_asof",
     "events_changepoint_cusum",
     "text_ngram_novelty",
+    "fs_feature_vector_pivot",
+    "events_inter_arrival_stats",
+    "ml_auc_exact",
+    "ml_calibration_bins",
+    "range_join_keyless_nearby",
 ]
 
 
