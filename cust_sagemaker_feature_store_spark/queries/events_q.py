@@ -1248,3 +1248,130 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id AND e.ts > s.s_ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+horizon AS (SELECT MAX(ts) AS h FROM events),
+subj AS (
+  SELECT s.user_id,
+         CASE WHEN c.p_ts IS NOT NULL
+              THEN (epoch_us(c.p_ts) - epoch_us(s.s_ts)) // 86400000000
+              ELSE (epoch_us(h.h) - epoch_us(s.s_ts)) // 86400000000 END AS t,
+         CASE WHEN c.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM signup s LEFT JOIN conv c ON s.user_id = c.user_id CROSS JOIN horizon h
+),
+n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+per_day AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS leave
+  FROM subj GROUP BY 1
+),
+risk AS (
+  SELECT t, d,
+         n_total.n - COALESCE(SUM(leave) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS n_risk
+  FROM per_day CROSS JOIN n_total
+),
+terms AS (
+  SELECT t, d, n_risk,
+         CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000000)
+              AS BIGINT) AS lt
+  FROM risk WHERE d > 0 AND d < n_risk
+)
+SELECT CAST(t AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       ROUND(exp(CAST(SUM(lt) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 1000000000.0), 12) AS survival
+FROM terms
+""",
+    description=(
+        "[EXT] Kaplan-Meier survival curve (Kaplan & Meier 1958, public "
+        "methodology) for signup->first-purchase with right censoring "
+        "at the stream horizon — the time-to-event family (conversion "
+        "lag, churn, retention) none of the moment/quantile operators "
+        "cover, and the censoring is the point: users who never "
+        "converted still inform the risk set. Per-subject times are "
+        "exact integer days; risk sets come from one cumulative pass "
+        "over the DAY-sized frame (never subject-sized); the product "
+        "over (1 - d/n) is carried as exp(sum(ln .)) with each log "
+        "term snapped to a 1e-9 integer grid, so both engines feed "
+        "bit-identical arguments to the same libm functions (the "
+        "repo-wide log-parity discipline). Days where every remaining "
+        "subject exits (d = n_risk) are excluded from the curve "
+        "rather than emitting S=0 with ln(0)."
+    ),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(to_ltz(c))  # noqa: E731
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("s_ts")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    subj = (
+        signup.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.floor((us(F.col("p_ts")) - us(F.col("s_ts"))) / F.lit(86_400_000_000)),
+            )
+            .otherwise(
+                F.floor((us(F.col("h")) - us(F.col("s_ts"))) / F.lit(86_400_000_000))
+            )
+            .alias("t"),
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    n_total = subj.agg(F.count(F.lit(1)).alias("n"))
+    # lazy pin: the risk-set cumulative and the total both read this
+    # day-sized frame; unpinned each branch re-derives the subject table
+    per_day = subj.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("leave")
+    ).localCheckpoint(eager=False)
+    cw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        (F.col("n") - F.coalesce(F.sum("leave").over(cw), F.lit(0))).alias("n_risk"),
+    )
+    terms = risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+            * F.lit(1_000_000_000)
+        ).cast("long").alias("lt"),
+    )
+    sw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return terms.select(
+        F.col("t").cast("long").alias("day"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        # exp() is the one libm call measured to differ by 1 ULP across
+        # engines (sf0.1, 2/329 rows) — snap the output to a 12-decimal
+        # grid, comfortably above ULP noise and below any analytic use
+        F.round(
+            F.exp(F.sum("lt").over(sw).cast("double") / F.lit(1_000_000_000.0)),
+            12,
+        ).alias("survival"),
+    )
