@@ -1375,3 +1375,116 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("survival"),
     )
+
+
+RFM_ASOF_S = 1706659200  # 2024-01-31T00:00:00Z, just past max(ts)
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id,
+         {RFM_ASOF_S} - CAST(floor(epoch(MAX(ts))) AS BIGINT) AS recency_s,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+b AS (
+  SELECT quantile_cont(recency_s, 0.2) AS r1, quantile_cont(recency_s, 0.4) AS r2,
+         quantile_cont(recency_s, 0.6) AS r3, quantile_cont(recency_s, 0.8) AS r4,
+         quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+         quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+         quantile_cont(monetary_cents, 0.2) AS m1, quantile_cont(monetary_cents, 0.4) AS m2,
+         quantile_cont(monetary_cents, 0.6) AS m3, quantile_cont(monetary_cents, 0.8) AS m4
+  FROM base
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, monetary_cents / 100.0 AS monetary,
+         1 + CAST(recency_s < b.r1 AS INT) + CAST(recency_s < b.r2 AS INT)
+           + CAST(recency_s < b.r3 AS INT) + CAST(recency_s < b.r4 AS INT) AS r,
+         1 + CAST(frequency > b.f1 AS INT) + CAST(frequency > b.f2 AS INT)
+           + CAST(frequency > b.f3 AS INT) + CAST(frequency > b.f4 AS INT) AS f,
+         1 + CAST(monetary_cents > b.m1 AS INT) + CAST(monetary_cents > b.m2 AS INT)
+           + CAST(monetary_cents > b.m3 AS INT) + CAST(monetary_cents > b.m4 AS INT) AS m
+  FROM base CROSS JOIN b
+)
+SELECT user_id, recency_s, frequency, monetary, r, f, m,
+       CASE WHEN r >= 4 AND f >= 4 THEN 'champion'
+            WHEN r >= 4 THEN 'recent'
+            WHEN f >= 4 THEN 'loyal_lapsing'
+            WHEN r <= 2 AND f <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+    description=(
+        "[EXT] RFM segmentation (recency/frequency/monetary) — the "
+        "canonical customer featurization: per purchaser, seconds "
+        "since last purchase at a pinned as-of, purchase count, and "
+        "exact-cent spend, each scored 1-5 against the population's "
+        "quintile BOUNDARIES (broadcast 4-number cutpoints from exact "
+        "dyadic percentiles; higher = better on every axis, recency "
+        "reversed) and mapped to a named segment. Boundary assignment "
+        "— not a global NTILE — is the 100 TB form: a rank window "
+        "over the purchaser frame would single-task a billion rows, "
+        "while boundary compare is a narrow map after one aggregate; "
+        "equal inputs get equal scores by construction, so no "
+        "tie-break column is needed. The composed output is what "
+        "campaign targeting and churn models consume directly."
+    ),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.lit(RFM_ASOF_S)
+                - F.floor(F.unix_micros(to_ltz(F.max("ts"))) / F.lit(1_000_000))
+            ).alias("recency_s"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        # lazy pin: the boundary aggregate and the scoring pass both
+        # read this purchaser-sized frame
+        .localCheckpoint(eager=False)
+    )
+    b = base.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{a}{i}")
+            for c, a in (
+                ("recency_s", "r"),
+                ("frequency", "f"),
+                ("monetary_cents", "m"),
+            )
+            for i, q in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
+    )
+
+    def score(col, prefix, reverse):
+        op = (lambda c, b_: c < b_) if reverse else (lambda c, b_: c > b_)
+        e = F.lit(1)
+        for i in (1, 2, 3, 4):
+            e = e + op(F.col(col), F.col(f"{prefix}{i}")).cast("int")
+        return e
+
+    scored = base.crossJoin(F.broadcast(b)).select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        (F.col("monetary_cents") / F.lit(100.0)).alias("monetary"),
+        score("recency_s", "r", reverse=True).alias("r"),
+        score("frequency", "f", reverse=False).alias("f"),
+        score("monetary_cents", "m", reverse=False).alias("m"),
+    )
+    segment = (
+        F.when((F.col("r") >= 4) & (F.col("f") >= 4), "champion")
+        .when(F.col("r") >= 4, "recent")
+        .when(F.col("f") >= 4, "loyal_lapsing")
+        .when((F.col("r") <= 2) & (F.col("f") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment)
