@@ -145,11 +145,11 @@ _R4_DRIVER_GREEN = [
 # term_frequencies/bigram queries, containment, contamination and
 # pagerank AFTER their local verification, so their r5 rows are the
 # evidence), then retarget _WINDOW_PRIORITY at whatever r6 invalidates.
-# The r5 front has 66 non-green entries for 50 slots, so the last sixteen
+# The r5 front has 67 non-green entries for 50 slots, so the last seventeen
 # (per list(REGISTRY)[50:] at import: the kmeans/PCA/freq-items
 # floors, the fn_* surface entries, the mode/first-last windows and
 # the HLL merge floor) spill past the window; they stay non-green and
-# auto-lead the r6 window — all 66 are locally verified via
+# auto-lead the r6 window — all 67 are locally verified via
 # tools/verify_oracle.py (182/182 full-run green + the feature-vector
 # pivot, inter-arrival, AUC and calibration additions after that run,
 # each verified individually at all three SFs), 2026-08-14.

@@ -899,3 +899,105 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(y).cast("double") / F.count(F.lit(1))).alias("pos_rate"),
         (F.sum(cents) / F.lit(100.0) / F.count(F.lit(1))).alias("mean_score"),
     )
+
+
+@register(
+    "ml_mutual_information",
+    oracle="""
+WITH stacked AS (
+  SELECT f.feature, f.x,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events, LATERAL (VALUES
+    ('value_bin', CAST(FLOOR(value / 50.0) AS BIGINT)),
+    ('hour_of_day', CAST(EXTRACT(HOUR FROM ts) AS BIGINT)),
+    ('day_of_week', (CAST(ts AS DATE) - DATE '1970-01-01') % 7)
+  ) AS f(feature, x)
+),
+joint AS (
+  SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM stacked GROUP BY 1, 2, 3
+),
+mx AS (SELECT feature, x, SUM(c_xy) AS c_x FROM joint GROUP BY 1, 2),
+my AS (SELECT feature, y, SUM(c_xy) AS c_y FROM joint GROUP BY 1, 2),
+n AS (SELECT feature, SUM(c_xy) AS n FROM joint GROUP BY 1),
+term AS (
+  SELECT j.feature,
+         (CAST(j.c_xy AS DOUBLE) / n.n)
+           * ln(CAST(j.c_xy AS DOUBLE) * n.n / (CAST(mx.c_x AS DOUBLE) * my.c_y))
+           AS t
+  FROM joint j
+  JOIN mx ON j.feature = mx.feature AND j.x = mx.x
+  JOIN my ON j.feature = my.feature AND j.y = my.y
+  JOIN n ON j.feature = n.feature
+)
+SELECT feature,
+       SUM(CAST(ROUND(t * 1000000000) AS BIGINT)) / 1000000000.0 AS mi_nats
+FROM term GROUP BY feature
+""",
+    description=(
+        "[EXT] mutual-information feature ranking — the model-free "
+        "feature-selection screen ('which candidate features carry "
+        "signal about the purchase label'): I(X;Y) = sum p_xy * "
+        "ln(p_xy/(p_x p_y)) over observed cells, for three candidate "
+        "featurizations (value bin, hour-of-day, epoch-dow) stacked "
+        "into ONE scan via an inline table — 3 features never cost 3 "
+        "passes. All counts exact int64; per-cell terms follow the "
+        "repo's 1e-9-grid discipline so the sums are order-independent "
+        "across engines. The joint table is (feature x bins x 2) rows "
+        "— KBs at any corpus size — so every join here is "
+        "broadcast-trivial; the derived marginals read the pinned "
+        "joint frame, not the corpus."
+    ),
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    stacked = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("value_bin").alias("feature"),
+                    F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("x"),
+                ),
+                F.struct(
+                    F.lit("hour_of_day").alias("feature"),
+                    F.hour(F.col("ts")).cast("long").alias("x"),
+                ),
+                F.struct(
+                    F.lit("day_of_week").alias("feature"),
+                    (
+                        F.datediff(
+                            F.col("ts").cast("date"),
+                            F.lit("1970-01-01").cast("date"),
+                        )
+                        % 7
+                    ).cast("long").alias("x"),
+                ),
+            )
+        ).alias("f"),
+        y.alias("y"),
+    ).select(F.col("f.feature").alias("feature"), F.col("f.x").alias("x"), "y")
+    # lazy pin: marginals and totals are derived from the joint table
+    joint = stacked.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    ).localCheckpoint(eager=False)
+    mx = joint.groupBy("feature", "x").agg(F.sum("c_xy").alias("c_x"))
+    my = joint.groupBy("feature", "y").agg(F.sum("c_xy").alias("c_y"))
+    n = joint.groupBy("feature").agg(F.sum("c_xy").alias("n"))
+    t = (F.col("c_xy").cast("double") / F.col("n")) * F.log(
+        F.col("c_xy").cast("double")
+        * F.col("n")
+        / (F.col("c_x").cast("double") * F.col("c_y"))
+    )
+    term = (
+        joint.join(F.broadcast(mx), ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(n), "feature")
+        .select("feature", t.alias("t"))
+    )
+    return term.groupBy("feature").agg(
+        (
+            F.sum(F.round(F.col("t") * F.lit(1_000_000_000)).cast("long"))
+            / F.lit(1_000_000_000.0)
+        ).alias("mi_nats")
+    )
