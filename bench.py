@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "ml_auc_exact",
     "ml_calibration_bins",
     "range_join_keyless_nearby",
+    "events_survival_km",
+    "events_rfm_segments",
+    "ml_mutual_information",
 ]
 
 
