@@ -41,18 +41,27 @@ def time_tolerance_join(
     """
     if tol_us <= 0:
         raise ValueError("time_tolerance_join needs tol_us > 0")
-    l = left.withColumn("__lus", left_us).withColumn(
-        "__b", F.floor(F.col("__lus") / F.lit(tol_us))
-    )
+
+    def bucket(col: str) -> F.Column:
+        # Exact int64 floor division (ADVICE r5): floor(col / tol)
+        # evaluated as long/long division goes through a double, whose
+        # 53-bit mantissa can mis-bucket values approaching 2^53 and
+        # silently drop boundary pairs. (col - pmod(col, tol)) is an
+        # exact multiple of tol (pmod is non-negative, so this IS the
+        # floor), and integer `div` of an exact multiple is exact — no
+        # magnitude assumption anywhere in int64 range.
+        return F.expr(f"({col} - pmod({col}, {tol_us})) div {tol_us}")
+
+    l = left.withColumn("__lus", left_us).withColumn("__b", bucket("__lus"))
     r = (
         right.withColumn("__rus", right_us)
         .withColumn(
             "__b",
             F.explode(
                 F.array(
-                    F.floor(F.col("__rus") / F.lit(tol_us)) - 1,
-                    F.floor(F.col("__rus") / F.lit(tol_us)),
-                    F.floor(F.col("__rus") / F.lit(tol_us)) + 1,
+                    bucket("__rus") - 1,
+                    bucket("__rus"),
+                    bucket("__rus") + 1,
                 )
             ),
         )

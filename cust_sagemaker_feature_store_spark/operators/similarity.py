@@ -939,6 +939,8 @@ def pca_top_component(
     # the right basin. (G - λI) going singular IS convergence: solve
     # blows up toward the eigenvector, and the renormalized result is
     # still what we want, so a LinAlgError just stops early.
+    v_pi = v.copy()
+    lam_pi = float(v_pi @ (G @ v_pi))
     for _ in range(8):
         lam = float(v @ (G @ v))
         try:
@@ -950,4 +952,14 @@ def pca_top_component(
             break
         v = w / nw
     lam = float(v @ (G @ v))
+    # Dominance guard (ADVICE r5): RQI locks onto whichever eigenvalue
+    # is nearest the Rayleigh quotient of its start vector — on a
+    # near-degenerate spectrum (λ₂/λ₁ ~ 1) the power iterate is still a
+    # mixture after `iters` rounds and RQI can converge to λ₂'s
+    # eigenpair, which residual/Rayleigh-bound floor checks would not
+    # catch. G is PSD, so a LOWER Rayleigh quotient after polish means
+    # the polish moved AWAY from the dominant direction: keep the
+    # pre-RQI power iterate instead (monotone-improvement contract).
+    if lam < lam_pi:
+        v, lam = v_pi, lam_pi
     return v, lam, G

@@ -132,54 +132,70 @@ _R4_DRIVER_GREEN = [
     # the earlier lists and are omitted here.
 ]
 
-# First-in-window priority: the three r4-green queries whose
-# implementations r5 touches (evidence invalidated by the change) lead
-# the window so the external gate re-proves them before anything else;
-# brand-new r5 queries follow automatically as non-green exact-oracle
-# entries.
-#
-# ROUND-6 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r05.json's green rows into an _R5_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r6 changes — and note that
-# r5 touched, late in the round, the shared operators behind
-# term_frequencies/bigram queries, containment, contamination and
-# pagerank AFTER their local verification, so their r5 rows are the
-# evidence), then retarget _WINDOW_PRIORITY at whatever r6 invalidates.
-# The r5 front has 67 non-green entries for 50 slots, so seventeen
-# must wait for r6. Which seventeen is CHOSEN, not accidental:
-# _WINDOW_BACK lists the lowest-stakes entries (builtin-surface demos,
-# simple composed featurizations and window variants), so the flagship
-# r5 operators — PageRank, clustering coefficient, IVF-PQ/semantic-
-# dedup/kmeans/PCA recall floors, Naive Bayes, the sketch floors — all
-# earn driver rows this round instead of spilling on module-import
-# order. The spill stays non-green and auto-leads the r6 window — all
-# 67 front entries are locally verified via tools/verify_oracle.py
-# (190/190 full-run green at sf0.01; every late addition additionally
-# verified at sf0.001 and sf0.1), 2026-08-14.
-_WINDOW_PRIORITY = [
+_R5_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r05.json (49/50 green; the one err
+    # was text_inverted_index's driver-hostile ArrayType schema, fixed
+    # this round — it has never had a driver row and stays in the
+    # window). Excluded on purpose (r6 changes their implementation,
+    # invalidating the r5 evidence per the policy above):
+    #   range_join_keyless_nearby — r6 replaces the double-evaluated
+    #     floor(t/tol) bucket key with exact integer floor division
+    #     (ADVICE r5 #3: magnitude assumption near 2^53);
+    #   sim_pca_power_floor — r6 adds the RQI dominance guard (keep the
+    #     polished eigenpair only if its Rayleigh quotient >= the
+    #     pre-RQI power-iteration quotient; ADVICE r5 #1);
+    #   graph_pagerank_parts — r6 adds the per-group pair cap to
+    #     cooccurrence_edges, its edge derivation (r5 verdict #3).
     "text_contamination_overlap", "sim_srp_banded_recall",
-    "sim_ann_recall_floor",
+    "sim_ann_recall_floor", "fs_ttl_snapshot", "fs_feature_drift_psi",
+    "fs_rollup_reaggregation", "fs_bitemporal_asof", "agg_corr_matrix",
+    "agg_chi_squared", "ml_ridge_closed_form", "agg_key_skew_profile",
+    "ml_auc_exact", "ml_mutual_information", "join_runtime_filter_orders",
+    "layout_hilbert_key", "dq_profile_orders", "stream_attribution_twin",
+    "stream_running_features_twin", "events_mad_outliers",
+    "ml_quantile_binning", "fs_freshness_stats", "events_ewma_window",
+    "events_seasonal_anomaly", "events_active_sessions_peak",
+    "ml_winsorize_robust_scale", "events_changepoint_cusum",
+    "events_survival_km", "dedup_containment_pairs", "pipeline_curate_v2",
+    "text_kl_domain_shift", "text_zipf_slope", "dedup_incremental_batch",
+    "text_ngram_novelty", "text_tfidf_topk", "text_bm25_topk",
+    "text_bigram_lift", "ml_hashed_features", "ml_target_encoding",
+    "text_bigram_lm", "ml_naive_bayes", "graph_clustering_coeff",
+    "sim_ivfpq_recall_floor", "sim_semantic_dedup", "sim_kmeans_refined",
+    "agg_freq_items_floor", "agg_hll_merge_floor",
+]
+
+# First-in-window priority: the r5-green queries whose implementations
+# r6 touches (evidence invalidated by the change — see the exclusion
+# note above) lead the window so the external gate re-proves them
+# before anything else; the 17-query r5 spill and the reshaped
+# text_inverted_index follow automatically as non-green exact-oracle
+# entries, then brand-new r6 queries in module-import order.
+#
+# ROUND-7 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r06.json's green rows into an _R6_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r7 changes), then retarget
+# _WINDOW_PRIORITY at whatever r7 invalidates.
+_WINDOW_PRIORITY = [
+    "range_join_keyless_nearby", "sim_pca_power_floor",
+    "graph_pagerank_parts",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
-# (= the r5 spill). Exactly front_size - 50 names belong here while
-# the front exceeds the window.
-_WINDOW_BACK = [
-    "fn_array_surface", "fn_map_surface", "fn_datetime_surface",
-    "window_first_last_nth", "agg_mode_value", "text_char_diversity",
-    "text_word_dropout", "events_dense_spine",
-    "events_running_distinct_users", "events_sliding_2h_hourly",
-    "events_rfm_segments", "events_inter_arrival_stats",
-    "fs_feature_vector_pivot", "ml_calibration_bins",
-    "join_full_outer_distress", "sample_weighted_docs",
-    "events_type_transitions",
-]
+# when the front exceeds the 50-slot window. EMPTY this round: the r5
+# spill debt is paid first (r5 verdict #1) — every registry query
+# without a current driver row fits in the window, enforced by the
+# spill-size assertion in _reorder_registry (ADVICE r5 #2).
+_WINDOW_BACK: list[str] = []
+
+_DRIVER_WINDOW = 50  # the driver checks the FIRST 50 registered queries
 
 
 def _reorder_registry() -> None:
     green = (
         set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
+        | set(_R5_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
@@ -191,6 +207,20 @@ def _reorder_registry() -> None:
     front_exact = [n for n in rest if REGISTRY[n].oracle is not None]
     front_rows_only = [n for n in rest if REGISTRY[n].oracle is None]
     spill = [n for n in _WINDOW_BACK if n in REGISTRY and n not in green]
+    # ADVICE r5 #2: the "exactly front_size - window names belong in
+    # _WINDOW_BACK" invariant was comment-only — a drifted back-list let
+    # uncurated unverified queries silently spill past the window. Fail
+    # loudly instead: every spilled entry must be a CHOSEN one.
+    n_unverified = len(priority) + len(front_exact) + len(front_rows_only) + len(spill)
+    expected_spill = max(0, n_unverified - _DRIVER_WINDOW)
+    if len(spill) != expected_spill:
+        raise AssertionError(
+            f"window curation drift: {n_unverified} driver-unverified "
+            f"queries need {expected_spill} chosen spill entries in "
+            f"_WINDOW_BACK, found {len(spill)}. Curate the spill "
+            "explicitly (lowest-stakes entries last) instead of letting "
+            "registration order pick which queries miss the driver gate."
+        )
     back = [n for n in REGISTRY if n in green]
     ordered = {
         n: REGISTRY[n]

@@ -353,10 +353,10 @@ def agg_freq_items_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        len(toks) AS n_words,
-       list_sort(toks) AS words_sorted,
+       array_to_string(list_sort(toks), ' ') AS words_sorted,
        toks[1] AS first_word,
        toks[len(toks)] AS last_word,
-       list_sort(list_distinct(toks)) AS words_distinct,
+       array_to_string(list_sort(list_distinct(toks)), ' ') AS words_distinct,
        len(list_filter(toks, w -> length(w) > 5)) AS n_long_words,
        array_to_string(list_reverse(list_sort(toks)), '-') AS joined_desc,
        list_contains(toks, 'green') AS has_green
@@ -366,7 +366,9 @@ FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
         "[EXT] array-function surface over split part names: size/"
         "sort/index/distinct/lambda-filter/reverse-join/contains — the "
         "collection builtins (SURVEY §2.8), all JVM expression "
-        "arithmetic inside codegen, no UDF."
+        "arithmetic inside codegen, no UDF. Array-valued results are "
+        "space-joined on output (driver canonicalizer contract — flat "
+        "scalar columns only)."
     ),
 )
 def fn_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,10 +378,10 @@ def fn_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "p_partkey",
         F.size("toks").alias("n_words"),
-        F.sort_array("toks").alias("words_sorted"),
+        F.array_join(F.sort_array("toks"), " ").alias("words_sorted"),
         F.element_at("toks", 1).alias("first_word"),
         F.element_at("toks", F.size("toks")).alias("last_word"),
-        F.sort_array(F.array_distinct("toks")).alias("words_distinct"),
+        F.array_join(F.sort_array(F.array_distinct("toks")), " ").alias("words_distinct"),
         F.size(F.filter("toks", lambda w: F.length(w) > 5)).alias("n_long_words"),
         F.concat_ws("-", F.reverse(F.sort_array("toks"))).alias("joined_desc"),
         F.array_contains("toks", "green").alias("has_green"),

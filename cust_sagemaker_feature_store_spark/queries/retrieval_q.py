@@ -64,21 +64,31 @@ capped AS (
   SELECT term, doc_id FROM tf
   QUALIFY row_number() OVER (PARTITION BY term ORDER BY doc_id) <= {POSTINGS_CAP}
 ),
-p AS (SELECT term, list_sort(list(doc_id)) AS postings FROM capped GROUP BY 1)
+p AS (
+  SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings
+  FROM capped GROUP BY 1
+)
 SELECT s.term, s.df, s.cf, p.postings
 FROM stats s JOIN p USING (term)
 """,
     description=(
         "Inverted index over the corpus: per term, document frequency, "
         "collection frequency, and the first 40 postings in doc_id "
-        "order. The postings array is capped via window row_number "
-        "BEFORE collect_list, so no task materializes an unbounded "
+        "order (comma-joined — registered query outputs are flat "
+        "scalar columns by contract, see tests/test_queries_oracle.py's "
+        "registry-wide schema assertion; the operator's ArrayType "
+        "postings stay available via operators/retrieval.inverted_index). "
+        "The postings array is capped via window row_number BEFORE "
+        "collect_list, so no task materializes an unbounded "
         "stopword postings list at 100 TB."
     ),
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return R.inverted_index(docs, postings_cap=POSTINGS_CAP)
+    idx = R.inverted_index(docs, postings_cap=POSTINGS_CAP)
+    return idx.select(
+        "term", "df", "cf", F.array_join("postings", ",").alias("postings")
+    )
 
 
 @register(

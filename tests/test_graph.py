@@ -53,6 +53,44 @@ def test_cooccurrence_edges_symmetric_no_self_loops(spark):
     assert edges == {(10, 11), (11, 10)}
 
 
+def test_cooccurrence_cap_bounds_hot_group_quadratic(spark):
+    """Planted skew: one hot group with 40 items, one normal group with
+    3. Cap=10 must bound the hot group to its first 10 items (ascending
+    — deterministic) -> exactly 10*9 directed pairs, while the normal
+    group is untouched, and the output stays symmetric (pagerank's
+    no-dangling contract)."""
+    from pyspark.sql import Row
+
+    rows = [Row(g=1, item=i) for i in range(40)] + [
+        Row(g=2, item=i) for i in (100, 101, 102)
+    ]
+    df = spark.createDataFrame(rows)
+    edges = {
+        (r["src"], r["dst"])
+        for r in G.cooccurrence_edges(
+            df, "g", "item", max_items_per_group=10
+        ).collect()
+    }
+    hot = {(a, b) for a, b in edges if a < 100}
+    assert hot == {(a, b) for a in range(10) for b in range(10) if a != b}
+    assert {(a, b) for a, b in edges if a >= 100} == {
+        (a, b) for a in (100, 101, 102) for b in (100, 101, 102) if a != b
+    }
+    assert {(b, a) for a, b in edges} == edges, "capped edges must stay symmetric"
+    # groups under the cap are byte-identical to uncapped semantics
+    uncapped = {
+        (r["src"], r["dst"])
+        for r in G.cooccurrence_edges(df, "g", "item").collect()
+    }
+    assert {(a, b) for a, b in uncapped if a >= 100} == {
+        (a, b) for a, b in edges if a >= 100
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one pair"):
+        G.cooccurrence_edges(df, "g", "item", max_items_per_group=1)
+
+
 def test_semantic_dedup_prunes_within_cluster_only(spark):
     """Near-identical vectors in the same cluster: higher id dropped.
     Near-identical vectors in different clusters: both kept (the

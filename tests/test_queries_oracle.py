@@ -62,6 +62,7 @@ def test_registry_window_prioritizes_unverified():
         _R2_DRIVER_GREEN,
         _R3_DRIVER_GREEN,
         _R4_DRIVER_GREEN,
+        _R5_DRIVER_GREEN,
         _WINDOW_PRIORITY,
     )
 
@@ -70,6 +71,7 @@ def test_registry_window_prioritizes_unverified():
     green = (
         set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
+        | set(_R5_DRIVER_GREEN)
     ) - set(_WINDOW_PRIORITY)
     unverified = [n for n in REGISTRY if n not in green]
     if len(unverified) <= 50:
@@ -80,6 +82,29 @@ def test_registry_window_prioritizes_unverified():
         assert not wasted, f"green queries wasting window slots: {wasted}"
     # the freshly-repaired / invalidated queries lead the window
     assert names[: len(_WINDOW_PRIORITY)] == _WINDOW_PRIORITY
+
+
+def test_registered_output_schemas_are_flat(spark, sf_dir):
+    """No ArrayType/MapType/StructType in any registered query's output:
+    the driver's pandas canonicalizer sorts result columns and dies on
+    unhashable Python lists (`text_inverted_index` burned its r5 window
+    slot exactly this way — the local replica normalizes lists, so only
+    the driver saw the crash). Nested results must be flattened (e.g.
+    array_join) BEFORE registration; this analyzes every query's plan
+    (no execution) so the next array-out query fails here, not in the
+    driver."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        schema = spec.fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "registered queries must output flat scalar columns "
+        f"(driver canonicalizer contract): {offenders}"
+    )
 
 
 def test_every_query_is_documented_in_coverage():
