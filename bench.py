@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "text_inverted_index",
     "text_bigram_lift",
     "graph_pagerank_parts",
+    "graph_pagerank_deep",
     "sim_semantic_dedup",
     "dedup_containment_pairs",
     "ml_hashed_features",

@@ -51,19 +51,31 @@ def pagerank_integer(
 
     all in int64 (margins: 15*scale = 1.5e13, 85*sum <= 85*scale).
     """
-    # NOT eagerly materialized: the edge derivation ends in a shuffle
-    # (distinct), and Spark re-uses shuffle map outputs across the
-    # repeated references — each iteration's job shows the earlier
-    # stages as skipped, locally and on a cluster (shuffle files
-    # outlive the stage). Measured here: eager localCheckpoint of the
-    # sf0.1 edge set made the 3-iteration query 5x SLOWER (7.5s vs
-    # 1.3s) by paying materialization for reuse Spark already provides.
-    # What DOES grow with iterations is plan/lineage depth — for deep
-    # runs pass checkpoint_every (lineage truncation, same rationale
-    # as dup_clusters' per-round checkpoint, which iterates to an
-    # unknown fixpoint and must re-diff edges every round).
+    # Two regimes, both measured at sf0.1 (2.4M edges, 20k nodes):
+    #
+    # Shallow (checkpoint_every=None): the edge derivation is NOT
+    # materialized — it ends in a shuffle (distinct) and the whole run
+    # is ONE job, where ReuseExchange dedupes every iteration's
+    # reference to it. Eager localCheckpoint here made the 3-iteration
+    # query 5x SLOWER (7.5s vs 1.3s): materialization paid for reuse
+    # Spark already provides.
+    #
+    # Deep (checkpoint_every=k): each eager rank checkpoint SPLITS the
+    # run into separate jobs, and a later job cannot reuse an earlier
+    # job's exchanges — so unpinned, every segment re-derives the edge
+    # list from the raw table (measured: 6 iters ckpt-3 = 23.7s vs
+    # 10.3s uncheckpointed — the truncation that should keep deep runs
+    # flat made them slower). With lineage truncation engaged, pinning
+    # e/deg/nodes once IS the win: segments then start from
+    # materialized edges and per-iteration cost stays flat (the
+    # SCALING.md deep-pagerank rows).
+    deep = checkpoint_every is not None and checkpoint_every < iterations
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    if deep:
+        e = e.localCheckpoint(eager=True)
     nodes = e.select(F.col("__s").alias("node")).distinct()
+    if deep:
+        nodes = nodes.localCheckpoint(eager=True)
     if validate:
         n_dangling = (
             e.select(F.col("__d").alias("node"))
@@ -78,6 +90,8 @@ def pagerank_integer(
                 "iteration. Symmetrize the edges or add self-loops."
             )
     deg = e.groupBy("__s").agg(F.count("*").cast("long").alias("__outdeg"))
+    if deep:
+        deg = deg.localCheckpoint(eager=True)
     n_row = nodes.agg(F.count("*").cast("long").alias("__n"))
 
     rank = (

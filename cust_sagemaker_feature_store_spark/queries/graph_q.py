@@ -81,6 +81,39 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_DEEP_ITERATIONS = 10
+PR_CHECKPOINT_EVERY = 3
+
+
+@register(
+    "graph_pagerank_deep",
+    oracle=_pagerank_oracle(PR_DEEP_ITERATIONS),
+    description=(
+        "10-iteration integer-exact PageRank with checkpoint_every=3 "
+        "engaged — the convergence-regime evidence the 3-iteration "
+        "fixture query can't give (r5 verdict #4): lineage is truncated "
+        "every 3 rounds so plan depth stays bounded however deep the "
+        "run, while the oracle unrolls all 10 integer-exact iterations "
+        "as chained CTEs and pins every rank bit-for-bit. Per-iteration "
+        "wall time stays flat (SCALING.md's deep-pagerank row) — the "
+        "docstring promise at operators/graph.py made measurable."
+    ),
+)
+def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    ranks = G.pagerank_integer(
+        edges,
+        iterations=PR_DEEP_ITERATIONS,
+        checkpoint_every=PR_CHECKPOINT_EVERY,
+    )
+    return ranks.select(
+        F.col("node").alias("part_key"),
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / float(_SCALE)).alias("pagerank"),
+    )
+
+
 @register(
     "graph_clustering_coeff",
     oracle="""

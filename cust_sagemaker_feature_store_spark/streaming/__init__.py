@@ -1,6 +1,11 @@
 from .ingest import StreamingIngest
 from .joins import enrich_with_features, purchase_click_attribution
-from .stateful import running_user_features
+from .stateful import (
+    HDFS_STATE_PROVIDER,
+    ROCKSDB_STATE_PROVIDER,
+    running_user_features,
+    set_state_store_provider,
+)
 from .windows import session_agg, sliding_agg, stream_dedup, tumbling_agg
 
 __all__ = [
@@ -8,6 +13,9 @@ __all__ = [
     "enrich_with_features",
     "purchase_click_attribution",
     "running_user_features",
+    "set_state_store_provider",
+    "HDFS_STATE_PROVIDER",
+    "ROCKSDB_STATE_PROVIDER",
     "session_agg",
     "sliding_agg",
     "stream_dedup",

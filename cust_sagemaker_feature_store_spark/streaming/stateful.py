@@ -32,6 +32,51 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# Public Spark state-store providers (spark.sql.streaming.stateStore.
+# providerClass, Spark 3.2+). The default HDFS-backed provider keeps
+# every key's state as JVM objects on the executor heap — fine for the
+# fixture, but at 100M+ keys state competes with execution memory and
+# GC. RocksDB keeps state off-heap on local SSD with only block-cache
+# + memtable in memory, which is the provider a 100 TB deployment runs.
+HDFS_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def set_state_store_provider(spark, provider: str) -> str:
+    """Select the state store for subsequently STARTED streaming queries
+    (running queries keep the provider they started with — Spark pins it
+    in the checkpoint). Returns the previous provider class so callers
+    can restore it. For RocksDB, changelog checkpointing is enabled too:
+    per-batch uploads become the delta log instead of full SST snapshots
+    — the setting that keeps commit latency flat as state grows.
+
+    Restart caveat (measured, r6): the provider is pinned in the
+    checkpoint at the query's FIRST start, and a resume under a
+    different session conf SILENTLY keeps the original provider — the
+    resumed query runs correctly, but the conf change is ignored (the
+    executor logs still show the original provider class). So this
+    toggle only takes effect on fresh checkpoints; migrating providers
+    means a new checkpoint + replay. Both providers produce
+    bit-identical results for the same input (the state *format*
+    changes, the semantics don't — asserted across a restart in
+    test_streaming.py).
+    """
+    if provider not in (HDFS_STATE_PROVIDER, ROCKSDB_STATE_PROVIDER):
+        raise ValueError(f"unknown state store provider: {provider}")
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, HDFS_STATE_PROVIDER)
+    spark.conf.set(conf, provider)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if provider == ROCKSDB_STATE_PROVIDER else "false",
+    )
+    return prev
+
+
 RUNNING_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -454,3 +454,99 @@ def test_streaming_incremental_agg_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def _run_stateful_two_phase(spark, root, provider_name, provider):
+    """Start the running-features stream on batch 0, stop, add batch 1,
+    RESTART from the same checkpoint — the mid-stream recovery path —
+    under the given state store provider. Returns {user_id: row} of the
+    final emitted state per user."""
+    from cust_sagemaker_feature_store_spark.streaming import (
+        running_user_features,
+        set_state_store_provider,
+    )
+
+    d = root / f"in_{provider_name}"
+    d.mkdir()
+    ckpt = str(root / f"ckpt_{provider_name}")
+    batches = [
+        ["event_id,ts,user_id,event_type,value",
+         "1,2024-01-01 00:05:00,1,click,10.25",
+         "2,2024-01-01 00:20:00,2,view,1.10"],
+        ["event_id,ts,user_id,event_type,value",
+         "3,2024-01-01 01:10:00,1,purchase,100.03",
+         "4,2024-01-01 01:30:00,1,click,0.02"],
+    ]
+
+    def write_batch(i):
+        p = d / f"b{i}.csv"
+        p.write_text("\n".join(batches[i]) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    prev = set_state_store_provider(spark, provider)
+    try:
+        rows = []
+
+        def sink(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        for phase in (0, 1):
+            write_batch(phase)
+            # memory sink can't recover from a checkpoint; foreachBatch
+            # can — and it's the sink the dual-store ingest runs anyway
+            q = (
+                running_user_features(
+                    spark.readStream.schema(
+                        "event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double"
+                    ).option("maxFilesPerTrigger", 1).csv(str(d), header=True)
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+        final = {}
+        for r in rows:
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur["n_events"]:
+                final[r["user_id"]] = r
+        return final
+    finally:
+        set_state_store_provider(spark, prev)
+
+
+def test_stateful_restart_equivalence_under_both_state_stores(spark, tmp_path):
+    """The stateful operator must recover per-key state across a full
+    stop/restart under BOTH public state store providers — the default
+    HDFS-backed one and RocksDB (the off-heap provider a 100M-key
+    deployment runs, see SCALING.md) — and produce identical final
+    state. Provider choice is an executor-storage concern, never a
+    semantics one."""
+    from cust_sagemaker_feature_store_spark.streaming import (
+        HDFS_STATE_PROVIDER,
+        ROCKSDB_STATE_PROVIDER,
+    )
+
+    finals = {}
+    for name, provider in (
+        ("hdfs", HDFS_STATE_PROVIDER),
+        ("rocksdb", ROCKSDB_STATE_PROVIDER),
+    ):
+        finals[name] = _run_stateful_two_phase(spark, tmp_path, name, provider)
+
+    for final in finals.values():
+        # state carried across the restart: batch-1 events folded INTO
+        # batch-0 state, not a fresh count
+        assert final[1]["n_events"] == 3
+        assert final[1]["total_value"] == 110.30
+        assert str(final[1]["last_ts"]) == "2024-01-01 01:30:00"
+        assert final[2]["n_events"] == 1
+    as_tuples = {
+        name: sorted((k, r["n_events"], r["total_value"]) for k, r in f.items())
+        for name, f in finals.items()
+    }
+    assert as_tuples["hdfs"] == as_tuples["rocksdb"]
