@@ -106,6 +106,16 @@ BENCH_QUERIES = [
     "events_survival_km",
     "events_rfm_segments",
     "ml_mutual_information",
+    # round-6 additions: order statistics, DQ audits, ER blocking,
+    # exact series/graph stats and the LM/logreg paths
+    "ml_ks_test",
+    "ml_gini_stump",
+    "dq_referential_orphans",
+    "er_customer_supplier_match",
+    "events_acf_daily",
+    "graph_degree_assortativity",
+    "text_lm_doc_nll",
+    "ml_logreg_newton",
 ]
 
 
