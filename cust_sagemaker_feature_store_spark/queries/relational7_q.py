@@ -1060,3 +1060,261 @@ def ml_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("hessian_positive_definite", bool(hess_pd)),
     ]
     return spark.createDataFrame(checks, "check_name string, guarantee_ok boolean")
+
+
+# -- cumulative gains / lift table --------------------------------------
+
+N_DECILES = 10
+
+
+@register(
+    "ml_lift_gains_deciles",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+pv AS (
+  SELECT cents, CAST(SUM(y) AS BIGINT) AS a, CAST(COUNT(*) AS BIGINT) AS nn
+  FROM s GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n FROM pv),
+r AS (
+  SELECT cents, a, nn,
+         CAST(SUM(nn) OVER (ORDER BY cents DESC) AS BIGINT) AS rank_hi
+  FROM pv
+),
+d AS (
+  SELECT 1 + ((rank_hi - 1) * {N_DECILES}) // tot.n AS decile,
+         a, nn
+  FROM r CROSS JOIN tot
+),
+g AS (
+  SELECT decile, CAST(SUM(nn) AS BIGINT) AS n_rows, CAST(SUM(a) AS BIGINT) AS n_pos
+  FROM d GROUP BY 1
+),
+c AS (
+  SELECT decile, n_rows, n_pos,
+         CAST(SUM(n_rows) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+  FROM g
+)
+SELECT c.decile, c.n_rows, c.n_pos, c.cum_n, c.cum_pos,
+       CAST(c.cum_pos AS DOUBLE) / tot.p AS capture_rate,
+       CAST(c.cum_pos * tot.n AS BIGINT)
+         / (CAST(c.cum_n AS DOUBLE) * tot.p) AS lift
+FROM c CROSS JOIN tot
+""",
+    description=(
+        "[EXT] cumulative gains / lift table over score deciles "
+        "(scored by order total, predicting status F) — the model-"
+        "targeting report behind 'top decile captures X% of "
+        "positives'. Deciles are VALUE-GRID deciles: each distinct "
+        "cent value's top-rank count comes from the sharded-prefix-sum "
+        "idea run in descending order, then 1+((rank-1)*10) div N — "
+        "rows sharing a value share a decile, a deterministic, "
+        "engine-portable rule that needs no row-level global NTILE "
+        "(the 100 TB form; the only global windows run on the distinct-"
+        "value grid and the 10-row decile frame). Lift = cum_pos*N / "
+        "(cum_n*P): int64 products valid to ~3e9 rows, one division."
+    ),
+)
+def ml_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    pv = s.groupBy("cents").agg(
+        F.sum("y").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    tot = pv.agg(
+        F.sum("a").cast("long").alias("p"),
+        F.sum("nn").cast("long").alias("n"),
+    )
+    # descending cumulative over the distinct-value grid: reuse the
+    # sharded prefix sum by negating the shard/order key
+    v = pv.withColumn("__shard", F.expr(f"(-cents) div {CENTS_SHARD}"))
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy(F.desc("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = v.withColumn("__cn", F.sum("nn").over(w_in))
+    shard_tot = v.groupBy("__shard").agg(F.sum("nn").alias("__sn"))
+    w_sh = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = shard_tot.select(
+        "__shard", (F.sum("__sn").over(w_sh) - F.col("__sn")).alias("__on")
+    )
+    r = within.join(F.broadcast(offsets), "__shard").select(
+        "cents",
+        "a",
+        "nn",
+        (F.col("__cn") + F.col("__on")).cast("long").alias("rank_hi"),
+    )
+    d = r.crossJoin(F.broadcast(tot)).select(
+        (
+            F.lit(1)
+            + F.expr(f"((rank_hi - 1) * {N_DECILES}) div n")
+        ).alias("decile"),
+        "a",
+        "nn",
+    )
+    g = d.groupBy("decile").agg(
+        F.sum("nn").cast("long").alias("n_rows"),
+        F.sum("a").cast("long").alias("n_pos"),
+    )
+    # bounded global window: exactly N_DECILES rows
+    w_d = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(w_d).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w_d).cast("long").alias("cum_pos"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        (F.col("cum_pos").cast("double") / F.col("p")).alias("capture_rate"),
+        (
+            (F.col("cum_pos") * F.col("n")).cast("long")
+            / (F.col("cum_n").cast("double") * F.col("p"))
+        ).alias("lift"),
+    )
+
+
+# -- point-in-time leakage audit ----------------------------------------
+
+
+@register(
+    "fs_leakage_audit",
+    oracle="""
+WITH labels AS (
+  SELECT user_id, ts AS label_ts FROM events WHERE event_type = 'purchase'
+),
+bounds AS (
+  SELECT user_id, MAX(ts) AS max_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT l.user_id, l.label_ts, b.max_ts
+  FROM labels l JOIN bounds b ON l.user_id = b.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+       CAST(SUM(CASE WHEN max_ts > label_ts THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_naive,
+       CAST(SUM(CASE WHEN max_ts > label_ts THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS DOUBLE) AS leaky_fraction
+FROM j
+""",
+    description=(
+        "[EXT] point-in-time leakage audit: for every label event "
+        "(purchase), would a NAIVE latest-per-key feature join — the "
+        "one the as-of join family exists to replace — pull feature "
+        "state from the label's future? Counts labels whose user has "
+        "any event after label_ts (equivalently: the naive join's "
+        "latest row postdates the label). The quantified argument for "
+        "fs_asof_join/fs_multi_group_asof: leaky_fraction is how much "
+        "of a training set silently trains on the future. One per-user "
+        "aggregate broadcast-joined to the label stream."
+    ),
+)
+def fs_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("label_ts")
+    )
+    bounds = ev.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+    j = labels.join(bounds, "user_id")
+    leaky = F.sum(
+        F.when(F.col("max_ts") > F.col("label_ts"), 1).otherwise(0)
+    ).cast("long")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        leaky.alias("n_leaky_naive"),
+    ).select(
+        "n_labels",
+        "n_leaky_naive",
+        (
+            F.col("n_leaky_naive") / F.col("n_labels").cast("double")
+        ).alias("leaky_fraction"),
+    )
+
+
+# -- cross-table monetary consistency -----------------------------------
+
+
+@register(
+    "dq_order_total_consistency",
+    oracle="""
+WITH ls AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS li_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_cents, ls.li_cents
+  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_checked,
+       CAST(SUM(CASE WHEN o_cents <> li_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(MAX(ABS(o_cents - li_cents)) AS BIGINT) AS max_abs_diff_cents,
+       CAST(SUM(ABS(o_cents - li_cents)) AS BIGINT) AS total_abs_diff_cents
+FROM j
+""",
+    description=(
+        "[EXT] cross-table monetary consistency audit: does each "
+        "order's header total equal the sum of its lines' "
+        "extendedprice*(1-discount)*(1+tax)? Per-line amounts rounded "
+        "to exact cents BEFORE the int64 sum (order-independent), so "
+        "mismatch counts and drift magnitudes are bit-exact. On this "
+        "synthetic testdata every order mismatches (the generator "
+        "draws totals independently) — which is precisely what an "
+        "audit must surface, and why the report carries magnitudes, "
+        "not just a boolean. One map-side-combined per-order "
+        "aggregate + one key-shuffled join."
+    ),
+)
+def dq_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("li_cents")
+    )
+    j = orders.join(ls, orders["o_orderkey"] == ls["l_orderkey"]).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+        "li_cents",
+    )
+    diff = F.abs(F.col("o_cents") - F.col("li_cents"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_checked"),
+        F.sum(F.when(F.col("o_cents") != F.col("li_cents"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.max(diff).cast("long").alias("max_abs_diff_cents"),
+        F.sum(diff).cast("long").alias("total_abs_diff_cents"),
+    )
