@@ -152,21 +152,23 @@ def cooccurrence_edges(
     that group's edges on BOTH sides (src and dst), so the output
     stays symmetric — no dangling destinations for pagerank_integer.
 
-    The distinct-per-group dedup now happens BEFORE the self-join
-    (groups with duplicate items used to multiply join output and rely
-    on the final distinct): strictly less join input at any scale,
-    same result.
+    The cap is a dense_rank over the RAW rows (duplicates share a
+    rank), not distinct-then-row_number: both keep exactly the first
+    `max_items_per_group` distinct items, but dense_rank needs ONE
+    shuffle (the group window) where distinct+row_number needs two —
+    measured at sf0.1 (600k lineitems, 3-iter PageRank consumer,
+    min-of-3 warm): uncapped 1.00s, dense_rank cap 1.26s,
+    distinct+row_number cap 1.73s. The ~0.26s over uncapped is the
+    price of the enforced bound.
     """
     from pyspark.sql import Window
 
     if max_items_per_group < 2:
         raise ValueError("max_items_per_group must allow at least one pair")
-    items = df.select(
-        F.col(group_col).alias("__g"), F.col(item_col).alias("src")
-    ).distinct()
     w = Window.partitionBy("__g").orderBy("src")
     a = (
-        items.withColumn("__rn", F.row_number().over(w))
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src"))
+        .withColumn("__rn", F.dense_rank().over(w))
         .filter(F.col("__rn") <= max_items_per_group)
         .drop("__rn")
     )
