@@ -1318,3 +1318,73 @@ def dq_order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(diff).cast("long").alias("max_abs_diff_cents"),
         F.sum(diff).cast("long").alias("total_abs_diff_cents"),
     )
+
+
+# -- gaps and islands over a key sequence -------------------------------
+
+GAP_SHARD = 4096
+GAP_TOP_K = 10
+
+
+@register(
+    "dq_orderkey_gap_islands",
+    oracle=f"""
+WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+nxt AS (
+  SELECT key AS gap_start, lead(key) OVER (ORDER BY key) AS gap_end
+  FROM k
+)
+SELECT gap_start, gap_end,
+       CAST(gap_end - gap_start - 1 AS BIGINT) AS gap_len
+FROM nxt
+WHERE gap_end - gap_start > 1
+ORDER BY gap_len DESC, gap_start
+LIMIT {GAP_TOP_K}
+""",
+    description=(
+        "[EXT] gaps-and-islands audit over the order-key sequence: the "
+        "top missing-id ranges (dropped batches / failed ingests show "
+        "up as key gaps). The classic LEAD-over-everything needs a "
+        "global sort; this runs the two-level sharded form — "
+        "consecutive-key pairs WITHIN a key-range shard come from a "
+        "shard-partitioned window (parallel), pairs ACROSS shards from "
+        "the per-shard min/max frame (one compressed row per non-empty "
+        "shard), covering every consecutive pair exactly once. The "
+        "compressed-frame window and the TakeOrdered top-k are the "
+        "only global steps. Exact int64 throughout."
+    ),
+)
+def dq_orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.select(F.col("o_orderkey").alias("key")).distinct().withColumn(
+        "__shard", F.expr(f"key div {GAP_SHARD}")
+    )
+    w_in = Window.partitionBy("__shard").orderBy("key")
+    within = (
+        k.withColumn("__next", F.lead("key").over(w_in))
+        .filter(F.col("__next").isNotNull())
+        .select(F.col("key").alias("gap_start"), F.col("__next").alias("gap_end"))
+    )
+    shards = k.groupBy("__shard").agg(
+        F.min("key").alias("__lo"), F.max("key").alias("__hi")
+    )
+    # compressed frame: one row per NON-EMPTY shard (<= range/GAP_SHARD)
+    w_sh = Window.orderBy("__shard")
+    across = (
+        shards.withColumn("__next_lo", F.lead("__lo").over(w_sh))
+        .filter(F.col("__next_lo").isNotNull())
+        .select(
+            F.col("__hi").alias("gap_start"), F.col("__next_lo").alias("gap_end")
+        )
+    )
+    pairs = within.unionAll(across)
+    return (
+        pairs.filter(F.col("gap_end") - F.col("gap_start") > 1)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") - 1).cast("long").alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), F.asc("gap_start"))
+        .limit(GAP_TOP_K)
+    )
