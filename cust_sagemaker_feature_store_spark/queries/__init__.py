@@ -146,7 +146,11 @@ _R5_DRIVER_GREEN = [
     #     polished eigenpair only if its Rayleigh quotient >= the
     #     pre-RQI power-iteration quotient; ADVICE r5 #1);
     #   graph_pagerank_parts — r6 adds the per-group pair cap to
-    #     cooccurrence_edges, its edge derivation (r5 verdict #3).
+    #     cooccurrence_edges, its edge derivation (r5 verdict #3);
+    #   sim_ivfpq_recall_floor — r6 adds the trained-centroid `cent`
+    #     injection parameter to ivfpq_topk (the seeded default path is
+    #     unchanged, but the operator body changed, so the r5 evidence
+    #     rotates back in per the policy).
     "text_contamination_overlap", "sim_srp_banded_recall",
     "sim_ann_recall_floor", "fs_ttl_snapshot", "fs_feature_drift_psi",
     "fs_rollup_reaggregation", "fs_bitemporal_asof", "agg_corr_matrix",
@@ -162,7 +166,7 @@ _R5_DRIVER_GREEN = [
     "text_ngram_novelty", "text_tfidf_topk", "text_bm25_topk",
     "text_bigram_lift", "ml_hashed_features", "ml_target_encoding",
     "text_bigram_lm", "ml_naive_bayes", "graph_clustering_coeff",
-    "sim_ivfpq_recall_floor", "sim_semantic_dedup", "sim_kmeans_refined",
+    "sim_semantic_dedup", "sim_kmeans_refined",
     "agg_freq_items_floor", "agg_hll_merge_floor",
 ]
 
@@ -179,7 +183,7 @@ _R5_DRIVER_GREEN = [
 # _WINDOW_PRIORITY at whatever r7 invalidates.
 _WINDOW_PRIORITY = [
     "range_join_keyless_nearby", "sim_pca_power_floor",
-    "graph_pagerank_parts",
+    "graph_pagerank_parts", "sim_ivfpq_recall_floor",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

