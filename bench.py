@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "graph_degree_assortativity",
     "text_lm_doc_nll",
     "ml_logreg_newton",
+    "agg_exact_median_orders",
+    "dq_orderkey_gap_islands",
+    "sim_ivfpq_lloyd_recall_floor",
 ]
 
 

@@ -461,3 +461,152 @@ def test_time_tolerance_join_is_not_a_cross_product(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- round-6 order-statistics / audit operators -------------------------
+
+
+def test_sharded_prefix_sum_matches_naive(spark):
+    """_cumulative_counts (the sharded prefix sum behind KS/stump/
+    median/lift) must equal a driver-side cumulative over any value
+    spread — including values straddling many shards and duplicates
+    within one."""
+    import random
+
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.queries.relational7_q import (
+        _cumulative_counts,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(cents=rng.randrange(0, 20_000_000), a=rng.randrange(0, 5), b=rng.randrange(0, 5))
+        for _ in range(200)
+    ]
+    # dedupe cents (operator contract: one row per distinct value)
+    seen = {}
+    for r in rows:
+        seen[r.cents] = r
+    rows = list(seen.values())
+    df = spark.createDataFrame(rows)
+    got = {
+        r["cents"]: (r["cum_a"], r["cum_b"])
+        for r in _cumulative_counts(df).collect()
+    }
+    ca = cb = 0
+    for r in sorted(rows, key=lambda r: r.cents):
+        ca += r.a
+        cb += r.b
+        assert got[r.cents] == (ca, cb), r.cents
+
+
+def test_er_pigeonhole_blocking_is_complete(spark):
+    """Every single-substitution perturbation of a 9-digit id must be
+    caught by the third-pair blocking — the pigeonhole completeness
+    argument, exercised over all 9 positions."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.queries.relational7_q import (
+        er_customer_supplier_match,
+    )
+
+    base = "000000042"
+    perturbed = []
+    for pos in range(9):
+        digits = list(base)
+        digits[pos] = "7" if digits[pos] != "7" else "8"
+        perturbed.append("".join(digits))
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name=f"Customer#{base}", c_nationkey=0,
+             c_acctbal=0.0, c_mktsegment="BUILDING")]
+    )
+    supp = spark.createDataFrame(
+        [Row(s_suppkey=i, s_name=f"Supplier#{p}", s_nationkey=0, s_acctbal=0.0)
+         for i, p in enumerate(perturbed)]
+        + [Row(s_suppkey=99, s_name="Supplier#999999999", s_nationkey=0,
+               s_acctbal=0.0)]
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="er_complete_")
+    cust.write.parquet(os.path.join(d, "customer.parquet"))
+    supp.write.parquet(os.path.join(d, "supplier.parquet"))
+    got = {
+        r["s_suppkey"]
+        for r in er_customer_supplier_match(spark, d).collect()
+    }
+    assert got == set(range(9)), (
+        "blocking must catch all 9 single-substitution positions and "
+        f"exclude the unrelated id; got {sorted(got)}"
+    )
+
+
+def test_acf_values_bounded_and_lag0_identity(spark, sf_dir):
+    """Autocorrelations live in [-1, 1]; the exact integer formulation
+    must respect the bound at every lag on real data."""
+    from cust_sagemaker_feature_store_spark.queries.relational7_q import (
+        events_acf_daily,
+    )
+
+    rows = events_acf_daily(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert -1.0 <= r["acf"] <= 1.0, r
+        assert r["den_scaled"] > 0
+
+
+def test_exact_median_matches_python(spark, sf_dir):
+    """The sharded-selection median equals statistics.median_low of the
+    collected cents."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.queries.relational7_q import (
+        agg_exact_median_orders,
+    )
+
+    got = agg_exact_median_orders(spark, sf_dir).collect()[0]
+    cents = [
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .collect()
+    ]
+    assert got["median_cents"] == statistics.median_low(cents)
+    assert got["n_rows"] == len(cents)
+
+
+def test_gap_islands_matches_naive(spark, sf_dir):
+    """The two-level sharded gap scan equals the naive LEAD over the
+    collected distinct keys."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.queries.relational7_q import (
+        dq_orderkey_gap_islands,
+        GAP_TOP_K,
+    )
+
+    keys = sorted(
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .distinct()
+        .collect()
+    )
+    gaps = [
+        (a, b, b - a - 1)
+        for a, b in zip(keys, keys[1:])
+        if b - a > 1
+    ]
+    gaps.sort(key=lambda g: (-g[2], g[0]))
+    expect = gaps[:GAP_TOP_K]
+    got = [
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in dq_orderkey_gap_islands(spark, sf_dir).collect()
+    ]
+    assert got == expect
