@@ -610,3 +610,41 @@ def test_gap_islands_matches_naive(spark, sf_dir):
         for r in dq_orderkey_gap_islands(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_time_tolerance_join_exact_near_int64_magnitude(spark):
+    """ADVICE r5 regression test: bucket ids must be exact for values
+    approaching 2^53, where the old floor(double/double) form loses
+    integer resolution and silently drops boundary pairs. Pairs sit
+    exactly `tol` apart around 2^53 + offsets that are unrepresentable
+    as doubles (odd values > 2^53 round to even)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.operators.rangejoin import (
+        time_tolerance_join,
+    )
+
+    base = (1 << 53) + 1  # not representable as a double (rounds to 2^53)
+    tol = 1000
+    lrows = [Row(lid=i, lt=base + i * 5000) for i in range(4)]
+    # each right row exactly tol away from its left partner — the
+    # boundary case |l - r| == tol must be INCLUDED
+    rrows = [Row(rid=i, rt=base + i * 5000 + tol) for i in range(4)]
+    l = spark.createDataFrame(lrows)
+    r = spark.createDataFrame(rrows)
+    got = {
+        (x["lid"], x["rid"])
+        for x in time_tolerance_join(
+            l, r, F.col("lt"), F.col("rt"), tol
+        ).collect()
+    }
+    assert got == {(i, i) for i in range(4)}, got
+    # exact theta-join cross-check at this magnitude
+    theta = {
+        (x["lid"], x["rid"])
+        for x in l.crossJoin(r)
+        .filter(F.abs(F.col("lt") - F.col("rt")) <= tol)
+        .collect()
+    }
+    assert got == theta

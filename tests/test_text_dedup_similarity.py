@@ -508,3 +508,36 @@ def test_incremental_dedup_status_planted(spark):
         for r in D.incremental_dedup_status(batch, hashes, bands).collect()
     }
     assert got == {10: "exact_dup", 11: "near_dup", 12: "new"}
+
+
+def test_pca_rqi_guard_on_near_degenerate_spectrum(spark):
+    """ADVICE r5 regression test: with lambda2/lambda1 ~ 1 the power
+    iterate is still a mixture and unguarded RQI can lock onto the
+    SECOND eigenpair. The dominance guard must keep the returned
+    Rayleigh quotient within the top-eigenvalue neighborhood — never
+    below the pre-polish power-iteration quotient, and at least as
+    large as lambda2 (a return of exactly lambda2's eigenpair with
+    lambda < lambda2 + gap would betray the regression)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    # two nearly-equal dominant directions: vectors along e1 and e2
+    # with norms making eigenvalues ~1.000 and ~0.999 of each other
+    rows = []
+    vid = 0
+    for _ in range(50):
+        rows.append(Row(vec_id=vid, embedding=[1.0, 0.0, 0.01, 0.0])); vid += 1
+        rows.append(Row(vec_id=vid, embedding=[0.0, 0.9999, 0.0, 0.01])); vid += 1
+    emb = spark.createDataFrame(rows)
+    v, lam, G = S.pca_top_component(emb, iters=30)  # few iters: mixture basin
+    evals = np.linalg.eigvalsh(G)
+    top, second = float(evals[-1]), float(evals[-2])
+    # guard contract: monotone improvement — the result cannot be the
+    # second eigenpair when the power quotient already exceeded it
+    assert lam >= second - 1e-6 * top
+    assert lam <= top * (1 + 1e-9)
+    # and the residual still certifies an (approximate) eigenpair
+    resid = float(np.linalg.norm(G @ v - lam * v))
+    assert resid <= 1e-3 * top
