@@ -179,3 +179,57 @@ def cooccurrence_edges(
         .select("src", "dst")
         .distinct()
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core of an undirected graph (edge list holds both directions):
+    iteratively peel nodes of degree < k until the fixpoint — the
+    classic density filter (Seidman 1983, public methodology) a
+    curation pipeline uses to keep only well-embedded items.
+
+    Each round is one degree aggregation + two semi joins (drop edges
+    touching a peeled node). The round count is bounded by the peeling
+    depth (<= longest chain into the core), NOT the node count — most
+    real graphs converge in a handful of rounds. Per-round driver
+    state: one edge-count scalar (the fixpoint test — a bounded
+    collect). Lineage is truncated every `checkpoint_every` rounds with
+    the frames every subsequent round re-reads pinned eagerly — the
+    deep-PageRank lesson (cross-job exchange reuse does not exist).
+
+    Returns the surviving (src, dst) edge list; nodes of the k-core are
+    its distinct sources. Raises if `max_rounds` is hit before the
+    fixpoint (peeling MUST converge; hitting the cap means the caller's
+    bound, not the algorithm, is wrong).
+    """
+    if k < 1:
+        raise ValueError("kcore needs k >= 1")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    for r in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("__s")
+        nxt = (
+            e.join(keep, "__s", "left_semi")
+            .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
+        )
+        if (r + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt.select(F.col("__s").alias(src), F.col("__d").alias(dst))
+        e, n_edges = nxt, n_next
+    if n_edges == 0:
+        return e.select(F.col("__s").alias(src), F.col("__d").alias(dst))
+    raise RuntimeError(
+        f"kcore did not converge in {max_rounds} rounds ({n_edges} edges left)"
+    )

@@ -218,3 +218,51 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "graph_kcore_floor",
+    oracle="""
+SELECT 'degrees_ge_k' AS check_name, TRUE AS guarantee_ok
+UNION ALL
+SELECT 'strictly_peeled' AS check_name, TRUE AS guarantee_ok
+UNION ALL
+SELECT 'core_nonempty' AS check_name, TRUE AS guarantee_ok
+""",
+    description=(
+        "[EXT] driver-visible guarantee floor for iterative k-core "
+        "peeling (operators/graph.kcore, Seidman 1983 — the density "
+        "filter that keeps only well-embedded items): k is derived "
+        "from the data as min_degree+1 of the part co-purchase graph "
+        "(node-sized frame, one MIN — any larger quantile cascades "
+        "this near-uniform-degree fixture to an EMPTY core, measured: "
+        "k at the lower quartile left 0 nodes, k=min+1 leaves n-1..n-2 "
+        "while still forcing real peeling rounds). The floor pins the "
+        "defining invariants: every surviving node's in-core degree "
+        ">= k; at least one node was actually peeled (the min-degree "
+        "node must go); and the core is non-empty. Scale shape: each "
+        "round is one degree aggregation + two semi joins; rounds are "
+        "bounded by peeling depth, lineage truncated every 3 rounds "
+        "with the deep-PageRank pinning rule."
+    ),
+)
+def graph_kcore_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = edges.localCheckpoint(eager=True)  # consumed by deg probe + peel
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_nodes = deg.count()
+    k = int(deg.agg(F.min("d").alias("m")).collect()[0]["m"]) + 1
+    core = G.kcore(edges, k=k)
+    core_deg = core.groupBy("src").agg(F.count("*").alias("d"))
+    stats = core_deg.agg(
+        F.count(F.lit(1)).alias("n_core"), F.min("d").alias("min_d")
+    ).collect()[0]
+    n_core = stats["n_core"] or 0
+    min_d = stats["min_d"]
+    checks = [
+        ("degrees_ge_k", bool(n_core > 0 and min_d >= k)),
+        ("strictly_peeled", bool(n_core < n_nodes)),
+        ("core_nonempty", bool(n_core > 0)),
+    ]
+    return spark.createDataFrame(checks, "check_name string, guarantee_ok boolean")

@@ -153,3 +153,22 @@ def test_pagerank_validate_rejects_dangling_nodes(spark):
     # symmetric edges pass validation
     e2 = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=1)])
     assert G.pagerank_integer(e2, iterations=1, validate=True).count() == 2
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    """Triangle with a pendant chain: the 2-core is exactly the
+    triangle — the chain peels over multiple rounds (depth > 1, so the
+    fixpoint loop is actually exercised)."""
+    from pyspark.sql import Row
+
+    und = []
+    for a, b in [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]:
+        und += [Row(src=a, dst=b), Row(src=b, dst=a)]
+    edges = spark.createDataFrame(und)
+    core = G.kcore(edges, k=2)
+    nodes = {r["src"] for r in core.select("src").distinct().collect()}
+    assert nodes == {1, 2, 3}
+    got = {(r["src"], r["dst"]) for r in core.collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)}
+    # k above the max degree empties the graph
+    assert G.kcore(edges, k=4).count() == 0
