@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "agg_exact_median_orders",
     "dq_orderkey_gap_islands",
     "sim_ivfpq_lloyd_recall_floor",
+    "graph_kcore_floor",
+    "ml_ols_cv_kfold",
 ]
 
 

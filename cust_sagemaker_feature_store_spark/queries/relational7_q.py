@@ -1448,3 +1448,146 @@ def agg_exact_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("median_cents") / 100.0).alias("median_price"),
         )
     )
+
+
+# -- k-fold cross-validated OLS -----------------------------------------
+
+CV_FOLDS = 5
+
+
+@register(
+    "ml_ols_cv_kfold",
+    oracle=f"""
+WITH s AS (
+  SELECT l_orderkey % {CV_FOLDS} AS fold,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+pf AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM s GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy
+  FROM pf
+),
+tr AS (
+  SELECT pf.fold,
+         CAST(g.n - pf.n AS BIGINT) AS n_train,
+         CAST(pf.n AS BIGINT) AS n_test,
+         CAST(g.n - pf.n AS DOUBLE) AS nd,
+         CAST(g.sx - pf.sx AS DOUBLE) AS sxd,
+         CAST(g.sy - pf.sy AS DOUBLE) AS syd,
+         CAST(g.sxx - pf.sxx AS DOUBLE) AS sxxd,
+         CAST(g.sxy - pf.sxy AS DOUBLE) AS sxyd
+  FROM pf CROSS JOIN g
+),
+cf AS (
+  SELECT fold, n_train, n_test,
+         (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope,
+         (syd - ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd)) * sxd) / nd
+           AS intercept_cents
+  FROM tr
+),
+sc AS (
+  SELECT s.fold,
+         CAST(floor((CAST(s.y AS DOUBLE) - (cf.intercept_cents + cf.slope * s.x))
+                    * (CAST(s.y AS DOUBLE) - (cf.intercept_cents + cf.slope * s.x)))
+              AS BIGINT) AS se
+  FROM s JOIN cf ON s.fold = cf.fold
+),
+m AS (
+  SELECT fold, SUM(se) AS sse FROM sc GROUP BY 1
+)
+SELECT cf.fold, cf.n_train, cf.n_test, cf.slope,
+       cf.intercept_cents / 100.0 AS intercept,
+       CAST(m.sse AS DOUBLE) / cf.n_test / 10000.0 AS test_mse
+FROM cf JOIN m USING (fold)
+""",
+    description=(
+        "[EXT] 5-fold cross-validated closed-form OLS (l_extendedprice "
+        "~ l_quantity), folds by deterministic l_orderkey hash. The "
+        "scalable trick: each fold's TRAINING sums are global-minus-"
+        "fold differences of exact decimal sufficient statistics, so "
+        "all 5 models train from ONE aggregation pass (no 5x rescan); "
+        "a second pass scores each row against its own fold's "
+        "coefficients. Held-out squared errors are floored onto the "
+        "cents² grid then summed as decimal — the identical-IEEE-tree "
+        "discipline: both engines floor the same double, so the "
+        "order-independent integer sum pins test MSE bit-for-bit. "
+        "This is model selection at 100 TB: k models for one scan + "
+        "one broadcast join of k coefficient rows."
+    ),
+)
+def ml_ols_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = li.select(
+        (F.col("l_orderkey") % CV_FOLDS).alias("fold"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    pf = s.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    g = pf.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sy").alias("gsy"),
+        F.sum("sxx").alias("gsxx"),
+        F.sum("sxy").alias("gsxy"),
+    )
+    tr = pf.crossJoin(F.broadcast(g)).select(
+        "fold",
+        (F.col("gn") - F.col("n")).cast("long").alias("n_train"),
+        F.col("n").alias("n_test"),
+        (F.col("gn") - F.col("n")).cast("double").alias("nd"),
+        (F.col("gsx") - F.col("sx")).cast("double").alias("sxd"),
+        (F.col("gsy") - F.col("sy")).cast("double").alias("syd"),
+        (F.col("gsxx") - F.col("sxx")).cast("double").alias("sxxd"),
+        (F.col("gsxy") - F.col("sxy")).cast("double").alias("sxyd"),
+    )
+    nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
+    sxxd, sxyd = F.col("sxxd"), F.col("sxyd")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    cf = tr.select(
+        "fold",
+        "n_train",
+        "n_test",
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept_cents"),
+    )
+    se = F.floor(
+        (
+            F.col("y").cast("double")
+            - (F.col("intercept_cents") + F.col("slope") * F.col("x"))
+        )
+        * (
+            F.col("y").cast("double")
+            - (F.col("intercept_cents") + F.col("slope") * F.col("x"))
+        )
+    ).cast("long")
+    m = (
+        s.join(F.broadcast(cf.select("fold", "slope", "intercept_cents")), "fold")
+        .select("fold", se.alias("se"))
+        .groupBy("fold")
+        .agg(F.sum(dec(F.col("se"))).alias("sse"))
+    )
+    return cf.join(m, "fold").select(
+        "fold",
+        "n_train",
+        "n_test",
+        "slope",
+        (F.col("intercept_cents") / 100.0).alias("intercept"),
+        (
+            F.col("sse").cast("double") / F.col("n_test") / F.lit(10000.0)
+        ).alias("test_mse"),
+    )
