@@ -648,3 +648,86 @@ def test_time_tolerance_join_exact_near_int64_magnitude(spark):
         .collect()
     }
     assert got == theta
+
+
+def test_cv_ols_matches_numpy_per_fold(spark, sf_dir):
+    """Each fold's global-minus-fold coefficients must equal a direct
+    numpy least-squares fit on the training rows, and the reported
+    held-out MSE must match a python recomputation (to the cents² floor
+    grid)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.queries.relational7_q import (
+        CV_FOLDS,
+        ml_ols_cv_kfold,
+    )
+
+    got = {r["fold"]: r for r in ml_ols_cv_kfold(spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") % CV_FOLDS).alias("fold"),
+            F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    data = np.array([(r["fold"], r["x"], r["y"]) for r in rows], dtype=np.float64)
+    for fold in range(CV_FOLDS):
+        train = data[data[:, 0] != fold]
+        test = data[data[:, 0] == fold]
+        A = np.stack([np.ones(len(train)), train[:, 1]], axis=1)
+        (b0, b1), *_ = np.linalg.lstsq(A, train[:, 2], rcond=None)
+        g = got[fold]
+        assert abs(g["slope"] - b1) < 1e-6 * max(1.0, abs(b1))
+        assert abs(g["intercept"] - b0 / 100.0) < 1e-4 * max(1.0, abs(b0 / 100.0))
+        pred = g["intercept"] * 100.0 + g["slope"] * test[:, 1]
+        mse = np.floor((test[:, 2] - pred) ** 2).sum() / len(test) / 1e4
+        assert abs(g["test_mse"] - mse) < 1e-6 * max(1.0, mse)
+        assert g["n_train"] == len(train) and g["n_test"] == len(test)
+
+
+def test_kcore_matches_naive_peeling_on_random_graphs(spark):
+    """Distributed peeling equals a straightforward python k-core on
+    seeded random graphs (several densities, k values)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.graph import kcore
+
+    def naive_kcore(adj, k):
+        alive = {n for n in adj}
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if sum(1 for m in adj[n] if m in alive) < k:
+                    alive.discard(n)
+                    changed = True
+        return alive
+
+    rng = random.Random(11)
+    for trial, (n, p, k) in enumerate([(30, 0.1, 2), (40, 0.15, 3), (25, 0.3, 4)]):
+        adj = {i: set() for i in range(n)}
+        for a in range(n):
+            for b in range(a + 1, n):
+                if rng.random() < p:
+                    adj[a].add(b)
+                    adj[b].add(a)
+        und = [
+            Row(src=a, dst=b)
+            for a in adj
+            for b in adj[a]
+        ]
+        if not und:
+            continue
+        edges = spark.createDataFrame(und)
+        got = {
+            r["src"]
+            for r in kcore(edges, k=k).select("src").distinct().collect()
+        }
+        assert got == naive_kcore(adj, k), (trial, n, p, k)
