@@ -1591,3 +1591,96 @@ def ml_ols_cv_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sse").cast("double") / F.col("n_test") / F.lit(10000.0)
         ).alias("test_mse"),
     )
+
+
+# -- exact grouped median (sharded, per event type) ---------------------
+
+VALUE_SHARD = 100  # events.value spans ~[0, 1000]: <= ~1000 shard rows/group
+
+
+@register(
+    "agg_exact_median_by_type",
+    oracle="""
+WITH pv AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents,
+         CAST(SUM(nn) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT)
+           AS cum_n
+  FROM pv
+),
+tot AS (
+  SELECT event_type, CAST(SUM(nn) AS BIGINT) AS n FROM pv GROUP BY 1
+)
+SELECT tot.event_type, tot.n AS n_rows,
+       MIN(cum.cents) AS median_cents,
+       MIN(cum.cents) / 100.0 AS median_value
+FROM cum JOIN tot USING (event_type)
+WHERE cum.cum_n * 2 >= tot.n + (tot.n % 2)
+GROUP BY tot.event_type, tot.n
+""",
+    description=(
+        "[EXT] exact per-group (event type) median — the grouped form "
+        "of the sharded order-statistic: cumulative counts run in a "
+        "window partitioned by (group, value-range shard) with "
+        "per-(group, shard) offsets broadcast back, so the machinery "
+        "that served the global median/KS/stump generalizes to grouped "
+        "keys with the same bound — the offset frame is groups x "
+        "value-range/shard rows, independent of row count. Selection "
+        "is the same integer ceil(n/2) predicate per group."
+    ),
+)
+def agg_exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pv = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("nn"))
+        .withColumn("__shard", F.expr(f"cents div {VALUE_SHARD}"))
+    )
+    w_in = (
+        Window.partitionBy("event_type", "__shard")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = pv.withColumn("__cn", F.sum("nn").over(w_in))
+    shard_tot = pv.groupBy("event_type", "__shard").agg(
+        F.sum("nn").alias("__sn")
+    )
+    # per-group shard offsets: frame bounded by |groups| x value-range/shard
+    w_sh = (
+        Window.partitionBy("event_type")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = shard_tot.select(
+        "event_type",
+        "__shard",
+        (F.sum("__sn").over(w_sh) - F.col("__sn")).alias("__on"),
+    )
+    cum = within.join(F.broadcast(offsets), ["event_type", "__shard"]).select(
+        "event_type",
+        "cents",
+        (F.col("__cn") + F.col("__on")).cast("long").alias("cum_n"),
+    )
+    tot = pv.groupBy("event_type").agg(F.sum("nn").cast("long").alias("n"))
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .filter(F.col("cum_n") * 2 >= F.col("n") + F.col("n") % 2)
+        .groupBy("event_type", F.col("n").alias("n_rows"))
+        .agg(F.min("cents").alias("median_cents"))
+        .select(
+            "event_type",
+            "n_rows",
+            "median_cents",
+            (F.col("median_cents") / 100.0).alias("median_value"),
+        )
+    )
