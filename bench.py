@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_lloyd_recall_floor",
     "graph_kcore_floor",
     "ml_ols_cv_kfold",
+    "agg_exact_median_by_type",
 ]
 
 
