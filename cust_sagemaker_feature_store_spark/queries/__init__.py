@@ -177,20 +177,59 @@ _R5_DRIVER_GREEN = [
 # text_inverted_index follow automatically as non-green exact-oracle
 # entries, then brand-new r6 queries in module-import order.
 #
-# ROUND-7 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r06.json's green rows into an _R6_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r7 changes), then retarget
-# _WINDOW_PRIORITY at whatever r7 invalidates.
+_R6_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r06.json (50/50 green, 0 errors)
+    # earned by code unchanged in r7. Excluded on purpose (r7 changes
+    # their implementation, invalidating the r6 evidence per the
+    # policy above):
+    #   graph_kcore_floor — r7 batches the kcore fixpoint probe
+    #     (test the edge count every probe_every rounds instead of
+    #     every round; r6 verdict "What's wrong" #3);
+    #   sim_pca_power_floor — r7 restructures the dominance guard to
+    #     compute the exact spectrum ONCE via eigh and reuse it for
+    #     both probe and replacement (ADVICE r6 #2);
+    #   sim_ivfpq_recall_floor / sim_ivfpq_lloyd_recall_floor — r7
+    #     adds Lloyd-trained PQ sub-codebook injection to ivfpq_topk
+    #     (r6 verdict next-round #3), changing the operator body both
+    #     queries flow through.
+    "range_join_keyless_nearby", "graph_pagerank_parts",
+    "fs_feature_vector_pivot", "join_full_outer_distress",
+    "ml_calibration_bins", "events_type_transitions",
+    "events_dense_spine", "events_running_distinct_users",
+    "events_sliding_2h_hourly", "events_inter_arrival_stats",
+    "events_rfm_segments", "text_char_diversity",
+    "sample_weighted_docs", "text_inverted_index", "text_word_dropout",
+    "graph_pagerank_deep", "fn_array_surface", "window_first_last_nth",
+    "agg_mode_value", "fn_map_surface", "fn_datetime_surface",
+    "ml_ks_test", "ml_gini_stump", "dq_benford_digits",
+    "dq_referential_orphans", "dq_uniqueness_keys",
+    "er_customer_supplier_match", "events_acf_daily",
+    "events_transition_gini", "sample_group_quota",
+    "graph_degree_assortativity", "text_lm_doc_nll",
+    "ml_logreg_newton", "ml_lift_gains_deciles", "fs_leakage_audit",
+    "dq_order_total_consistency", "dq_orderkey_gap_islands",
+    "agg_exact_median_orders", "ml_ols_cv_kfold",
+    "agg_exact_median_by_type",
+    # r1/r3 re-verifications also green in r06 (fs_time_range,
+    # fs_latest_snapshot, fs_snapshot_asof, fs_snapshot_diff,
+    # fs_scd2_history, fs_tombstone_snapshot) are already listed in
+    # the earlier lists and are omitted here.
+]
+
+# ROUND-8 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r07.json's green rows into an _R7_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r8 changes), then retarget
+# _WINDOW_PRIORITY at whatever r8 invalidates.
 _WINDOW_PRIORITY = [
-    "range_join_keyless_nearby", "sim_pca_power_floor",
-    "graph_pagerank_parts", "sim_ivfpq_recall_floor",
+    "graph_kcore_floor", "sim_pca_power_floor",
+    "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
-# when the front exceeds the 50-slot window. EMPTY this round: the r5
-# spill debt is paid first (r5 verdict #1) — every registry query
-# without a current driver row fits in the window, enforced by the
-# spill-size assertion in _reorder_registry (ADVICE r5 #2).
+# when the front exceeds the 50-slot window. EMPTY this round: the 4
+# r7-invalidated entries plus r7's new queries all fit in the 50-slot
+# window, enforced by the spill-size assertion in _reorder_registry
+# (ADVICE r5 #2).
 _WINDOW_BACK: list[str] = []
 
 _DRIVER_WINDOW = 50  # the driver checks the FIRST 50 registered queries
@@ -200,7 +239,7 @@ def _reorder_registry() -> None:
     green = (
         set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
-        | set(_R5_DRIVER_GREEN)
+        | set(_R5_DRIVER_GREEN) | set(_R6_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
