@@ -59,7 +59,7 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """[EXT] Avro scan; the spark-avro package is an optional jar, so
     raise a clear error where it is absent rather than a JVM stack.
-    Gate re-probed 2026-08-14 (round 5): pyspark 4.1.2 here bundles
+    Gate re-probed 2026-08-14 (round 7): pyspark 4.1.2 here bundles
     avro-core but NOT the spark-avro connector module, and no network
     installs are permitted — write/read through format('avro') fails
     with 'Failed to find data source: avro'."""

@@ -205,7 +205,7 @@ def tws_available() -> bool:
     """transformWithStateInPandas moves state over a protobuf side
     channel (pyspark.sql.streaming.proto.StateMessage_pb2); this
     container's google.protobuf install is broken (`descriptor` not
-    importable — env gate re-verified r6, 2026-08-14, same class as
+    importable — env gate re-verified r7, 2026-08-14, same class as
     the Avro-jar and media-decode gates). The operator is complete and
     its equivalence test runs wherever protobuf works; here it skips."""
     try:
