@@ -398,6 +398,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver keeps only the TAIL of stdout, so the recorded
+    # BENCH_r{N}.json artifact truncates once the queries dict grows
+    # past its buffer (r5/r6 verdicts both had to re-measure by hand).
+    # Persist the full dict to a repo file alongside the printed line
+    # so every round's verdict can diff every entry (r6 verdict #4).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(out))
     spark.stop()
 
