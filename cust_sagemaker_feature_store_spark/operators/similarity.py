@@ -963,23 +963,27 @@ def pca_top_component(
             break
         v = w / nw
     lam = float(v @ (G @ v))
-    # Dominance guard (ADVICE r5, hardened r6): RQI locks onto whichever
-    # eigenvalue is nearest the Rayleigh quotient of its start vector —
-    # on a near-degenerate spectrum (λ₂/λ₁ ~ 1) the power iterate is
-    # still a mixture after `iters` rounds and RQI can converge to λ₂'s
-    # eigenpair, which residual/Rayleigh-bound floor checks would not
-    # catch. The r6 first cut reverted to the pre-RQI power iterate when
-    # the quotient dropped (monotone-improvement), but the sf0.1 floor
-    # run caught its flaw: the unconverged MIXTURE it reverts to fails
-    # the 1e-9 residual check. The correct dominance probe for a
-    # driver-side d×d matrix is the exact spectrum itself: eigh costs
-    # microseconds at any realistic embedding width, is deterministic,
-    # and its top pair has residual ~eps·λ₁·d, orders below the floor.
-    # Power+RQI remain the primary (and are what the happy path
-    # returns); eigh replaces the result only when RQI provably lost
-    # the dominant pair.
-    if lam < lam_pi or lam < float(np.linalg.eigvalsh(G)[-1]) * (1 - 1e-12):
-        evals, evecs = np.linalg.eigh(G)
+    # Dominance guard (ADVICE r5, hardened r6, restructured r7): RQI
+    # locks onto whichever eigenvalue is nearest the Rayleigh quotient
+    # of its start vector — on a near-degenerate spectrum (λ₂/λ₁ ~ 1)
+    # the power iterate is still a mixture after `iters` rounds and RQI
+    # can converge to λ₂'s eigenpair, which residual/Rayleigh-bound
+    # floor checks would not catch. The r6 first cut reverted to the
+    # pre-RQI power iterate when the quotient dropped
+    # (monotone-improvement), but the sf0.1 floor run caught its flaw:
+    # the unconverged MIXTURE it reverts to fails the 1e-9 residual
+    # check. The correct dominance probe for a driver-side d×d matrix
+    # is the exact spectrum itself: eigh costs microseconds at any
+    # realistic embedding width, is deterministic, and its top pair has
+    # residual ~eps·λ₁·d, orders below the floor. eigh runs ONCE and
+    # its eigenvector is reused for the replacement (ADVICE r6: the
+    # previous eigvalsh-probe-then-eigh shape computed the spectrum up
+    # to twice). In practice this makes eigh the authoritative result
+    # whenever RQI's quotient is measurably below the true top
+    # eigenvalue — i.e. whenever it matters; power+RQI survive only
+    # when they already agree with the exact spectrum to 1e-12.
+    evals, evecs = np.linalg.eigh(G)
+    if lam < lam_pi or lam < float(evals[-1]) * (1 - 1e-12):
         v, lam = evecs[:, -1], float(evals[-1])
         if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
             v = -v

@@ -1228,7 +1228,9 @@ FROM j
         "latest row postdates the label). The quantified argument for "
         "fs_asof_join/fs_multi_group_asof: leaky_fraction is how much "
         "of a training set silently trains on the future. One per-user "
-        "aggregate broadcast-joined to the label stream."
+        "aggregate shuffle-joined to the label stream (the bounds "
+        "frame is user-count-sized, so no broadcast hint — AQE picks "
+        "the right strategy per scale; ADVICE r6)."
     ),
 )
 def fs_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

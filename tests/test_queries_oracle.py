@@ -90,9 +90,13 @@ def test_registered_output_schemas_are_flat(spark, sf_dir):
     unhashable Python lists (`text_inverted_index` burned its r5 window
     slot exactly this way — the local replica normalizes lists, so only
     the driver saw the crash). Nested results must be flattened (e.g.
-    array_join) BEFORE registration; this analyzes every query's plan
-    (no execution) so the next array-out query fails here, not in the
-    driver."""
+    array_join) BEFORE registration, so the next array-out query fails
+    here, not in the driver. Cost note (ADVICE r6): reading `.schema`
+    is analysis-only for declarative queries, but the driver-evidence
+    queries do real work BUILDING their DataFrame (ml_logreg_newton
+    trains its Newton iterations, graph_kcore_floor runs the peeling
+    fixpoint, the IVF-PQ floors build their index) — construction cost
+    is the price of covering those schemas, and it is paid here."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
