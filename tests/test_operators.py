@@ -734,3 +734,84 @@ def test_kcore_matches_naive_peeling_on_random_graphs(spark):
             for r in kcore(edges, k=k).select("src").distinct().collect()
         }
         assert got == naive_kcore(adj, k), (trial, n, p, k)
+
+
+def test_grouped_quantiles_match_python_order_statistics(spark):
+    """grouped_exact_quantiles returns the type-1 quantile
+    (sorted[ceil(p*n)-1]) for every group and requested p on seeded
+    random data with heavy value duplication (the duplicate-rank edge
+    cases are where cumulative selection logic usually breaks)."""
+    import math
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators.order_stats import (
+        grouped_exact_quantiles,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 4}", rng.randrange(0, 50))
+        for i in range(997)
+    ]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    got = {
+        r["g"]: r
+        for r in grouped_exact_quantiles(df, "g", shard_size=10).collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, c in rows:
+        by_g.setdefault(g, []).append(c)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        assert got[g]["n_rows"] == n
+        for name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            want = vals[math.ceil(num * n / den) - 1]
+            assert got[g][f"{name}_cents"] == want, (g, name, n)
+
+
+def test_grouped_trimmed_mean_and_iqr_match_python(spark):
+    """Trimmed-mean kept sums and Tukey fence outlier counts equal a
+    direct python computation on seeded random groups."""
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators.order_stats import (
+        grouped_iqr_fences,
+        grouped_trimmed_mean,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(800):
+        g = f"g{i % 3}"
+        # fat-tailed: 5% of rows are 100x the base scale
+        v = rng.randrange(0, 100) * (100 if rng.random() < 0.05 else 1)
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, cents long")
+    by_g: dict[str, list[int]] = {}
+    for g, c in rows:
+        by_g.setdefault(g, []).append(c)
+    for vals in by_g.values():
+        vals.sort()
+
+    tm = {r["g"]: r for r in grouped_trimmed_mean(df, "g", shard_size=50).collect()}
+    for g, vals in by_g.items():
+        n = len(vals)
+        k = n // 10
+        kept = vals[k : n - k]
+        assert tm[g]["n_rows"] == n
+        assert tm[g]["n_trimmed_each_side"] == k
+        assert tm[g]["n_kept"] == len(kept)
+        assert tm[g]["kept_sum_cents"] == sum(kept), g
+
+    iq = {r["g"]: r for r in grouped_iqr_fences(df, "g", shard_size=50).collect()}
+    import math
+
+    for g, vals in by_g.items():
+        n = len(vals)
+        q1 = vals[math.ceil(n / 4) - 1]
+        q3 = vals[math.ceil(3 * n / 4) - 1]
+        iqr = q3 - q1
+        n_out = sum(1 for v in vals if 2 * v < 2 * q1 - 3 * iqr or 2 * v > 2 * q3 + 3 * iqr)
+        assert iq[g]["q1_cents"] == q1 and iq[g]["q3_cents"] == q3, g
+        assert iq[g]["n_outliers"] == n_out, g
