@@ -536,6 +536,215 @@ def pq_encode(
     )
 
 
+def _seed_codebooks(
+    embeddings: DataFrame,
+    cent,
+    m_subvectors: int,
+    n_codes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic seed PQ codebooks in RESIDUAL space: a salted
+    `_seed_vectors` sample, each seed's own cell centroid subtracted,
+    sliced into per-block codebooks — the r5 seeding, now shared by
+    ivfpq_topk's default path and train_pq_codebooks' initialization
+    so "trained" always refines exactly what "seeded" ships."""
+    import numpy as np
+
+    cent = np.asarray(cent, dtype=np.float64)
+    d = cent.shape[1]
+    sub = d // m_subvectors
+    seed_resid_src = _seed_vectors(
+        embeddings, n_codes, id_col, vec_col, salt=PQ_SEED_SALT
+    )
+    c_sq = (cent * cent).sum(axis=1)
+    seed_cells = (c_sq[None, :] - 2.0 * (seed_resid_src @ cent.T)).argmin(axis=1)
+    seed_resid = seed_resid_src - cent[seed_cells]
+    return np.stack(
+        [seed_resid[:, j * sub : (j + 1) * sub] for j in range(m_subvectors)]
+    )  # (M, n_codes_eff, sub)
+
+
+PQ_TRAIN_SCALE = 1_000_000  # residual micro-grid: exact int64 partial sums
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    cent,
+    m_subvectors: int = 16,
+    n_codes: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd refinement of the PQ sub-codebooks (Jégou et al. 2011 —
+    the k-means-per-block training step IVFADC systems run offline),
+    distributed and bit-reproducible.
+
+    Per round, ONE corpus pass: an Arrow-batched mapInPandas computes
+    each vector's residual against its (fixed) coarse centroid, argmin-
+    assigns every residual block to its nearest codebook entry, and
+    accumulates per-partition int64 partial sums of the micro-scaled
+    residuals per (block, code, position) — a Python-int (object
+    dtype) running total per partition, so partials never wrap (the
+    gram_matrix pattern). The shuffle then carries only
+    M x n_codes x sub partial rows per partition (4k rows at the 64-dim
+    default) which sum exactly in decimal(38,0); new entries are one
+    correctly-rounded division each, computed driver-side. Codes that
+    attract no vectors keep their previous entry (standard Lloyd
+    degeneracy handling — deterministic, no resampling).
+
+    Determinism: assignments compare identical doubles, partial sums
+    are integers (order-independent), and the per-entry division runs
+    once on the driver — so the trained codebooks, like kmeans_refine's
+    centroids, are a pinnable fixed point of (input, cent, iterations).
+
+    Scale: per round the corpus-sized work is one narrow map pass; the
+    shuffled state (M·n_codes·sub rows/partition) and the driver state
+    (the codebook tensor, KBs) are independent of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    cent = np.asarray(cent, dtype=np.float64)
+    n_lists, d = cent.shape
+    if d % m_subvectors:
+        raise ValueError(f"m_subvectors={m_subvectors} must divide dim {d}")
+    sub = d // m_subvectors
+    if iterations < 1:
+        raise ValueError("train_pq_codebooks needs iterations >= 1")
+    books = _seed_codebooks(embeddings, cent, m_subvectors, n_codes, id_col, vec_col)
+    n_codes_eff = books.shape[1]
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
+    m = m_subvectors
+
+    for _ in range(iterations):
+        b_books = spark.sparkContext.broadcast(books)
+
+        def _partials(batches, _bb=b_books):
+            c = b_cent.value
+            bk = _bb.value
+            c_sq = (c * c).sum(axis=1)
+            sums = np.zeros((m, n_codes_eff, sub), dtype=object)
+            cnts = np.zeros((m, n_codes_eff), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                cells = (c_sq[None, :] - 2.0 * (X @ c.T)).argmin(axis=1)
+                resid = X - c[cells]
+                scaled = np.round(resid * PQ_TRAIN_SCALE).astype(np.int64)
+                # per-batch wrap bound (gram_matrix discipline): the
+                # int64 np.add.at below is exact only while
+                # batch_rows * max|scaled| < 2^63
+                mx = int(np.abs(scaled).max(initial=0))
+                if mx and len(pdf) > (2**63 - 1) // mx:
+                    raise OverflowError(
+                        "PQ training partial sum could wrap int64: "
+                        "lower spark.sql.execution.arrow.maxRecordsPerBatch "
+                        "or PQ_TRAIN_SCALE"
+                    )
+                for j in range(m):
+                    rb = resid[:, j * sub : (j + 1) * sub]
+                    d2 = ((rb[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+                    code = d2.argmin(axis=1)
+                    part = np.zeros((n_codes_eff, sub), dtype=np.int64)
+                    np.add.at(part, code, scaled[:, j * sub : (j + 1) * sub])
+                    sums[j] = sums[j] + part
+                    np.add.at(cnts[j], code, 1)
+            out = [
+                (j, ci, p, int(sums[j, ci, p]), int(cnts[j, ci]))
+                for j in range(m)
+                for ci in range(n_codes_eff)
+                if cnts[j, ci]
+                for p in range(sub)
+            ]
+            yield pd.DataFrame(
+                out, columns=["blk", "code", "pos", "s", "n"]
+            ).astype({"blk": "int32", "code": "int32", "pos": "int32"})
+
+        agg = (
+            embeddings.mapInPandas(
+                _partials, schema="blk int, code int, pos int, s long, n long"
+            )
+            .groupBy("blk", "code", "pos")
+            .agg(
+                F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        nxt = books.copy()
+        for r in agg:
+            nxt[r["blk"], r["code"], r["pos"]] = (
+                float(int(r["s"])) / PQ_TRAIN_SCALE / int(r["n"])
+            )
+        books = nxt
+        b_books.unpersist()
+    return books
+
+
+PQ_DISTORTION_SCALE = 1_000_000  # per-vector error grid: exact int64 sums
+
+
+def pq_distortion(
+    embeddings: DataFrame,
+    cent,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Total PQ quantization distortion — the k-means objective the
+    codebook trainer minimizes: sum over vectors of the squared L2
+    error between each residual and its nearest-code reconstruction.
+    Exact and order-independent: each vector's error is floored onto
+    the 1e-6 grid (a fixed function of that vector alone), partials sum
+    as int64 per partition and decimal(38,0) across the shuffle.
+    The number that PROVES training improved the quantizer (Lloyd
+    monotonicity), independent of any query's recall luck."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(cent, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, sub = books.shape
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
+    b_books = spark.sparkContext.broadcast(books)
+
+    def _err(batches):
+        c = b_cent.value
+        bk = b_books.value
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = (c_sq[None, :] - 2.0 * (X @ c.T)).argmin(axis=1)
+            resid = X - c[cells]
+            err = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(m):
+                rb = resid[:, j * sub : (j + 1) * sub]
+                d2 = ((rb[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+                err += d2.min(axis=1)
+            scaled = np.floor(err * PQ_DISTORTION_SCALE).astype(np.int64)
+            yield pd.DataFrame({"e": [int(scaled.sum())]})
+
+    from pyspark.sql import functions as F
+
+    total = (
+        embeddings.mapInPandas(_err, schema="e long")
+        .agg(F.sum(F.col("e").cast("decimal(38,0)")).alias("t"))
+        .collect()[0]["t"]
+    )
+    return int(total or 0)
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -548,6 +757,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent=None,
+    codebooks=None,
 ) -> DataFrame:
     """IVFADC ANN (Jégou et al. 2011): coarse-quantize to `n_lists`
     cells, PQ-encode residuals, answer queries by ASYMMETRIC distance —
@@ -591,17 +801,21 @@ def ivfpq_topk(
     else:
         cent = np.asarray(cent, dtype=np.float64)
     n_lists = len(cent)  # tiny corpora may yield fewer buckets
-    seed_resid_src = _seed_vectors(
-        embeddings, n_codes, id_col, vec_col, salt=PQ_SEED_SALT
-    )
-    # codebooks live in RESIDUAL space: subtract each seed's own cell
-    # centroid, then slice the sample into per-block codebooks
-    c_sq = (cent * cent).sum(axis=1)
-    seed_cells = (c_sq[None, :] - 2.0 * (seed_resid_src @ cent.T)).argmin(axis=1)
-    seed_resid = seed_resid_src - cent[seed_cells]
-    codebooks = np.stack(
-        [seed_resid[:, j * sub : (j + 1) * sub] for j in range(m_subvectors)]
-    )  # (M, n_codes_eff, sub)
+    # `codebooks` injection (r7): callers can supply TRAINED sub-
+    # codebooks (train_pq_codebooks' Lloyd output in residual space)
+    # instead of the salted seed sample — the second half of the
+    # quantizer-training step production IVFADC systems run offline.
+    if codebooks is None:
+        codebooks = _seed_codebooks(
+            embeddings, cent, m_subvectors, n_codes, id_col, vec_col
+        )
+    else:
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+        if codebooks.shape[0] != m_subvectors or codebooks.shape[2] != sub:
+            raise ValueError(
+                f"codebooks {codebooks.shape} do not tile dim {d} into "
+                f"{m_subvectors} blocks of {sub}"
+            )
 
     index = pq_encode(embeddings, cent, codebooks, id_col, vec_col)
 

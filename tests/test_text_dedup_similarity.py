@@ -541,3 +541,44 @@ def test_pca_rqi_guard_on_near_degenerate_spectrum(spark):
     # and the residual still certifies an (approximate) eigenpair
     resid = float(np.linalg.norm(G @ v - lam * v))
     assert resid <= 1e-3 * top
+
+
+def test_pq_codebook_training_reduces_distortion_deterministically(spark):
+    """train_pq_codebooks must (a) never worsen the quantization
+    objective it minimizes (Lloyd monotonicity, to micro-grid slack),
+    (b) strictly help on a clusterable corpus, and (c) be
+    bit-reproducible run-to-run (the property the driver hash relies
+    on)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for vid in range(300):
+        c = centers[vid % 4]
+        rows.append(
+            Row(
+                vec_id=vid,
+                embedding=[x + rng.gauss(0, 0.3) for x in c],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+    cent = S._seed_vectors(emb, 4, "vec_id", "embedding")
+    seeded = S._seed_codebooks(emb, cent, m_subvectors=4, n_codes=8)
+    b1 = S.train_pq_codebooks(emb, cent, m_subvectors=4, n_codes=8, iterations=1)
+    b2 = S.train_pq_codebooks(emb, cent, m_subvectors=4, n_codes=8, iterations=2)
+    d0 = S.pq_distortion(emb, cent, seeded)
+    d1 = S.pq_distortion(emb, cent, b1)
+    d2 = S.pq_distortion(emb, cent, b2)
+    slack = max(1, d0 // 10**9)
+    assert d1 <= d0 + slack and d2 <= d1 + slack, (d0, d1, d2)
+    assert d2 < d0, "training must strictly reduce distortion here"
+    b2_again = S.train_pq_codebooks(
+        emb, cent, m_subvectors=4, n_codes=8, iterations=2
+    )
+    assert np.array_equal(b2, b2_again), "training must be deterministic"
