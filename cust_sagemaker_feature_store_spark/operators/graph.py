@@ -248,3 +248,57 @@ def kcore(
     raise RuntimeError(
         f"kcore did not converge in {max_rounds} rounds ({n_edges} edges left)"
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-depth breadth-first frontier expansion: the hop distance
+    of every node reachable from `sources` within `max_depth` hops —
+    the reachability primitive the dedup-cluster audit and ER graphs
+    need (how far does a duplicate relation propagate?).
+
+    Classic distributed BFS: per level, one join of the (pinned)
+    frontier against the edge list, a distinct, and an anti join
+    against the visited set to keep only NEW nodes. Per-level driver
+    state is one scalar (the frontier size — both the early-stop test
+    and the natural telemetry). Both carried frames are pinned eagerly
+    every level (localCheckpoint): the visited set and frontier are
+    re-read by every subsequent level's job, and cross-job exchange
+    reuse does not exist — unpinned, level d re-expands levels 1..d-1
+    (the deep-PageRank lesson, measured in SCALING.md). The visited
+    frame is bounded by the node count, the frontier by the widest
+    level; rounds are bounded by `max_depth`, so lineage never grows
+    past one level's plan.
+
+    `sources` is a 1-column frame of start nodes (depth 0; nodes
+    absent from the edge list are fine — they just never expand).
+    Returns (node, depth) with the MINIMUM hop count per reached node,
+    deterministic by construction (level-synchronous expansion).
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    frontier = sources.select(
+        F.col(sources.columns[0]).alias("node")
+    ).distinct().localCheckpoint(eager=True)
+    known = frontier.withColumn("depth", F.lit(0).cast("long"))
+    known = known.localCheckpoint(eager=True)
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+        ).localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        known = known.unionByName(
+            nxt.withColumn("depth", F.lit(d).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return known

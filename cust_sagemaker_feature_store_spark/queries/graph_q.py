@@ -266,3 +266,64 @@ def graph_kcore_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("core_nonempty", bool(n_core > 0)),
     ]
     return spark.createDataFrame(checks, "check_name string, guarantee_ok boolean")
+
+
+BFS_MAX_DEPTH = 6
+
+
+def _bfs_oracle(max_depth: int) -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+k0 AS (SELECT MIN(s) AS node, CAST(0 AS BIGINT) AS depth FROM e),
+f0 AS (SELECT node FROM k0)"""
+    ]
+    for i in range(1, max_depth + 1):
+        parts.append(
+            f""",
+f{i} AS (
+  SELECT DISTINCT e.d AS node
+  FROM e JOIN f{i - 1} ON e.s = f{i - 1}.node
+  WHERE e.d NOT IN (SELECT node FROM k{i - 1})
+),
+k{i} AS (
+  SELECT node, depth FROM k{i - 1}
+  UNION ALL
+  SELECT node, CAST({i} AS BIGINT) AS depth FROM f{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part_key, depth FROM k{max_depth}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_bfs_depths",
+    oracle=_bfs_oracle(BFS_MAX_DEPTH),
+    description=(
+        "[EXT] bounded-depth BFS from the minimum part key over the "
+        "co-purchase graph (operators/graph.bfs_depths): minimum hop "
+        "count of every node reachable within 6 levels — the "
+        "reachability primitive the dedup-cluster audit and ER graphs "
+        "lacked (r6 verdict #6). Level-synchronous frontier expansion, "
+        "one frontier-edge join + distinct + visited anti-join per "
+        "level, frontier/visited pinned eagerly each level (the "
+        "deep-PageRank cross-job rule); per-level driver state is the "
+        "frontier-size scalar. The oracle unrolls all 6 levels as "
+        "chained CTEs, pinning every (node, depth) pair exactly — "
+        "deterministic because level-synchronous BFS assigns each node "
+        "its unique minimum depth."
+    ),
+)
+def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    sources = edges.agg(F.min("src").alias("node"))
+    depths = G.bfs_depths(edges, sources, max_depth=BFS_MAX_DEPTH)
+    return depths.select(F.col("node").alias("part_key"), "depth")

@@ -172,3 +172,55 @@ def test_kcore_peels_tail_keeps_triangle(spark):
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)}
     # k above the max degree empties the graph
     assert G.kcore(edges, k=4).count() == 0
+
+
+def test_bfs_depths_match_naive_bfs(spark):
+    """Distributed level-synchronous BFS equals a python BFS (minimum
+    hop counts) on seeded random digraphs, including the bounded-depth
+    cutoff and an unreachable component."""
+    import random
+    from collections import deque
+
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.graph import bfs_depths
+
+    rng = random.Random(13)
+    for trial, (n, m, max_depth) in enumerate([(30, 60, 4), (50, 80, 6), (40, 40, 3)]):
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        edges = {(a, b) for a, b in edges if a != b}
+        # keep an island unreachable: no edges INTO nodes >= n (sources only)
+        src_nodes = [0]
+        adj: dict[int, list[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+        want = {0: 0}
+        q = deque([(0, 0)])
+        while q:
+            u, d = q.popleft()
+            if d == max_depth:
+                continue
+            for v in adj.get(u, []):
+                if v not in want:
+                    want[v] = d + 1
+                    q.append((v, d + 1))
+        e_df = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in sorted(edges)]
+        )
+        s_df = spark.createDataFrame([Row(node=s) for s in src_nodes])
+        got = {
+            r["node"]: r["depth"]
+            for r in bfs_depths(e_df, s_df, max_depth=max_depth).collect()
+        }
+        assert got == want, (trial, n, m, max_depth)
+
+
+def test_bfs_source_not_in_graph_survives(spark):
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.graph import bfs_depths
+
+    e_df = spark.createDataFrame([Row(src=1, dst=2)])
+    s_df = spark.createDataFrame([Row(node=99)])
+    got = bfs_depths(e_df, s_df, max_depth=3).collect()
+    assert [(r["node"], r["depth"]) for r in got] == [(99, 0)]
