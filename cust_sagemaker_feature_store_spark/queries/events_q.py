@@ -1488,3 +1488,52 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", segment)
+
+
+@register(
+    "stream_interval_join_twin",
+    oracle="""
+SELECT a.event_type AS first_type, b.event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS DOUBLE)/COUNT(*)/1000000.0 AS avg_gap_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+GROUP BY 1, 2
+""",
+    description=(
+        "[EXT] batch twin of the watermarked stream-stream INTERVAL "
+        "join (streaming/joins.event_followups): follow-up events "
+        "within 10 minutes of a prior same-user event, aggregated to "
+        "the same (first_type, next_type) pair counts/gap averages as "
+        "the batch range join — so the oracle pins the streaming "
+        "operator's join predicate and column contract bit-for-bit "
+        "against range_join_event_followups' own SQL. Runs the "
+        "STREAMING operator's function on batch frames (withWatermark "
+        "is a no-op in batch execution); bounded-state streaming "
+        "execution + checkpoint-restart exactly-once are pinned by "
+        "tests/test_streaming.py::test_stream_interval_join_restart_"
+        "matches_batch. Closes the one untwinned Structured Streaming "
+        "surface (r6 verdict #5)."
+    ),
+)
+def stream_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import event_followups
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    pairs = event_followups(ev, ev, window="10 minutes")
+    gap_us = F.unix_micros(to_ltz(F.col("next_ts"))) - F.unix_micros(
+        to_ltz(F.col("first_ts"))
+    )
+    return pairs.groupBy(
+        F.col("first_type"), F.col("next_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum(gap_us).cast("double") / F.count(F.lit(1)) / 1000000.0).alias(
+            "avg_gap_s"
+        ),
+    )

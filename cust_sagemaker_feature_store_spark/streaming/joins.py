@@ -84,3 +84,54 @@ def enrich_with_features(
         on, *feature_cols
     )
     return stream.join(F.broadcast(feats), on, "left")
+
+
+def event_followups(
+    first: DataFrame,
+    nxt: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL self-join: every (first,
+    next) event pair by the same user with 0 < next.ts − first.ts <=
+    `window` — the streaming execution of the batch range join
+    (queries/relational3_q.range_join_event_followups), where the
+    reference's equivalent is an offline Athena pass.
+
+    Both sides carry watermarks, so Structured Streaming buffers each
+    side only watermark + window deep: the state bound that makes an
+    unbounded pair of streams joinable. Pairs are emitted in the
+    micro-batch where the LATER side arrives; a checkpoint restart
+    recovers the buffered side so cross-batch pairs are exactly-once
+    (tests/test_streaming.py::test_stream_interval_join_restart_matches_batch).
+
+    Expects event columns (event_id, ts, user_id, event_type); output
+    one row per qualifying pair with both ids/types/timestamps.
+    """
+    a = first.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("first_id"),
+        F.col("event_type").alias("first_type"),
+        F.col("ts").alias("first_ts"),
+    )
+    b = nxt.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("next_id"),
+        F.col("event_type").alias("next_type"),
+        F.col("ts").alias("next_ts"),
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("next_ts") > F.col("first_ts"))
+        & (F.col("next_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select(
+        F.col("a_user").alias("user_id"),
+        "first_id",
+        "first_type",
+        "first_ts",
+        "next_id",
+        "next_type",
+        "next_ts",
+    )

@@ -620,3 +620,65 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     assert str(final[1]["last_ts"]) == "2024-01-01 01:30:00"
     assert final[2]["n_events"] == 1
     assert final[2]["total_value"] == 1.10
+
+
+def test_stream_interval_join_restart_matches_batch(spark, tmp_path):
+    """The stream-stream interval join must deliver EXACTLY the batch
+    range join's pairs across a full stop/checkpoint/restart: the
+    buffered side recovers from the state store, so pairs spanning the
+    restart boundary (batch-1 next events joining batch-0 first
+    events) appear exactly once — no loss, no duplication."""
+    from cust_sagemaker_feature_store_spark.streaming.joins import event_followups
+
+    d = tmp_path / "ij_in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ij_ckpt")
+    header = "event_id,ts,user_id,event_type,value"
+    batches = [
+        [header,
+         "1,2024-01-01 00:00:00,1,click,1.0",
+         "2,2024-01-01 00:04:00,1,view,1.0",      # pair (1,2) in-batch
+         "3,2024-01-01 00:00:30,2,click,1.0"],
+        [header,
+         "4,2024-01-01 00:08:00,1,purchase,5.0",  # pairs (1,4),(2,4) ACROSS restart
+         "5,2024-01-01 00:09:00,2,purchase,2.0",  # pair (3,5) across restart
+         "6,2024-01-01 00:30:00,2,view,1.0"],     # >10min after 3/5: no pair
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    for phase in (0, 1):
+        p = d / f"b{phase}.csv"
+        p.write_text("\n".join(batches[phase]) + "\n")
+        os.utime(p, (1_700_000_000 + phase * 60, 1_700_000_000 + phase * 60))
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(d), header=True)
+        )
+        q = (
+            event_followups(src, src, window="10 minutes")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    ev = spark.read.schema(schema).csv(str(d), header=True)
+    want = event_followups(ev, ev, window="10 minutes").collect()
+    key = lambda r: (r["user_id"], r["first_id"], r["next_id"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    # the cross-restart pairs specifically must exist exactly once
+    got_keys = [key(r) for r in got]
+    for cross in ((1, 1, 4), (1, 2, 4), (2, 3, 5)):
+        assert got_keys.count(cross) == 1, (cross, got_keys)
+    assert (2, 3, 6) not in got_keys  # outside the 10-minute window
