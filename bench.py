@@ -122,6 +122,17 @@ BENCH_QUERIES = [
     "graph_kcore_floor",
     "ml_ols_cv_kfold",
     "agg_exact_median_by_type",
+    # round-7 additions: grouped order statistics, the trained-codebook
+    # floor, BFS, the stream-interval twin and the rules/PR-curve paths
+    "agg_exact_quantiles_by_type",
+    "agg_iqr_outliers_by_priority",
+    "agg_trimmed_mean_by_priority",
+    "agg_weighted_median_by_flag",
+    "ml_pr_curve_topf1",
+    "ml_association_rules",
+    "graph_bfs_depths",
+    "stream_interval_join_twin",
+    "sim_ivfpq_trained_codebook_floor",
 ]
 
 

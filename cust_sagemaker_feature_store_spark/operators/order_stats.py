@@ -50,13 +50,16 @@ def grouped_cumulative_counts(
     group_col: str,
     cents_col: str = "cents",
     shard_size: int = 1_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-(group, distinct value) rows with exact running totals.
 
-    Input: any frame with `group_col` and an int64 `cents_col`.
-    Output: (group, cents, nn, cum_n) — nn the value's count in the
-    group, cum_n the running count over ascending cents within the
-    group.
+    Input: any frame with `group_col` and an int64 `cents_col` (plus,
+    optionally, an int64 `weight_col` — each row then counts for its
+    weight, turning every downstream statistic into its WEIGHTED form).
+    Output: (group, cents, nn, cum_n) — nn the value's count (or
+    weight mass) in the group, cum_n the running total over ascending
+    cents within the group.
 
     The cumulative sums run in a window partitioned by
     (group, cents div shard_size) — parallel across shards — with the
@@ -64,9 +67,14 @@ def grouped_cumulative_counts(
     by |groups| × value_range/shard_size rows (range-bounded, NOT
     data-bounded), the invariant that makes the pattern safe at 100 TB.
     """
+    mass = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(weight_col).cast("long")
+    )
     pv = df.groupBy(
         F.col(group_col).alias("__g"), F.col(cents_col).alias("cents")
-    ).agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    ).agg(mass.alias("nn"))
     pv = pv.withColumn("__shard", F.expr(f"cents div {shard_size}"))
     w_in = (
         Window.partitionBy("__g", "__shard")
@@ -99,10 +107,14 @@ def grouped_exact_quantiles(
     cents_col: str = "cents",
     quantiles: Sequence[tuple[str, int, int]] = DEFAULT_QUANTILES,
     shard_size: int = 1_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One row per group with the EXACT type-1 quantile vector — every
     requested quantile selected from ONE cumulative-count pass (no
-    per-quantile rescans, no approx-percentile sketch error).
+    per-quantile rescans, no approx-percentile sketch error). With
+    `weight_col`, the WEIGHTED quantile: the smallest value whose
+    cumulative weight reaches p · total_weight (n_rows then reports
+    total mass, and the integer selection predicate is unchanged).
 
     Returns (group, n_rows, {name}_cents ...) with each quantile as the
     int64 cents value; callers divide back to the decimal grid once.
@@ -110,10 +122,17 @@ def grouped_exact_quantiles(
     for name, num, den in quantiles:
         if not (0 < num <= den):
             raise ValueError(f"quantile {name}: need 0 < {num}/{den} <= 1")
-    cum = grouped_cumulative_counts(df, group_col, cents_col, shard_size)
+    cum = grouped_cumulative_counts(
+        df, group_col, cents_col, shard_size, weight_col
+    )
+    mass = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(weight_col).cast("long")
+    )
     tot = (
         df.groupBy(F.col(group_col).alias(group_col))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .agg(mass.alias("n_rows"))
     )
     j = cum.join(F.broadcast(tot), group_col)
     sel = [

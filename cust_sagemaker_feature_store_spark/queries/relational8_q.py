@@ -18,7 +18,7 @@ row count) — see operators/order_stats.py for the invariant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -230,4 +230,284 @@ def agg_trimmed_mean_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("kept_sum_cents") / 100.0 / F.col("n_kept")).alias(
             "trimmed_mean"
         ),
+    )
+
+
+# l_extendedprice spans ~[900, 105k] -> cents <= ~1.05e7
+EXT_PRICE_SHARD = 1_000_000
+
+
+@register(
+    "agg_weighted_median_by_flag",
+    oracle="""
+WITH pv AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS nn
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, cents,
+         CAST(SUM(nn) OVER (PARTITION BY l_returnflag ORDER BY cents) AS BIGINT)
+           AS cum_n
+  FROM pv
+),
+tot AS (
+  SELECT l_returnflag, CAST(SUM(nn) AS BIGINT) AS w FROM pv GROUP BY 1
+)
+SELECT tot.l_returnflag, tot.w AS total_weight,
+       MIN(CASE WHEN cum.cum_n * 2 >= tot.w THEN cum.cents END) AS median_cents,
+       MIN(CASE WHEN cum.cum_n * 2 >= tot.w THEN cum.cents END) / 100.0
+         AS median_value
+FROM cum JOIN tot USING (l_returnflag)
+GROUP BY tot.l_returnflag, tot.w
+""",
+    description=(
+        "[EXT] exact QUANTITY-WEIGHTED median of extended price per "
+        "return flag (operators/order_stats.grouped_exact_quantiles "
+        "with weight_col): each lineitem counts for its quantity, so "
+        "the statistic answers 'the price level at which half the "
+        "UNITS ship' — the inventory-weighted location estimate the "
+        "unweighted median cannot give. Same sharded prefix sum, same "
+        "pure-integer selection predicate (2*cum_w >= W); only the "
+        "mass function changed."
+    ),
+)
+def agg_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    q = grouped_exact_quantiles(
+        base,
+        "l_returnflag",
+        quantiles=(("median", 1, 2),),
+        shard_size=EXT_PRICE_SHARD,
+        weight_col="qty",
+    )
+    return q.select(
+        "l_returnflag",
+        F.col("n_rows").alias("total_weight"),
+        "median_cents",
+        (F.col("median_cents") / 100.0).alias("median_value"),
+    )
+
+
+PR_TOP_F1_ROWS = 10
+
+
+@register(
+    "ml_pr_curve_topf1",
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+hist AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(1 - y) AS BIGINT) AS n
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+         CAST(SUM(n) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+  FROM hist
+),
+tot AS (SELECT CAST(SUM(p) AS BIGINT) AS pp FROM hist),
+curve AS (
+  SELECT s AS threshold_cents, tp, fp, tot.pp - tp AS fn,
+         CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+         CAST(tp AS DOUBLE) / tot.pp AS rec,
+         CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (tot.pp - tp)) AS f1
+  FROM cum CROSS JOIN tot
+)
+SELECT threshold_cents, threshold_cents / 100.0 AS threshold_value,
+       tp, fp, fn, prec, rec, f1
+FROM curve
+ORDER BY f1 DESC, threshold_cents ASC
+LIMIT {PR_TOP_F1_ROWS}
+""",
+    description=(
+        "[EXT] exact precision-recall curve with best-F1 operating "
+        "points: sweep every distinct score threshold (predict "
+        "positive when score >= t), TP/FP from ONE descending "
+        "cumulative pass over the per-score histogram (cent-grid "
+        "cardinality — independent of row count, the ml_auc_exact "
+        "shape), and return the top-10 thresholds by F1 — the "
+        "threshold-selection step that turns a ranked model into a "
+        "classifier. All counts int64; precision/recall/F1 are one "
+        "correctly-rounded division each from identical integers, so "
+        "ordering by F1 agrees bit-for-bit across engines (ties break "
+        "to the lower threshold). Top-k via TakeOrdered, no global "
+        "row sort."
+    ),
+)
+def ml_pr_curve_topf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n"),
+    )
+    # descending cumulative over the cent-grid histogram (bounded by
+    # the value RANGE, not the row count — ml_auc_exact precedent)
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "s",
+        F.sum("p").over(w).cast("long").alias("tp"),
+        F.sum("n").over(w).cast("long").alias("fp"),
+    )
+    tot = hist.agg(F.sum("p").cast("long").alias("pp"))
+    curve = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("threshold_cents"),
+        "tp",
+        "fp",
+        (F.col("pp") - F.col("tp")).alias("fn"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("prec"),
+        (F.col("tp").cast("double") / F.col("pp")).alias("rec"),
+        (
+            (F.col("tp") * 2).cast("double")
+            / (F.col("tp") * 2 + F.col("fp") + (F.col("pp") - F.col("tp")))
+        ).alias("f1"),
+    )
+    return (
+        curve.orderBy(F.desc("f1"), F.asc("threshold_cents"))
+        .limit(PR_TOP_F1_ROWS)
+        .select(
+            "threshold_cents",
+            (F.col("threshold_cents") / 100.0).alias("threshold_value"),
+            "tp",
+            "fp",
+            "fn",
+            "prec",
+            "rec",
+            "f1",
+        )
+    )
+
+
+RULE_MIN_PAIR_SUPPORT = 2
+RULE_TOP_K = 20
+
+
+@register(
+    "ml_association_rules",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_ord AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+),
+supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY 1
+),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS sab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {RULE_MIN_PAIR_SUPPORT}
+),
+rules AS (
+  SELECT pa AS antecedent, pb AS consequent, sab,
+         sa.s AS supp_ante, sb.s AS supp_cons
+  FROM pair JOIN supp sa ON pair.pa = sa.l_partkey
+            JOIN supp sb ON pair.pb = sb.l_partkey
+  UNION ALL
+  SELECT pb, pa, sab, sb.s, sa.s
+  FROM pair JOIN supp sa ON pair.pa = sa.l_partkey
+            JOIN supp sb ON pair.pb = sb.l_partkey
+)
+SELECT antecedent, consequent, sab AS supp_pair, supp_ante, supp_cons,
+       CAST(sab AS DOUBLE) / supp_ante AS confidence,
+       CAST(sab * n_ord.n AS DOUBLE) / (supp_ante * supp_cons) AS lift
+FROM rules CROSS JOIN n_ord
+ORDER BY lift DESC, confidence DESC, antecedent, consequent
+LIMIT {RULE_TOP_K}
+""",
+    description=(
+        "[EXT] market-basket association rules over order baskets: "
+        "pair supports from the distinct (order, part) self-join, "
+        "confidence = supp(a,b)/supp(a), lift = supp(a,b)*N/"
+        "(supp(a)*supp(b)), top-20 rules by lift — the co-purchase "
+        "recommendation primitive (classic Agrawal-Srikant support/"
+        "confidence framework, public methodology). Exact: supports "
+        "are int64 counts, confidence/lift one division each from "
+        "identical integers; ranking ties break on the (antecedent, "
+        "consequent) key. Scale: the pair join is bounded per order by "
+        "basket size (<= 7 here; the cooccurrence cap pattern applies "
+        "beyond), supports shuffle on part keys, and top-k is "
+        "TakeOrdered — no global sort. The min-support floor "
+        "(>= {0}) prunes the pair tail before any rule math.".format(
+            RULE_MIN_PAIR_SUPPORT
+        )
+    ),
+)
+def ml_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sab"))
+        .filter(F.col("sab") >= RULE_MIN_PAIR_SUPPORT)
+    )
+    with_supp = (
+        pair.join(supp.select(F.col("l_partkey").alias("pa"), F.col("s").alias("sa")), "pa")
+        .join(supp.select(F.col("l_partkey").alias("pb"), F.col("s").alias("sb")), "pb")
+    )
+    fwd = with_supp.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "sab",
+        F.col("sa").alias("supp_ante"),
+        F.col("sb").alias("supp_cons"),
+    )
+    rev = with_supp.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "sab",
+        F.col("sb").alias("supp_ante"),
+        F.col("sa").alias("supp_cons"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_ord))
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("sab").alias("supp_pair"),
+            "supp_ante",
+            "supp_cons",
+            (F.col("sab").cast("double") / F.col("supp_ante")).alias("confidence"),
+            (
+                (F.col("sab") * F.col("n")).cast("double")
+                / (F.col("supp_ante") * F.col("supp_cons"))
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("confidence"), "antecedent", "consequent"
+        )
+        .limit(RULE_TOP_K)
     )
