@@ -302,3 +302,59 @@ def bfs_depths(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return known
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-round Bellman-Ford: exact weighted shortest-path distance
+    (int64 weights) over paths of at most `rounds` edges from the
+    source set — BFS's weighted sibling, the cost-aware reachability
+    primitive (cheapest co-purchase path, minimum-latency hop chain).
+
+    FIXED rounds, no convergence probe: after k relaxation rounds the
+    frame holds exactly min-cost-over-paths-with-<=k-edges — a
+    well-defined, engine-pinnable semantics (the oracle unrolls the
+    same k rounds), and the whole run stays ONE Spark job with no
+    driver round-trips at all; within one job ReuseExchange shares the
+    edge scan across rounds, so eager pinning would only cost (the
+    shallow-PageRank measurement). For deep runs pass
+    `checkpoint_every` to truncate lineage (then the deep-PageRank
+    rule applies: rounds split into jobs, carried frames pinned).
+
+    Each round: one join of the current distance frame against the
+    edge list + one min-aggregation — relaxation as algebra, no
+    priority queue, which is exactly why Bellman-Ford (not Dijkstra)
+    is the distributed formulation. Int64 distances: sums and MIN are
+    exact and order-independent.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for r in range(rounds):
+        relaxed = dist.join(e, dist["node"] == e["__s"]).select(
+            F.col("__d").alias("node"),
+            (F.col("dist") + F.col("__w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint_every is not None and (r + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

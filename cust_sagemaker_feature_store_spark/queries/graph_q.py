@@ -327,3 +327,85 @@ def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = edges.agg(F.min("src").alias("node"))
     depths = G.bfs_depths(edges, sources, max_depth=BFS_MAX_DEPTH)
     return depths.select(F.col("node").alias("part_key"), "depth")
+
+
+SSSP_ROUNDS = 4
+
+
+def _sssp_oracle(rounds: int) -> str:
+    parts = [
+        """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT pa AS s, pb AS d, 1 + 1000 // c AS w
+  FROM (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+  )
+),
+src AS (SELECT MIN(s) AS node FROM e),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM src)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.d AS node, d{i - 1}.dist + e.w AS dist
+    FROM d{i - 1} JOIN e ON e.s = d{i - 1}.node
+  ) GROUP BY 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part_key, dist FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=_sssp_oracle(SSSP_ROUNDS),
+    description=(
+        "[EXT] weighted single-source shortest paths (operators/graph."
+        "sssp_weighted): 4-round Bellman-Ford from the minimum part "
+        "key over the co-purchase graph with popularity-inverse edge "
+        "costs (w = 1 + 1000 div shared-order-count — frequently "
+        "co-bought parts are 'close'). Fixed-round semantics: the "
+        "output IS min cost over paths of <= 4 edges, which the "
+        "oracle unrolls exactly; no convergence probe, so the whole "
+        "run is ONE Spark job and ReuseExchange shares the edge scan "
+        "across rounds (the shallow-PageRank regime). Int64 "
+        "path sums and MINs are exact and order-independent — every "
+        "distance pins bit-for-bit."
+    ),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "src", "dst", (F.lit(1) + F.expr("1000 div c")).alias("w")
+        )
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    dist = G.sssp_weighted(edges, sources, rounds=SSSP_ROUNDS)
+    return dist.select(F.col("node").alias("part_key"), "dist")

@@ -224,3 +224,38 @@ def test_bfs_source_not_in_graph_survives(spark):
     s_df = spark.createDataFrame([Row(node=99)])
     got = bfs_depths(e_df, s_df, max_depth=3).collect()
     assert [(r["node"], r["depth"]) for r in got] == [(99, 0)]
+
+
+def test_sssp_weighted_matches_naive_bellman_ford(spark):
+    """Fixed-round distributed relaxation equals a python Bellman-Ford
+    limited to the same path length, on seeded random weighted
+    digraphs."""
+    import random
+
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.graph import sssp_weighted
+
+    rng = random.Random(17)
+    for trial, (n, m, rounds) in enumerate([(25, 60, 3), (40, 120, 5)]):
+        edges = {}
+        for _ in range(m):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges[(a, b)] = rng.randrange(1, 20)
+        want = {0: 0}
+        for _ in range(rounds):
+            nxt = dict(want)
+            for (a, b), w in edges.items():
+                if a in want and want[a] + w < nxt.get(b, 1 << 60):
+                    nxt[b] = want[a] + w
+            want = nxt
+        e_df = spark.createDataFrame(
+            [Row(src=a, dst=b, w=w) for (a, b), w in sorted(edges.items())]
+        )
+        s_df = spark.createDataFrame([Row(node=0)])
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_weighted(e_df, s_df, rounds=rounds).collect()
+        }
+        assert got == want, (trial, n, m, rounds)
