@@ -511,3 +511,74 @@ def ml_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(RULE_TOP_K)
     )
+
+
+@register(
+    "ml_ab_test_proportions",
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS weekend,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN weekend = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN weekend = 1 THEN y ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(SUM(CASE WHEN weekend = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN weekend = 0 THEN y ELSE 0 END) AS BIGINT) AS x_b
+  FROM g
+)
+SELECT n_a, x_a, n_b, x_b,
+       CAST(x_a AS DOUBLE) / n_a AS rate_a,
+       CAST(x_b AS DOUBLE) / n_b AS rate_b,
+       (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+         / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)) AS z_score
+FROM agg
+""",
+    description=(
+        "[EXT] two-proportion z-test (pooled): weekend vs weekday "
+        "purchase-rate difference with its z-score — the A/B "
+        "experimentation primitive that turns two exact count pairs "
+        "into a significance read. ONE map-side-combined aggregation "
+        "over the stream (4 int64 counters at any corpus size); the "
+        "z-score is a fixed tree of correctly-rounded IEEE ops "
+        "(divisions, one sqrt) over identical integers, so it pins "
+        "bit-for-bit — the same discipline as agg_corr_matrix. "
+        "Weekend uses ISO day-of-week (Spark weekday()>=5 == DuckDB "
+        "isodow()>=6), sidestepping the engines' different Sunday "
+        "conventions."
+    ),
+)
+def ml_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekend = F.when(F.expr("weekday(ts)") >= 5, 1).otherwise(0)
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    agg = ev.select(weekend.alias("w"), y.alias("y")).agg(
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("w") == 1, F.col("y")).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("w") == 0, F.col("y")).otherwise(0)).cast("long").alias("x_b"),
+    )
+    pooled = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    rate_a = F.col("x_a").cast("double") / F.col("n_a")
+    rate_b = F.col("x_b").cast("double") / F.col("n_b")
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (
+            (rate_a - rate_b)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            )
+        ).alias("z_score"),
+    )

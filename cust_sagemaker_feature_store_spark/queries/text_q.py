@@ -1773,3 +1773,71 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY 1)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY 1
+""",
+    description=(
+        "[EXT] dedup impact report: the near-dup cluster-SIZE "
+        "histogram — for each cluster size, how many clusters, how "
+        "many documents they hold, and how many would be REMOVED by "
+        "keep-one-per-cluster dedup (size - 1 each). The number a "
+        "curation pipeline needs before committing to a dedup pass: "
+        "sum(n_removable)/corpus = the shrink factor. Same MinHash "
+        "band candidates + large-star/small-star components as "
+        "dedup_clusters (docs in no candidate pair are singletons "
+        "outside the histogram, exactly as in the cluster query); the "
+        "oracle recomputes the components declaratively with a "
+        "recursive CTE and aggregates the same sizes."
+    ),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    labels = D.dup_clusters(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_removable"),
+    )
