@@ -1537,3 +1537,65 @@ def stream_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_gap_s"
         ),
     )
+
+
+@register(
+    "stream_session_window_twin",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       {sql_iso('MIN(ts)')} AS session_start,
+       {sql_iso('MAX(ts)')} AS last_time,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 2)} AS session_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+    description=(
+        "[EXT] batch twin of Spark's NATIVE session_window aggregation "
+        "(the streaming session operator events_sessionize's docstring "
+        "points at): groupBy(user_id, F.session_window(ts, 30 min)). "
+        "The oracle re-derives the same sessions declaratively via the "
+        "lag/cumsum islands form — with the >= gap predicate, because "
+        "session windows are half-open [first, last+gap): an event at "
+        "EXACTLY last+gap starts a new session, where the classic "
+        "islands formulation (events_sessionize, gap > threshold) "
+        "would merge it. Pinning both queries documents that boundary "
+        "divergence as hash evidence instead of leaving it as a "
+        "footgun. Session aggregates use the exact-cents dsum "
+        "discipline; ties are impossible at microsecond resolution "
+        "within a user stream (event times are distinct per user in "
+        "this corpus, and the window itself never needs a tiebreak)."
+    ),
+)
+def stream_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("__w")
+        )
+        .agg(
+            F.min("ts").alias("__start"),
+            F.max("ts").alias("__last"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            iso("__start").alias("session_start"),
+            iso("__last").alias("last_time"),
+            "n_events",
+            "session_value",
+        )
+    )

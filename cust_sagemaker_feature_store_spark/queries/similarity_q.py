@@ -672,3 +672,60 @@ def sim_ivfpq_trained_codebook_floor(spark: SparkSession, sf_dir: str) -> DataFr
             F.lit(dist_ok).alias("distortion_improved"),
         )
     )
+
+
+IVF_SWEEP_PROBES = (1, 2, 4)
+IVF_SWEEP_FLOOR = 0.5  # at the widest probe; narrower probes pin monotonicity
+
+
+@register(
+    "sim_ivf_nprobe_sweep",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS nprobe, TRUE AS monotone_ok, TRUE AS floor_ok
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS nprobe, TRUE AS monotone_ok, TRUE AS floor_ok
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS nprobe, TRUE AS monotone_ok, TRUE AS floor_ok
+""",
+    description=(
+        "[EXT] IVF recall-vs-nprobe sweep: the operating-curve "
+        "measurement an ANN deployment tunes against. Runs ivf_topk "
+        "at nprobe 1/2/4 and pins, per step: (a) MONOTONICITY — "
+        "probing more cells can only grow the candidate set, and the "
+        "exact re-rank of a superset can only improve recall, so "
+        "recall@10 must be non-decreasing in nprobe (a structural "
+        "property of the index, violated only by an assignment/probe "
+        f"bug); (b) recall >= {IVF_SWEEP_FLOOR} at the widest probe "
+        "(n_lists=8, the sim_ivf_topk configuration — measured "
+        "recall@10 at nprobe 1/2/4: 0.4/0.4/0.8, 0.2/0.2/0.6 and "
+        "0.4/0.6/0.8 across sf0.001/0.01/0.1). "
+        "Recall counts are exact integers (top-10 id-set "
+        "intersections), so both booleans are deterministic hash "
+        "evidence. Cost model: each probe step scans only its cells' "
+        "vectors; the sweep quantifies the recall a deployment buys "
+        "per additional cell scanned."
+    ),
+)
+def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    exact_ids = {
+        r["vec_id"] for r in S.cosine_topk(emb, qv, k=TOP_K).collect()
+    }
+    recalls = []
+    for np_ in IVF_SWEEP_PROBES:
+        got = {
+            r["vec_id"]
+            for r in S.ivf_topk(
+                emb, qv, k=TOP_K, n_lists=8, nprobe=np_
+            ).collect()
+        }
+        recalls.append(len(got & exact_ids))
+    need = int(IVF_SWEEP_FLOOR * TOP_K)
+    rows = []
+    for i, np_ in enumerate(IVF_SWEEP_PROBES):
+        monotone = all(recalls[j] <= recalls[j + 1] for j in range(i))
+        rows.append((np_, bool(monotone), bool(recalls[-1] >= need)))
+    return spark.createDataFrame(
+        rows, "nprobe long, monotone_ok boolean, floor_ok boolean"
+    )
