@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "graph_bfs_depths",
     "stream_interval_join_twin",
     "sim_ivfpq_trained_codebook_floor",
+    "graph_sssp_weighted",
+    "ml_ab_test_proportions",
+    "dedup_cluster_size_histogram",
+    "stream_session_window_twin",
+    "sim_ivf_nprobe_sweep",
 ]
 
 
