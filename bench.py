@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dedup_cluster_size_histogram",
     "stream_session_window_twin",
     "sim_ivf_nprobe_sweep",
+    "fs_training_set_pit",
 ]
 
 

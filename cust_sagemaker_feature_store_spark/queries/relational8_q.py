@@ -582,3 +582,73 @@ def ml_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_score"),
     )
+
+
+@register(
+    "fs_training_set_pit",
+    oracle="""
+WITH feats AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         COALESCE(CAST(COUNT(*) OVER w AS BIGINT), 0) AS n_prior_events,
+         COALESCE(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                       AS BIGINT), 0) AS prior_value_cents
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id AS label_id, user_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS label_time,
+       value AS label_value,
+       n_prior_events,
+       prior_value_cents,
+       prior_value_cents / 100.0 AS prior_value
+FROM feats
+WHERE event_type = 'purchase'
+""",
+    description=(
+        "[EXT] point-in-time training-set assembly — the deliverable "
+        "every feature-store query ultimately serves: one row per "
+        "label event (purchase) carrying features computed from "
+        "STRICTLY-PRIOR history only (running event count and exact-"
+        "cents value sum over [start, label)), so the set is leakage-"
+        "free by construction — the positive counterpart of "
+        "fs_leakage_audit, which quantifies what a naive join would "
+        "contaminate. One pass: a user-partitioned running window "
+        "ending at 1 PRECEDING (ties broken by event_id) computed "
+        "over the full stream, then filtered to labels — no join at "
+        "all, versus the as-of join family's two-table shape. Window "
+        "partitions are per-user (bounded), sums are int64 cents."
+    ),
+)
+def fs_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    feats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        .cast("long")
+        .alias("n_prior_events"),
+        F.coalesce(F.sum(cents).over(w), F.lit(0))
+        .cast("long")
+        .alias("prior_value_cents"),
+    )
+    return feats.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("label_time"),
+        F.col("value").alias("label_value"),
+        "n_prior_events",
+        "prior_value_cents",
+        (F.col("prior_value_cents") / 100.0).alias("prior_value"),
+    )
