@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "stream_session_window_twin",
     "sim_ivf_nprobe_sweep",
     "fs_training_set_pit",
+    "graph_closeness_seeds",
 ]
 
 

@@ -366,3 +366,56 @@ def sssp_weighted(
         if checkpoint_every is None or (r + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=False)
     return dist
+
+
+def bfs_depths_multi(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "source",
+) -> DataFrame:
+    """Multi-source BFS: `bfs_depths` run for every seed AT ONCE, with
+    the frontier keyed by (source, node) — one distributed expansion
+    whose per-level work is the union of all seeds' frontiers, instead
+    of a driver loop of k separate traversals (k jobs/level → 1).
+    The closeness-centrality primitive: per-seed depth sums fall out
+    of one aggregation over the result.
+
+    `sources` is a 1-column frame of seed nodes; output is
+    (source, node, depth) — the minimum hop count of each reached node
+    FROM EACH seed, visited sets tracked independently per seed by the
+    composite key. Same pinning discipline as bfs_depths (every level
+    re-reads frontier and visited; cross-job exchange reuse does not
+    exist), same per-level driver scalar (global frontier size).
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias(source_col))
+        .distinct()
+        .select(source_col, F.col(source_col).alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    known = frontier.withColumn("depth", F.lit(0).cast("long"))
+    known = known.localCheckpoint(eager=True)
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(source_col, F.col("__d").alias("node"))
+            .distinct()
+            .join(
+                known.select(source_col, "node"),
+                [source_col, "node"],
+                "left_anti",
+            )
+        ).localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        known = known.unionByName(
+            nxt.withColumn("depth", F.lit(d).cast("long"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return known

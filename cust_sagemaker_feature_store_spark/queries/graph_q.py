@@ -409,3 +409,91 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = edges.agg(F.min("src").alias("node"))
     dist = G.sssp_weighted(edges, sources, rounds=SSSP_ROUNDS)
     return dist.select(F.col("node").alias("part_key"), "dist")
+
+
+CLOSENESS_SEEDS = 3
+CLOSENESS_DEPTH = 4
+
+
+def _closeness_oracle(n_seeds: int, max_depth: int) -> str:
+    parts = [
+        f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+seeds AS (
+  SELECT s AS source FROM (SELECT DISTINCT s FROM e ORDER BY s LIMIT {n_seeds})
+),
+k0 AS (SELECT source, source AS node, CAST(0 AS BIGINT) AS depth FROM seeds),
+f0 AS (SELECT source, node FROM k0)"""
+    ]
+    for i in range(1, max_depth + 1):
+        parts.append(
+            f""",
+f{i} AS (
+  SELECT DISTINCT f{i - 1}.source, e.d AS node
+  FROM e JOIN f{i - 1} ON e.s = f{i - 1}.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM k{i - 1}
+    WHERE k{i - 1}.source = f{i - 1}.source AND k{i - 1}.node = e.d
+  )
+),
+k{i} AS (
+  SELECT source, node, depth FROM k{i - 1}
+  UNION ALL
+  SELECT source, node, CAST({i} AS BIGINT) AS depth FROM f{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT source AS seed_part,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       CAST(SUM(depth) AS BIGINT) AS sum_depth,
+       CASE WHEN SUM(depth) > 0
+            THEN CAST(COUNT(*) - 1 AS DOUBLE) / SUM(depth)
+            ELSE 0.0 END AS closeness
+FROM k{max_depth}
+GROUP BY source"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_closeness_seeds",
+    oracle=_closeness_oracle(CLOSENESS_SEEDS, CLOSENESS_DEPTH),
+    description=(
+        "[EXT] bounded closeness centrality for seed nodes "
+        "(operators/graph.bfs_depths_multi): the 3 smallest part keys "
+        "expand simultaneously in ONE multi-source BFS — frontier "
+        "keyed by (seed, node), per-seed visited sets via the "
+        "composite anti-join — and closeness = (reached-1)/sum(depth) "
+        "within 4 hops falls out of one aggregation. Completes the "
+        "centrality family (PageRank, degree assortativity, "
+        "clustering coefficient, k-core): k seeds cost one expansion, "
+        "not k traversals. The oracle unrolls the same 4 levels with "
+        "per-seed NOT EXISTS visited checks; counts/depth sums are "
+        "int64, closeness one final division."
+    ),
+)
+def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(CLOSENESS_SEEDS)
+    )
+    depths = G.bfs_depths_multi(edges, seeds, max_depth=CLOSENESS_DEPTH)
+    return depths.groupBy(F.col("source").alias("seed_part")).agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        F.sum("depth").cast("long").alias("sum_depth"),
+        F.when(
+            F.sum("depth") > 0,
+            (F.count(F.lit(1)) - 1).cast("double") / F.sum("depth"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )

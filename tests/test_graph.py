@@ -259,3 +259,37 @@ def test_sssp_weighted_matches_naive_bellman_ford(spark):
             for r in sssp_weighted(e_df, s_df, rounds=rounds).collect()
         }
         assert got == want, (trial, n, m, rounds)
+
+
+def test_multi_source_bfs_matches_per_seed_bfs(spark):
+    """bfs_depths_multi must equal running bfs_depths independently per
+    seed (per-seed visited sets must not interfere)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.graph import (
+        bfs_depths,
+        bfs_depths_multi,
+    )
+
+    rng = random.Random(29)
+    n, m = 35, 90
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    edges = sorted((a, b) for a, b in edges if a != b)
+    e_df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    seeds = [0, 1, 2]
+    multi = {
+        (r["source"], r["node"]): r["depth"]
+        for r in bfs_depths_multi(
+            e_df, spark.createDataFrame([Row(node=s) for s in seeds]),
+            max_depth=4,
+        ).collect()
+    }
+    single = {}
+    for s in seeds:
+        for r in bfs_depths(
+            e_df, spark.createDataFrame([Row(node=s)]), max_depth=4
+        ).collect():
+            single[(s, r["node"])] = r["depth"]
+    assert multi == single
