@@ -279,6 +279,15 @@ def bfs_depths(
     absent from the edge list are fine — they just never expand).
     Returns (node, depth) with the MINIMUM hop count per reached node,
     deterministic by construction (level-synchronous expansion).
+
+    Measured alternative, rejected (r7): keeping the visited set as a
+    LAZY UNION of the already-pinned level frontiers avoids the
+    per-level visited re-pin (O(V) total checkpoint writes instead of
+    O(V·depth)) — but the anti-join's right side then stops being one
+    compact broadcastable frame and the fixture ran ~30% SLOWER
+    (10.4s vs 7.9s at sf0.1, min-of-2 idle). The visited re-pin is
+    V rows against the per-level edge join's E — the write saving
+    never dominates, so the single pinned frame wins at every scale.
     """
     if max_depth < 0:
         raise ValueError("max_depth must be >= 0")
