@@ -815,3 +815,38 @@ def test_grouped_trimmed_mean_and_iqr_match_python(spark):
         n_out = sum(1 for v in vals if 2 * v < 2 * q1 - 3 * iqr or 2 * v > 2 * q3 + 3 * iqr)
         assert iq[g]["q1_cents"] == q1 and iq[g]["q3_cents"] == q3, g
         assert iq[g]["n_outliers"] == n_out, g
+
+
+def test_weighted_quantiles_match_python(spark):
+    """weight_col semantics: each row counts for its weight, so the
+    weighted median equals the plain median of the weight-expanded
+    multiset."""
+    import math
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators.order_stats import (
+        grouped_exact_quantiles,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (f"g{i % 3}", rng.randrange(0, 40), rng.randrange(1, 9))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, cents long, wt long")
+    got = {
+        r["g"]: r
+        for r in grouped_exact_quantiles(
+            df, "g", quantiles=(("median", 1, 2), ("p90", 9, 10)),
+            shard_size=8, weight_col="wt",
+        ).collect()
+    }
+    expanded: dict[str, list[int]] = {}
+    for g, c, w in rows:
+        expanded.setdefault(g, []).extend([c] * w)
+    for g, vals in expanded.items():
+        vals.sort()
+        n = len(vals)
+        assert got[g]["n_rows"] == n  # total mass, not row count
+        assert got[g]["median_cents"] == vals[math.ceil(n / 2) - 1], g
+        assert got[g]["p90_cents"] == vals[math.ceil(9 * n / 10) - 1], g
