@@ -171,12 +171,13 @@ _R5_DRIVER_GREEN = [
     "agg_freq_items_floor", "agg_hll_merge_floor",
 ]
 
-# First-in-window priority: the r5-green queries whose implementations
-# r6 touches (evidence invalidated by the change — see the exclusion
+# First-in-window priority: the r6-green queries whose implementations
+# r7 touches (evidence invalidated by the change — see the exclusion
 # note above) lead the window so the external gate re-proves them
-# before anything else; the 17-query r5 spill and the reshaped
-# text_inverted_index follow automatically as non-green exact-oracle
-# entries, then brand-new r6 queries in module-import order.
+# before anything else; r7's 16 brand-new queries follow automatically
+# as non-green exact-oracle entries in module-import order (20
+# unverified total — the remaining ~30 slots re-prove already-green
+# queries for free).
 #
 _R6_DRIVER_GREEN = [
     # hash-green rows in CORRECTNESS_r06.json (50/50 green, 0 errors)
