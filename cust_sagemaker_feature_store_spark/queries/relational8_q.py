@@ -652,3 +652,260 @@ def fs_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prior_value_cents",
         (F.col("prior_value_cents") / 100.0).alias("prior_value"),
     )
+
+
+# events.value spans [0, ~500): p = cents/50000 is a well-defined
+# pseudo-probability for the Brier diagnostic (the score's GRID, not a
+# model claim — what matters is exactness of the mean squared gap).
+BRIER_SCALE = 50_000
+
+
+@register(
+    "ml_brier_score",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST((cents - y * {BRIER_SCALE}) AS BIGINT)
+                * CAST((cents - y * {BRIER_SCALE}) AS BIGINT)) AS BIGINT)
+         AS sq_err_scaled,
+       CAST(SUM(CAST((cents - y * {BRIER_SCALE}) AS BIGINT)
+                * CAST((cents - y * {BRIER_SCALE}) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / ({BRIER_SCALE}.0 * {BRIER_SCALE}.0) AS brier
+FROM s
+""",
+    description=(
+        "[EXT] exact Brier score (mean squared probability error) for "
+        "the score/label stream: p = cents/50000 on a fixed grid, so "
+        "each residual (cents - y*50000) is an int64, squared "
+        "residuals sum EXACTLY, and the score is two divisions at the "
+        "end — the calibration-error companion to ml_auc_exact "
+        "(ranking) and ml_calibration_bins (reliability curve). One "
+        "map-side-combined aggregation; two int64 counters at any "
+        "corpus size. Max |residual| = 5e4, squared 2.5e9: an int64 "
+        "sum wraps only past ~3.7e9 rows — at that scale switch the "
+        "accumulator to decimal(38,0) as gram_matrix does."
+    ),
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    resid = cents - y * BRIER_SCALE
+    return ev.filter(F.col("value").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(resid * resid).cast("long").alias("sq_err_scaled"),
+        (
+            F.sum(resid * resid).cast("double")
+            / F.count(F.lit(1))
+            / (float(BRIER_SCALE) * float(BRIER_SCALE))
+        ).alias("brier"),
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+),
+cover AS (
+  SELECT DISTINCT ud.user_id, days.day
+  FROM ud JOIN days
+    ON days.day >= ud.day AND days.day <= ud.day + INTERVAL 6 DAY
+),
+wau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM cover GROUP BY 1
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau USING (day)
+""",
+    description=(
+        "[EXT] DAU/WAU stickiness per day — the product-analytics "
+        "engagement ratio, computed EXACTLY (no HLL): WAU(d) = "
+        "distinct users active in [d-6, d] via the bounded covering "
+        "expansion — each (user, day) activity row covers at most 7 "
+        "report days, so the 'sliding distinct' that resists window "
+        "functions becomes a x7-bounded self-join + exact distinct "
+        "count. Scale: the expansion is 7x the DISTINCT (user, day) "
+        "frame (already radically smaller than the event stream), "
+        "shuffles on day; counts int64, ratio one division. The "
+        "running-distinct machinery (events_running_distinct_users) "
+        "covers the unbounded-prefix form; this is the bounded-window "
+        "form every dashboard actually wants."
+    ),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = (
+        ud.select("user_id", F.col("day").alias("active_day"))
+        .join(
+            days,
+            (F.col("day") >= F.col("active_day"))
+            & (F.col("day") <= F.date_add(F.col("active_day"), 6)),
+        )
+        .select("user_id", "day")
+        .distinct()
+    )
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "events_time_to_convert_quantiles",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS su_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+first_purchase_after AS (
+  SELECT f.user_id,
+         MIN(e.ts) AS pu_ts
+  FROM first_signup f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts >= f.su_ts
+  GROUP BY 1
+),
+dur AS (
+  SELECT f.user_id,
+         CAST(epoch_us(p.pu_ts) - epoch_us(f.su_ts) AS BIGINT) // 1000000
+           AS secs
+  FROM first_signup f JOIN first_purchase_after p USING (user_id)
+),
+cum AS (
+  SELECT secs, CAST(COUNT(*) AS BIGINT) AS nn FROM dur GROUP BY 1
+),
+c2 AS (
+  SELECT secs, CAST(SUM(nn) OVER (ORDER BY secs) AS BIGINT) AS cum_n FROM cum
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dur)
+SELECT tot.n AS n_converted,
+       MIN(CASE WHEN c2.cum_n * 2 >= tot.n THEN c2.secs END) AS p50_secs,
+       MIN(CASE WHEN c2.cum_n * 10 >= tot.n * 9 THEN c2.secs END) AS p90_secs
+FROM c2 CROSS JOIN tot
+GROUP BY tot.n
+""",
+    description=(
+        "[EXT] funnel time-to-convert quantiles: per user, the gap "
+        "from first signup to first subsequent purchase; p50/p90 of "
+        "those durations selected EXACTLY by the cumulative-count "
+        "integer predicate over the distinct-seconds grid — the "
+        "composition that shows the order-statistic machinery "
+        "consuming a derived (joined, windowed) measure rather than a "
+        "raw column. Durations are exact integer seconds (epoch "
+        "microsecond subtraction, one integer division); conversion "
+        "counts int64."
+    ),
+)
+def events_time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeutil import to_ltz
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("su_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("su_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pu_ts"), F.min("su_ts").alias("su_ts"))
+    )
+    dur = pu.select(
+        (
+            F.unix_micros(to_ltz(F.col("pu_ts")))
+            - F.unix_micros(to_ltz(F.col("su_ts")))
+        ).alias("us")
+    ).select(F.expr("us div 1000000").alias("secs"))
+    cum = dur.groupBy("secs").agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    w = Window.orderBy("secs").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c2 = cum.select("secs", F.sum("nn").over(w).cast("long").alias("cum_n"))
+    tot = dur.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        c2.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("n").alias("n_converted"))
+        .agg(
+            F.min(
+                F.when(F.col("cum_n") * 2 >= F.col("n"), F.col("secs"))
+            ).alias("p50_secs"),
+            F.min(
+                F.when(F.col("cum_n") * 10 >= F.col("n") * 9, F.col("secs"))
+            ).alias("p90_secs"),
+        )
+    )
+
+
+@register(
+    "agg_exact_moments_by_flag",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c) AS BIGINT) AS sum_cents,
+       CAST(SUM(c) AS DOUBLE) / 100.0 / COUNT(*) AS mean_value,
+       CAST(CAST(COUNT(*) AS HUGEINT) * CAST(SUM(c * c) AS HUGEINT)
+            - CAST(SUM(c) AS HUGEINT) * CAST(SUM(c) AS HUGEINT) AS DOUBLE)
+         / COUNT(*) / COUNT(*) / 10000.0 AS variance
+FROM s GROUP BY 1
+""",
+    description=(
+        "[EXT] grouped exact moments: count, exact-cents sum, mean "
+        "and POPULATION variance per return flag from one pass of "
+        "int64/decimal sufficient statistics — var = (n*SS - S^2)/n^2 "
+        "with SS accumulated exactly (decimal(38,0): c^2 reaches "
+        "~1e14, summed past int64 at real scale), so the variance is "
+        "a fixed tree of correctly-rounded IEEE ops over identical "
+        "integers. The grouped companion of the global "
+        "agg_exact_moments; feeds z-scoring and drift monitors "
+        "without a second scan."
+    ),
+)
+def agg_exact_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cd = c.cast("decimal(38,0)")
+    return (
+        li.select("l_returnflag", c.alias("c"), (cd * cd).alias("c2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c").cast("long").alias("sum_cents"),
+            (
+                F.sum("c").cast("double") / 100.0 / F.count(F.lit(1))
+            ).alias("mean_value"),
+            (
+                (
+                    F.count(F.lit(1)).cast("decimal(38,0)") * F.sum("c2")
+                    - F.sum("c").cast("decimal(38,0)")
+                    * F.sum("c").cast("decimal(38,0)")
+                )
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.count(F.lit(1))
+                / 10000.0
+            ).alias("variance"),
+        )
+    )
