@@ -140,6 +140,10 @@ BENCH_QUERIES = [
     "sim_ivf_nprobe_sweep",
     "fs_training_set_pit",
     "graph_closeness_seeds",
+    "ml_brier_score",
+    "events_dau_wau_stickiness",
+    "events_time_to_convert_quantiles",
+    "agg_exact_moments_by_flag",
 ]
 
 
