@@ -746,16 +746,22 @@ FROM dau JOIN wau USING (day)
 def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
-    days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    # covering expansion as a MAP-SIDE explode (each activity day emits
+    # its 7 covering report days) — the non-equi range-join formulation
+    # compiles to a broadcast nested loop, O(|activity| x |days|)
+    # comparisons, which is the quadratic trap at corpus scale; the
+    # explode is exactly 7x the activity frame with no join at all.
+    # Report days with no activity of their own drop out at the final
+    # inner join with dau (matching the oracle, which only counts
+    # observed activity days).
     cover = (
-        ud.select("user_id", F.col("day").alias("active_day"))
-        .join(
-            days,
-            (F.col("day") >= F.col("active_day"))
-            & (F.col("day") <= F.date_add(F.col("active_day"), 6)),
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
         )
-        .select("user_id", "day")
         .distinct()
     )
     wau = cover.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("wau"))
