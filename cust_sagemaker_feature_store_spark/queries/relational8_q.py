@@ -818,7 +818,11 @@ GROUP BY tot.n
         "consuming a derived (joined, windowed) measure rather than a "
         "raw column. Durations are exact integer seconds (epoch "
         "microsecond subtraction, one integer division); conversion "
-        "counts int64."
+        "counts int64. The cumulative pass runs through operators/"
+        "order_stats (day-sized duration shards), NOT a global "
+        "single-partition window — the distinct-duration grid is "
+        "user-count-sized, so the unsharded form would hit the "
+        "one-reducer trap at scale."
     ),
 )
 def events_time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,22 +846,22 @@ def events_time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
             F.unix_micros(to_ltz(F.col("pu_ts")))
             - F.unix_micros(to_ltz(F.col("su_ts")))
         ).alias("us")
-    ).select(F.expr("us div 1000000").alias("secs"))
-    cum = dur.groupBy("secs").agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    w = Window.orderBy("secs").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c2 = cum.select("secs", F.sum("nn").over(w).cast("long").alias("cum_n"))
-    tot = dur.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    return (
-        c2.crossJoin(F.broadcast(tot))
-        .groupBy(F.col("n").alias("n_converted"))
-        .agg(
-            F.min(
-                F.when(F.col("cum_n") * 2 >= F.col("n"), F.col("secs"))
-            ).alias("p50_secs"),
-            F.min(
-                F.when(F.col("cum_n") * 10 >= F.col("n") * 9, F.col("secs"))
-            ).alias("p90_secs"),
-        )
+    ).select(
+        F.lit(1).alias("__all"), F.expr("us div 1000000").alias("secs")
+    )
+    # day-sized shards: durations span ~a year of seconds, so the
+    # shard-offset frame is bounded by ~365 rows regardless of users
+    q = grouped_exact_quantiles(
+        dur,
+        "__all",
+        cents_col="secs",
+        quantiles=(("p50", 1, 2), ("p90", 9, 10)),
+        shard_size=86_400,
+    )
+    return q.select(
+        F.col("n_rows").alias("n_converted"),
+        F.col("p50_cents").alias("p50_secs"),
+        F.col("p90_cents").alias("p90_secs"),
     )
 
 
