@@ -23,10 +23,11 @@ engines evaluate without any floating point.
 
 Scale shape (identical to the r6 queries it generalizes): one groupBy
 over (group, value) — the only data-sized shuffle; a window
-partitioned by (group, value-range shard); a broadcast join of the
-per-(group, shard) offset frame, whose row count is
-|groups| × value_range/shard_size, independent of the corpus row
-count; then one final per-group aggregation. No single-partition
+partitioned by (group, value-range shard); a join of the
+per-(group, shard) offset frame — |groups| × value_range/shard_size
+rows, independent of the corpus row count; AQE broadcasts it while
+small and shuffle-joins it at extreme group cardinality (no forced
+hint) — then one final per-group aggregation. No single-partition
 window ever touches more than the range-bounded shard-offset frame.
 """
 
@@ -63,9 +64,11 @@ def grouped_cumulative_counts(
 
     The cumulative sums run in a window partitioned by
     (group, cents div shard_size) — parallel across shards — with the
-    per-(group, shard) offsets computed over a broadcast frame bounded
-    by |groups| × value_range/shard_size rows (range-bounded, NOT
-    data-bounded), the invariant that makes the pattern safe at 100 TB.
+    per-(group, shard) offsets computed over a frame bounded by
+    |groups| × value_range/shard_size rows (range-bounded per group,
+    NOT data-bounded), the invariant that makes the pattern safe at
+    100 TB — joined back without a broadcast hint so AQE picks the
+    strategy by the frame's actual size.
     """
     mass = (
         F.count(F.lit(1)).cast("long")
@@ -93,7 +96,12 @@ def grouped_cumulative_counts(
         "__shard",
         (F.sum("__sn").over(w_sh) - F.col("__sn")).alias("__on"),
     )
-    return within.join(F.broadcast(offsets), ["__g", "__shard"]).select(
+    # no broadcast HINT: the offset frame is |groups| x shards rows —
+    # tiny for range-bounded shards over few groups (AQE broadcasts it
+    # anyway), but a FORCED broadcast would break at extreme group
+    # cardinality (1e8 user-level groups), where a shuffle join on the
+    # (group, shard) key is the right plan and AQE picks it.
+    return within.join(offsets, ["__g", "__shard"]).select(
         F.col("__g").alias(group_col),
         "cents",
         "nn",
@@ -134,7 +142,7 @@ def grouped_exact_quantiles(
         df.groupBy(F.col(group_col).alias(group_col))
         .agg(mass.alias("n_rows"))
     )
-    j = cum.join(F.broadcast(tot), group_col)
+    j = cum.join(tot, group_col)  # group-count-sized: AQE picks the join
     sel = [
         F.min(
             F.when(
@@ -160,7 +168,7 @@ def grouped_iqr_fences(
     """
     cum = grouped_cumulative_counts(df, group_col, cents_col, shard_size)
     tot = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    j = cum.join(F.broadcast(tot), group_col)
+    j = cum.join(tot, group_col)  # group-count-sized: AQE picks the join
     quart = j.groupBy(group_col, "n_rows").agg(
         F.min(
             F.when(F.col("cum_n") * 4 >= F.col("n_rows"), F.col("cents"))
@@ -169,10 +177,10 @@ def grouped_iqr_fences(
             F.when(F.col("cum_n") * 4 >= F.col("n_rows") * 3, F.col("cents"))
         ).alias("q3_cents"),
     ).withColumn("iqr_cents", F.col("q3_cents") - F.col("q1_cents"))
-    # outlier count: join the tiny per-group fence frame back to the
-    # per-distinct-value counts (broadcast — |groups| rows) and sum
+    # outlier count: join the per-group fence frame (|groups| rows)
+    # back to the per-distinct-value counts and sum
     out = (
-        cum.join(F.broadcast(quart), group_col)
+        cum.join(quart, group_col)
         .filter(
             (F.col("cents") * 2 < F.col("q1_cents") * 2 - F.col("iqr_cents") * 3)
             | (F.col("cents") * 2 > F.col("q3_cents") * 2 + F.col("iqr_cents") * 3)
@@ -211,7 +219,7 @@ def grouped_trimmed_mean(
     cum = grouped_cumulative_counts(df, group_col, cents_col, shard_size)
     tot = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     k = F.expr(f"n_rows * {trim_num} div {trim_den}")
-    j = cum.join(F.broadcast(tot), group_col).withColumn("__k", k)
+    j = cum.join(tot, group_col).withColumn("__k", k)
     kept = F.greatest(
         F.lit(0),
         F.least(F.col("cum_n"), F.col("n_rows") - F.col("__k"))
