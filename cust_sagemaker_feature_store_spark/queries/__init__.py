@@ -218,13 +218,47 @@ _R6_DRIVER_GREEN = [
     # the earlier lists and are omitted here.
 ]
 
-# ROUND-8 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r07.json's green rows into an _R7_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r8 changes), then retarget
-# _WINDOW_PRIORITY at whatever r8 invalidates.
+_R7_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r07.json (50/50 green, 0 errors)
+    # earned by code unchanged in r8. Excluded on purpose (r8 changes
+    # their implementation, invalidating the r7 evidence per the
+    # policy above):
+    #   graph_kcore_floor — r8 allows one confirming probe past
+    #     max_rounds in the batched kcore fixpoint (ADVICE r7 #1);
+    #   ml_pr_curve_topf1 — r8 filters NULL scores so the NULL
+    #     threshold row can't enter the top-10 F1 tie-break
+    #     (ADVICE r7 #2);
+    #   sim_ivfpq_trained_codebook_floor — r8 adds the int64 wrap
+    #     guard to pq_distortion's batch accumulation (ADVICE r7 #3);
+    #   agg_exact_quantiles_by_type / agg_iqr_outliers_by_priority /
+    #   agg_trimmed_mean_by_priority / agg_weighted_median_by_flag /
+    #   events_time_to_convert_quantiles — r8 adds the positive-weight
+    #     validation to order_stats.grouped_cumulative_counts, the
+    #     operator all five flow through (ADVICE r7 #4).
+    "sim_pca_power_floor", "sim_ivfpq_recall_floor",
+    "sim_ivfpq_lloyd_recall_floor", "stream_interval_join_twin",
+    "stream_session_window_twin", "dedup_cluster_size_histogram",
+    "graph_bfs_depths", "graph_sssp_weighted", "graph_closeness_seeds",
+    "sim_ivf_nprobe_sweep", "ml_association_rules",
+    "ml_ab_test_proportions", "fs_training_set_pit", "ml_brier_score",
+    "events_dau_wau_stickiness", "agg_exact_moments_by_flag",
+    # r1–r6 re-verifications also green in r07 (the fs_* family,
+    # q1_pricing_summary, q3_shipping_priority, ...) are already
+    # listed in the earlier lists and are omitted here.
+]
+
+# ROUND-9 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r08.json's green rows into an _R8_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r9 changes), then retarget
+# _WINDOW_PRIORITY at whatever r9 invalidates.
 _WINDOW_PRIORITY = [
-    "graph_kcore_floor", "sim_pca_power_floor",
-    "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
+    # r7-green queries whose implementations r8 touches (ADVICE r7
+    # fixes — see the exclusion note in _R7_DRIVER_GREEN): re-prove
+    # them before anything else.
+    "graph_kcore_floor", "ml_pr_curve_topf1",
+    "sim_ivfpq_trained_codebook_floor", "agg_exact_quantiles_by_type",
+    "agg_iqr_outliers_by_priority", "agg_trimmed_mean_by_priority",
+    "agg_weighted_median_by_flag", "events_time_to_convert_quantiles",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
@@ -242,6 +276,7 @@ def _reorder_registry() -> None:
         set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
         | set(_R5_DRIVER_GREEN) | set(_R6_DRIVER_GREEN)
+        | set(_R7_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
