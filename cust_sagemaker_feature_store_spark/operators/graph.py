@@ -212,10 +212,16 @@ def kcore(
     identity rounds past the fixpoint cannot change the output.
 
     Returns the surviving (src, dst) edge list; nodes of the k-core are
-    its distinct sources. Raises if `max_rounds` peel rounds pass
-    without the fixpoint being CONFIRMED by a probe (peeling MUST
-    converge; hitting the cap means the caller's bound, not the
-    algorithm, is wrong).
+    its distinct sources. Raises if the fixpoint is still unconfirmed
+    after `max_rounds` peel rounds PLUS one confirming probe batch
+    (peeling MUST converge; hitting the cap means the caller's bound,
+    not the algorithm, is wrong). The one extra batch preserves the
+    per-round-probe contract (ADVICE r7): a fixpoint REACHED inside
+    the final batch — where the probe still sees a count change from
+    the batch's earlier rounds — gets its confirming probe instead of
+    a spurious RuntimeError, so batching can only relax the round
+    budget, never tighten it (identity rounds past the fixpoint are
+    no-ops, see above).
     """
     if k < 1:
         raise ValueError("kcore needs k >= 1")
@@ -225,11 +231,12 @@ def kcore(
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     done = 0
-    while done < max_rounds:
+    limit = max_rounds + probe_every  # one confirming probe past the cap
+    while done < limit:
         if n_edges == 0:
             break
         nxt = e
-        batch = min(probe_every, max_rounds - done)
+        batch = min(probe_every, limit - done)
         for _ in range(batch):
             deg = nxt.groupBy("__s").agg(F.count("*").alias("__deg"))
             keep = deg.filter(F.col("__deg") >= k).select("__s")
@@ -246,7 +253,9 @@ def kcore(
     if n_edges == 0:
         return e.select(F.col("__s").alias(src), F.col("__d").alias(dst))
     raise RuntimeError(
-        f"kcore did not converge in {max_rounds} rounds ({n_edges} edges left)"
+        f"kcore did not converge in {done} rounds "
+        f"(max_rounds={max_rounds} + one confirming probe batch; "
+        f"{n_edges} edges left)"
     )
 
 

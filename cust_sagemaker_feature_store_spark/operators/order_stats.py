@@ -46,6 +46,34 @@ DEFAULT_QUANTILES: tuple[tuple[str, int, int], ...] = (
 )
 
 
+def _mass_expr(weight_col: str | None):
+    """The row-mass aggregate: COUNT(*) unweighted, SUM(weight) with
+    `weight_col` — where each weight is validated STRICTLY POSITIVE
+    in the aggregate's input expression (ADVICE r7 #4: a zero or
+    negative weight silently breaks the cum_n monotonicity every
+    selection predicate relies on, turning an exactness guarantee
+    into a wrong answer). The check lives INSIDE the mass expression
+    — not a droppable assert column Catalyst could prune — so any
+    invalid weight (NULL included) fails the job loudly at the first
+    aggregation instead of returning wrong quantiles. Cost: one
+    per-row conditional on the weighted path only."""
+    if weight_col is None:
+        return F.count(F.lit(1)).cast("long")
+    w = F.col(weight_col)
+    checked = F.when(w > 0, w).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"order_stats: weight_col {weight_col!r} must be "
+                    "strictly positive (cum_n monotonicity); got "
+                ),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    return F.sum(checked).cast("long")
+
+
 def grouped_cumulative_counts(
     df: DataFrame,
     group_col: str,
@@ -57,7 +85,9 @@ def grouped_cumulative_counts(
 
     Input: any frame with `group_col` and an int64 `cents_col` (plus,
     optionally, an int64 `weight_col` — each row then counts for its
-    weight, turning every downstream statistic into its WEIGHTED form).
+    weight, turning every downstream statistic into its WEIGHTED
+    form; weights MUST be strictly positive — enforced at execution
+    time, see _mass_expr).
     Output: (group, cents, nn, cum_n) — nn the value's count (or
     weight mass) in the group, cum_n the running total over ascending
     cents within the group.
@@ -70,11 +100,7 @@ def grouped_cumulative_counts(
     100 TB — joined back without a broadcast hint so AQE picks the
     strategy by the frame's actual size.
     """
-    mass = (
-        F.count(F.lit(1)).cast("long")
-        if weight_col is None
-        else F.sum(weight_col).cast("long")
-    )
+    mass = _mass_expr(weight_col)
     pv = df.groupBy(
         F.col(group_col).alias("__g"), F.col(cents_col).alias("cents")
     ).agg(mass.alias("nn"))
@@ -133,11 +159,7 @@ def grouped_exact_quantiles(
     cum = grouped_cumulative_counts(
         df, group_col, cents_col, shard_size, weight_col
     )
-    mass = (
-        F.count(F.lit(1)).cast("long")
-        if weight_col is None
-        else F.sum(weight_col).cast("long")
-    )
+    mass = _mass_expr(weight_col)
     tot = (
         df.groupBy(F.col(group_col).alias(group_col))
         .agg(mass.alias("n_rows"))

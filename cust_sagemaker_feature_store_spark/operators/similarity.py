@@ -732,6 +732,20 @@ def pq_distortion(
                 rb = resid[:, j * sub : (j + 1) * sub]
                 d2 = ((rb[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
                 err += d2.min(axis=1)
+            # per-batch wrap bound (train_pq_codebooks discipline,
+            # ADVICE r7 #3): the int64 cast + batch sum are exact only
+            # while batch_rows * max(scaled) < 2^63. Checked on the
+            # FLOAT error before the cast, so a single overflowing
+            # value is caught too — fail loudly instead of silently
+            # wrapping the distortion total the Lloyd monotonicity
+            # evidence rests on.
+            mx = float(err.max(initial=0.0)) * PQ_DISTORTION_SCALE
+            if mx and len(pdf) * mx >= 2.0**63:
+                raise OverflowError(
+                    "PQ distortion partial sum could wrap int64: lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    "PQ_DISTORTION_SCALE"
+                )
             scaled = np.floor(err * PQ_DISTORTION_SCALE).astype(np.int64)
             yield pd.DataFrame({"e": [int(scaled.sum())]})
 

@@ -304,6 +304,7 @@ WITH scored AS (
   SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
+  WHERE value IS NOT NULL
 ),
 hist AS (
   SELECT s, CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(1 - y) AS BIGINT) AS n
@@ -346,7 +347,10 @@ LIMIT {PR_TOP_F1_ROWS}
 )
 def ml_pr_curve_topf1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    scored = ev.select(
+    # a NULL score is not an operating point: unfiltered it yields a
+    # NULL threshold row whose ASC tie-break position differs between
+    # Spark (NULLs first) and DuckDB (NULLs last) — ADVICE r7 #2
+    scored = ev.filter(F.col("value").isNotNull()).select(
         F.round(F.col("value") * 100).cast("long").alias("s"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )

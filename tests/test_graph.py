@@ -293,3 +293,35 @@ def test_multi_source_bfs_matches_per_seed_bfs(spark):
         ).collect():
             single[(s, r["node"])] = r["depth"]
     assert multi == single
+
+
+def test_kcore_confirms_fixpoint_reached_inside_final_batch(spark):
+    """ADVICE r7 #1: with batched probing, a fixpoint REACHED inside
+    the final batch still sees a count change from the batch's earlier
+    rounds, so the probe can't confirm it until one batch PAST
+    max_rounds. The loop budgets that confirming probe: a chain that
+    peels in exactly max_rounds rounds must return the (empty or
+    stable) core, not raise."""
+    from pyspark.sql import Row
+
+    # path graph 1-2-3-4-5-6-7: 2-core is empty, peeling one node pair
+    # per round from each end -> needs 3 peel rounds + confirmation
+    und = []
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)]:
+        und += [Row(src=a, dst=b), Row(src=b, dst=a)]
+    edges = spark.createDataFrame(und)
+    # max_rounds=3 is EXACTLY the peeling depth; probe_every=3 means
+    # the count change from rounds 1-2 masks the round-3 fixpoint
+    # until the confirming batch past the cap
+    assert G.kcore(edges, k=2, max_rounds=3, probe_every=3).count() == 0
+    # triangle + pendant chain (peels 6, then 5, then 4 — depth 3):
+    # with max_rounds=3 == depth and probe_every=3, the only possible
+    # confirmation is the probe batch PAST the cap — the exact ADVICE
+    # r7 scenario that used to raise
+    und2 = []
+    for a, b in [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]:
+        und2 += [Row(src=a, dst=b), Row(src=b, dst=a)]
+    core = G.kcore(
+        spark.createDataFrame(und2), k=2, max_rounds=3, probe_every=3
+    )
+    assert {r["src"] for r in core.select("src").distinct().collect()} == {1, 2, 3}

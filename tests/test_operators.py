@@ -850,3 +850,34 @@ def test_weighted_quantiles_match_python(spark):
         assert got[g]["n_rows"] == n  # total mass, not row count
         assert got[g]["median_cents"] == vals[math.ceil(n / 2) - 1], g
         assert got[g]["p90_cents"] == vals[math.ceil(9 * n / 10) - 1], g
+
+
+def test_weighted_quantiles_reject_nonpositive_weights(spark):
+    """ADVICE r7 #4: a zero/negative/NULL weight breaks the cum_n
+    monotonicity the quantile selection relies on — the operator must
+    fail loudly at execution, not return wrong quantiles. The check is
+    embedded in the mass aggregate itself so column pruning can't
+    remove it."""
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.order_stats import (
+        grouped_exact_quantiles,
+    )
+
+    for bad in (0, -3, None):
+        df = spark.createDataFrame(
+            [("g", 10, 2), ("g", 20, bad), ("g", 30, 1)],
+            "g string, cents long, wt long",
+        )
+        with pytest.raises(Exception, match="strictly positive"):
+            grouped_exact_quantiles(
+                df, "g", shard_size=8, weight_col="wt"
+            ).collect()
+    # valid weights still work after the guard
+    ok = spark.createDataFrame(
+        [("g", 10, 2), ("g", 20, 1)], "g string, cents long, wt long"
+    )
+    row = grouped_exact_quantiles(
+        ok, "g", quantiles=(("p50", 1, 2),), shard_size=8, weight_col="wt"
+    ).collect()[0]
+    assert row["n_rows"] == 3 and row["p50_cents"] == 10

@@ -582,3 +582,22 @@ def test_pq_codebook_training_reduces_distortion_deterministically(spark):
         emb, cent, m_subvectors=4, n_codes=8, iterations=2
     )
     assert np.array_equal(b2, b2_again), "training must be deterministic"
+
+
+def test_pq_distortion_raises_on_int64_wrap_risk(spark):
+    """ADVICE r7 #3: pq_distortion applies the same per-batch
+    batch_rows * max(scaled) < 2^63 wrap guard as train_pq_codebooks —
+    astronomically large residuals must raise OverflowError, not wrap
+    silently into a corrupt distortion total."""
+    import pytest
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    big = 4.0e6  # err ~ (4e6)^2 * 16 dims ~ 2.6e14 -> scaled ~ 2.6e20 > 2^63/2
+    rows = [Row(vec_id=i, embedding=[big] * 16) for i in range(4)]
+    emb = spark.createDataFrame(rows).coalesce(1)
+    cent = [[0.0] * 16]
+    books = [[[0.0] * 4 for _ in range(2)] for _ in range(4)]  # m=4, sub=4
+    with pytest.raises(Exception, match="wrap int64"):
+        S.pq_distortion(emb, cent, books)
