@@ -212,16 +212,18 @@ def kcore(
     identity rounds past the fixpoint cannot change the output.
 
     Returns the surviving (src, dst) edge list; nodes of the k-core are
-    its distinct sources. Raises if the fixpoint is still unconfirmed
-    after `max_rounds` peel rounds PLUS one confirming probe batch
-    (peeling MUST converge; hitting the cap means the caller's bound,
-    not the algorithm, is wrong). The one extra batch preserves the
-    per-round-probe contract (ADVICE r7): a fixpoint REACHED inside
-    the final batch — where the probe still sees a count change from
-    the batch's earlier rounds — gets its confirming probe instead of
-    a spurious RuntimeError, so batching can only relax the round
-    budget, never tighten it (identity rounds past the fixpoint are
-    no-ops, see above).
+    its distinct sources. `max_rounds` is a HARD bound on real peeling
+    work (ADVICE r8): in-budget batches never overshoot it
+    (`min(probe_every, max_rounds - done)` rounds each), and the single
+    batch allowed PAST the cap is a *confirming* probe — if its edge
+    count moves, peeling continued beyond `max_rounds` and the call
+    raises instead of converging silently (so `max_rounds=0` raises for
+    any non-fixpoint input). The confirming batch preserves the
+    per-round-probe contract (ADVICE r7): a fixpoint REACHED inside the
+    final in-budget batch — where the probe still sees a count change
+    from the batch's earlier rounds — gets its confirmation from
+    `probe_every` identity rounds (no-ops, see above) instead of a
+    spurious RuntimeError.
     """
     if k < 1:
         raise ValueError("kcore needs k >= 1")
@@ -231,12 +233,13 @@ def kcore(
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     done = 0
-    limit = max_rounds + probe_every  # one confirming probe past the cap
-    while done < limit:
-        if n_edges == 0:
-            break
+    while n_edges:
+        confirming = done >= max_rounds
+        # in-budget batches are clamped so real peeling never exceeds
+        # max_rounds; the confirming batch past the cap may only be
+        # identity rounds (checked below)
+        batch = probe_every if confirming else min(probe_every, max_rounds - done)
         nxt = e
-        batch = min(probe_every, limit - done)
         for _ in range(batch):
             deg = nxt.groupBy("__s").agg(F.count("*").alias("__deg"))
             keep = deg.filter(F.col("__deg") >= k).select("__s")
@@ -244,19 +247,21 @@ def kcore(
                 nxt.join(keep, "__s", "left_semi")
                 .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
             )
-        done += batch
         nxt = nxt.localCheckpoint(eager=True)
         n_next = nxt.count()
         if n_next == n_edges:
             return nxt.select(F.col("__s").alias(src), F.col("__d").alias(dst))
+        if confirming:
+            # the probe past the cap peeled real edges: the caller's
+            # work budget, not the algorithm, is wrong — fail loudly
+            raise RuntimeError(
+                f"kcore still peeling past max_rounds={max_rounds} "
+                f"(confirming probe dropped {n_edges - n_next} edges; "
+                f"{n_next} left)"
+            )
+        done += batch
         e, n_edges = nxt, n_next
-    if n_edges == 0:
-        return e.select(F.col("__s").alias(src), F.col("__d").alias(dst))
-    raise RuntimeError(
-        f"kcore did not converge in {done} rounds "
-        f"(max_rounds={max_rounds} + one confirming probe batch; "
-        f"{n_edges} edges left)"
-    )
+    return e.select(F.col("__s").alias(src), F.col("__d").alias(dst))
 
 
 def bfs_depths(

@@ -707,6 +707,8 @@ def pq_distortion(
     as int64 per partition and decimal(38,0) across the shuffle.
     The number that PROVES training improved the quantizer (Lloyd
     monotonicity), independent of any query's recall luck."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -733,14 +735,17 @@ def pq_distortion(
                 d2 = ((rb[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
                 err += d2.min(axis=1)
             # per-batch wrap bound (train_pq_codebooks discipline,
-            # ADVICE r7 #3): the int64 cast + batch sum are exact only
-            # while batch_rows * max(scaled) < 2^63. Checked on the
-            # FLOAT error before the cast, so a single overflowing
-            # value is caught too — fail loudly instead of silently
-            # wrapping the distortion total the Lloyd monotonicity
-            # evidence rests on.
-            mx = float(err.max(initial=0.0)) * PQ_DISTORTION_SCALE
-            if mx and len(pdf) * mx >= 2.0**63:
+            # ADVICE r7 #3, integer form per ADVICE r8 #2): each scaled
+            # value is exactly floor(err_i * SCALE), so their max is
+            # floor(max(err) * SCALE) — bound it as a Python int and
+            # compare via exact integer division against 2^63 - 1
+            # (int64 max; the float ">= 2.0**63" form had a ~2048-ulp
+            # blind window near the boundary). Computed BEFORE the
+            # int64 cast, so a single overflowing value is caught too —
+            # fail loudly instead of silently wrapping the distortion
+            # total the Lloyd monotonicity evidence rests on.
+            mxi = int(math.floor(float(err.max(initial=0.0)) * PQ_DISTORTION_SCALE))
+            if mxi and len(pdf) > (2**63 - 1) // mxi:
                 raise OverflowError(
                     "PQ distortion partial sum could wrap int64: lower "
                     "spark.sql.execution.arrow.maxRecordsPerBatch or "

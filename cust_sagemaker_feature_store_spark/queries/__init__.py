@@ -247,23 +247,43 @@ _R7_DRIVER_GREEN = [
     # listed in the earlier lists and are omitted here.
 ]
 
-# ROUND-9 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r08.json's green rows into an _R8_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r9 changes), then retarget
-# _WINDOW_PRIORITY at whatever r9 invalidates.
+_R8_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r08.json (50/50 green, 0 errors)
+    # earned by code unchanged in r9. Excluded on purpose (r9 changes
+    # their implementation, invalidating the r8 evidence per the
+    # policy above):
+    #   graph_kcore_floor — r9 makes max_rounds a hard peel budget in
+    #     kcore (the confirming probe raises if it actually peels;
+    #     ADVICE r8 #1);
+    #   sim_ivfpq_trained_codebook_floor — r9 converts pq_distortion's
+    #     wrap guard to the exact integer form (ADVICE r8 #2);
+    #   ml_pr_curve_topf1 — r9 documents the scored-rows-only recall
+    #     semantics in the query description (ADVICE r8 #3; text-only,
+    #     but the module body changed, so the evidence rotates per the
+    #     policy).
+    "agg_exact_quantiles_by_type", "agg_iqr_outliers_by_priority",
+    "agg_trimmed_mean_by_priority", "agg_weighted_median_by_flag",
+    "events_time_to_convert_quantiles",
+    # r1–r7 re-verifications also green in r08 (the fs_* family,
+    # q1_pricing_summary, the set/window/sort surfaces, ...) are
+    # already listed in the earlier lists and are omitted here.
+]
+
+# ROUND-10 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r09.json's green rows into an _R9_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r10 changes), then
+# retarget _WINDOW_PRIORITY at whatever r10 invalidates.
 _WINDOW_PRIORITY = [
-    # r7-green queries whose implementations r8 touches (ADVICE r7
-    # fixes — see the exclusion note in _R7_DRIVER_GREEN): re-prove
+    # r8-green queries whose implementations r9 touches (ADVICE r8
+    # fixes — see the exclusion note in _R8_DRIVER_GREEN): re-prove
     # them before anything else.
-    "graph_kcore_floor", "ml_pr_curve_topf1",
-    "sim_ivfpq_trained_codebook_floor", "agg_exact_quantiles_by_type",
-    "agg_iqr_outliers_by_priority", "agg_trimmed_mean_by_priority",
-    "agg_weighted_median_by_flag", "events_time_to_convert_quantiles",
+    "graph_kcore_floor", "sim_ivfpq_trained_codebook_floor",
+    "ml_pr_curve_topf1",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
-# when the front exceeds the 50-slot window. EMPTY this round: the 4
-# r7-invalidated entries plus r7's new queries all fit in the 50-slot
+# when the front exceeds the 50-slot window. EMPTY this round: the 3
+# r9-invalidated entries plus r9's new queries all fit in the 50-slot
 # window, enforced by the spill-size assertion in _reorder_registry
 # (ADVICE r5 #2).
 _WINDOW_BACK: list[str] = []
@@ -276,7 +296,7 @@ def _reorder_registry() -> None:
         set(_R1_DRIVER_GREEN) | set(_R2_DRIVER_GREEN)
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
         | set(_R5_DRIVER_GREEN) | set(_R6_DRIVER_GREEN)
-        | set(_R7_DRIVER_GREEN)
+        | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]

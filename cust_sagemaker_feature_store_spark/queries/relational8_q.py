@@ -341,8 +341,13 @@ LIMIT {PR_TOP_F1_ROWS}
         "classifier. All counts int64; precision/recall/F1 are one "
         "correctly-rounded division each from identical integers, so "
         "ordering by F1 agrees bit-for-bit across engines (ties break "
-        "to the lower threshold). Top-k via TakeOrdered, no global "
-        "row sort."
+        "to the lower threshold). Semantics (ADVICE r8 #3): the curve "
+        "is computed over SCORED rows only — a NULL score is not an "
+        "operating point, and NULL-scored purchases are excluded from "
+        "the positive total pp, i.e. recall/FN denominators count "
+        "scored positives, not all positives (applied identically in "
+        "the oracle's WHERE value IS NOT NULL). Top-k via TakeOrdered, "
+        "no global row sort."
     ),
 )
 def ml_pr_curve_topf1(spark: SparkSession, sf_dir: str) -> DataFrame:

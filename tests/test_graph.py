@@ -325,3 +325,31 @@ def test_kcore_confirms_fixpoint_reached_inside_final_batch(spark):
         spark.createDataFrame(und2), k=2, max_rounds=3, probe_every=3
     )
     assert {r["src"] for r in core.select("src").distinct().collect()} == {1, 2, 3}
+
+
+def test_kcore_max_rounds_is_a_hard_peel_budget(spark):
+    """ADVICE r8 #1: the batch past max_rounds may only CONFIRM the
+    fixpoint — if it actually peels, the call must raise, so a peeling
+    depth in (max_rounds, max_rounds + probe_every] no longer converges
+    silently, and max_rounds=0 raises for any non-fixpoint graph."""
+    import pytest
+    from pyspark.sql import Row
+
+    # path graph 1-..-9: 2-core empty, peeling depth 4 (one pair of
+    # endpoints per round) — max_rounds=3 with probe_every=3 used to
+    # absorb round 4 into the "confirming" batch and return
+    und = []
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (8, 9)]:
+        und += [Row(src=a, dst=b), Row(src=b, dst=a)]
+    edges = spark.createDataFrame(und)
+    with pytest.raises(RuntimeError, match="peeling past max_rounds"):
+        G.kcore(edges, k=2, max_rounds=3, probe_every=3)
+    # the same graph converges with an honest budget
+    assert G.kcore(edges, k=2, max_rounds=4, probe_every=3).count() == 0
+    # max_rounds=0: non-fixpoint raises, fixpoint (pure triangle) returns
+    with pytest.raises(RuntimeError, match="peeling past max_rounds"):
+        G.kcore(edges, k=2, max_rounds=0, probe_every=3)
+    tri = []
+    for a, b in [(1, 2), (2, 3), (1, 3)]:
+        tri += [Row(src=a, dst=b), Row(src=b, dst=a)]
+    assert G.kcore(spark.createDataFrame(tri), k=2, max_rounds=0).count() == 6
