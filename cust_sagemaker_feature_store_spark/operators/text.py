@@ -243,6 +243,113 @@ def contamination_overlap(
     )
 
 
+def doc_line_segments(
+    docs: DataFrame,
+    line_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment each document into fixed-width non-overlapping token
+    "lines" — the unit of cross-document boilerplate dedup (the
+    CCNet/RefinedWeb line-dedup tier; public methodology). Real corpora
+    carry newlines and segment with ``split(text, '\\n')``; this
+    corpus's synthetic documents are single-line word streams, so the
+    segmenter is a fixed `line_tokens`-token chunker instead — every
+    downstream step (normalization, df counting, stripping) is
+    segmenter-agnostic.
+
+    Normalization = whitespace tokenization + single-space rejoin, so a
+    line's identity is its token sequence, not its raw spacing. Pure
+    per-row narrow transform (sequence + posexplode), map-side at any
+    scale. Returns (doc_id, line_no, line)."""
+    if line_tokens < 1:
+        raise ValueError("line_tokens must be >= 1")
+    toks = tokens(text_col)
+    n_seg = F.greatest(
+        F.ceil(F.size(toks) / float(line_tokens)).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + F.lit(1), line_tokens), " "
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(segs).alias("line_no", "line")
+    )
+
+
+def line_document_frequency(
+    lines: DataFrame, line_col: str = "line", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document frequency per normalized line: in how many DISTINCT
+    documents does each line occur (df), and how many times in total
+    (n_total)? The table that DEFINES boilerplate — headers, nav text,
+    license blocks are exactly the lines with high df.
+
+    Two-level aggregation instead of countDistinct: the first groupBy
+    on (line, doc) gets a map-side partial (most duplication is
+    in-document repetition, combined before the shuffle), the second
+    reduces per line. Both shuffles carry compact (hashable) line keys,
+    never document text."""
+    per_doc = lines.groupBy(line_col, id_col).agg(F.count("*").alias("__n"))
+    return per_doc.groupBy(line_col).agg(
+        F.count("*").alias("df"), F.sum("__n").alias("n_total")
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    line_tokens: int = 3,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate removal: drop every line that occurs
+    in >= `min_df` distinct documents, and report what survived per
+    document — n_lines, n_boiler_lines, removed_frac, plus the length
+    and md5 of the retained text (lines rejoined in original order), so
+    the reassembly itself is pinned by the correctness gate.
+
+    Plan shape for 100 TB: the boilerplate side of the join is the
+    df >= min_df SLICE of the line-df table — repeated lines only,
+    orders of magnitude smaller than the corpus (AQE broadcasts it when
+    it fits; no hint, so a pathological corpus that is mostly
+    boilerplate degrades to a shuffle join instead of an OOM). The
+    per-doc reassembly sorts each document's surviving lines by
+    line_no inside one groupBy — state bounded by the longest document,
+    not the corpus."""
+    lines = doc_line_segments(
+        docs, line_tokens=line_tokens, id_col=id_col, text_col=text_col
+    )
+    boiler = (
+        line_document_frequency(lines, id_col=id_col)
+        .filter(F.col("df") >= min_df)
+        .select("line", F.lit(1).alias("__boiler"))
+    )
+    flagged = lines.join(boiler, "line", "left")
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct("line_no", "line")
+    )
+    retained = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0)).alias(
+            "n_boiler_lines"
+        ),
+        F.length(retained).alias("retained_chars"),
+        F.md5(retained).alias("retained_md5"),
+    ).withColumn(
+        "removed_frac",
+        F.col("n_boiler_lines").cast("double") / F.col("n_lines"),
+    )
+
+
 def minhash_value(shingle: Column, seed: int) -> Column:
     """One MinHash component: the seed-th 8-hex slice of md5(shingle),
     minimized lexicographically over a document's shingle set. One md5

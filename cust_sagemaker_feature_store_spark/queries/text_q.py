@@ -1841,3 +1841,97 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").cast("long").alias("n_docs"),
         (F.sum("sz") - F.count(F.lit(1))).cast("long").alias("n_removable"),
     )
+
+
+# -- cross-document line-level boilerplate dedup (r9) --------------------
+#
+# Shared DuckDB fragment: the exact twin of operators/text.py
+# doc_line_segments(line_tokens=3) — fixed 3-token "lines" (this
+# synthetic corpus has no newlines; a real corpus swaps the chunker for
+# split(text, '\n') and everything downstream is unchanged).
+SQL_LINE_SEG_CTE = f"""
+tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+seg AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS line
+  FROM tok, unnest(generate_series(
+         0, greatest(CAST(ceil(len(toks)/3.0) AS BIGINT), 1) - 1)) AS t(i)
+)
+"""
+
+BOILER_MIN_DF = 5  # a line in >= 5 distinct docs is boilerplate
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=f"""
+WITH {SQL_LINE_SEG_CTE},
+per AS (SELECT line, doc_id, COUNT(*) AS n FROM seg GROUP BY 1, 2)
+SELECT line, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(n) AS BIGINT) AS n_total
+FROM per GROUP BY line HAVING COUNT(*) >= {BOILER_MIN_DF}
+""",
+    description=(
+        "[EXT] cross-document boilerplate line table: normalized lines "
+        "(fixed 3-token segments here; newline-split in a real corpus) "
+        "with document frequency >= 5 — the headers/nav/license-block "
+        "detector of CCNet-style line dedup. Two-level aggregation: "
+        "(line, doc) first so in-document repetition combines map-side, "
+        "then per line; shuffles carry compact line keys only. The df "
+        "table is the REUSABLE artifact: text_strip_boilerplate joins "
+        "against its high-df slice."
+    ),
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lines = T.doc_line_segments(docs, line_tokens=3)
+    return T.line_document_frequency(lines).filter(
+        F.col("df") >= BOILER_MIN_DF
+    )
+
+
+@register(
+    "text_strip_boilerplate",
+    oracle=f"""
+WITH {SQL_LINE_SEG_CTE},
+df AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
+boiler AS (SELECT line FROM df WHERE df >= {BOILER_MIN_DF})
+SELECT s.doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_lines,
+       length(COALESCE(string_agg(CASE WHEN b.line IS NULL THEN s.line END,
+                                  ' ' ORDER BY s.line_no), ''))
+         AS retained_chars,
+       md5(COALESCE(string_agg(CASE WHEN b.line IS NULL THEN s.line END,
+                               ' ' ORDER BY s.line_no), ''))
+         AS retained_md5,
+       CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS removed_frac
+FROM seg s LEFT JOIN boiler b USING (line)
+GROUP BY s.doc_id
+""",
+    description=(
+        "[EXT] boilerplate stripping: drop every line occurring in "
+        ">= 5 distinct documents and report per-doc line counts, "
+        "removed fraction (one exact int division), and the length + "
+        "md5 of the retained text reassembled in original line order — "
+        "the reassembly itself is hash-pinned, not just the counts. "
+        "Scale shape: the join's boilerplate side is the high-df SLICE "
+        "of the line-df table (repeated lines only — tiny vs the "
+        "corpus; AQE broadcasts it when it fits, no forced hint so a "
+        "mostly-boilerplate corpus degrades to a shuffle join, not an "
+        "OOM); reassembly sorts each doc's surviving lines inside one "
+        "groupBy, state bounded by the longest document."
+    ),
+)
+def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.strip_boilerplate(docs, line_tokens=3, min_df=BOILER_MIN_DF)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_boiler_lines",
+        "retained_chars",
+        "retained_md5",
+        "removed_frac",
+    )

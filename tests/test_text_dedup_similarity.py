@@ -601,3 +601,72 @@ def test_pq_distortion_raises_on_int64_wrap_risk(spark):
     books = [[[0.0] * 4 for _ in range(2)] for _ in range(4)]  # m=4, sub=4
     with pytest.raises(Exception, match="wrap int64"):
         S.pq_distortion(emb, cent, books)
+
+
+def test_doc_line_segments_chunking_edges(spark):
+    """Fixed-width token 'lines': exact non-overlapping 3-token chunks,
+    a short final chunk, and whole-doc lines for docs shorter than the
+    width — plus whitespace normalization (multi-space collapses)."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g"),  # 3+3+1
+            Row(doc_id=2, text="  x   y  "),      # 1 short line, messy ws
+            Row(doc_id=3, text="solo"),           # < width -> whole doc
+        ]
+    )
+    got = {
+        (r["doc_id"], r["line_no"]): r["line"]
+        for r in T.doc_line_segments(docs, line_tokens=3).collect()
+    }
+    assert got == {
+        (1, 0): "a b c",
+        (1, 1): "d e f",
+        (1, 2): "g",
+        (2, 0): "x y",
+        (3, 0): "solo",
+    }
+
+
+def test_strip_boilerplate_hand_corpus(spark):
+    """End-to-end boilerplate strip on a planted corpus: the header
+    line shared by 3 docs is removed at min_df=3, unique lines survive
+    in original order, and a doc that is ALL boilerplate retains ''."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import text as T
+
+    hdr = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{hdr} alpha beta gamma"),
+            Row(doc_id=2, text=f"delta eps zeta {hdr}"),
+            Row(doc_id=3, text=hdr),
+            Row(doc_id=4, text="eta theta iota"),
+        ]
+    )
+    dfreq = {
+        r["line"]: (r["df"], r["n_total"])
+        for r in T.line_document_frequency(
+            T.doc_line_segments(docs, line_tokens=3)
+        ).collect()
+    }
+    assert dfreq[hdr] == (3, 3)
+    out = {
+        r["doc_id"]: r
+        for r in T.strip_boilerplate(docs, line_tokens=3, min_df=3).collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_boiler_lines"]) == (2, 1)
+    assert out[1]["retained_chars"] == len("alpha beta gamma")
+    assert out[2]["n_boiler_lines"] == 1
+    assert out[3]["retained_chars"] == 0 and out[3]["removed_frac"] == 1.0
+    assert out[4]["n_boiler_lines"] == 0 and out[4]["removed_frac"] == 0.0
+    # retained text keeps ORIGINAL line order: md5 of the exact rejoin
+    import hashlib
+
+    assert out[1]["retained_md5"] == hashlib.md5(
+        b"alpha beta gamma"
+    ).hexdigest()
