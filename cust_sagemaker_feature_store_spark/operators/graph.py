@@ -130,6 +130,105 @@ def pagerank_integer(
     return rank
 
 
+def ppr_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    scale: int = RANK_SCALE,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration integer personalized PageRank: PageRank whose
+    teleport mass returns to a SEED SET instead of all nodes — the
+    relevance/recommendation primitive ("importance relative to these
+    items") behind personalized feeds and seed-expansion sampling
+    (Page et al. 1999 §6, public methodology).
+
+    Same integer 1e-12 grid and no-dangling contract as
+    ``pagerank_integer`` (see its docstring). r0 puts `scale div k` on
+    each of the k seeds and 0 elsewhere; each step:
+
+        r'(v) = [v in seeds] * (15*scale) div (100*k)
+              + (85 * sum_in(r_u div outdeg_u)) div 100
+
+    so mass concentrates near the seeds; nodes unreachable from them
+    stay at exactly 0 (integer arithmetic — no epsilon floor).
+
+    `seeds` is a 1-column frame of seed nodes; seeds not present in
+    the graph are ignored (they could neither receive nor forward
+    mass). A seed set is semantically SMALL (a user's items, a topic's
+    anchors), so the per-iteration seed-flag join is broadcast
+    explicitly; everything else shuffles exactly like pagerank_integer
+    — one groupBy(dst) per iteration. Raises if no seed survives the
+    intersection."""
+    deep = checkpoint_every is not None and checkpoint_every < iterations
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    if deep:
+        e = e.localCheckpoint(eager=True)
+    nodes = e.select(F.col("__s").alias("node")).distinct()
+    if deep:
+        nodes = nodes.localCheckpoint(eager=True)
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node")).distinct().join(nodes, "node")
+    )
+    # the seed set is read every iteration AND its count gates the run:
+    # pin it once (it is small by contract), then one bounded count
+    seed_nodes = seed_nodes.localCheckpoint(eager=True)
+    k = seed_nodes.count()
+    if k == 0:
+        raise ValueError("ppr_integer: no seed node appears in the graph")
+    deg = e.groupBy("__s").agg(F.count("*").cast("long").alias("__outdeg"))
+    if deep:
+        deg = deg.localCheckpoint(eager=True)
+    seed_flag = F.broadcast(seed_nodes.withColumn("__seed", F.lit(1)))
+
+    rank = (
+        nodes.join(seed_flag, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__seed").isNotNull(), F.lit(scale // k))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_scaled"),
+        )
+    )
+    teleport = (100 - DAMPING_PCT) * scale // (100 * k)
+    for i in range(iterations):
+        contrib = (
+            e.join(deg, "__s")
+            .join(rank.withColumnRenamed("node", "__s"), "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("rank_scaled div __outdeg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum("__c").cast("long").alias("__sc")
+        )
+        rank = (
+            nodes.join(sums, "node", "left")
+            .join(seed_flag, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("__seed").isNotNull(), F.lit(teleport))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(f"({DAMPING_PCT} * coalesce(__sc, 0)) div 100")
+                ).alias("rank_scaled"),
+            )
+        )
+        if (
+            checkpoint_every is not None
+            and i < iterations - 1
+            and (i + 1) % checkpoint_every == 0
+        ):
+            rank = rank.localCheckpoint(eager=True)
+    return rank
+
+
 def cooccurrence_edges(
     df: DataFrame,
     group_col: str,

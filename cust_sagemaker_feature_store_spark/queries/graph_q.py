@@ -114,6 +114,89 @@ def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_ITERATIONS = 3
+PPR_N_SEEDS = 3
+
+
+def _ppr_oracle(iterations: int, n_seeds: int) -> str:
+    """Unrolled-CTE twin of operators/graph.ppr_integer on the part
+    co-purchase graph, seeds = the n_seeds smallest node ids."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM seeds),
+r0 AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN {_SCALE} // k.k ELSE 0 END AS r
+  FROM nodes CROSS JOIN k LEFT JOIN seeds ON seeds.node = nodes.node)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+s{i} AS (
+  SELECT e.d AS node, CAST(SUM(r{i - 1}.r // deg.outdeg) AS BIGINT) AS sc
+  FROM e JOIN deg ON e.s = deg.s JOIN r{i - 1} ON r{i - 1}.node = e.s
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL
+              THEN (15 * {_SCALE}) // (100 * k.k) ELSE 0 END
+         + (85 * COALESCE(s{i}.sc, 0)) // 100 AS r
+  FROM nodes CROSS JOIN k
+  LEFT JOIN s{i} ON s{i}.node = nodes.node
+  LEFT JOIN seeds ON seeds.node = nodes.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part_key, r AS rank_scaled,
+       CAST(r AS DOUBLE) / {float(_SCALE)} AS ppr
+FROM r{iterations}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_ppr_seeds",
+    oracle=_ppr_oracle(PPR_ITERATIONS, PPR_N_SEEDS),
+    description=(
+        "[EXT] 3-iteration integer-exact PERSONALIZED PageRank on the "
+        "part co-purchase graph: teleport mass returns to a 3-node "
+        "seed set (the smallest node ids — deterministic at every SF) "
+        "instead of all nodes, so rank measures importance RELATIVE TO "
+        "the seeds — the recommendation/seed-expansion primitive. "
+        "Nodes unreachable from the seeds hold exactly 0 (integer "
+        "grid, no epsilon). Same per-iteration shape as "
+        "graph_pagerank_parts (one groupBy(dst) shuffle) plus one "
+        "broadcast seed-flag join; the oracle unrolls all iterations "
+        "as chained CTEs and pins every rank bit-for-bit."
+    ),
+)
+def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(PPR_N_SEEDS)
+    )
+    ranks = G.ppr_integer(edges, seeds, iterations=PPR_ITERATIONS)
+    return ranks.select(
+        F.col("node").alias("part_key"),
+        "rank_scaled",
+        (F.col("rank_scaled").cast("double") / float(_SCALE)).alias("ppr"),
+    )
+
+
 @register(
     "graph_clustering_coeff",
     oracle="""

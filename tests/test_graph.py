@@ -353,3 +353,80 @@ def test_kcore_max_rounds_is_a_hard_peel_budget(spark):
     for a, b in [(1, 2), (2, 3), (1, 3)]:
         tri += [Row(src=a, dst=b), Row(src=b, dst=a)]
     assert G.kcore(spark.createDataFrame(tri), k=2, max_rounds=0).count() == 6
+
+
+def test_ppr_matches_python_twin_and_conserves_mass(spark):
+    """ppr_integer equals a pure-python integer PPR (same floor-div
+    grid) on seeded random symmetric graphs; total mass stays within
+    the truncation bound below RANK_SCALE; unreachable nodes hold 0."""
+    import random
+
+    from pyspark.sql import Row
+
+    SCALE = G.RANK_SCALE
+    rng = random.Random(909)
+    for trial in range(3):
+        n = rng.randint(6, 12)
+        und = set()
+        for _ in range(rng.randint(n, 2 * n)):
+            a, b = rng.sample(range(n), 2)
+            und.add((a, b))
+            und.add((b, a))
+        # an isolated 2-cycle unreachable from low-numbered seeds
+        und.add((100, 101))
+        und.add((101, 100))
+        edges = sorted(und)
+        seeds = sorted({s for s, _ in edges})[:2]
+        # python twin on the exact integer grid
+        nodes = sorted({s for s, _ in edges})
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        k = len(seeds)
+        r = {v: (SCALE // k if v in seeds else 0) for v in nodes}
+        for _ in range(3):
+            sums = {v: 0 for v in nodes}
+            for s, d in edges:
+                sums[d] += r[s] // outdeg[s]
+            r = {
+                v: (15 * SCALE // (100 * k) if v in seeds else 0)
+                + 85 * sums[v] // 100
+                for v in nodes
+            }
+        e_df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+        s_df = spark.createDataFrame([Row(node=s) for s in seeds])
+        got = {
+            row["node"]: row["rank_scaled"]
+            for row in G.ppr_integer(e_df, s_df, iterations=3).collect()
+        }
+        assert got == r, trial
+        # truncation-only mass loss, never gain
+        assert sum(got.values()) <= SCALE
+        assert sum(got.values()) >= SCALE - 100 * (len(edges) + len(nodes)) * 3
+        # the isolated cycle is unreachable from the seeds -> exactly 0
+        assert got[100] == 0 and got[101] == 0
+
+
+def test_ppr_seed_validation(spark):
+    """Seeds outside the graph are dropped; an empty intersection
+    raises instead of silently returning all-zero ranks."""
+    import pytest
+    from pyspark.sql import Row
+
+    e = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=1)]
+    )
+    # seed 99 is not in the graph: ignored, seed 1 carries the mass
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in G.ppr_integer(
+            e,
+            spark.createDataFrame([Row(node=1), Row(node=99)]),
+            iterations=1,
+        ).collect()
+    }
+    assert out[2] > out[1] > 0  # all mass flowed 1 -> 2, teleport back to 1
+    with pytest.raises(ValueError, match="no seed node"):
+        G.ppr_integer(
+            e, spark.createDataFrame([Row(node=99)]), iterations=1
+        )
