@@ -969,6 +969,147 @@ def fs_multi_group_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fs_training_set_multi",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS label_id, user_id, ts AS purchase_ts, value AS label_value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+), s AS (
+  SELECT user_id, event_id AS signup_id, ts AS signup_ts, value AS signup_value
+  FROM events WHERE event_type = 'signup'
+), j1 AS (
+  SELECT p.*, c.click_ts, c.click_value,
+         row_number() OVER (
+           PARTITION BY p.label_id
+           ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+), f1 AS (SELECT * EXCLUDE rn FROM j1 WHERE rn = 1),
+j2 AS (
+  SELECT f1.*, v.view_ts, v.view_value,
+         row_number() OVER (
+           PARTITION BY f1.label_id
+           ORDER BY v.view_ts DESC NULLS LAST, v.view_id DESC NULLS LAST
+         ) AS rn
+  FROM f1 LEFT JOIN v
+    ON f1.user_id = v.user_id AND v.view_ts <= f1.purchase_ts
+   AND v.view_ts >= f1.purchase_ts - INTERVAL 6 HOUR
+), f2 AS (SELECT * EXCLUDE rn FROM j2 WHERE rn = 1),
+j3 AS (
+  SELECT f2.*, s.signup_ts, s.signup_value,
+         row_number() OVER (
+           PARTITION BY f2.label_id
+           ORDER BY s.signup_ts DESC NULLS LAST, s.signup_id DESC NULLS LAST
+         ) AS rn
+  FROM f2 LEFT JOIN s
+    ON f2.user_id = s.user_id AND s.signup_ts <= f2.purchase_ts
+   AND s.signup_ts >= f2.purchase_ts - INTERVAL 3 DAY
+), f3 AS (SELECT * EXCLUDE rn FROM j3 WHERE rn = 1)
+SELECT label_id, user_id,
+       {sql_iso('purchase_ts')} AS label_time, label_value,
+       click_value,
+       CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS DOUBLE) AS click_age_us,
+       view_value,
+       CAST(epoch_us(purchase_ts) - epoch_us(view_ts) AS DOUBLE) AS view_age_us,
+       signup_value,
+       CAST(epoch_us(purchase_ts) - epoch_us(signup_ts) AS DOUBLE) AS signup_age_us,
+       (CASE WHEN click_ts IS NOT NULL THEN 1 ELSE 0 END
+      + CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END
+      + CASE WHEN signup_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_fresh_groups
+FROM f3
+""",
+    description=(
+        "[EXT] multi-feature-group training-set assembly with PER-GROUP "
+        "staleness budgets — the real serving contract: each group "
+        "contributes its latest row only if it is FRESH ENOUGH by that "
+        "group's own max-age (clicks 1h, views 6h, signups 3d); a stale "
+        "group yields NULLs for that label, never a leaked-stale value, "
+        "and n_fresh_groups reports per-label feature completeness (the "
+        "reference's get-historical-features is the degenerate one-"
+        "group no-budget case). Composes the tolerance as-of join per "
+        "group: N groups = N WindowGroupLimit-pruned joins co-"
+        "partitioned on the entity key; each tolerance bounds that "
+        "group's candidate history, which is exactly what keeps the "
+        "join-then-rank strategy scan-bounded at 100 TB. Feature ages "
+        "are exact integer microseconds (unix_micros/epoch_us twins)."
+    ),
+)
+def fs_training_set_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("label_value"),
+    )
+
+    def group(event_type: str, stem: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(f"{stem}_id"),
+            F.col("ts").alias(f"{stem}_ts"),
+            F.col("value").alias(f"{stem}_value"),
+        )
+
+    out = probe
+    for event_type, stem, budget_s in (
+        ("click", "click", 3600),
+        ("view", "view", 6 * 3600),
+        ("signup", "signup", 3 * 86400),
+    ):
+        out = asof_join(
+            out,
+            group(event_type, stem),
+            on="user_id",
+            probe_time="purchase_ts",
+            feature_time=f"{stem}_ts",
+            how="left",
+            tolerance_seconds=budget_s,
+            tie_breaker=f"{stem}_id",
+        ).drop(f"{stem}_id")
+
+    def age_us(stem: str):
+        # DOUBLE, not BIGINT: a nullable int column round-trips through
+        # pandas as float64 on the oracle side, so matching the dtype
+        # explicitly keeps the hash comparable; µs ages are < 2^53 and
+        # exact in float64
+        return (
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col(f"{stem}_ts"))
+            )
+            .cast("double")
+            .alias(f"{stem}_age_us")
+        )
+
+    fresh = sum(
+        F.when(F.col(f"{stem}_ts").isNotNull(), 1).otherwise(0)
+        for stem in ("click", "view", "signup")
+    )
+    return out.select(
+        "label_id",
+        "user_id",
+        iso("purchase_ts").alias("label_time"),
+        "label_value",
+        "click_value",
+        age_us("click"),
+        "view_value",
+        age_us("view"),
+        "signup_value",
+        age_us("signup"),
+        fresh.cast("int").alias("n_fresh_groups"),
+    )
+
+
 TTL_ASOF = "2024-01-15 00:00:00"
 TTL_EXPIRY = "2024-01-12 00:00:00"  # as-of minus the 3-day TtlDuration
 

@@ -881,3 +881,56 @@ def test_weighted_quantiles_reject_nonpositive_weights(spark):
         ok, "g", quantiles=(("p50", 1, 2),), shard_size=8, weight_col="wt"
     ).collect()[0]
     assert row["n_rows"] == 3 and row["p50_cents"] == 10
+
+
+def test_chained_asof_joins_with_per_group_staleness_budgets(spark):
+    """The fs_training_set_multi composition: TWO tolerance as-of joins
+    chained probe-side, each group gated by its OWN max-age budget — a
+    feature row PRESENT in history but older than its group's budget
+    must yield NULL (never a leaked stale value), and chaining must not
+    disturb the earlier stage's attached columns (__pid reuse across
+    calls)."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    probe = spark.createDataFrame(
+        [
+            Row(label_id=1, user_id=1, pts=t("2024-01-10 12:00:00")),
+            Row(label_id=2, user_id=2, pts=t("2024-01-10 12:00:00")),
+        ]
+    )
+    # group A budget 1h: user 1 has a 30min-old row (fresh), user 2 a
+    # 2h-old row (stale -> NULL even though an unbudgeted as-of matches)
+    ga = spark.createDataFrame(
+        [
+            Row(user_id=1, a_id=10, a_ts=t("2024-01-10 11:30:00"), a_val=1.0),
+            Row(user_id=2, a_id=11, a_ts=t("2024-01-10 10:00:00"), a_val=2.0),
+        ]
+    )
+    # group B budget 1 day: both users fresh, user 2's latest wins
+    gb = spark.createDataFrame(
+        [
+            Row(user_id=1, b_id=20, b_ts=t("2024-01-10 01:00:00"), b_val=3.0),
+            Row(user_id=2, b_id=21, b_ts=t("2024-01-09 23:00:00"), b_val=4.0),
+            Row(user_id=2, b_id=22, b_ts=t("2024-01-10 06:00:00"), b_val=5.0),
+        ]
+    )
+    out = probe
+    for feats, ft, tol, tie in (
+        (ga, "a_ts", 3600, "a_id"),
+        (gb, "b_ts", 86400, "b_id"),
+    ):
+        out = asof_join(
+            out, feats, on="user_id", probe_time="pts",
+            feature_time=ft, how="left", tolerance_seconds=tol,
+            tie_breaker=tie,
+        )
+    rows = {r["label_id"]: r for r in out.collect()}
+    assert rows[1]["a_val"] == 1.0 and rows[1]["b_val"] == 3.0
+    assert rows[2]["a_val"] is None, "stale group-A row must not leak"
+    assert rows[2]["a_ts"] is None
+    assert rows[2]["b_val"] == 5.0, "fresh group-B row still attaches"
