@@ -95,6 +95,102 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", "inter", "jaccard")
 
 
+def candidate_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for every MinHash BAND CANDIDATE pair
+    — the verify tier restricted to LSH candidates, so the quadratic
+    shingle intersection touches only bucket-collision pairs, never all
+    pairs (the shape that survives 100 TB). Output: (doc_a, doc_b,
+    inter, jaccard); a bucket collision without a shared shingle (only
+    possible via md5 collision) scores 0 instead of dropping out."""
+    cand = minhash_candidates(
+        df, text_col, id_col, num_hashes, rows_per_band, k
+    ).select("doc_a", "doc_b")
+    sets_ = shingle_sets(df, text_col, id_col, k)
+    sizes = sets_.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(
+            sets_.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sets_.select(F.col(id_col).alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    i = F.coalesce(F.col("inter"), F.lit(0))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            i.cast("long").alias("inter"),
+            (i.cast("double") / (F.col("n_a") + F.col("n_b") - i)).alias("jaccard"),
+        )
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.85, 0.90, 0.95, 0.99),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Dedup-threshold sensitivity curve: for each Jaccard threshold,
+    how many verified pairs survive, how many clusters they form, and
+    how many documents keep-one-per-cluster dedup would remove — the
+    report that decides a dedup pass BEFORE committing it (pairs with
+    dedup_cluster_size_histogram, which fixes the threshold and breaks
+    out cluster sizes).
+
+    One pass over the shared band candidates: `candidate_jaccard` runs
+    ONCE and is pinned (localCheckpoint — each threshold's component
+    contraction is its own job chain, and cross-job exchange reuse does
+    not exist); each threshold then filters the tiny verified-pair
+    table and contracts components. Removable-doc counts are monotone
+    non-increasing in the threshold by construction (edge sets are
+    nested), which the regression test pins.
+
+    Output: (threshold, n_pairs, n_clusters, n_docs, n_removable),
+    one row per threshold; n_docs counts documents in >=1 surviving
+    pair."""
+    if not thresholds:
+        raise ValueError("threshold_sweep needs at least one threshold")
+    jac = candidate_jaccard(
+        df, text_col, id_col, num_hashes, rows_per_band, k
+    ).localCheckpoint(eager=True)
+    out = None
+    for t in thresholds:
+        edges = jac.filter(F.col("jaccard") >= float(t)).select("doc_a", "doc_b")
+        labels = dup_clusters(edges, "doc_a", "doc_b")
+        stats = labels.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("label").cast("long").alias("n_clusters"),
+        )
+        n_pairs = edges.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        row = n_pairs.crossJoin(stats).select(
+            F.lit(float(t)).alias("threshold"),
+            "n_pairs",
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters")).cast("long").alias("n_removable"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -1935,3 +1935,98 @@ def text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retained_md5",
         "removed_frac",
     )
+
+
+# -- dedup-threshold sensitivity curve (r9) ------------------------------
+
+SWEEP_THRESHOLDS = (0.85, 0.90, 0.95, 0.99)
+
+
+def _sweep_oracle(thresholds: tuple[float, ...]) -> str:
+    """DuckDB twin of operators/dedup.threshold_sweep: shared band
+    candidates + exact candidate Jaccard once, then one recursive-CTE
+    component contraction per threshold, UNION ALL of the curve rows."""
+    head = f"""
+WITH RECURSIVE {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+i AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN d da ON da.doc_id = c.doc_a
+  JOIN d db ON db.doc_id = c.doc_b AND db.shingle = da.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         COALESCE(i.i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i.i, 0)) AS j
+  FROM cand c
+  LEFT JOIN i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sz sa ON sa.doc_id = c.doc_a
+  JOIN sz sb ON sb.doc_id = c.doc_b
+)"""
+    blocks = []
+    for idx, t in enumerate(thresholds):
+        head += f""",
+und{idx} AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE j >= {t}
+  UNION
+  SELECT doc_b, doc_a FROM jac WHERE j >= {t}
+),
+reach{idx}(node, label) AS (
+  SELECT src, src FROM und{idx}
+  UNION
+  SELECT u.dst, r.label FROM reach{idx} r JOIN und{idx} u ON u.src = r.node
+),
+cc{idx} AS (SELECT node, MIN(label) AS label FROM reach{idx} GROUP BY node)"""
+        blocks.append(
+            f"""
+SELECT CAST({t} AS DOUBLE) AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM jac WHERE j >= {t}) AS n_pairs,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT label) AS BIGINT) AS n_removable
+FROM cc{idx}"""
+        )
+    return head + "\nSELECT * FROM (" + "\nUNION ALL".join(blocks) + ")"
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=_sweep_oracle(SWEEP_THRESHOLDS),
+    description=(
+        "[EXT] dedup-threshold sensitivity curve: verified pairs, "
+        "cluster count, clustered docs and keep-one-per-cluster "
+        "removals at four Jaccard thresholds — the report that decides "
+        "a dedup pass before committing it (dedup_cluster_size_"
+        "histogram breaks out sizes at one threshold; this sweeps the "
+        "threshold). The band candidates and their EXACT verify "
+        "Jaccard are computed once and pinned; each threshold filters "
+        "that small pair table and contracts components (large-star/"
+        "small-star, O(log² n) rounds), so the sweep costs one "
+        "candidate pass plus four contractions over nested edge sets "
+        "— never four corpus scans. Removable counts are monotone "
+        "non-increasing in the threshold (nested edges), pinned by a "
+        "regression test; exact division makes the curve bit-stable."
+    ),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.threshold_sweep(docs, thresholds=SWEEP_THRESHOLDS)

@@ -670,3 +670,39 @@ def test_strip_boilerplate_hand_corpus(spark):
     assert out[1]["retained_md5"] == hashlib.md5(
         b"alpha beta gamma"
     ).hexdigest()
+
+
+def test_threshold_sweep_monotone_and_planted_clusters(spark):
+    """Planted corpus with two near-dup pairs at different similarity
+    levels: the sweep's removable-doc counts are monotone non-
+    increasing in the threshold (nested edge sets), and each row's
+    cluster arithmetic is consistent (n_removable = n_docs -
+    n_clusters)."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),                       # exact dup of 1
+            Row(doc_id=3, text=base + " extra tail words"), # high-jaccard dup
+            Row(doc_id=4, text="completely different content here truly"),
+        ]
+    )
+    rows = {
+        r["threshold"]: r
+        for r in D.threshold_sweep(
+            docs, thresholds=(0.5, 0.9, 1.0)
+        ).collect()
+    }
+    assert set(rows) == {0.5, 0.9, 1.0}
+    for r in rows.values():
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
+    removable = [rows[t]["n_removable"] for t in (0.5, 0.9, 1.0)]
+    assert removable == sorted(removable, reverse=True)
+    # at 1.0 only the exact dup survives; at 0.5 the tail variant joins
+    assert rows[1.0]["n_removable"] == 1
+    assert rows[0.5]["n_removable"] >= rows[1.0]["n_removable"]
+    assert rows[0.5]["n_pairs"] >= rows[0.9]["n_pairs"] >= rows[1.0]["n_pairs"]
