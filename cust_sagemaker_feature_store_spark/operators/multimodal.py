@@ -2,12 +2,15 @@
 
 Images/audio/video are opaque `binary` columns with a typed metadata
 struct; all Spark-side plumbing — schema, partition-preserving
-mapInPandas, Arrow batch shapes — is real and tested. The actual codec
-work (decode, resize, frame-sample, feature-extract) is a per-batch
-Python function; in this container the media libraries are absent, so
-the default codec is a clearly-marked deterministic fake and
-`decode_media(..., strict=True)` raises NotImplementedError to show
-exactly where a real libvips/ffmpeg/PIL hook goes.
+mapInPandas, Arrow batch shapes — is real and tested. The codec layer
+has one REAL path with zero dependencies: uncompressed 24-bit BMP
+(`encode_bmp`/`decode_bmp`, pure numpy + struct — header parse, row
+padding, both row orders), which `decode_media` dispatches on the BM
+magic. Compressed formats (JPEG/PNG/audio/video) still need
+PIL/libsndfile/ffmpeg, absent in this container: for those,
+`decode_media(..., strict=True)` raises NotImplementedError at the
+exact hook point, and strict=False falls back to a clearly-marked
+deterministic fake.
 
 At 100 TB: media bytes never shuffle — mapInPandas is a narrow
 transform over the scan, and derived features (small fixed-size
@@ -67,13 +70,88 @@ def fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     return [round(a / n, 6) for a in acc]
 
 
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit uncompressed (BI_RGB) bottom-up BMP writer from an
+    (H, W, 3) uint8 RGB array — fixture generator for the real decode
+    path and a usable sink for small rasters. Pure numpy + struct; the
+    format is public (Windows BITMAPFILEHEADER/BITMAPINFOHEADER)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects an (H, W, 3) RGB array")
+    h, w = px.shape[:2]
+    row_size = (3 * w + 3) // 4 * 4  # rows pad to 4-byte multiples
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(content: bytes):
+    """Real pure-numpy BMP decoder for the uncompressed 24-bit (BI_RGB)
+    format: parses the file + info headers, honors the pixel-data
+    offset, row padding, and both row orders (positive height =
+    bottom-up, negative = top-down). Returns an (H, W, 3) uint8 RGB
+    array. Raises ValueError on non-BMP bytes and NotImplementedError
+    on compressed/other-depth BMPs — the gate that remains for formats
+    needing a real codec library."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP depth {bpp} / compression {compression} needs a real "
+            "codec library; only uncompressed 24-bit BI_RGB decodes here"
+        )
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("degenerate BMP dimensions")
+    row_size = (3 * w + 3) // 4 * 4
+    need = data_offset + row_size * h
+    if len(content) < need:
+        raise ValueError(f"truncated BMP: {len(content)} < {need} bytes")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    px = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:  # bottom-up: last stored row is the top
+        px = px[::-1]
+    return px.copy()
+
+
 def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]:
-    """The codec hook. strict=True is the production path: plug in
-    PIL/libsndfile/ffmpeg here; this container has none of them."""
+    """The codec hook. Uncompressed 24-bit BMP images decode FOR REAL
+    (pure-numpy `decode_bmp`): the feature vector is [width, height,
+    mean_r, mean_g, mean_b] with exact int sums and one division each.
+    Everything else still needs PIL/libsndfile/ffmpeg, absent in this
+    container: strict=True raises for those formats; strict=False falls
+    back to the deterministic fake."""
+    if kind == "image" and content and content[:2] == b"BM" and len(content) >= 54:
+        px = decode_bmp(content)
+        h, w = px.shape[:2]
+        sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+        n = h * w
+        return [float(w), float(h)] + [float(int(s)) / n for s in sums]
     if strict:
         raise NotImplementedError(
-            "real media decoding requires PIL/libsndfile/ffmpeg, not present "
-            "in this environment; wire the codec here"
+            "real media decoding beyond uncompressed BMP requires "
+            "PIL/libsndfile/ffmpeg, not present in this environment; "
+            "wire the codec here"
         )
     return fake_decode_features(content)
 

@@ -205,6 +205,120 @@ def udf_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(run, schema=_MEDIA_FEATURES_SCHEMA)
 
 
+_BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "udf_multimodal_bmp",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 7 AS BIGINT) AS width,
+         CAST(1 + doc_id % 5 AS BIGINT) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, x.x AS x, y.y AS y
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+)
+SELECT media_id, width, height,
+       CAST(54 + (3 * width + 3) // 4 * 4 * height AS BIGINT) AS n_bytes,
+       CAST(SUM((media_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * media_id + 7 * x + y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((3 * media_id + x + 2 * y) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM((media_id + 3 * x + 5 * y) % 256) AS DOUBLE)
+         / (width * height) AS mean_r,
+       CAST(SUM((2 * media_id + 7 * x + y) % 256) AS DOUBLE)
+         / (width * height) AS mean_g,
+       CAST(SUM((3 * media_id + x + 2 * y) % 256) AS DOUBLE)
+         / (width * height) AS mean_b
+FROM px GROUP BY 1, 2, 3
+""",
+    description=(
+        "[EXT] REAL image decode path, oracle-pinned: per document a "
+        "deterministic raster (width 1+id%7, height 1+id%5, channels "
+        "closed-form in (id, x, y)) is ENCODED as an uncompressed "
+        "24-bit BMP and decoded back by the pure-numpy decode_bmp "
+        "inside mapInPandas — real header parse, row padding, "
+        "bottom-up row order, zero codec dependencies (the de-gated "
+        "rung of the multimodal ladder; JPEG/PNG remain env-gated). "
+        "The oracle never sees BMP bytes: it recomputes width/height/"
+        "byte size/channel sums straight from the pixel rule, so any "
+        "decoder bug (padding, BGR order, row flip) breaks the hash. "
+        "Narrow per-row transform, no shuffle; only compact features "
+        "leave the executor."
+    ),
+)
+def udf_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_bmp, encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 7, 1 + mid % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (mid + 3 * x + 5 * y) % 256,
+                        (2 * mid + 7 * x + y) % 256,
+                        (3 * mid + x + 2 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                bmp = encode_bmp(px)
+                dec = decode_bmp(bmp)  # the REAL decode under test
+                sums = dec.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = dec.shape[0] * dec.shape[1]
+                rows.append(
+                    (
+                        mid,
+                        dec.shape[1],
+                        dec.shape[0],
+                        len(bmp),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        float(int(sums[0])) / n,
+                        float(int(sums[1])) / n,
+                        float(int(sums[2])) / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes",
+                    "sum_r", "sum_g", "sum_b",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_BMP_FEATURES_SCHEMA)
+
+
 @register(
     "agg_approx_distinct",
     oracle=None,  # HLL estimate is engine-specific; exactness checked in tests

@@ -261,3 +261,83 @@ def test_parquet_schema_evolution_additive(spark, tmp_path):
     assert set(got.columns) == {"k", "v", "extra"}
     rows = {r["k"]: r["extra"] for r in got.collect()}
     assert rows == {1: None, 2: "new"}
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp -> decode_bmp is the identity on random rasters,
+    including odd widths (row padding), 1x1, and wide-short shapes."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(42)
+    for h, w in [(1, 1), (3, 5), (5, 3), (2, 7), (16, 16), (1, 9)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(px))
+        assert out.shape == (h, w, 3)
+        assert (out == px).all(), (h, w)
+
+
+def test_bmp_decoder_top_down_and_errors():
+    """decode_bmp honors negative-height (top-down) BMPs and fails
+    loudly on non-BMP bytes, truncation, and unsupported depths."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bmp = bytearray(encode_bmp(px))
+    # flip to top-down: negate height AND reverse stored row order
+    h = struct.unpack_from("<i", bmp, 22)[0]
+    struct.pack_into("<i", bmp, 22, -h)
+    row_size = (3 * 3 + 3) // 4 * 4
+    body = bytes(bmp[54:])
+    rows = [body[i * row_size : (i + 1) * row_size] for i in range(2)]
+    td = bytes(bmp[:54]) + b"".join(reversed(rows))
+    assert (decode_bmp(td) == px).all()
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG....definitely not a bitmap....." + b"\0" * 54)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(encode_bmp(px))[:-4])
+    bad_depth = bytearray(encode_bmp(px))
+    struct.pack_into("<H", bad_depth, 28, 8)  # 8-bit palette BMP
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_bmp(bytes(bad_depth))
+
+
+def test_decode_media_dispatches_bmp_for_real():
+    """decode_media: BMP images produce REAL [w, h, channel means]
+    features (exact against numpy), even under strict=True; non-BMP
+    bytes still hit the documented env gate in strict mode and the
+    deterministic fake otherwise."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        fake_decode_features,
+    )
+
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    feats = decode_media(encode_bmp(px), "image", strict=True)
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert feats[:2] == [2.0, 2.0]
+    assert feats[2:] == [float(m) for m in means]
+    blob = b"\x89PNG not really decodable here"
+    with pytest.raises(NotImplementedError, match="BMP"):
+        decode_media(blob, "image", strict=True)
+    assert decode_media(blob, "image") == fake_decode_features(blob)
