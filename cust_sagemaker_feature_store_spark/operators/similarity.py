@@ -403,6 +403,296 @@ def _seed_vectors(
     )
 
 
+COARSE_SCALE = 1_000_000  # 1e-6 grid for exact coarse-distortion sums
+
+
+def _assign_partials(embeddings: DataFrame, cent, vec_col: str):
+    """One narrow pass: nearest-centroid assignment per vector plus
+    exact per-(cluster, pos) int64 partial sums on the 1e-6 grid and
+    per-cluster counts — the shared reduction for `lloyd_refine_matrix`
+    (means) shaped exactly like train_pq_codebooks' partials."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast(np.asarray(cent, dtype=np.float64))
+
+    def _p(batches):
+        c = b_cent.value
+        c_sq = (c * c).sum(axis=1)
+        k, d = c.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = (c_sq[None, :] - 2.0 * (X @ c.T)).argmin(axis=1)
+            scaled = np.round(X * COARSE_SCALE).astype(np.int64)
+            mx = int(np.abs(scaled).max(initial=0))
+            if mx and len(pdf) > (2**63 - 1) // mx:
+                raise OverflowError(
+                    "coarse-mean partial sum could wrap int64: lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    "COARSE_SCALE"
+                )
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, cells, scaled)
+            cnts = np.bincount(cells, minlength=k).astype(np.int64)
+            out = [
+                (ci, p, int(sums[ci, p]), int(cnts[ci]))
+                for ci in range(k)
+                if cnts[ci]
+                for p in range(d)
+            ]
+            yield pd.DataFrame(
+                out, columns=["cl", "pos", "s", "n"]
+            ).astype({"cl": "int32", "pos": "int32"})
+
+    return (
+        embeddings.mapInPandas(_p, schema="cl int, pos int, s long, n long")
+        .groupBy("cl", "pos")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+            F.sum("n").alias("n"),
+        )
+    )
+
+
+def lloyd_refine_matrix(
+    embeddings: DataFrame,
+    cent,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+):
+    """Lloyd refinement from an ARBITRARY centroid matrix (numpy in,
+    numpy out) — the companion to `kmeans_refine` (which initializes
+    from label centroids and returns rows) for matrix-valued seeders
+    like `kmeans_parallel_seed`. Euclidean assignment (the same argmin
+    ivf_topk/ivfpq_topk cell mapping uses, ties to the lowest centroid
+    index) and exact integer means: per-partition int64 sums on the
+    1e-6 grid, decimal across the shuffle, one division per cell — so
+    the refined matrix is bit-identical however the corpus is
+    partitioned. A cluster that loses every member keeps its previous
+    centroid (constant k, unlike kmeans_refine's drop semantics — an
+    IVF quantizer wants a fixed list count)."""
+    import numpy as np
+
+    cent = np.asarray(cent, dtype=np.float64).copy()
+    if iterations < 1:
+        raise ValueError("lloyd_refine_matrix needs iterations >= 1")
+    for _ in range(iterations):
+        rows = _assign_partials(embeddings, cent, vec_col).collect()
+        nxt = cent.copy()
+        for r in rows:
+            nxt[r["cl"], r["pos"]] = (
+                float(int(r["s"])) / COARSE_SCALE / int(r["n"])
+            )
+        cent = nxt
+    return cent
+
+
+def coarse_distortion(
+    embeddings: DataFrame,
+    cent,
+    vec_col: str = "embedding",
+) -> int:
+    """Total coarse-quantization distortion: sum over vectors of the
+    squared L2 distance to the nearest centroid, each vector's error
+    floored onto the 1e-6 grid — exact, order-independent int64/decimal
+    sums (the pq_distortion pattern applied to the coarse quantizer).
+    The objective that proves one seeding/training beats another,
+    independent of any single query's recall luck."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(cent, dtype=np.float64)
+    spark = embeddings.sparkSession
+    b_cent = spark.sparkContext.broadcast(c)
+
+    def _err(batches):
+        cc = b_cent.value
+        c_sq = (cc * cc).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ cc.T)
+                + c_sq[None, :]
+            ).min(axis=1)
+            d2 = np.maximum(d2, 0.0)  # FP cancellation can dip below 0
+            mxi = int(math.floor(float(d2.max(initial=0.0)) * COARSE_SCALE))
+            if mxi and len(pdf) > (2**63 - 1) // mxi:
+                raise OverflowError(
+                    "coarse distortion partial sum could wrap int64: lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                    "COARSE_SCALE"
+                )
+            scaled = np.floor(d2 * COARSE_SCALE).astype(np.int64)
+            yield pd.DataFrame({"e": [int(scaled.sum())]})
+
+    total = (
+        embeddings.mapInPandas(_err, schema="e long")
+        .agg(F.sum(F.col("e").cast("decimal(38,0)")).alias("t"))
+        .collect()[0]["t"]
+    )
+    return int(total or 0)
+
+
+def kmeans_parallel_seed(
+    embeddings: DataFrame,
+    n_seeds: int,
+    rounds: int = 3,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 17,
+):
+    """Scalable k-means|| seeding (Bahmani et al., VLDB 2012 — public
+    methodology): `rounds` distance-weighted oversampling passes, each
+    selecting ~`oversample` (default 2·n_seeds) points with probability
+    proportional to their squared distance from the current candidate
+    set, then a driver-side weighted reduction of the tiny candidate
+    set down to `n_seeds` — the principled replacement for
+    `_seed_vectors`' uniform hash sample, which lands seeds where the
+    DATA is dense rather than where CLUSTERS are.
+
+    Deterministic by construction, no RNG state: the per-point
+    selection coin is a pure function of (id, round, salt) — the low 32
+    bits of md5 — compared against ℓ·d²(x,C)/φ using exact integer
+    cross-multiplication (u·φ < ℓ·scaled_d²·2³²; φ is the int64/decimal
+    exact sum of grid-floored d², so the same points are chosen under
+    ANY partitioning). The final reduction is weighted farthest-point:
+    start from the heaviest candidate, repeatedly add the candidate
+    maximizing weight x d² to the chosen set (ties to the lowest
+    candidate index) — greedy, deterministic, and k-center-shaped,
+    standard practice for reclustering the || candidate pool.
+
+    Scale: each round is two bounded narrow passes (an exact-φ
+    reduction and a selection scan) against a broadcast candidate set
+    of O(n_seeds + rounds·ℓ) vectors; only candidates (a few dozen
+    rows) ever reach the driver. Returns an (n_seeds, d) numpy matrix
+    (fewer only if the corpus yields fewer candidates)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if n_seeds < 1:
+        raise ValueError("kmeans_parallel_seed needs n_seeds >= 1")
+    ell = 2 * n_seeds if oversample is None else oversample
+    spark = embeddings.sparkSession
+    cand = _seed_vectors(embeddings, 1, id_col, vec_col, salt=salt)
+
+    def _u32(i: int, rnd: int) -> int:
+        h = hashlib.md5(f"{i}:{rnd}:{salt}".encode()).digest()
+        return int.from_bytes(h[:4], "big")
+
+    for rnd in range(rounds):
+        b_cand = spark.sparkContext.broadcast(cand)
+
+        def _d2(batches, _bc=b_cand):
+            c = _bc.value
+            c_sq = (c * c).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ c.T)
+                    + c_sq[None, :]
+                ).min(axis=1)
+                yield np.maximum(d2, 0.0), pdf
+
+        def _phi_pass(batches, _bc=b_cand):
+            import math
+
+            for d2, pdf in _d2(batches, _bc):
+                mxi = int(math.floor(float(d2.max(initial=0.0)) * COARSE_SCALE))
+                if mxi and len(pdf) > (2**63 - 1) // mxi:
+                    raise OverflowError(
+                        "k-means|| phi partial sum could wrap int64: lower "
+                        "spark.sql.execution.arrow.maxRecordsPerBatch or "
+                        "COARSE_SCALE"
+                    )
+                scaled = np.floor(d2 * COARSE_SCALE).astype(np.int64)
+                yield pd.DataFrame({"e": [int(scaled.sum())]})
+
+        phi = int(
+            embeddings.mapInPandas(_phi_pass, schema="e long")
+            .agg(F.sum(F.col("e").cast("decimal(38,0)")).alias("t"))
+            .collect()[0]["t"]
+            or 0
+        )
+        if phi == 0:
+            b_cand.unpersist()
+            break  # every point coincides with a candidate: done
+
+        def _select_pass(batches, _bc=b_cand, _phi=phi, _rnd=rnd):
+            for d2, pdf in _d2(batches, _bc):
+                scaled = np.floor(d2 * COARSE_SCALE).astype(np.int64)
+                keep = []
+                for row_i, (i, s) in enumerate(zip(pdf[id_col], scaled)):
+                    # exact integer cross-multiplication: select iff
+                    # u/2^32 < ell * s / phi
+                    if _u32(int(i), _rnd) * _phi < ell * int(s) * 2**32:
+                        keep.append(row_i)
+                out = pdf.iloc[keep]
+                # explicit dtypes: an empty selection otherwise yields a
+                # float64 "v" column Arrow can't map to array<double>
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(
+                            out[id_col].to_numpy(), dtype="int64"
+                        ),
+                        "v": pd.Series(
+                            [list(map(float, v)) for v in out[vec_col]],
+                            dtype="object",
+                        ),
+                    }
+                )
+
+        picked = (
+            embeddings.mapInPandas(
+                _select_pass, schema="vec_id long, v array<double>"
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        b_cand.unpersist()
+        if picked:
+            new = np.stack([np.asarray(r["v"], dtype=np.float64) for r in picked])
+            cand = np.concatenate([cand, new])
+
+    if len(cand) <= n_seeds:
+        return cand
+    # weights: how many corpus points each candidate is nearest to
+    wrows = _assign_partials(embeddings, cand, vec_col).collect()
+    w = np.zeros(len(cand), dtype=np.int64)
+    for r in wrows:
+        w[r["cl"]] = int(r["n"])
+    # driver-side weighted farthest-point reduction (candidates only)
+    c_sq = (cand * cand).sum(axis=1)
+    chosen = [int(np.lexsort((np.arange(len(cand)), -w))[0])]
+    mind2 = (
+        c_sq - 2.0 * cand @ cand[chosen[0]] + c_sq[chosen[0]]
+    )
+    mind2 = np.maximum(mind2, 0.0)
+    while len(chosen) < n_seeds:
+        score = w.astype(np.float64) * mind2
+        score[chosen] = -1.0
+        nxt = int(np.lexsort((np.arange(len(cand)), -score))[0])
+        chosen.append(nxt)
+        d2n = np.maximum(c_sq - 2.0 * cand @ cand[nxt] + c_sq[nxt], 0.0)
+        mind2 = np.minimum(mind2, d2n)
+    return cand[chosen]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

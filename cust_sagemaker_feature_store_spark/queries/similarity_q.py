@@ -674,6 +674,64 @@ def sim_ivfpq_trained_codebook_floor(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "sim_ivf_kmeanspar_recall_floor",
+    oracle=(
+        "SELECT 'ivfpq_kmeans_par' AS method, TRUE AS recall_ok, "
+        "TRUE AS lloyd_monotone, TRUE AS seeding_beats_uniform"
+    ),
+    description=(
+        "[EXT] floor for IVFADC built from SCALABLE k-means|| seeding "
+        "(Bahmani et al. 2012): 3 distance-weighted oversampling "
+        "rounds (selection coin = pure function of (id, round, salt), "
+        "φ an exact int64/decimal sum, integer cross-multiplied "
+        "comparison — same candidates under any partitioning), "
+        "driver-side weighted farthest-point reduction to 8 seeds, "
+        "then 2 exact-integer Lloyd rounds (lloyd_refine_matrix). Pins "
+        f"THREE booleans: recall@{TOP_K} >= {IVFPQ_RECALL_FLOOR} "
+        "(measured 0.9/0.8/0.7 at sf0.001/0.01/0.1); Lloyd "
+        "monotonicity on the 1e-6 grid (refined coarse distortion <= "
+        "the raw || seeds'); and the seeding claim itself — raw || "
+        "seeds' coarse distortion strictly below the uniform hash "
+        "sample's (measured 1.9%/1.5%/0.3% lower; deterministic "
+        "arithmetic makes the strict inequality pinnable). Scale: two "
+        "bounded narrow passes per round against a broadcast candidate "
+        "set; only a few dozen candidate rows ever reach the driver — "
+        "the seeding that stays principled when the corpus no longer "
+        "fits a sample."
+    ),
+)
+def sim_ivf_kmeanspar_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    seeds = S.kmeans_parallel_seed(emb, n_seeds=8, rounds=3)
+    cent = S.lloyd_refine_matrix(emb, seeds, iterations=2)
+    d_raw_par = S.coarse_distortion(emb, seeds)
+    d_lloyd_par = S.coarse_distortion(emb, cent)
+    d_raw_hash = S.coarse_distortion(
+        emb, S._seed_vectors(emb, 8, "vec_id", "embedding")
+    )
+    # 1e-9 relative slack: grid rounding perturbs the otherwise-
+    # monotone Lloyd objective by O(grid) per entry (the
+    # sim_ivfpq_trained_codebook_floor convention)
+    lloyd_ok = bool(d_lloyd_par <= d_raw_par + max(1, d_raw_par // 10**9))
+    seed_ok = bool(d_raw_par < d_raw_hash)
+    exact_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id")
+    need = int(IVFPQ_RECALL_FLOOR * TOP_K)
+    return (
+        S.ivfpq_topk(emb, qv, k=TOP_K, cent=cent)
+        .select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg((F.count(F.lit(1)) >= need).alias("recall_ok"))
+        .select(
+            F.lit("ivfpq_kmeans_par").alias("method"),
+            "recall_ok",
+            F.lit(lloyd_ok).alias("lloyd_monotone"),
+            F.lit(seed_ok).alias("seeding_beats_uniform"),
+        )
+    )
+
+
 IVF_SWEEP_PROBES = (1, 2, 4)
 IVF_SWEEP_FLOOR = 0.5  # at the widest probe; narrower probes pin monotonicity
 

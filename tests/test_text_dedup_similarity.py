@@ -706,3 +706,80 @@ def test_threshold_sweep_monotone_and_planted_clusters(spark):
     assert rows[1.0]["n_removable"] == 1
     assert rows[0.5]["n_removable"] >= rows[1.0]["n_removable"]
     assert rows[0.5]["n_pairs"] >= rows[0.9]["n_pairs"] >= rows[1.0]["n_pairs"]
+
+
+def test_kmeans_parallel_seed_deterministic_and_finds_clusters(spark):
+    """k-means|| seeding: identical output under different
+    partitionings (the exact-φ / hash-coin design claim), and on a
+    planted 3-blob corpus the 3 seeds land one per blob — the case
+    where a uniform sample routinely doubles up."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    rows = []
+    centers = np.array([[10.0, 0.0], [-10.0, 8.0], [0.0, -12.0]])
+    for i in range(120):
+        c = centers[i % 3]
+        v = c + rng.normal(0, 0.3, 2)
+        rows.append(Row(vec_id=i, embedding=[float(v[0]), float(v[1])]))
+    emb = spark.createDataFrame(rows)
+    s1 = S.kmeans_parallel_seed(emb, n_seeds=3, rounds=3)
+    s2 = S.kmeans_parallel_seed(emb.repartition(7), n_seeds=3, rounds=3)
+    assert np.array_equal(s1, s2), "partitioning must not change seeds"
+    # one seed per blob: nearest planted center of each seed is distinct
+    owner = {
+        int(np.linalg.norm(centers - s, axis=1).argmin()) for s in s1
+    }
+    assert owner == {0, 1, 2}
+
+
+def test_lloyd_refine_matrix_monotone_and_keeps_empty_clusters(spark):
+    """lloyd_refine_matrix: coarse distortion never increases round
+    over round (exact-grid Lloyd), and a centroid that owns no vector
+    keeps its previous position (constant k for the IVF list count)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.normal(0, 1, 4)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    init = np.vstack(
+        [rng.normal(0, 1, (3, 4)), np.full((1, 4), 1e6)]  # far-away dead seed
+    )
+    d_prev = S.coarse_distortion(emb, init)
+    cent = init
+    for _ in range(2):
+        cent = S.lloyd_refine_matrix(emb, cent, iterations=1)
+        d_now = S.coarse_distortion(emb, cent)
+        assert d_now <= d_prev + max(1, d_prev // 10**9)
+        d_prev = d_now
+    assert (cent[3] == 1e6).all(), "empty cluster must keep its centroid"
+    assert cent.shape == init.shape
+
+
+def test_coarse_distortion_matches_numpy(spark):
+    """coarse_distortion equals the grid-floored numpy reference
+    regardless of partitioning."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (40, 5))
+    C = rng.normal(0, 1, (4, 5))
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in X[i]]) for i in range(40)]
+    )
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+    want = int(np.floor(np.maximum(d2, 0.0) * S.COARSE_SCALE).sum())
+    assert S.coarse_distortion(emb, C) == want
+    assert S.coarse_distortion(emb.repartition(9), C) == want
