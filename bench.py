@@ -144,6 +144,16 @@ BENCH_QUERIES = [
     "events_dau_wau_stickiness",
     "events_time_to_convert_quantiles",
     "agg_exact_moments_by_flag",
+    # round-9 additions: boilerplate line dedup, personalized PageRank,
+    # multi-group staleness assembly, the threshold sweep, the real BMP
+    # decode path, and the k-means|| seeded index floor
+    "text_boilerplate_lines",
+    "text_strip_boilerplate",
+    "graph_ppr_seeds",
+    "fs_training_set_multi",
+    "dedup_threshold_sweep",
+    "udf_multimodal_bmp",
+    "sim_ivf_kmeanspar_recall_floor",
 ]
 
 

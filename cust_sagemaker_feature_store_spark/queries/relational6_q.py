@@ -470,3 +470,147 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("custkey_orphans").alias("check_name"), "n")
     )
     return checks.unionByName(orphans)
+
+
+# -- group-aware splitting + negative sampling (r9) ----------------------
+
+@register(
+    "sample_group_split_audit",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         (user_id * 2654435761) % 1000 AS gh,
+         (event_id * 2654435761) % 1000 AS rh
+  FROM events
+), pu AS (
+  SELECT user_id,
+         COUNT(DISTINCT CASE WHEN gh < 800 THEN 'train'
+                             WHEN gh < 900 THEN 'val'
+                             ELSE 'test' END) AS g,
+         COUNT(DISTINCT CASE WHEN rh < 800 THEN 'train'
+                             WHEN rh < 900 THEN 'val'
+                             ELSE 'test' END) AS r
+  FROM s GROUP BY 1
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS BIGINT) AS sg,
+         CAST(SUM(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS BIGINT) AS sr
+  FROM pu
+)
+SELECT 'group_hash' AS strategy, n_users,
+       sg AS n_straddling_users,
+       CAST(sg AS DOUBLE) / n_users AS straddle_frac
+FROM a
+UNION ALL
+SELECT 'row_hash', n_users, sr, CAST(sr AS DOUBLE) / n_users FROM a
+""",
+    description=(
+        "[EXT] leakage-safe GROUP-AWARE splitting, audited: assign the "
+        "80/10/10 split by hashing the ENTITY (user_id) vs hashing the "
+        "row (event_id), and count users whose events straddle folds "
+        "under each strategy. The group hash pins ZERO straddlers by "
+        "construction — the contract that keeps a user's history out "
+        "of both train and test (the CV leakage fs_leakage_audit "
+        "measures in time, measured here across folds); the row hash "
+        "row quantifies how badly the naive split breaks it. One "
+        "narrow pass + one user-keyed partial agg; output is 2 rows."
+    ),
+)
+def sample_group_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def split(col: str):
+        h = (F.col(col) * F.lit(2654435761)) % 1000
+        return F.when(h < 800, "train").when(h < 900, "val").otherwise("test")
+
+    per_user = ev.select(
+        "user_id",
+        split("user_id").alias("sg"),
+        split("event_id").alias("sr"),
+    ).groupBy("user_id").agg(
+        F.countDistinct("sg").alias("g"), F.countDistinct("sr").alias("r")
+    )
+    a = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("g") > 1, 1).otherwise(0)).cast("long").alias("sg"),
+        F.sum(F.when(F.col("r") > 1, 1).otherwise(0)).cast("long").alias("sr"),
+    )
+    g_row = a.select(
+        F.lit("group_hash").alias("strategy"),
+        "n_users",
+        F.col("sg").alias("n_straddling_users"),
+        (F.col("sg").cast("double") / F.col("n_users")).alias("straddle_frac"),
+    )
+    r_row = a.select(
+        F.lit("row_hash").alias("strategy"),
+        "n_users",
+        F.col("sr").alias("n_straddling_users"),
+        (F.col("sr").cast("double") / F.col("n_users")).alias("straddle_frac"),
+    )
+    return g_row.unionByName(r_row)
+
+
+NEG_SAMPLES_PER_LABEL = 3
+NEG_HASH_A = 2654435761
+NEG_HASH_B = 40503
+
+
+@register(
+    "ml_negative_sampling",
+    oracle=f"""
+WITH c AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM part),
+n AS (
+  SELECT e.event_id AS label_id, e.user_id, j.j AS neg_rank,
+         (e.event_id * {NEG_HASH_A} + j.j * {NEG_HASH_B}) % c.p AS neg_partkey
+  FROM events e CROSS JOIN c,
+       unnest(generate_series(1, {NEG_SAMPLES_PER_LABEL})) AS j(j)
+  WHERE e.event_type = 'purchase'
+)
+SELECT n.label_id, n.user_id, CAST(n.neg_rank AS INTEGER) AS neg_rank,
+       n.neg_partkey, p.p_retailprice AS neg_price
+FROM n JOIN part p ON p.p_partkey = n.neg_partkey
+""",
+    description=(
+        "[EXT] deterministic negative sampling for recommendation/"
+        "ranking training sets: each purchase label draws k=3 negative "
+        "items by a pure multiplicative hash of (label, rank) modulo "
+        "the item count — TPC-H partkeys are dense 0..P-1, so the index "
+        "IS the key and no row_number spine or collect is needed; the "
+        "same label draws the same negatives on any engine, partition "
+        "layout, or rerun. The item join attaches payload (price) on "
+        "the equi key. A production variant anti-joins the user's "
+        "positives out of the draw (here events carry no item key, so "
+        "that step has nothing to bind to — documented, not faked). "
+        "Plan: narrow explode x3, one equi join keyed on the dense "
+        "item id; the 1-row item count broadcasts."
+    ),
+)
+def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    part = load_table(spark, sf_dir, "part")
+    cnt = part.agg(F.count(F.lit(1)).cast("long").alias("p"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"), "user_id"
+    )
+    j = F.explode(
+        F.array(*[F.lit(i) for i in range(1, NEG_SAMPLES_PER_LABEL + 1)])
+    )
+    neg = (
+        purch.crossJoin(F.broadcast(cnt))
+        .select("label_id", "user_id", j.alias("neg_rank"), "p")
+        .withColumn(
+            "neg_partkey",
+            (
+                F.col("label_id") * NEG_HASH_A
+                + F.col("neg_rank") * NEG_HASH_B
+            )
+            % F.col("p"),
+        )
+    )
+    return neg.join(
+        part.select(
+            F.col("p_partkey").alias("neg_partkey"),
+            F.col("p_retailprice").alias("neg_price"),
+        ),
+        "neg_partkey",
+    ).select("label_id", "user_id", "neg_rank", "neg_partkey", "neg_price")

@@ -2030,3 +2030,82 @@ FROM cc{idx}"""
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.threshold_sweep(docs, thresholds=SWEEP_THRESHOLDS)
+
+
+@register(
+    "dedup_loss_weights",
+    oracle=f"""
+WITH RECURSIVE {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY 1)
+SELECT d0.doc_id,
+       COALESCE(cc.label, d0.doc_id) AS cluster_label,
+       COALESCE(sizes.sz, 1) AS cluster_size,
+       CAST(1 AS DOUBLE) / COALESCE(sizes.sz, 1) AS weight
+FROM documents d0
+LEFT JOIN cc ON cc.node = d0.doc_id
+LEFT JOIN sizes ON sizes.label = cc.label
+""",
+    description=(
+        "[EXT] duplicate-aware loss/sampling weights — SOFT dedup: "
+        "instead of dropping near-dups, weight every document by "
+        "1/cluster_size (singletons weight 1), so a cluster of n "
+        "near-identical documents contributes one document's worth of "
+        "gradient mass (the D4/SemDeDup-style soft alternative to "
+        "keep-one-per-cluster; same MinHash band candidates + "
+        "large-star/small-star components as dedup_clusters). One "
+        "left join of the corpus against the cluster labels and the "
+        "label-sized size table; weight is one exact int division."
+    ),
+)
+def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    labels = D.dup_clusters(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .join(sizes, "label", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_label"),
+            F.coalesce("sz", F.lit(1)).cast("long").alias("cluster_size"),
+            (
+                F.lit(1).cast("double")
+                / F.coalesce("sz", F.lit(1)).cast("long")
+            ).alias("weight"),
+        )
+    )
