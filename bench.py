@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "dedup_threshold_sweep",
     "udf_multimodal_bmp",
     "sim_ivf_kmeanspar_recall_floor",
+    "text_repeated_spans",
+    "agg_count_min_sketch",
+    "join_interval_overlap",
 ]
 
 

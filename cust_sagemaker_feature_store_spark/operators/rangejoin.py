@@ -25,6 +25,69 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start_us: Column,
+    l_end_us: Column,
+    r_start_us: Column,
+    r_end_us: Column,
+    bucket_us: int,
+) -> DataFrame:
+    """Inner-join interval pairs that OVERLAP — half-open semantics:
+    l_start < r_end AND r_start < l_end — with NO nested-loop plan:
+    both sides explode into the `bucket_us`-wide buckets their interval
+    covers, the join is hash-equi on the bucket id, and the residual
+    predicate restores exactness. Duplicate elimination is free — a
+    pair is kept only in its CANONICAL bucket, the bucket of
+    max(l_start, r_start), which both expansions necessarily cover
+    when the intervals overlap, so no distinct pass and no
+    multiplicity bugs.
+
+    Replication per row is ceil(span / bucket_us) + 1: pick `bucket_us`
+    near the typical span so expansion stays O(1) per row (Spark's
+    sequence() hard-caps elements, so a pathological span fails loudly
+    rather than exploding). The same bucketing Structured Streaming's
+    interval-join state manager uses, applied batch-side. Column names
+    must be disjoint between the two sides; start/end Columns are
+    integer microseconds over the respective frames."""
+    if bucket_us <= 0:
+        raise ValueError("interval_overlap_join needs bucket_us > 0")
+
+    def bucket(col: str) -> Column:
+        # exact int64 floor division (see time_tolerance_join)
+        return F.expr(f"({col} - pmod({col}, {bucket_us})) div {bucket_us}")
+
+    l = (
+        left.withColumn("__ls", l_start_us)
+        .withColumn("__le", l_end_us)
+        .withColumn(
+            "__b",
+            F.explode(F.sequence(bucket("__ls"), bucket("__le"))),
+        )
+    )
+    r = (
+        right.withColumn("__rs", r_start_us)
+        .withColumn("__re", r_end_us)
+        .withColumn(
+            "__b",
+            F.explode(F.sequence(bucket("__rs"), bucket("__re"))),
+        )
+    )
+    joined = l.join(r, "__b").filter(
+        (F.col("__ls") < F.col("__re"))
+        & (F.col("__rs") < F.col("__le"))
+        & (
+            F.col("__b")
+            == F.expr(
+                "(greatest(__ls, __rs) - pmod(greatest(__ls, __rs), "
+                f"{bucket_us})) div {bucket_us}"
+            )
+        )
+    )
+    return joined.drop("__b", "__ls", "__le", "__rs", "__re")
+
+
 def time_tolerance_join(
     left: DataFrame,
     right: DataFrame,

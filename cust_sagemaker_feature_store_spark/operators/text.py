@@ -15,7 +15,7 @@ derived columns, never the raw text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -347,6 +347,112 @@ def strip_boilerplate(
     ).withColumn(
         "removed_frac",
         F.col("n_boiler_lines").cast("double") / F.col("n_lines"),
+    )
+
+
+def repeated_span_coverage(
+    docs: DataFrame,
+    gram_tokens: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level repeated-span coverage — the exact-substring
+    dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", public methodology) the line/doc tiers
+    can't see: OVERLAPPING `gram_tokens`-token windows (any alignment,
+    unlike `doc_line_segments`' fixed chunks), a window is "repeated"
+    when its gram occurs >= `min_count` times corpus-wide (including
+    within-document repeats), and per document the repeated windows'
+    token intervals are UNION-merged so overlapping spans never double
+    count. Returns per doc: n_tokens, n_windows, n_repeated_windows,
+    covered_tokens, covered_frac — the rank-and-cut signal for
+    memorization-prone spans.
+
+    Scale shape: windows explode map-side (narrow); the gram count is
+    one hash-partitioned partial agg on compact gram keys; the
+    interval union is a classic gaps-and-islands pass (running max of
+    interval ends, island break when a start clears it) inside
+    per-document window partitions — bounded by the longest document,
+    never the corpus. Docs shorter than the window width contribute
+    one whole-doc window (the `shingles` convention)."""
+    if gram_tokens < 1:
+        raise ValueError("gram_tokens must be >= 1")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_win = F.greatest(n - F.lit(gram_tokens - 1), F.lit(1))
+    starts = F.sequence(F.lit(0), n_win - F.lit(1))
+    wins = docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(
+                    F.slice(toks, i + F.lit(1), gram_tokens), " "
+                ),
+            )
+        ).alias("start", "gram"),
+    )
+    repeated = (
+        wins.groupBy("gram")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gram")
+    )
+    r = wins.join(repeated, "gram", "left_semi").select(
+        id_col,
+        "start",
+        F.least(
+            F.col("start") + F.lit(gram_tokens - 1), F.col("n_tokens") - 1
+        ).alias("__e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = r.select(
+        id_col,
+        "start",
+        "__e",
+        F.when(
+            prev_end.isNull() | (F.col("start") > prev_end), 1
+        ).otherwise(0).alias("__new"),
+    )
+    isl = flagged.withColumn(
+        "__g",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = isl.groupBy(id_col, "__g").agg(
+        (F.max("__e") - F.min("start") + 1).alias("__cov"),
+        F.count("*").alias("__nw"),
+    )
+    per_doc = per_island.groupBy(id_col).agg(
+        F.sum("__cov").cast("long").alias("covered_tokens"),
+        F.sum("__nw").cast("long").alias("n_repeated_windows"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_win.cast("long").alias("n_windows"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_repeated_windows", F.lit(0))
+            .cast("long")
+            .alias("n_repeated_windows"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("covered_frac"),
+        )
     )
 
 

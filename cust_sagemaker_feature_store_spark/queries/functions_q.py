@@ -712,3 +712,102 @@ def agg_hll_merge_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("union_merge_within_tol", merge_ok), ("direct_within_tol", direct_ok)],
         "check_name string, guarantee_ok boolean",
     )
+
+
+# -- Count-Min sketch, exact-oracle (r9) ---------------------------------
+
+CMS_WIDTH = 256
+CMS_DEPTH = 3
+CMS_PRIME = 4294967291
+CMS_A = (2654435761, 2246822519, 3266489917)
+CMS_B = (40503, 104729, 12582917)
+
+
+def _cms_sql_bucket(i: int) -> str:
+    return (
+        f"((o_custkey * {CMS_A[i]} + {CMS_B[i]}) % {CMS_PRIME}) % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+WITH t AS (
+  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM orders GROUP BY 1
+),
+h AS (
+  SELECT o_custkey, i.i AS i,
+         CASE i.i WHEN 0 THEN {_cms_sql_bucket(0)}
+                  WHEN 1 THEN {_cms_sql_bucket(1)}
+                  ELSE {_cms_sql_bucket(2)} END AS b
+  FROM orders, unnest([0, 1, 2]) AS i(i)
+),
+cms AS (SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2),
+probe AS (SELECT DISTINCT o_custkey AS custkey, i, b FROM h),
+est AS (
+  SELECT probe.custkey, MIN(cms.c) AS est_n
+  FROM probe JOIN cms ON cms.i = probe.i AND cms.b = probe.b
+  GROUP BY 1
+)
+SELECT t.custkey, t.true_n, est.est_n,
+       est.est_n - t.true_n AS overestimate
+FROM t JOIN est ON est.custkey = t.custkey
+""",
+    description=(
+        "[EXT] Count-Min sketch with the one-sided guarantee made "
+        "driver-visible PER KEY: a depth-3 x width-256 counter table "
+        "from fixed multiplicative hashes (engine-portable integer "
+        "arithmetic — no engine hash functions), point estimates = min "
+        "over rows, emitted next to the exact count so overestimate "
+        ">= 0 holds in the DATA for every key, not just as a claim. "
+        "Completes the sketch shelf (HLL distinct, KLL quantiles, "
+        "freq-items) with the mergeable frequency sketch: counters are "
+        "pure sums, so shard sketches union by addition at 100 TB "
+        "(depth x width int64 cells regardless of corpus size), and "
+        "the estimate join touches the 768-cell table, never the "
+        "stream. Build = one explode x depth + one partial-agg "
+        "shuffle on (row, bucket)."
+    ),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bucket(i: int):
+        return (
+            (F.col("o_custkey") * CMS_A[i] + CMS_B[i]) % CMS_PRIME
+        ) % CMS_WIDTH
+
+    hashed = orders.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), bucket(i).cast("long").alias("b")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("s"),
+    ).select("o_custkey", F.col("s.i").alias("i"), F.col("s.b").alias("b"))
+    cms = hashed.groupBy("i", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    probe = hashed.select(
+        F.col("o_custkey").alias("custkey"), "i", "b"
+    ).distinct()
+    est = (
+        probe.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("custkey")
+        .agg(F.min("c").alias("est_n"))
+    )
+    true_n = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return true_n.join(est, "custkey").select(
+        "custkey",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overestimate"),
+    )

@@ -2109,3 +2109,72 @@ def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+@register(
+    "text_repeated_spans",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+wins AS (
+  SELECT doc_id, len(toks) AS n_tokens, i - 1 AS start,
+         array_to_string(toks[i:i+3], ' ') AS gram
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS t(i)
+),
+rep AS (SELECT gram FROM wins GROUP BY 1 HAVING COUNT(*) >= 2),
+r AS (
+  SELECT w.doc_id, w.start,
+         least(w.start + 3, w.n_tokens - 1) AS e
+  FROM wins w JOIN rep USING (gram)
+),
+m AS (
+  SELECT doc_id, start, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM r
+),
+isl AS (
+  SELECT doc_id, start, e,
+         SUM(CASE WHEN pe IS NULL OR start > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM m
+),
+cov AS (
+  SELECT doc_id, g, MAX(e) - MIN(start) + 1 AS c, COUNT(*) AS nw
+  FROM isl GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS covered,
+         CAST(SUM(nw) AS BIGINT) AS n_rep
+  FROM cov GROUP BY 1
+),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(toks) - 3, 1) AS BIGINT) AS n_windows
+  FROM tok
+)
+SELECT base.doc_id, base.n_tokens, base.n_windows,
+       COALESCE(n_rep, 0) AS n_repeated_windows,
+       COALESCE(covered, 0) AS covered_tokens,
+       CAST(COALESCE(covered, 0) AS DOUBLE) / base.n_tokens AS covered_frac
+FROM base LEFT JOIN per_doc USING (doc_id)
+""",
+    description=(
+        "[EXT] substring-level repeated-span coverage (the exact-"
+        "substring dedup signal of Lee et al. 2021): OVERLAPPING "
+        "4-token windows at every alignment — unlike the fixed chunks "
+        "of the boilerplate tier — flagged when the gram occurs >= 2 "
+        "times corpus-wide (within-doc repeats included), then each "
+        "document's repeated windows are UNION-merged (gaps-and-"
+        "islands: running max of interval ends inside the per-doc "
+        "window partition) so overlapping spans never double count. "
+        "Per doc: window/repeated-window counts, covered tokens, and "
+        "the covered fraction (one exact int division) — the "
+        "memorization-risk ranking a corpus cut uses. Windows explode "
+        "map-side; the gram count is one partial-agg shuffle on "
+        "compact keys; island state is bounded by the longest doc."
+    ),
+)
+def text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.repeated_span_coverage(docs, gram_tokens=4, min_count=2)

@@ -934,3 +934,56 @@ def test_chained_asof_joins_with_per_group_staleness_budgets(spark):
     assert rows[2]["a_val"] is None, "stale group-A row must not leak"
     assert rows[2]["a_ts"] is None
     assert rows[2]["b_val"] == 5.0, "fresh group-B row still attaches"
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketized interval-overlap join equals the O(n·m) reference on
+    random half-open intervals: multi-bucket spans, boundary-exact
+    starts/ends (no off-by-one at bucket edges), zero duplicate pairs
+    from the canonical-bucket dedup, and touching intervals excluded
+    by half-open semantics."""
+    import random
+
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(23)
+    B = 100  # bucket width
+    lrows, rrows = [], []
+    for i in range(60):
+        s = rng.randrange(0, 2000)
+        lrows.append(Row(lid=i, ls=s, le=s + rng.randrange(1, 350)))
+    for j in range(40):
+        s = rng.randrange(0, 2000)
+        rrows.append(Row(rid=j, rs=s, re=s + rng.randrange(1, 250)))
+    # boundary cases: exactly touching (NOT overlapping, half-open) and
+    # bucket-aligned starts/ends
+    lrows.append(Row(lid=100, ls=400, le=500))
+    rrows.append(Row(rid=100, rs=500, re=600))   # touches 100 -> excluded
+    rrows.append(Row(rid=101, rs=499, re=501))   # 1-unit overlap -> included
+    left = spark.createDataFrame(lrows)
+    right = spark.createDataFrame(rrows)
+    got = [
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left,
+            right,
+            F.col("ls").cast("long"),
+            F.col("le").cast("long"),
+            F.col("rs").cast("long"),
+            F.col("re").cast("long"),
+            bucket_us=B,
+        ).collect()
+    ]
+    want = {
+        (lr.lid, rr.rid)
+        for lr in lrows
+        for rr in rrows
+        if lr.ls < rr.re and rr.rs < lr.le
+    }
+    assert len(got) == len(set(got)), "canonical-bucket dedup must yield unique pairs"
+    assert set(got) == want
+    assert (100, 101) in want and (100, 100) not in want

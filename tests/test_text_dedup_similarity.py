@@ -783,3 +783,40 @@ def test_coarse_distortion_matches_numpy(spark):
     want = int(np.floor(np.maximum(d2, 0.0) * S.COARSE_SCALE).sum())
     assert S.coarse_distortion(emb, C) == want
     assert S.coarse_distortion(emb.repartition(9), C) == want
+
+
+def test_repeated_span_coverage_interval_union(spark):
+    """Planted repeats: two docs share one 4-token phrase at different
+    alignments, one doc repeats a phrase internally with OVERLAPPING
+    windows (the union must not double count), one doc is clean."""
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators import text as T
+
+    phrase = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: phrase at tokens 0-3
+            Row(doc_id=1, text=f"{phrase} uno dos tres cuatro"),
+            # doc 2: phrase at tokens 2-5 (different alignment)
+            Row(doc_id=2, text=f"x y {phrase} z w"),
+            # doc 3: 'a b a b a b' — gram 'a b a b' occurs at starts 0
+            # AND 2 (in-doc repeat); the overlapping intervals [0,3]
+            # and [2,5] union to all 6 tokens without double counting
+            Row(doc_id=3, text="a b a b a b"),
+            # doc 4: all-unique tokens, nothing repeated
+            Row(doc_id=4, text="q r s t u v w"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.repeated_span_coverage(docs, gram_tokens=4).collect()
+    }
+    assert out[1]["n_repeated_windows"] == 1
+    assert out[1]["covered_tokens"] == 4 and out[1]["n_tokens"] == 8
+    assert out[2]["covered_tokens"] == 4
+    # doc 3: repeated windows at starts 0 and 2 -> merged island [0,5]
+    assert out[3]["n_repeated_windows"] == 2
+    assert out[3]["covered_tokens"] == 6 and out[3]["covered_frac"] == 1.0
+    assert out[4]["n_repeated_windows"] == 0
+    assert out[4]["covered_tokens"] == 0 and out[4]["covered_frac"] == 0.0
