@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "text_repeated_spans",
     "agg_count_min_sketch",
     "join_interval_overlap",
+    "sim_matryoshka_recall",
+    "dq_functional_dependency",
 ]
 
 

@@ -1686,3 +1686,75 @@ def agg_exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("median_cents") / 100.0).alias("median_value"),
         )
     )
+
+
+# -- functional-dependency audit (r9) ------------------------------------
+
+FD_CANDIDATES = (
+    # (table, determinant, dependent)
+    ("customer", "c_name", "c_nationkey"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("part", "p_name", "p_brand"),
+    ("part", "p_brand", "p_type"),
+)
+
+
+def _fd_oracle(cands) -> str:
+    blocks = []
+    for tbl, det, dep in cands:
+        blocks.append(
+            f"""
+SELECT '{tbl}' AS table_name, '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_det_values,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS violation_frac,
+       SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS c FROM {tbl} GROUP BY 1)"""
+        )
+    return "SELECT * FROM (" + "\nUNION ALL".join(blocks) + ")"
+
+
+@register(
+    "dq_functional_dependency",
+    oracle=_fd_oracle(FD_CANDIDATES),
+    description=(
+        "[EXT] functional-dependency audit — schema-rule discovery for "
+        "data quality: for each candidate A -> B, the number of "
+        "determinant values mapping to more than one dependent value, "
+        "the violation fraction, and a holds flag. The fixture set "
+        "spans the full spectrum (c_name -> c_nationkey holds; "
+        "c_mktsegment -> c_nationkey and p_brand -> p_type are fully "
+        "violating; p_name -> p_brand is partial), so the audit "
+        "output, not just its plumbing, is hash-pinned. Per candidate "
+        "one (det)-keyed partial aggregation with a distinct count — "
+        "Spark expands it to the two-stage distinct plan; per-FD "
+        "output is one row, so N candidates cost N compact "
+        "aggregations, never a table-squared comparison."
+    ),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, det, dep in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        per_det = t.groupBy(det).agg(F.countDistinct(dep).alias("c"))
+        viol = F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long")
+        row = per_det.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count(F.lit(1)).cast("long").alias("n_det_values"),
+            viol.alias("n_violating"),
+        ).select(
+            "table_name",
+            "determinant",
+            "dependent",
+            "n_det_values",
+            "n_violating",
+            (
+                F.col("n_violating").cast("double") / F.col("n_det_values")
+            ).alias("violation_frac"),
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

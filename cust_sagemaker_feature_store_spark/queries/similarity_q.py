@@ -787,3 +787,83 @@ def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe long, monotone_ok boolean, floor_ok boolean"
     )
+
+
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_oracle(dims: tuple[int, ...], full: int) -> str:
+    """Per-prefix-width truncated-cosine top-k intersected with the
+    full-width exact top-k — one CTE per width, UNION ALL of the
+    (dims, recall) curve rows."""
+    parts = [
+        f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID}
+)"""
+    ]
+    for d in dims:
+        parts.append(
+            f""",
+t{d} AS (
+  SELECT e.vec_id
+  FROM embeddings e, q
+  ORDER BY ROUND(
+    list_dot_product(CAST(e.embedding AS DOUBLE[])[1:{d}], q.qv[1:{d}])
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:{d}],
+                             CAST(e.embedding AS DOUBLE[])[1:{d}]))
+       * sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}]))), 6) DESC,
+    e.vec_id
+  LIMIT {TOP_K}
+)"""
+        )
+    blocks = [
+        f"""
+SELECT CAST({d} AS BIGINT) AS dims,
+       CAST((SELECT COUNT(*) FROM t{d} a JOIN t{full} b
+             ON a.vec_id = b.vec_id)
+            AS DOUBLE) / {TOP_K} AS recall
+FROM (SELECT 1)"""
+        for d in dims
+    ]
+    return "".join(parts) + "\nSELECT * FROM (" + "\nUNION ALL".join(blocks) + ")"
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=_matryoshka_oracle(MATRYOSHKA_DIMS, 64),
+    description=(
+        "[EXT] matryoshka / prefix-truncation recall curve (Kusupati "
+        "et al. 2022, public methodology): exact cosine top-10 using "
+        "only the first 8/16/32/64 embedding dimensions, each "
+        "intersected with the full-width exact top-10 — the "
+        "memory-vs-recall tradeoff table that decides how many "
+        "dimensions a 100 TB index actually stores (storing a d'-"
+        "prefix cuts scan bytes by d'/d with the recall this query "
+        "measures; the full-width row pins recall = 1.0 by "
+        "construction). Each width is one TakeOrderedAndProject over "
+        "a narrow scan — no corpus shuffle, k rows per partition; "
+        "truncation is a zero-copy array slice."
+    ),
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    full_ids = S.cosine_topk(emb, qv, k=TOP_K).select("vec_id")
+    out = None
+    for d in MATRYOSHKA_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        ids = S.cosine_topk(trunc, qv[:d], k=TOP_K).select("vec_id")
+        row = (
+            ids.join(full_ids, "vec_id")
+            .agg(
+                F.lit(d).cast("long").alias("dims"),
+                (F.count(F.lit(1)).cast("double") / TOP_K).alias("recall"),
+            )
+            .select("dims", "recall")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
