@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "join_interval_overlap",
     "sim_matryoshka_recall",
     "dq_functional_dependency",
+    "ml_pinball_loss",
+    "events_theil_sen_daily",
+    "fn_luhn_check_digit",
 ]
 
 

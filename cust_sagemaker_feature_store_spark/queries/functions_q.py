@@ -811,3 +811,74 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") - F.col("true_n")).alias("overestimate"),
     )
+
+
+# -- Luhn check-digit surface (r9) ---------------------------------------
+
+def _luhn_sql(payload: str) -> str:
+    """Luhn sum of a 10-digit integer payload (digit i counted from the
+    right, doubling even positions for check-digit computation)."""
+    terms = []
+    for i in range(10):
+        d = f"(({payload}) // {10**i}) % 10"
+        if i % 2 == 0:
+            terms.append(
+                f"(CASE WHEN 2 * ({d}) > 9 THEN 2 * ({d}) - 9 ELSE 2 * ({d}) END)"
+            )
+        else:
+            terms.append(f"({d})")
+    return " + ".join(terms)
+
+
+@register(
+    "fn_luhn_check_digit",
+    oracle=f"""
+WITH acct AS (
+  SELECT c_custkey,
+         (c_custkey * 1009 + 7) % 10000000000 AS payload
+  FROM customer
+),
+s AS (SELECT c_custkey, payload, {_luhn_sql('payload')} AS luhn_sum FROM acct)
+SELECT c_custkey, payload,
+       (10 - luhn_sum % 10) % 10 AS check_digit,
+       payload * 10 + (10 - luhn_sum % 10) % 10 AS account_number
+FROM s
+""",
+    description=(
+        "[EXT] Luhn (mod-10) check-digit computation — the checksum "
+        "that validates card/account identifiers, the exactness rung "
+        "text_scrub_entities' regex tier lacks (a digit string that "
+        "LOOKS like a card number but fails Luhn is a false positive "
+        "a PII scrubber should not redact). Payloads derive "
+        "deterministically from c_custkey; the digit arithmetic is "
+        "pure integer div/mod expression trees — ten unrolled terms "
+        "inside whole-stage codegen, bit-identical in both engines, "
+        "no string ops at all. Narrow per-row transform, zero "
+        "shuffles."
+    ),
+)
+def fn_luhn_check_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    payload = (F.col("c_custkey") * 1009 + 7) % F.lit(10_000_000_000)
+
+    def luhn_sum(p):
+        total = F.lit(0)
+        for i in range(10):
+            d = F.expr(f"(__p div {10**i}) % 10")
+            total = total + (
+                F.when(2 * d > 9, 2 * d - 9).otherwise(2 * d)
+                if i % 2 == 0
+                else d
+            )
+        return total
+
+    s = cust.select(
+        "c_custkey", payload.alias("__p")
+    ).withColumn("luhn_sum", luhn_sum(None))
+    check = (10 - F.col("luhn_sum") % 10) % 10
+    return s.select(
+        "c_custkey",
+        F.col("__p").alias("payload"),
+        check.alias("check_digit"),
+        (F.col("__p") * 10 + check).alias("account_number"),
+    )

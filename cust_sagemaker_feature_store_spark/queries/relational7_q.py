@@ -1758,3 +1758,78 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "events_theil_sen_daily",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+di AS (
+  SELECT CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) // 86400 AS x, n
+  FROM d
+),
+p AS (
+  SELECT b.n - a.n AS dy, b.x - a.x AS dx,
+         CAST(b.n - a.n AS DOUBLE) / (b.x - a.x) AS slope
+  FROM di a JOIN di b ON a.x < b.x
+),
+r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, dy, dx) AS rn FROM p),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM p)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM di) AS n_days,
+       c.np AS n_pairs,
+       (SELECT slope FROM r, c WHERE rn = (c.np + 1) // 2) AS median_slope
+FROM c
+""",
+    description=(
+        "[EXT] Theil-Sen robust trend: the median over all day-pair "
+        "slopes of the daily event-count series — the slope estimator "
+        "a single outlier day cannot move (breakdown point ~29%, vs 0 "
+        "for OLS; Theil 1950/Sen 1968, public methodology). Slopes "
+        "are exact-int differences divided once (dx > 0 always, so "
+        "each slope is one correctly-rounded IEEE division identical "
+        "in both engines); the lower median is selected by rank with "
+        "(slope, dy, dx) tie-breaks so ordering is deterministic "
+        "cross-engine. The quadratic pair join runs over the "
+        "AGGREGATED daily series — bounded by days², not rows, at any "
+        "corpus size (a century of days is ~666M pairs, still one "
+        "modest shuffle; the raw-event scan is the only corpus-sized "
+        "stage)."
+    ),
+)
+def events_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    di = d.select(
+        (F.unix_timestamp(F.col("day").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("x"),
+        "n",
+    )
+    a, b = di.alias("a"), di.alias("b")
+    p = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (F.col("b.n") - F.col("a.n")).alias("dy"),
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (
+            (F.col("b.n") - F.col("a.n")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "dy", "dx")
+    r = p.select("slope", F.row_number().over(w).alias("rn"))
+    c = p.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    nd = di.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = (
+        r.crossJoin(F.broadcast(c))
+        .filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .select(F.col("slope").alias("median_slope"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(med))
+        .select("n_days", F.col("np").alias("n_pairs"), "median_slope")
+    )

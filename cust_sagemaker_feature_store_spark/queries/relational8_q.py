@@ -928,3 +928,100 @@ def agg_exact_moments_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variance"),
         )
     )
+
+
+# -- pinball (quantile) loss, exact (r9) ---------------------------------
+
+PINBALL_TAUS_X10 = (5, 9)  # tau = 0.5, 0.9 on the exact 1/10 grid
+
+
+def _pinball_oracle(taus_x10) -> str:
+    blocks = []
+    for t10 in taus_x10:
+        blocks.append(
+            f"""
+SELECT {t10} / 10.0 AS tau,
+       (SELECT MIN(c) FROM cum WHERE 10 * cn >= {t10} * (SELECT n FROM tot))
+         / 100.0 AS quantile_pred,
+       (SELECT CAST(SUM(CASE WHEN s.c > q.qc
+                             THEN {t10} * (s.c - q.qc)
+                             ELSE ({10 - t10}) * (q.qc - s.c) END) AS DOUBLE)
+          / (SELECT n FROM tot) / 1000.0
+        FROM s CROSS JOIN (
+          SELECT MIN(c) AS qc FROM cum
+          WHERE 10 * cn >= {t10} * (SELECT n FROM tot)) q)
+         AS mean_pinball
+FROM (SELECT 1)"""
+        )
+    return (
+        """
+WITH s AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+cum AS (
+  SELECT c, SUM(n) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cn
+  FROM hist
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+SELECT * FROM ("""
+        + "\nUNION ALL".join(blocks)
+        + ")"
+    )
+
+
+@register(
+    "ml_pinball_loss",
+    oracle=_pinball_oracle(PINBALL_TAUS_X10),
+    description=(
+        "[EXT] exact pinball (quantile) loss at tau = 0.5 and 0.9 — "
+        "the metric that scores a quantile forecast the way MSE scores "
+        "a mean forecast, completing the evaluation shelf (AUC, "
+        "calibration, Brier, PR curve). The predictor is the exact "
+        "type-1 tau-quantile selected by the integer predicate "
+        "10·cum >= 10tau·n over the distinct-cents histogram (bounded "
+        "by the value RANGE, the ml_auc_exact shape — never a global "
+        "row sort), and the loss sums int64 cent residuals weighted "
+        "by 10tau / 10(1-tau), exact at any row count, with two final "
+        "divisions. One histogram pass serves every tau."
+    ),
+)
+def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    hist = s.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("c", F.sum("n").over(w).alias("cn"))
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = None
+    for t10 in PINBALL_TAUS_X10:
+        pred = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(10 * F.col("cn") >= t10 * F.col("n"))
+            .agg(F.min("c").alias("qc"))
+        )
+        row = (
+            s.crossJoin(F.broadcast(pred))
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(t10 / 10.0).alias("tau"),
+                F.first(F.col("qc") / 100.0).alias("quantile_pred"),
+                (
+                    F.sum(
+                        F.when(
+                            F.col("c") > F.col("qc"),
+                            t10 * (F.col("c") - F.col("qc")),
+                        ).otherwise(
+                            (10 - t10) * (F.col("qc") - F.col("c"))
+                        )
+                    ).cast("double")
+                    / F.first("n")
+                    / 1000.0
+                ).alias("mean_pinball"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
