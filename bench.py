@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "ml_pinball_loss",
     "events_theil_sen_daily",
     "fn_luhn_check_digit",
+    "stream_count_min_twin",
 ]
 
 

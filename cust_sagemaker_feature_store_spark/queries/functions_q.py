@@ -882,3 +882,40 @@ def fn_luhn_check_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         check.alias("check_digit"),
         (F.col("__p") * 10 + check).alias("account_number"),
     )
+
+
+@register(
+    "stream_count_min_twin",
+    oracle=f"""
+WITH h AS (
+  SELECT i.i AS i,
+         ((user_id * CASE i.i WHEN 0 THEN {CMS_A[0]}
+                              WHEN 1 THEN {CMS_A[1]}
+                              ELSE {CMS_A[2]} END
+           + CASE i.i WHEN 0 THEN {CMS_B[0]}
+                      WHEN 1 THEN {CMS_B[1]}
+                      ELSE {CMS_B[2]} END) % {CMS_PRIME}) % {CMS_WIDTH} AS b
+  FROM events, unnest([0, 1, 2]) AS i(i)
+)
+SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY 1, 2
+""",
+    description=(
+        "[EXT] batch twin of the STREAMING Count-Min counter table "
+        "(streaming/windows.count_min_counters over events.user_id): "
+        "the sketch maintained as a plain streaming aggregation whose "
+        "state is the depth x width cells — constant memory on an "
+        "unbounded stream, counters mergeable with batch shards by "
+        "addition because both sides use the same multiplicative "
+        "hashes. This twin runs the streaming operator's own function "
+        "on the batch frame so the oracle pins its hash/count "
+        "arithmetic; streaming execution and stream==batch counter "
+        "equality are pinned by tests/test_streaming.py."
+    ),
+)
+def stream_count_min_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import count_min_counters
+
+    ev = load_table(spark, sf_dir, "events")
+    return count_min_counters(
+        ev, "user_id", CMS_A, CMS_B, CMS_PRIME, CMS_WIDTH
+    )

@@ -105,3 +105,47 @@ def session_agg(
             "session_value",
         )
     )
+
+
+def count_min_counters(
+    stream: DataFrame,
+    key_col: str,
+    hash_a: tuple[int, ...],
+    hash_b: tuple[int, ...],
+    prime: int,
+    width: int,
+) -> DataFrame:
+    """Count-Min sketch counters maintained ON THE STREAM: each row
+    increments one bucket per hash row, so the counter table is a plain
+    streaming aggregation (complete/update mode) whose state is the
+    depth x width cells — CONSTANT memory on an unbounded stream, the
+    property that makes the sketch the streaming heavy-hitter primitive
+    (point estimate = min over rows of the bucket counters, one-sided
+    >= true). Same engine-portable multiplicative hashes as the batch
+    query (queries/functions_q.agg_count_min_sketch), so shard/stream
+    counters merge with batch counters BY ADDITION. Works identically
+    on batch frames (the twin's oracle pins the arithmetic)."""
+    depth = len(hash_a)
+    if depth != len(hash_b) or depth < 1:
+        raise ValueError("hash_a and hash_b must be equal-length, non-empty")
+    k = F.col(key_col)
+    return (
+        stream.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (((k * hash_a[i] + hash_b[i]) % prime) % width)
+                            .cast("long")
+                            .alias("b"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.i").alias("i"), F.col("s.b").alias("b"))
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )

@@ -682,3 +682,62 @@ def test_stream_interval_join_restart_matches_batch(spark, tmp_path):
     for cross in ((1, 1, 4), (1, 2, 4), (2, 3, 5)):
         assert got_keys.count(cross) == 1, (cross, got_keys)
     assert (2, 3, 6) not in got_keys  # outside the 10-minute window
+
+
+def test_streaming_count_min_counters_equal_batch(spark, tmp_path):
+    """CMS counters maintained as a streaming aggregation equal the
+    batch counters over the same rows — delivered across multiple
+    micro-batches (maxFilesPerTrigger=1), so cross-batch state
+    accumulation, not just single-pass counting, is what's verified.
+    State is exactly depth x width cells regardless of row count."""
+    from cust_sagemaker_feature_store_spark.queries.functions_q import (
+        CMS_A,
+        CMS_B,
+        CMS_PRIME,
+        CMS_WIDTH,
+    )
+    from cust_sagemaker_feature_store_spark.streaming.windows import (
+        count_min_counters,
+    )
+
+    d = tmp_path / "cms_in"
+    d.mkdir()
+    rows = [(i, i % 7) for i in range(50)] + [(100 + i, 3) for i in range(20)]
+    # two files = two micro-batches
+    for bi, chunk in enumerate((rows[:30], rows[30:])):
+        (d / f"b{bi}.csv").write_text(
+            "event_id,user_id\n"
+            + "\n".join(f"{e},{u}" for e, u in chunk)
+            + "\n"
+        )
+    ev = spark.readStream.schema("event_id long, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).csv(str(d), header=True)
+    q = (
+        count_min_counters(ev, "user_id", CMS_A, CMS_B, CMS_PRIME, CMS_WIDTH)
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["i"], r["b"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    batch = spark.createDataFrame(rows, "event_id long, user_id long")
+    want = {
+        (r["i"], r["b"]): r["c"]
+        for r in count_min_counters(
+            batch, "user_id", CMS_A, CMS_B, CMS_PRIME, CMS_WIDTH
+        ).collect()
+    }
+    assert got == want
+    # the hot key's estimate dominates: min over rows >= its true count
+    est = min(
+        got[(i, ((3 * CMS_A[i] + CMS_B[i]) % CMS_PRIME) % CMS_WIDTH)]
+        for i in range(len(CMS_A))
+    )
+    true_hot = sum(1 for _, u in rows if u == 3)
+    assert est >= true_hot
