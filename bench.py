@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "events_theil_sen_daily",
     "fn_luhn_check_digit",
     "stream_count_min_twin",
+    "retrieval_rrf_fusion",
 ]
 
 

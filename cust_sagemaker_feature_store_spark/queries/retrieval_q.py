@@ -654,3 +654,115 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(truth, "doc_id").groupBy(
         "true_lang", "pred_lang"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# -- hybrid retrieval: reciprocal-rank fusion (r9) -----------------------
+
+RRF_K = 60        # the standard RRF damping constant (Cormack 2009)
+RRF_POOL = 20     # per-ranker candidate pool
+RRF_TOP = 10
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle="WITH "
+    + _SQL_QUERY_STATS.format(terms=_terms_sql(), toks=SQL_TOKS)
+    + f""",
+scored AS (
+  SELECT q.doc_id,
+         CAST(floor(
+           (CAST(2*c.n_docs - 2*d.df + 1 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+           * (CAST(22*q.tf*c.total_tokens AS DOUBLE)
+              / CAST(10*q.tf*c.total_tokens + 3*c.total_tokens + 9*q.dl*c.n_docs AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS term_scaled
+  FROM qtf q JOIN dft d USING (term) CROSS JOIN corpus c
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(term_scaled) AS BIGINT) AS score_u
+  FROM scored GROUP BY 1
+),
+bm AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id)
+                      AS BIGINT) AS ra
+  FROM agg ORDER BY score_u DESC, doc_id LIMIT {RRF_POOL}
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv.v, qv.v))), 6) AS c
+  FROM embeddings e, qv
+),
+co AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, doc_id)
+                      AS BIGINT) AS rb
+  FROM cs ORDER BY c DESC, doc_id LIMIT {RRF_POOL}
+),
+f AS (
+  SELECT COALESCE(bm.doc_id, co.doc_id) AS doc_id, bm.ra, co.rb
+  FROM bm FULL OUTER JOIN co ON bm.doc_id = co.doc_id
+)
+SELECT doc_id,
+       CAST(ra AS DOUBLE) AS rank_bm25,
+       CAST(rb AS DOUBLE) AS rank_cosine,
+       COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + ra), CAST(0 AS DOUBLE))
+       + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + rb), CAST(0 AS DOUBLE))
+         AS rrf_score
+FROM f
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOP}
+""",
+    description=(
+        "[EXT] hybrid retrieval via reciprocal-rank fusion (Cormack et "
+        "al. 2009, the standard lexical+vector combiner): BM25 top-20 "
+        "for the query terms fused with cosine top-20 for the query "
+        "embedding by score = sum 1/(60 + rank), full-outer over the "
+        "two pools so single-ranker hits still score. Ranks, not raw "
+        "scores, make the fusion scale-free — no normalization to get "
+        "wrong across engines; each contribution is one IEEE division "
+        "and the two-term sum has a fixed evaluation order, so fused "
+        "scores hash-match bit-for-bit (rank columns surfaced as "
+        "DOUBLE: nullable ints round-trip pandas as float64). Cost is "
+        "two TakeOrdered pools + a 40-row join — the corpus is "
+        "touched once per ranker, never by the fusion."
+    ),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import similarity as S
+    from .similarity_q import QUERY_VEC_ID, _query_vector
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = R.bm25_topk(docs, QUERY_TERMS, k=RRF_POOL).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_u"), F.asc("doc_id")))
+        .cast("long")
+        .alias("ra"),
+    )
+    qv = _query_vector(spark, sf_dir)
+    co = S.cosine_topk(emb, qv, k=RRF_POOL).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id")))
+        .cast("long")
+        .alias("rb"),
+    )
+    f = bm.join(co, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (RRF_K + F.col("ra")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rb")), F.lit(0.0))
+    return (
+        f.select(
+            "doc_id",
+            F.col("ra").cast("double").alias("rank_bm25"),
+            F.col("rb").cast("double").alias("rank_cosine"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+    )
