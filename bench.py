@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "fn_luhn_check_digit",
     "stream_count_min_twin",
     "retrieval_rrf_fusion",
+    "pipeline_curate_v3",
 ]
 
 
