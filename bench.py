@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "stream_count_min_twin",
     "retrieval_rrf_fusion",
     "pipeline_curate_v3",
+    "ml_average_precision",
+    "dedup_candidate_quality",
 ]
 
 

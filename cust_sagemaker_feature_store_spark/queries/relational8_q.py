@@ -1025,3 +1025,95 @@ def ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "ml_average_precision",
+    oracle="""
+WITH scored AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT s, CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(1 - y) AS BIGINT) AS n
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT s,
+         CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+         CAST(SUM(n) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(p) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tp_prev
+  FROM hist
+),
+tot AS (SELECT CAST(SUM(p) AS BIGINT) AS pp FROM hist),
+terms AS (
+  SELECT CAST(floor(((tp - tp_prev) * 1000000)
+                    * (CAST(tp AS DOUBLE) / (tp + fp))) AS BIGINT) AS t
+  FROM cum
+)
+SELECT tot.pp,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hist) AS n_thresholds,
+       (SELECT CAST(SUM(t) AS DOUBLE) FROM terms) / 1000000.0 / tot.pp
+         AS average_precision
+FROM tot
+""",
+    description=(
+        "[EXT] exact average precision (step-wise area under the PR "
+        "curve, the sklearn AP definition): AP = sum over descending "
+        "thresholds of delta-recall x precision, computed on the same "
+        "cent-grid histogram as ml_pr_curve_topf1 (bounded by the "
+        "value RANGE, not rows) — the single-number PR summary that "
+        "completes the shelf alongside exact ROC-AUC. Exactness: each "
+        "term is (delta-tp x 1e6), an exact int, times one "
+        "correctly-rounded precision division, floored onto the 1e-6 "
+        "grid BEFORE the int64 sum, so the total is order-independent "
+        "(float accumulation over thresholds would not be); one "
+        "division by pp at the end. Same scored-rows-only semantics "
+        "as the PR curve (NULL scores excluded, documented there)."
+    ),
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wprev = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        F.sum("p").over(w).cast("long").alias("tp"),
+        F.sum("n").over(w).cast("long").alias("fp"),
+        F.coalesce(F.sum("p").over(wprev), F.lit(0))
+        .cast("long")
+        .alias("tp_prev"),
+    )
+    term = F.floor(
+        ((F.col("tp") - F.col("tp_prev")) * 1_000_000)
+        * (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")))
+    ).cast("long")
+    ap_scaled = cum.agg(F.sum(term).alias("t"))
+    pp = hist.agg(F.sum("p").cast("long").alias("pp"))
+    nthr = hist.agg(F.count(F.lit(1)).cast("long").alias("n_thresholds"))
+    return (
+        pp.crossJoin(F.broadcast(nthr))
+        .crossJoin(F.broadcast(ap_scaled))
+        .select(
+            "pp",
+            "n_thresholds",
+            (
+                F.col("t").cast("double") / 1_000_000.0 / F.col("pp")
+            ).alias("average_precision"),
+        )
+    )

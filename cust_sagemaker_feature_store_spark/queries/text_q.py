@@ -2343,3 +2343,97 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight",
         )
     )
+
+
+DEDUP_EVAL_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_candidate_quality",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+allp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT p.doc_a, p.doc_b
+  FROM allp p
+  JOIN sz sa ON sa.doc_id = p.doc_a
+  JOIN sz sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.i AS DOUBLE) / (sa.n + sb.n - p.i) >= {DEDUP_EVAL_THRESHOLD}
+),
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         / (SELECT COUNT(*) FROM cand) AS precision,
+       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall
+FROM (SELECT 1)
+""",
+    description=(
+        "[EXT] dedup-pipeline EVALUATION: precision and recall of the "
+        "MinHash band candidate generator against exact ground truth "
+        "(word-3-gram Jaccard >= 0.8 over all shingle-sharing pairs) — "
+        "the report that validates an LSH configuration before it "
+        "gates a 100 TB dedup pass. The exact truth set is the "
+        "expensive side (all sharing pairs); in production this "
+        "harness runs on a SAMPLE — here the fixture corpus is the "
+        "sample, and the deterministic md5 signatures make both "
+        "numbers hash-pinnable rather than probabilistic claims. "
+        "Pairs with the threshold sweep (which assumes the candidates) "
+        "by measuring the candidates themselves."
+    ),
+)
+def dedup_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = D.jaccard_pairs(docs, threshold=DEDUP_EVAL_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2).select(
+        "doc_a", "doc_b"
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "precision"
+            ),
+            (F.col("n_hits").cast("double") / F.col("n_true_pairs")).alias(
+                "recall"
+            ),
+        )
+    )
