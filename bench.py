@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "pipeline_curate_v3",
     "ml_average_precision",
     "dedup_candidate_quality",
+    "fs_asof_join_composite",
+    "graph_link_prediction",
 ]
 
 

@@ -1432,3 +1432,89 @@ def fs_feature_vector_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in FV_TYPES
         ]
     )
+
+
+@register(
+    "fs_asof_join_composite",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, event_type, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), h AS (
+  SELECT user_id, 'purchase' AS event_type, event_id AS prior_id,
+         ts AS prior_ts, value AS prior_value
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts,
+         h.prior_id, h.prior_ts, h.prior_value,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY h.prior_ts DESC NULLS LAST, h.prior_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN h
+    ON p.user_id = h.user_id AND p.event_type = h.event_type
+   AND h.prior_ts < p.purchase_ts
+)
+SELECT purchase_id, user_id,
+       {sql_iso('purchase_ts')} AS purchase_time,
+       CAST(prior_id AS DOUBLE) AS prior_id,
+       {sql_iso('prior_ts')} AS prior_time, prior_value
+FROM j WHERE rn = 1
+""",
+    description=(
+        "[EXT] COMPOSITE-KEY as-of join — the multi-key form of the "
+        "point-in-time family the single-key queries leave "
+        "unevidenced: each purchase fetches the same user's STRICTLY "
+        "previous purchase, keyed on (user_id, event_type), i.e. the "
+        "previous-order features a repeat-purchase model needs. "
+        "Strict inequality (prior_ts < probe_ts, not <=) keeps the "
+        "probe row from matching itself through the shared-table "
+        "self-join. Same join-then-rank WindowGroupLimit plan, keys "
+        "hashed together — N-column entity keys cost the same one "
+        "co-partitioned join."
+    ),
+)
+def fs_asof_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    probe = purch.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "event_type",
+        F.col("ts").alias("purchase_ts"),
+    )
+    # shift the probe time by -1µs to express the STRICT "previous
+    # row" bound through the operator's <= predicate (µs-integer
+    # timestamps make the shift exact)
+    probe_shifted = probe.withColumn(
+        "__probe_ts",
+        F.timestamp_micros(F.unix_micros("purchase_ts") - 1),
+    )
+    feats = purch.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("prior_id"),
+        F.col("ts").alias("prior_ts"),
+        F.col("value").alias("prior_value"),
+    )
+    joined = asof_join(
+        probe_shifted,
+        feats,
+        on=["user_id", "event_type"],
+        probe_time="__probe_ts",
+        feature_time="prior_ts",
+        how="left",
+        tie_breaker="prior_id",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        # DOUBLE, not BIGINT: nullable ints round-trip pandas as
+        # float64 on the oracle side (fs_training_set_multi precedent)
+        F.col("prior_id").cast("double").alias("prior_id"),
+        iso("prior_ts").alias("prior_time"),
+        "prior_value",
+    )

@@ -580,3 +580,112 @@ def graph_closeness_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("closeness"),
     )
+
+
+LINKPRED_TOP = 20
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+WITH p AS (
+  SELECT a.l_partkey AS s, b.l_partkey AS d,
+         COUNT(DISTINCT a.l_orderkey) AS sup
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT s, d FROM p WHERE sup >= 2),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+w AS (
+  SELECT e1.s AS a, e2.d AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM e e1 JOIN e e2 ON e1.d = e2.s AND e1.s < e2.d
+  GROUP BY 1, 2
+),
+nl AS (
+  SELECT w.a, w.b, w.cn FROM w
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = w.a AND e.d = w.b)
+)
+SELECT nl.a AS part_a, nl.b AS part_b, nl.cn AS common_neighbors,
+       da.dg AS degree_a, db.dg AS degree_b,
+       CAST(nl.cn AS DOUBLE) / (da.dg + db.dg - nl.cn) AS jaccard
+FROM nl
+JOIN deg da ON da.s = nl.a
+JOIN deg db ON db.s = nl.b
+ORDER BY jaccard DESC, part_a, part_b
+LIMIT {LINKPRED_TOP}
+""",
+    description=(
+        "[EXT] neighborhood-Jaccard link prediction (Liben-Nowell & "
+        "Kleinberg 2003) on the SUPPORT-FILTERED co-purchase graph: "
+        "edges only between parts co-purchased in >= 2 distinct "
+        "orders — one-off basket noise is not a link, and the filter "
+        "is the scale lever: the raw graph is dense (mean degree "
+        "~120 at sf0.1, wedge cost ~288M — measured 139s), the "
+        "support-2 graph is sparse (max degree 6, wedge cost ~10k). "
+        "For every NON-adjacent 2-hop pair, score = |N(a) n N(b)| / "
+        "|N(a) u N(b)| from one wedge join + degree lookups, top-20 "
+        "by score with (a, b) tie-breaks — the 'bought together "
+        "next' recommender primitive complementing PPR's global "
+        "relevance. Counts exact ints, Jaccard one division, "
+        "candidates anti-joined against existing edges (prediction "
+        "means NEW links). Support counting is bounded by basket "
+        "size squared per order, the association-rules shape."
+    ),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    sup = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("__sup"))
+    )
+    e = sup.filter(F.col("__sup") >= 2).select("src", "dst")
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.src"))
+            & (F.col("e1.src") < F.col("e2.dst")),
+        )
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.dst").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    new_links = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        new_links.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("dg", "da")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("dg", "db")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.col("da").alias("degree_a"),
+            F.col("db").alias("degree_b"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.asc("part_a"), F.asc("part_b")
+    ).limit(LINKPRED_TOP)
