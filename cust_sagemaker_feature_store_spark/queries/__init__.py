@@ -194,14 +194,17 @@ _R6_DRIVER_GREEN = [
     #     adds Lloyd-trained PQ sub-codebook injection to ivfpq_topk
     #     (r6 verdict next-round #3), changing the operator body both
     #     queries flow through.
-    "range_join_keyless_nearby", "graph_pagerank_parts",
+    # graph_pagerank_parts / graph_pagerank_deep REMOVED (r10 extends
+    # cooccurrence_edges with the with_support branch; evidence for
+    # every caller rotates per the ANY-operator-change policy).
+    "range_join_keyless_nearby",
     "fs_feature_vector_pivot", "join_full_outer_distress",
     "ml_calibration_bins", "events_type_transitions",
     "events_dense_spine", "events_running_distinct_users",
     "events_sliding_2h_hourly", "events_inter_arrival_stats",
     "events_rfm_segments", "text_char_diversity",
     "sample_weighted_docs", "text_inverted_index", "text_word_dropout",
-    "graph_pagerank_deep", "fn_array_surface", "window_first_last_nth",
+    "fn_array_surface", "window_first_last_nth",
     "agg_mode_value", "fn_map_surface", "fn_datetime_surface",
     "ml_ks_test", "ml_gini_stump", "dq_benford_digits",
     "dq_referential_orphans", "dq_uniqueness_keys",
@@ -238,7 +241,9 @@ _R7_DRIVER_GREEN = [
     "sim_pca_power_floor", "sim_ivfpq_recall_floor",
     "sim_ivfpq_lloyd_recall_floor", "stream_interval_join_twin",
     "stream_session_window_twin", "dedup_cluster_size_histogram",
-    "graph_bfs_depths", "graph_sssp_weighted", "graph_closeness_seeds",
+    # graph_bfs_depths / graph_closeness_seeds REMOVED (same r10
+    # cooccurrence_edges rotation as the pagerank pair above).
+    "graph_sssp_weighted",
     "sim_ivf_nprobe_sweep", "ml_association_rules",
     "ml_ab_test_proportions", "fs_training_set_pit", "ml_brier_score",
     "events_dau_wau_stickiness", "agg_exact_moments_by_flag",
@@ -269,16 +274,43 @@ _R8_DRIVER_GREEN = [
     # already listed in the earlier lists and are omitted here.
 ]
 
-# ROUND-10 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r09.json's green rows into an _R9_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r10 changes), then
-# retarget _WINDOW_PRIORITY at whatever r10 invalidates.
-_WINDOW_PRIORITY = [
-    # r8-green queries whose implementations r9 touches (ADVICE r8
-    # fixes — see the exclusion note in _R8_DRIVER_GREEN): re-prove
-    # them before anything else.
-    "graph_kcore_floor", "sim_ivfpq_trained_codebook_floor",
+_R9_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r09.json (50/50 green, 0 errors)
+    # earned by code unchanged in r10. Excluded on purpose:
+    #   graph_link_prediction — r10 caps its support self-join via
+    #     cooccurrence_edges(with_support=True) (the r9 verdict's one
+    #     `weak` finding), so the r9 evidence rotates per policy;
+    #   graph_kcore_floor / graph_ppr_seeds — r10 extends the
+    #     cooccurrence_edges operator they call (with_support branch),
+    #     rotating every caller per the ANY-operator-change policy.
+    "sim_ivfpq_trained_codebook_floor",
     "ml_pr_curve_topf1",
+    "fs_training_set_multi", "fs_asof_join_composite",
+    "join_interval_overlap", "sample_group_split_audit",
+    "ml_negative_sampling", "text_boilerplate_lines",
+    "text_strip_boilerplate", "dedup_threshold_sweep",
+    "dedup_loss_weights", "text_repeated_spans", "pipeline_curate_v3",
+    "dedup_candidate_quality", "retrieval_rrf_fusion",
+    "sim_ivf_kmeanspar_recall_floor", "sim_matryoshka_recall",
+    "udf_multimodal_bmp", "agg_count_min_sketch", "fn_luhn_check_digit",
+    "stream_count_min_twin", "dq_functional_dependency",
+    "events_theil_sen_daily", "ml_pinball_loss", "ml_average_precision",
+    # r1–r8 re-verifications also green in r09 (the fs_* family, ...)
+    # are already listed in the earlier lists and are omitted here.
+]
+
+# ROUND-11 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r10.json's green rows into an _R10_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r11 changes), then
+# retarget _WINDOW_PRIORITY at whatever r11 invalidates.
+_WINDOW_PRIORITY = [
+    # Queries whose implementations r10 touches (the support self-join
+    # cap + the cooccurrence_edges with_support extension — see the
+    # exclusion notes in _R9_DRIVER_GREEN and the r7 list): re-prove
+    # them before anything else.
+    "graph_link_prediction", "graph_kcore_floor", "graph_ppr_seeds",
+    "graph_pagerank_parts", "graph_pagerank_deep", "graph_bfs_depths",
+    "graph_closeness_seeds",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
@@ -297,6 +329,7 @@ def _reorder_registry() -> None:
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
         | set(_R5_DRIVER_GREEN) | set(_R6_DRIVER_GREEN)
         | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
+        | set(_R9_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]

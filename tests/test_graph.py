@@ -91,6 +91,52 @@ def test_cooccurrence_cap_bounds_hot_group_quadratic(spark):
         G.cooccurrence_edges(df, "g", "item", max_items_per_group=1)
 
 
+def test_cooccurrence_support_counts_distinct_groups_and_caps(spark):
+    """with_support=True (the r9-verdict fix for link prediction's
+    uncapped support self-join): support = DISTINCT co-occurring
+    groups — duplicate rows inside one group must not inflate it —
+    and the per-group dense_rank cap bounds the planted hot basket
+    exactly as the edge form does."""
+    import pytest
+    from pyspark.sql import Row
+
+    rows = [
+        # pair (10, 11) co-occurs in groups 1 and 2; group 1 lists
+        # item 11 twice (dup rows must not inflate support)
+        Row(g=1, item=10), Row(g=1, item=11), Row(g=1, item=11),
+        Row(g=2, item=10), Row(g=2, item=11),
+        # (10, 12) co-occurs only in group 2
+        Row(g=2, item=12),
+    ]
+    sup = {
+        (r["src"], r["dst"]): r["support"]
+        for r in G.cooccurrence_edges(
+            spark.createDataFrame(rows), "g", "item", with_support=True
+        ).collect()
+    }
+    assert sup[(10, 11)] == 2 and sup[(11, 10)] == 2
+    assert sup[(10, 12)] == 1 and sup[(12, 11)] == 1
+    assert {(b, a) for (a, b) in sup} == set(sup), "support edges symmetric"
+
+    # planted hot basket: 40 items in one group, cap=10 -> only the
+    # first 10 ascending items pair up (10*9 directed pairs), so the
+    # support stage is bounded by cap² per group, never basket².
+    hot = [Row(g=1, item=i) for i in range(40)]
+    capped = G.cooccurrence_edges(
+        spark.createDataFrame(hot), "g", "item",
+        max_items_per_group=10, with_support=True,
+    ).collect()
+    assert len(capped) == 10 * 9
+    assert all(r["support"] == 1 for r in capped)
+    assert max(max(r["src"], r["dst"]) for r in capped) == 9
+
+    with pytest.raises(ValueError, match="at least one pair"):
+        G.cooccurrence_edges(
+            spark.createDataFrame(hot), "g", "item",
+            max_items_per_group=1, with_support=True,
+        )
+
+
 def test_semantic_dedup_prunes_within_cluster_only(spark):
     """Near-identical vectors in the same cluster: higher id dropped.
     Near-identical vectors in different clusters: both kept (the
