@@ -2437,3 +2437,86 @@ def dedup_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- BPE merge training (the tokenizer-learning rung) --------------------
+
+BPE_ROUNDS = 12
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled per-round CTE twin of operators/bpe.train_merges (the
+    graph_pagerank_parts pattern): each round re-states pair counting,
+    the deterministic argmax, the gaps-and-islands greedy selection,
+    and the merge application in DuckDB SQL."""
+    ctes = [
+        """words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents) WHERE word <> '' GROUP BY 1),
+s0 AS MATERIALIZED (
+  SELECT word, cnt, CAST(generate_subscripts(syms, 1) AS BIGINT) AS pos,
+         unnest(syms) AS sym
+  FROM (SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS syms
+        FROM words))"""
+    ]
+    for i in range(rounds):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT word, cnt, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s{i}),
+b{i} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2
+  ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+m{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS k
+    FROM (SELECT p.word, p.pos,
+                 p.pos - ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos) AS grp
+          FROM p{i} p, b{i} b WHERE p.sym = b.a AND p.nxt = b.b))
+  WHERE k % 2 = 1),
+s{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         CASE WHEN hit THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT p.word, p.cnt, p.pos, p.sym, p.nxt, m.pos IS NOT NULL AS hit
+        FROM p{i} p LEFT JOIN m{i} m USING (word, pos)
+        WHERE NOT EXISTS (SELECT 1 FROM m{i} mm
+                          WHERE mm.word = p.word AND mm.pos = p.pos - 1)))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_round, a AS lhs, b AS rhs,"
+        f" a || b AS merged, pc AS pair_count FROM b{i}"
+        for i in range(rounds)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({union}) ORDER BY merge_round"
+    )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(BPE_ROUNDS),
+    description=(
+        "[EXT] distributed BPE merge training (Sennrich 2016) over the "
+        "documents corpus: collapse the corpus to exact word counts "
+        "(the only corpus-sized shuffle), symbolize to characters + "
+        "'</w>', then 12 rounds of (pair count -> deterministic argmax "
+        "-> greedy left-to-right merge via gaps-and-islands odd-rank "
+        "selection). Every round is vocabulary-sized relational "
+        "algebra — windows + one aggregate — so training cost is "
+        "independent of corpus size at 100 TB; the plan stays linear "
+        "via one lazy localCheckpoint per round (the Bellman-Ford "
+        "rule), one action end-to-end. Counts are exact int64; the "
+        "unit suite pins the trainer against a pure-Python greedy "
+        "reference on the classic low/lower/newest corpus including "
+        "the overlapping-run (a,a) case."
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    syms = B.initial_symbols(B.word_counts(docs))
+    return B.train_merges(syms, rounds=BPE_ROUNDS).orderBy("merge_round")
