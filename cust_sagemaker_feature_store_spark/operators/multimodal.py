@@ -3,10 +3,12 @@
 Images/audio/video are opaque `binary` columns with a typed metadata
 struct; all Spark-side plumbing — schema, partition-preserving
 mapInPandas, Arrow batch shapes — is real and tested. The codec layer
-has one REAL path with zero dependencies: uncompressed 24-bit BMP
+has two REAL paths with zero dependencies: uncompressed 24-bit BMP
 (`encode_bmp`/`decode_bmp`, pure numpy + struct — header parse, row
-padding, both row orders), which `decode_media` dispatches on the BM
-magic. Compressed formats (JPEG/PNG/audio/video) still need
+padding, both row orders) and 8-bit truecolor PNG
+(`encode_png`/`decode_png`, stdlib zlib + all five RFC 2083 scanline
+filters), which `decode_media` dispatches on the BM / \\x89PNG magics.
+Remaining compressed formats (JPEG/audio/video) still need
 PIL/libsndfile/ffmpeg, absent in this container: for those,
 `decode_media(..., strict=True)` raises NotImplementedError at the
 exact hook point, and strict=False falls back to a clearly-marked
@@ -134,24 +136,187 @@ def decode_bmp(content: bytes):
     return px.copy()
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels, row_filters=None) -> bytes:
+    """Minimal truecolor 8-bit PNG writer from an (H, W, 3) or
+    (H, W, 4) uint8 array — pure stdlib zlib + struct + numpy; the
+    format is public (RFC 2083). `row_filters` optionally assigns a
+    PNG filter type (0=None 1=Sub 2=Up 3=Average 4=Paeth) to each
+    scanline so fixtures can exercise every de-filter path; default is
+    filter 0 everywhere."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects an (H, W, 3|4) uint8 array")
+    h, w, ch = px.shape
+    if row_filters is None:
+        row_filters = [0] * h
+    if len(row_filters) != h:
+        raise ValueError("row_filters must have one entry per scanline")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    raw = px.astype(np.int16)
+    prev = np.zeros((w, ch), dtype=np.int16)
+    scanlines = bytearray()
+    for y in range(h):
+        row = raw[y]
+        f = int(row_filters[y])
+        left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (left + prev) // 2
+        elif f == 4:  # Paeth
+            ul = np.vstack([np.zeros((1, ch), np.int16), prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        scanlines.append(f)
+        scanlines.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes):
+    """Real pure-stdlib PNG decoder for truecolor 8-bit images (color
+    type 2 = RGB, 6 = RGBA), non-interlaced: chunk walk, zlib inflate,
+    and all five scanline de-filters (None/Sub/Up/Average/Paeth, RFC
+    2083 §6) reconstructed row-by-row in numpy with the sequential
+    Sub/Average/Paeth carry done per pixel. Returns an (H, W, 3|4)
+    uint8 array. Raises ValueError on non-PNG/corrupt bytes and
+    NotImplementedError on palette/gray/16-bit/interlaced PNGs — the
+    gate that remains for formats needing a real codec library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(content) < 8 or content[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length  # length + tag + payload + crc
+    if ihdr is None or not seen_end or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth {depth} / color type {color} / interlace "
+            f"{interlace} needs a real codec library; only 8-bit "
+            "truecolor (2, 6) non-interlaced decodes here"
+        )
+    ch = 3 if color == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).reshape(w, ch).astype(np.int32)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth carry left-to-right
+            rec = np.zeros((w, ch), dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = prev[x]
+                ul = prev[x - 1] if x > 0 else np.zeros(ch, np.int32)
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = (
+                        np.abs(p - left), np.abs(p - up), np.abs(p - ul),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up, ul),
+                    )
+                left = (row[x] + pred) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"invalid PNG filter byte {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
 def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]:
-    """The codec hook. Uncompressed 24-bit BMP images decode FOR REAL
-    (pure-numpy `decode_bmp`): the feature vector is [width, height,
-    mean_r, mean_g, mean_b] with exact int sums and one division each.
+    """The codec hook. Uncompressed 24-bit BMP and 8-bit truecolor PNG
+    images decode FOR REAL (pure-numpy `decode_bmp` / stdlib-zlib
+    `decode_png`): the feature vector is [width, height, mean_r,
+    mean_g, mean_b] with exact int sums and one division each (PNG
+    alpha, when present, is ignored for the shared 5-float shape).
     Everything else still needs PIL/libsndfile/ffmpeg, absent in this
     container: strict=True raises for those formats; strict=False falls
     back to the deterministic fake."""
-    if kind == "image" and content and content[:2] == b"BM" and len(content) >= 54:
-        px = decode_bmp(content)
+    px = None
+    if kind == "image" and content:
+        if content[:2] == b"BM" and len(content) >= 54:
+            px = decode_bmp(content)
+        elif content[:8] == PNG_SIGNATURE:
+            px = decode_png(content)
+    if px is not None:
         h, w = px.shape[:2]
-        sums = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+        sums = px[:, :, :3].reshape(-1, 3).sum(axis=0, dtype="int64")
         n = h * w
         return [float(w), float(h)] + [float(int(s)) / n for s in sums]
     if strict:
         raise NotImplementedError(
-            "real media decoding beyond uncompressed BMP requires "
-            "PIL/libsndfile/ffmpeg, not present in this environment; "
-            "wire the codec here"
+            "real media decoding beyond uncompressed BMP and 8-bit "
+            "truecolor PNG requires PIL/libsndfile/ffmpeg, not present "
+            "in this environment; wire the codec here"
         )
     return fake_decode_features(content)
 

@@ -919,3 +919,111 @@ def stream_count_min_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_min_counters(
         ev, "user_id", CMS_A, CMS_B, CMS_PRIME, CMS_WIDTH
     )
+
+
+_PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "udf_multimodal_png",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 9 AS BIGINT) AS width,
+         CAST(1 + doc_id % 6 AS BIGINT) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, x.x AS x, y.y AS y
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+)
+SELECT media_id, width, height,
+       CAST(SUM((media_id + 5 * x + 2 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((3 * media_id + x + 4 * y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((2 * media_id + 6 * x + y) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM((media_id + 5 * x + 2 * y) % 256) AS DOUBLE)
+         / (width * height) AS mean_r,
+       CAST(SUM((3 * media_id + x + 4 * y) % 256) AS DOUBLE)
+         / (width * height) AS mean_g,
+       CAST(SUM((2 * media_id + 6 * x + y) % 256) AS DOUBLE)
+         / (width * height) AS mean_b
+FROM px GROUP BY 1, 2, 3
+""",
+    description=(
+        "[EXT] REAL PNG decode path, oracle-pinned (the second de-gated "
+        "codec rung, r9 verdict next-round #4): per document a "
+        "deterministic raster (width 1+id%9, height 1+id%6, channels "
+        "closed-form in (id, x, y)) is ENCODED as an 8-bit truecolor "
+        "PNG with the scanline filter VARYING per row ((id + y) % 5, "
+        "so every de-filter path — None/Sub/Up/Average/Paeth — is on "
+        "the hot path) and decoded back by the stdlib-zlib decode_png "
+        "inside mapInPandas. The oracle never sees PNG bytes: it "
+        "recomputes the channel sums straight from the pixel rule, so "
+        "any inflate/de-filter/carry bug breaks the hash. Narrow "
+        "per-row transform, no shuffle."
+    ),
+)
+def udf_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 1 + mid % 9, 1 + mid % 6
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (mid + 5 * x + 2 * y) % 256,
+                        (3 * mid + x + 4 * y) % 256,
+                        (2 * mid + 6 * x + y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                blob = encode_png(
+                    px, row_filters=[(mid + yy) % 5 for yy in range(h)]
+                )
+                dec = decode_png(blob)  # the REAL decode under test
+                sums = dec.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = dec.shape[0] * dec.shape[1]
+                rows.append(
+                    (
+                        mid, dec.shape[1], dec.shape[0],
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        float(int(sums[0])) / n,
+                        float(int(sums[1])) / n,
+                        float(int(sums[2])) / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_PNG_FEATURES_SCHEMA)

@@ -341,3 +341,78 @@ def test_decode_media_dispatches_bmp_for_real():
     with pytest.raises(NotImplementedError, match="BMP"):
         decode_media(blob, "image", strict=True)
     assert decode_media(blob, "image") == fake_decode_features(blob)
+
+
+def test_png_codec_round_trips_every_filter():
+    """encode_png/decode_png: bit-exact round trip for RGB and RGBA
+    across all five scanline filters (RFC 2083 §6) and mixed per-row
+    filters — the sequential Sub/Average/Paeth carries are the part a
+    vectorization bug would silently corrupt."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for ch in (3, 4):
+        px = rng.randint(0, 256, size=(9, 5, ch)).astype(np.uint8)
+        for filters in [None] + [[f] * 9 for f in range(5)] + [
+            [(y * 3 + 1) % 5 for y in range(9)]
+        ]:
+            dec = decode_png(encode_png(px, row_filters=filters))
+            assert dec.shape == px.shape
+            assert np.array_equal(dec, px), (ch, filters)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM not a png")
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(encode_png(px)[:-6])  # IEND header cut mid-chunk
+    with pytest.raises(ValueError, match="row_filters"):
+        encode_png(px, row_filters=[0])
+
+
+def test_png_decoder_gates_unsupported_color_types():
+    """Palette/gray/16-bit/interlaced PNGs hit the documented
+    NotImplementedError gate, not a wrong decode."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(encode_png(px))
+    # IHDR payload starts at offset 16; color type is its 10th byte
+    struct.pack_into("B", blob, 16 + 9, 3)  # palette
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_png(bytes(blob))
+
+
+def test_decode_media_dispatches_png_for_real():
+    """decode_media: real PNG bytes produce the same [w, h, channel
+    means] feature shape as BMP, alpha ignored for RGBA, strict=True
+    included."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    px = np.array(
+        [[[10, 20, 30, 255], [40, 50, 60, 0]],
+         [[70, 80, 90, 128], [100, 110, 120, 7]]],
+        dtype=np.uint8,
+    )
+    feats = decode_media(
+        encode_png(px, row_filters=[4, 1]), "image", strict=True
+    )
+    means = px[:, :, :3].reshape(-1, 3).mean(axis=0)
+    assert feats[:2] == [2.0, 2.0]
+    assert feats[2:] == [float(m) for m in means]
