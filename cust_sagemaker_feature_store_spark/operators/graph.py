@@ -551,3 +551,57 @@ def bfs_depths_multi(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return known
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007): every node starts as its own integer label;
+    each round it adopts the MOST FREQUENT label among its neighbors,
+    ties broken by the smallest label — both rules integer-exact, so a
+    fixed round count is bit-reproducible and oracle-pinnable (the
+    asynchronous/randomized variants of the paper are not). Nodes
+    without in-edges keep their previous label.
+
+    One shuffle per round (neighbor-vote aggregate + argmax window on
+    the same key). Each round reads the previous label frame twice
+    (votes + keep-label fallback), which would double the logical plan
+    per round — a LAZY localCheckpoint per round keeps the plan linear
+    while the whole run stays ONE action (the measured Bellman-Ford
+    rule; see bpe.train_merges)."""
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    nodes = edges.select(F.col(src).alias("node")).distinct()
+    labels = nodes.select(
+        "node", F.col("node").cast("long").alias("label")
+    ).localCheckpoint(eager=False)
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "__d"), "__d")
+            .groupBy(F.col("__s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        wv = Window.partitionBy("node").orderBy(
+            F.desc("__c"), F.asc("label")
+        )
+        won = (
+            votes.withColumn("__rn", F.row_number().over(wv))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(won, "node", "left")
+            .select(
+                "node",
+                F.coalesce("__new", "label").cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

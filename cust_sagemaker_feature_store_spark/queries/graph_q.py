@@ -683,3 +683,72 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard"), F.asc("part_a"), F.asc("part_b")
     ).limit(LINKPRED_TOP)
+
+
+LPA_ROUNDS = 5
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled per-round CTE twin of operators/graph.label_propagation:
+    same most-frequent-neighbor-label rule with (count DESC, label ASC)
+    tie-break, same keep-label fallback. MATERIALIZED because each
+    round reads the previous one twice (votes + fallback) — inlined,
+    the plan would double per round."""
+    parts = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM e),
+l0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS label FROM nodes)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.s AS node, l.label,
+           ROW_NUMBER() OVER (PARTITION BY e.s
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM e JOIN l{t - 1} l ON l.node = e.d
+    GROUP BY e.s, l.label)
+  WHERE rn = 1
+),
+l{t} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(w.label, p.label) AS BIGINT) AS label
+  FROM nodes n
+  LEFT JOIN w{t} w ON w.node = n.node
+  JOIN l{t - 1} p ON p.node = n.node
+)""")
+    parts.append(f"""
+SELECT node AS part_key, label AS community FROM l{rounds}
+ORDER BY part_key""")
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(LPA_ROUNDS),
+    description=(
+        "[EXT] synchronous label-propagation community detection "
+        "(Raghavan 2007) over the part co-purchase graph, 5 fixed "
+        "rounds: every node starts as its own label and adopts its "
+        "neighbors' most frequent label, ties to the smallest — both "
+        "rules integer-exact, so the run is bit-reproducible and the "
+        "oracle unrolls all 5 rounds as chained CTEs (the pagerank "
+        "pattern). One shuffle per round; the previous label frame is "
+        "read twice per round (votes + keep-label fallback), so a "
+        "lazy localCheckpoint per round keeps the plan linear in one "
+        "action. Communities come out as per-node label assignments — "
+        "the curation use is domain grouping for stratified sampling "
+        "alongside the dedup connected components."
+    ),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    labels = G.label_propagation(edges, rounds=LPA_ROUNDS)
+    return labels.select(
+        F.col("node").alias("part_key"), F.col("label").alias("community")
+    ).orderBy("part_key")

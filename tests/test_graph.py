@@ -476,3 +476,51 @@ def test_ppr_seed_validation(spark):
         G.ppr_integer(
             e, spark.createDataFrame([Row(node=99)]), iterations=1
         )
+
+
+def test_label_propagation_matches_synchronous_reference(spark):
+    """Two triangles bridged by one edge: communities must converge to
+    the min label of each triangle, the bridge endpoints pulled by
+    their own triangle's majority. Pinned against a pure-Python
+    synchronous reference (most-frequent neighbor label, ties to the
+    smallest, keep-label fallback) — the same rule the DuckDB oracle
+    unrolls."""
+    import pytest
+    from pyspark.sql import Row
+
+    und = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+    def ref(pairs, rounds):
+        from collections import Counter, defaultdict
+
+        nbrs = defaultdict(list)
+        for a, b in pairs:
+            nbrs[a].append(b)
+        labels = {n: n for n in nbrs}
+        for _ in range(rounds):
+            nxt = {}
+            for n in labels:
+                votes = Counter(labels[m] for m in nbrs[n])
+                top = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = top[0]
+            labels = nxt
+        return labels
+
+    for rounds in (1, 3, 5):
+        got = {
+            r["node"]: r["label"]
+            for r in G.label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == ref(pairs, rounds), rounds
+    # converged state: triangle 1 holds its min label; triangle 2 is
+    # invaded through the bridge by node 2's label (node 10's round-1
+    # vote ties {11, 12, 2} and the smallest wins), so the two
+    # communities end up distinct but triangle 2's label is 2, not 10
+    final = ref(pairs, 5)
+    assert {final[0], final[1], final[2]} == {0}
+    assert final[10] == final[11] == final[12] == 2
+
+    with pytest.raises(ValueError, match="rounds"):
+        G.label_propagation(edges, rounds=0)
