@@ -1599,3 +1599,92 @@ def stream_session_window_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+ASOF_STALENESS_HOURS = 6
+
+
+@register(
+    "stream_asof_twin",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, ts AS feature_ts, value AS feature_value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), snap AS (
+  SELECT user_id, feature_ts, feature_value FROM c WHERE rn = 1
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.*, s.feature_ts, s.feature_value,
+         COALESCE(s.feature_ts <= p.purchase_ts
+                  AND s.feature_ts >= p.purchase_ts
+                      - INTERVAL {ASOF_STALENESS_HOURS} HOUR,
+                  FALSE) AS fresh
+  FROM p LEFT JOIN snap s USING (user_id)
+)
+SELECT purchase_id, user_id,
+       {sql_iso('purchase_ts')} AS purchase_time, purchase_value,
+       CASE WHEN fresh THEN {sql_iso('feature_ts')} END AS feature_time,
+       CASE WHEN fresh THEN feature_value END AS feature_value,
+       fresh
+FROM j
+""",
+    description=(
+        "[EXT] batch twin of the streaming AS-OF snapshot probe "
+        "(streaming/joins.enrich_asof_snapshot): every purchase event "
+        "probes the ONLINE latest-click snapshot with a 6-hour "
+        "staleness budget — the streaming composition of "
+        "latest-per-key (A1) and the tolerance as-of join, i.e. what "
+        "a live serving path does instead of a full history as-of. "
+        "Features that are future-relative-to-the-event (replay "
+        "artifact) or older than the budget come through as NULLs "
+        "with fresh=false, pinning the default-application contract. "
+        "Runs the STREAMING operator's function on batch frames; the "
+        "broadcast stream-static probe is narrow (no state store, no "
+        "shuffle), and checkpoint-restart equivalence is pinned by "
+        "tests/test_streaming.py::test_stream_asof_enrich_restart_"
+        "matches_batch."
+    ),
+)
+def stream_asof_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.latest import latest_snapshot_window
+    from ..streaming.joins import enrich_asof_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    snap = latest_snapshot_window(
+        ev.filter(F.col("event_type") == "click"),
+        "user_id",
+        "ts",
+        tie_breaker="event_id",
+    ).select(
+        "user_id",
+        F.col("ts").alias("feature_ts"),
+        F.col("value").alias("feature_value"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = enrich_asof_snapshot(
+        probes,
+        snap,
+        on="user_id",
+        event_ts="purchase_ts",
+        feature_ts="feature_ts",
+        staleness=f"{ASOF_STALENESS_HOURS} hours",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        iso("purchase_ts").alias("purchase_time"),
+        "purchase_value",
+        iso("feature_ts").alias("feature_time"),
+        "feature_value",
+        "fresh",
+    )

@@ -135,3 +135,50 @@ def event_followups(
         "next_type",
         "next_ts",
     )
+
+
+def enrich_asof_snapshot(
+    stream: DataFrame,
+    snapshot: DataFrame,
+    on: str = "user_id",
+    event_ts: str = "ts",
+    feature_ts: str = "feature_ts",
+    feature_cols: list[str] | None = None,
+    staleness: str = "6 hours",
+) -> DataFrame:
+    """Stream-static AS-OF probe with a staleness budget — the
+    streaming form of the tolerance as-of join (operators/asof.py),
+    probing the ONLINE snapshot (one latest row per key, the
+    core/online.py layout) instead of the full feature history.
+
+    Per event: the snapshot's feature row for the key is attached only
+    when it is usable as-of the event — feature_ts <= event_ts (replay
+    can see "future" features; live serving cannot) AND event_ts −
+    feature_ts <= `staleness` (the budget: features older than the
+    budget are worse than no features for training parity). Unusable
+    or missing features come through as NULLs with `fresh` = false, so
+    the serving layer applies defaults explicitly.
+
+    Scale/streaming shape: the snapshot side is keys x features (not
+    history) and broadcast, so the probe is a narrow per-row transform
+    — no state store, no shuffle, append-mode safe; Structured
+    Streaming re-plans the static side each micro-batch, picking up
+    concurrent online upserts at trigger boundaries. A checkpoint
+    restart is stateless-exact (tests/test_streaming.py::
+    test_stream_asof_enrich_restart_matches_batch)."""
+    feats = snapshot if feature_cols is None else snapshot.select(
+        on, feature_ts, *feature_cols
+    )
+    fresh = (F.col(feature_ts) <= F.col(event_ts)) & (
+        F.col(feature_ts)
+        >= F.col(event_ts) - F.expr(f"INTERVAL {staleness}")
+    )
+    # pin `fresh` BEFORE nulling feature columns: the predicate reads
+    # feature_ts, which the nulling below replaces
+    out = stream.join(F.broadcast(feats), on, "left").withColumn(
+        "fresh", F.coalesce(fresh, F.lit(False))
+    )
+    for c in feats.columns:
+        if c != on:
+            out = out.withColumn(c, F.when(F.col("fresh"), F.col(c)))
+    return out

@@ -741,3 +741,84 @@ def test_streaming_count_min_counters_equal_batch(spark, tmp_path):
     )
     true_hot = sum(1 for _, u in rows if u == 3)
     assert est >= true_hot
+
+
+def test_stream_asof_enrich_restart_matches_batch(spark, tmp_path):
+    """The stream-static as-of snapshot probe is stateless, so a
+    checkpoint restart must reproduce EXACTLY the batch run — every
+    probe enriched once, fresh/stale/missing branches all present —
+    and rows arriving after the restart still probe the snapshot."""
+    from pyspark.sql import Row
+    from cust_sagemaker_feature_store_spark.streaming.joins import (
+        enrich_asof_snapshot,
+    )
+
+    snap = spark.createDataFrame(
+        [
+            Row(user_id=1, feature_ts="2024-01-01 10:00:00", feature_value=1.5),
+            Row(user_id=2, feature_ts="2024-01-01 00:00:00", feature_value=2.5),
+            Row(user_id=3, feature_ts="2024-01-02 00:00:00", feature_value=3.5),
+        ]
+    ).select(
+        "user_id",
+        F.col("feature_ts").cast("timestamp").alias("feature_ts"),
+        "feature_value",
+    )
+    d = tmp_path / "asof_in"
+    d.mkdir()
+    ckpt = str(tmp_path / "asof_ckpt")
+    header = "purchase_id,purchase_ts,user_id"
+    batches = [
+        [header,
+         "1,2024-01-01 12:00:00,1",   # fresh (2h old, within 6h)
+         "2,2024-01-01 12:00:00,2"],  # stale (12h old)
+        [header,
+         "3,2024-01-01 12:00:00,3",   # future feature -> not fresh
+         "4,2024-01-01 13:00:00,1",   # fresh, arrives AFTER restart
+         "5,2024-01-01 13:00:00,9"],  # no snapshot row
+    ]
+    schema = "purchase_id long, purchase_ts timestamp, user_id long"
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    for phase in (0, 1):
+        p = d / f"b{phase}.csv"
+        p.write_text("\n".join(batches[phase]) + "\n")
+        os.utime(p, (1_700_000_000 + phase * 60, 1_700_000_000 + phase * 60))
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(d), header=True)
+        )
+        q = (
+            enrich_asof_snapshot(
+                src, snap, on="user_id", event_ts="purchase_ts",
+                staleness="6 hours",
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    batch_src = spark.read.schema(schema).csv(str(d), header=True)
+    want = enrich_asof_snapshot(
+        batch_src, snap, on="user_id", event_ts="purchase_ts",
+        staleness="6 hours",
+    ).collect()
+    key = lambda r: (  # noqa: E731
+        r["purchase_id"], r["fresh"], r["feature_value"],
+    )
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    by_id = {r["purchase_id"]: r for r in got}
+    assert len(got) == 5 and len(by_id) == 5  # exactly once, incl. restart
+    assert by_id[1]["fresh"] and by_id[1]["feature_value"] == 1.5
+    assert not by_id[2]["fresh"] and by_id[2]["feature_value"] is None
+    assert not by_id[3]["fresh"]  # future-relative feature nulled
+    assert by_id[4]["fresh"]      # post-restart row still enriched
+    assert not by_id[5]["fresh"] and by_id[5]["feature_ts"] is None
