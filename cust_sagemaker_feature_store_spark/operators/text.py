@@ -466,3 +466,92 @@ def minhash_value(shingle: Column, seed: int) -> Column:
     if not 0 <= seed <= 3:
         raise ValueError("md5 yields 32 hex chars = 4 slices; seed must be 0..3")
     return F.substring(F.md5(shingle), 1 + 8 * seed, 8)
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    gram_tokens: int = 4,
+    max_occ: int = 16,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document longest-shared-span report — the ACTIONABLE
+    output of the Lee et al. 2021 exact-substring signal: for the
+    doc pairs sharing the longest verbatim token runs, how long is
+    the longest run and how many aligned windows do they share?
+    `repeated_span_coverage` scores each document's repeated mass;
+    this names the pairs, which is what a curation pass actually acts
+    on (drop/trim one side of the longest clones).
+
+    Method (gram-chain islands, no suffix array needed): overlapping
+    `gram_tokens`-token windows (same convention as
+    repeated_span_coverage, whole-doc window for short docs); two
+    documents' window occurrences of the SAME gram at starts (sa, sb)
+    lie on diagonal sa − sb, and a verbatim shared run of L windows is
+    exactly a maximal set of consecutive sa values on one diagonal —
+    the same gaps-and-islands selection the repo uses everywhere,
+    partitioned by (doc_a, doc_b, diagonal). Longest run of L windows
+    = L + gram_tokens − 1 shared tokens.
+
+    Scale guard: grams are joined only when their TOTAL occurrence
+    count is in [2, max_occ] — the self-join is bounded by max_occ²
+    pairs per gram, never all-pairs, and the dropped ubiquitous grams
+    are precisely the boilerplate the line-dedup tier already handles
+    (a run containing one such gram splits into two reported runs —
+    the documented cost of the bound). Per-doc work stays bounded by
+    document length."""
+    if gram_tokens < 1:
+        raise ValueError("gram_tokens must be >= 1")
+    if max_occ < 2:
+        raise ValueError("max_occ must be >= 2")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_win = F.greatest(n - F.lit(gram_tokens - 1), F.lit(1))
+    starts = F.sequence(F.lit(0), n_win - F.lit(1))
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(
+                    F.slice(toks, i + F.lit(1), gram_tokens), " "
+                ),
+            )
+        ).alias("start", "gram"),
+    )
+    bounded = (
+        wins.groupBy("gram")
+        .agg(F.count("*").alias("__occ"))
+        .filter((F.col("__occ") >= 2) & (F.col("__occ") <= max_occ))
+        .select("gram")
+    )
+    occ = wins.join(bounded, "gram", "left_semi")
+    a = occ.select(
+        "gram", F.col(id_col).alias("doc_a"), F.col("start").alias("sa")
+    )
+    b = occ.select(
+        "gram", F.col(id_col).alias("doc_b"), F.col("start").alias("sb")
+    )
+    pairs = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = pairs.select(
+        "doc_a", "doc_b", "sa", (F.col("sa") - F.col("sb")).alias("__diag")
+    )
+    wr = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("sa")
+    runs = (
+        diag.withColumn("__grp", F.col("sa") - F.row_number().over(wr))
+        .groupBy("doc_a", "doc_b", "__diag", "__grp")
+        .agg(F.count("*").alias("__len"))
+    )
+    report = runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("__len") + F.lit(gram_tokens - 1))
+        .cast("long")
+        .alias("longest_shared_tokens"),
+        F.sum("__len").cast("long").alias("n_shared_windows"),
+    )
+    return report.orderBy(
+        F.desc("longest_shared_tokens"),
+        F.desc("n_shared_windows"),
+        F.asc("doc_a"),
+        F.asc("doc_b"),
+    ).limit(top_k)

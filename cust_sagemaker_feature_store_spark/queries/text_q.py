@@ -2520,3 +2520,75 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     syms = B.initial_symbols(B.word_counts(docs))
     return B.train_merges(syms, rounds=BPE_ROUNDS).orderBy("merge_round")
+
+
+SHARED_SPAN_GRAM = 4
+SHARED_SPAN_MAX_OCC = 16
+SHARED_SPAN_TOP_K = 20
+
+
+@register(
+    "text_shared_spans",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+wins AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(generate_subscripts(grams, 1) - 1 AS BIGINT) AS start,
+         unnest(grams) AS gram
+  FROM (SELECT doc_id,
+               list_transform(
+                 generate_series(1, greatest(len(toks) - {SHARED_SPAN_GRAM - 1}, 1)),
+                 i -> array_to_string(toks[i:i+{SHARED_SPAN_GRAM - 1}], ' ')) AS grams
+        FROM tok)
+),
+bounded AS MATERIALIZED (
+  SELECT gram FROM wins GROUP BY gram
+  HAVING COUNT(*) BETWEEN 2 AND {SHARED_SPAN_MAX_OCC}
+),
+occ AS MATERIALIZED (
+  SELECT w.doc_id, w.start, w.gram FROM wins w JOIN bounded USING (gram)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.start AS sa,
+         a.start - b.start AS diag
+  FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, grp, COUNT(*) AS len FROM (
+    SELECT doc_a, doc_b, diag, sa,
+           sa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                   ORDER BY sa) AS grp
+    FROM pairs)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(len) + {SHARED_SPAN_GRAM - 1} AS BIGINT)
+         AS longest_shared_tokens,
+       CAST(SUM(len) AS BIGINT) AS n_shared_windows
+FROM runs GROUP BY 1, 2
+ORDER BY longest_shared_tokens DESC, n_shared_windows DESC, doc_a, doc_b
+LIMIT {SHARED_SPAN_TOP_K}
+""",
+    description=(
+        "[EXT] cross-document LONGEST-SHARED-SPAN report (the "
+        "actionable companion to text_repeated_spans' per-doc "
+        "coverage, r9 verdict next-round #7): top-20 doc pairs by the "
+        "longest verbatim token run they share, found via gram-chain "
+        "islands — aligned 4-token windows of the same gram lie on a "
+        "(doc_a, doc_b, start_a - start_b) diagonal, and maximal "
+        "consecutive runs on a diagonal ARE the shared spans (Lee et "
+        "al. 2021's suffix-array signal re-expressed as relational "
+        "algebra). Grams joining the pair stage are occurrence-bounded "
+        "to [2, 16], so the self-join is max_occ²-bounded per gram, "
+        "never all-pairs; ubiquitous grams are the line-dedup tier's "
+        "job. Deterministic total order (longest, windows, pair ids)."
+    ),
+)
+def text_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.shared_span_pairs(
+        docs,
+        gram_tokens=SHARED_SPAN_GRAM,
+        max_occ=SHARED_SPAN_MAX_OCC,
+        top_k=SHARED_SPAN_TOP_K,
+    )

@@ -820,3 +820,39 @@ def test_repeated_span_coverage_interval_union(spark):
     assert out[3]["covered_tokens"] == 6 and out[3]["covered_frac"] == 1.0
     assert out[4]["n_repeated_windows"] == 0
     assert out[4]["covered_tokens"] == 0 and out[4]["covered_frac"] == 0.0
+
+
+def test_shared_span_pairs_finds_planted_clone(spark):
+    """Two docs share a verbatim 10-token run (at different offsets);
+    a third is unrelated. The report must name exactly that pair with
+    longest_shared_tokens == 10, found via the diagonal islands — and
+    a within-doc repeat must NOT pair a doc with itself."""
+    import pytest
+    from pyspark.sql import Row
+
+    from cust_sagemaker_feature_store_spark.operators.text import (
+        shared_span_pairs,
+    )
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro words here " + run + " tail one"),
+            Row(doc_id=2, text=run + " completely different ending text"),
+            Row(doc_id=3, text="unrelated filler " * 8),
+            # within-doc repetition only: must not appear in the report
+            Row(doc_id=4, text="rep one two three four rep one two three four"),
+        ]
+    )
+    rows = shared_span_pairs(docs, gram_tokens=4, max_occ=16).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert r["longest_shared_tokens"] == 10
+    # a 10-token run has 7 aligned 4-gram windows
+    assert r["n_shared_windows"] == 7
+
+    with pytest.raises(ValueError, match="max_occ"):
+        shared_span_pairs(docs, max_occ=1)
+    with pytest.raises(ValueError, match="gram_tokens"):
+        shared_span_pairs(docs, gram_tokens=0)
