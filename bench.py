@@ -169,6 +169,14 @@ BENCH_QUERIES = [
     "dedup_candidate_quality",
     "fs_asof_join_composite",
     "graph_link_prediction",
+    # round-10 additions: BPE merge training, the stdlib PNG decode
+    # path, label-propagation communities, the streaming as-of probe
+    # twin and the cross-doc shared-span report
+    "text_bpe_merges",
+    "udf_multimodal_png",
+    "graph_label_propagation",
+    "stream_asof_twin",
+    "text_shared_spans",
 ]
 
 

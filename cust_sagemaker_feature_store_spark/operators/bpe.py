@@ -94,6 +94,15 @@ def train_merges(symbols: DataFrame, rounds: int) -> DataFrame:
     lhs ASC, rhs ASC). Rounds after the pair supply is exhausted emit
     no row (never happens on a non-degenerate corpus).
     """
+    return train(symbols, rounds)[0]
+
+
+def train(symbols: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame]:
+    """train_merges plus the FINAL symbol state: returns
+    (merges, final_symbols) where final_symbols is the post-training
+    (word, cnt, pos, sym) frame — the tokenization of the vocabulary
+    under the learned merges, which fertility/compression reporting
+    reads without replaying the merges."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     merge_frames: list[DataFrame] = []
@@ -165,7 +174,7 @@ def train_merges(symbols: DataFrame, rounds: int) -> DataFrame:
     out = merge_frames[0]
     for f in merge_frames[1:]:
         out = out.unionByName(f)
-    return out
+    return out, s
 
 
 def apply_merges(symbols: DataFrame, merges: DataFrame) -> DataFrame:

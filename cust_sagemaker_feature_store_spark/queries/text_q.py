@@ -2444,7 +2444,7 @@ def dedup_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 12
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_cte(rounds: int) -> str:
     """Unrolled per-round CTE twin of operators/bpe.train_merges (the
     graph_pagerank_parts pattern): each round re-states pair counting,
     the deterministic argmax, the gaps-and-islands greedy selection,
@@ -2484,13 +2484,17 @@ s{i + 1} AS MATERIALIZED (
         FROM p{i} p LEFT JOIN m{i} m USING (word, pos)
         WHERE NOT EXISTS (SELECT 1 FROM m{i} mm
                           WHERE mm.word = p.word AND mm.pos = p.pos - 1)))""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_oracle(rounds: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_round, a AS lhs, b AS rhs,"
         f" a || b AS merged, pc AS pair_count FROM b{i}"
         for i in range(rounds)
     )
     return (
-        "WITH " + ",\n".join(ctes)
+        _bpe_cte(rounds)
         + f"\nSELECT * FROM ({union}) ORDER BY merge_round"
     )
 
@@ -2591,4 +2595,90 @@ def text_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_tokens=SHARED_SPAN_GRAM,
         max_occ=SHARED_SPAN_MAX_OCC,
         top_k=SHARED_SPAN_TOP_K,
+    )
+
+
+def _bpe_fertility_oracle(rounds: int) -> str:
+    """Fertility tail over the shared BPE training CTE chain: the
+    final symbol state s{rounds} gives tokens-per-word; per-language
+    word occurrences re-weight it to corpus-level fertility."""
+    return (
+        _bpe_cte(rounds)
+        + f""",
+wl AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents) WHERE word <> '' GROUP BY 1, 2),
+tpw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS tpw
+        FROM s{rounds} GROUP BY 1)
+SELECT wl.lang,
+       CAST(SUM(wl.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(wl.cnt * tpw.tpw) AS BIGINT) AS n_tokens,
+       CAST(SUM(wl.cnt * length(wl.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(wl.cnt * tpw.tpw) AS DOUBLE) / SUM(wl.cnt) AS fertility,
+       CAST(SUM(wl.cnt * length(wl.word)) AS DOUBLE)
+         / SUM(wl.cnt * tpw.tpw) AS chars_per_token
+FROM wl JOIN tpw USING (word)
+GROUP BY 1 ORDER BY 1"""
+    )
+
+
+@register(
+    "text_bpe_fertility",
+    oracle=_bpe_fertility_oracle(BPE_ROUNDS),
+    description=(
+        "[EXT] tokenizer fertility report by language: train the "
+        "12-round BPE merges once on the global vocabulary, then "
+        "re-weight the final tokens-per-word state by each language's "
+        "word occurrences — n_words / n_tokens / n_chars exact int64, "
+        "fertility (tokens per word, end-of-word marker included, the "
+        "Sennrich convention) and chars-per-token one division each. "
+        "The multilingual-tokenizer health check (high fertility = "
+        "the vocabulary underserves that language) — reads the "
+        "trained state directly (operators/bpe.train), no merge "
+        "replay, so it costs one aggregate more than training itself. "
+        "The oracle re-derives the same numbers through the shared "
+        "unrolled training CTE."
+    ),
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, final_syms = B.train(
+        B.initial_symbols(B.word_counts(docs)), rounds=BPE_ROUNDS
+    )
+    tpw = final_syms.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("tpw")
+    )
+    wl = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        wl.join(tpw, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("tpw")).cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.length("word"))
+            .cast("long")
+            .alias("n_chars"),
+            (
+                F.sum(F.col("cnt") * F.col("tpw")).cast("double")
+                / F.sum("cnt")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("cnt") * F.length("word")).cast("double")
+                / F.sum(F.col("cnt") * F.col("tpw"))
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )
