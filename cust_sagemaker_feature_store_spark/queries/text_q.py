@@ -2682,3 +2682,51 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# word 5-gram shingles for the prefix-filter join (k=5 so the shingle
+# universe is near-unique — the regime where prefix filtering prunes);
+# short docs yield one whole-text shingle, mirroring operators/text.shingles
+SQL_SHINGLE5_CTE = f"""
+tok5 AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh5 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 5
+         THEN list_transform(generate_series(1, len(toks)-4),
+                             i -> array_to_string(toks[i:i+4], ' '))
+         ELSE [array_to_string(toks, ' ')] END) AS shingle
+  FROM tok5
+),
+d5 AS (SELECT DISTINCT doc_id, shingle FROM sh5)
+"""
+
+
+@register(
+    "dedup_allpairs_prefix",
+    oracle=f"""
+WITH {SQL_SHINGLE5_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM d5 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM d5 a JOIN d5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+""",
+    description=(
+        "EXACT all-pairs Jaccard >= 0.5 on word 5-gram shingles via "
+        "lossless prefix filtering (Bayardo WWW'07): candidates come "
+        "only from each set's rarest-first prefix posting lists, never "
+        "from frequent shingles — the exact join that survives 100 TB. "
+        "The oracle computes the naive all-pairs join; equality IS the "
+        "losslessness proof."
+    ),
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.allpairs_prefix_join(docs, k=5, threshold=0.5)
