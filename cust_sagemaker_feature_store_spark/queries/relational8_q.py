@@ -1117,3 +1117,41 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("average_precision"),
         )
     )
+
+
+@register(
+    "sort_skyline_parts",
+    oracle="""
+SELECT p.p_partkey, CAST(p.p_retailprice AS DOUBLE) AS retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+    description=(
+        "2D skyline (Pareto frontier) of part under (minimize "
+        "retailprice, maximize size): the multi-objective shortlist "
+        "query. Spark side is the O(n log n) sort-based algorithm with "
+        "sharded prefix-max windows (operators/skyline.py) — one "
+        "data-sized groupBy, no self-join; the oracle states the "
+        "textbook quadratic NOT EXISTS dominance, so the hash match "
+        "proves the sort-based plan computes the same frontier."
+    ),
+)
+def sort_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return skyline_2d(
+        part, "price_cents", "p_size", shard_size=PRICE_SHARD
+    ).select(
+        "p_partkey",
+        (F.col("price_cents").cast("double") / 100.0).alias("retailprice"),
+        "p_size",
+    )

@@ -987,3 +987,49 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     assert len(got) == len(set(got)), "canonical-bucket dedup must yield unique pairs"
     assert set(got) == want
     assert (100, 101) in want and (100, 100) not in want
+
+
+def _brute_skyline(points):
+    out = []
+    for x, y in points:
+        dominated = any(
+            (qx <= x and qy >= y and (qx < x or qy > y)) for qx, qy in points
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_skyline_2d_matches_bruteforce_random(spark):
+    from cust_sagemaker_feature_store_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(42)
+    for trial in range(3):
+        pts = [(rng.randrange(0, 50), rng.randrange(0, 20)) for _ in range(200)]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)], "id long, x long, y long"
+        )
+        got = sorted(
+            {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y", shard_size=7).collect()}
+        )
+        assert got == _brute_skyline(pts), f"trial {trial} diverged"
+
+
+def test_skyline_2d_duplicates_and_single_point(spark):
+    from cust_sagemaker_feature_store_spark.operators.skyline import skyline_2d
+
+    # duplicate frontier points neither dominate each other: both stay
+    df = spark.createDataFrame(
+        [(0, 1, 10), (1, 1, 10), (2, 2, 5), (3, 0, 1)],
+        "id long, x long, y long",
+    )
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", shard_size=1000).collect()
+    )
+    # (0,1): y=1 at x=0 is frontier (cheapest); (1,10) twice: strictly
+    # better y than anything cheaper; (2,5) dominated by (1,10)
+    assert got == [(0, 1, 10), (1, 1, 10), (3, 0, 1)]
+
+    one = spark.createDataFrame([(0, 5, 5)], "id long, x long, y long")
+    assert skyline_2d(one, "x", "y").count() == 1
