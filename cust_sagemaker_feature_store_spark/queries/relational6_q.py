@@ -614,3 +614,195 @@ def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "neg_partkey",
     ).select("label_id", "user_id", "neg_rank", "neg_partkey", "neg_price")
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+WITH sens AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0) AS BIGINT) AS bal_band,
+         n_regionkey
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+lv AS (
+  SELECT 0 AS level, c_nationkey AS q1, c_mktsegment AS q2, bal_band, c_custkey FROM sens
+  UNION ALL
+  SELECT 1, n_regionkey, c_mktsegment, bal_band, c_custkey FROM sens
+  UNION ALL
+  SELECT 2, -1, c_mktsegment, bal_band, c_custkey FROM sens
+),
+grp AS (
+  SELECT level, q1, q2, COUNT(*) AS k, COUNT(DISTINCT bal_band) AS l
+  FROM lv GROUP BY 1, 2, 3
+)
+SELECT level,
+       COUNT(*) AS n_groups,
+       MIN(k) AS k_min,
+       MIN(l) AS l_min,
+       CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT) AS at_risk_rows,
+       CAST(SUM(CASE WHEN l < 2 THEN k ELSE 0 END) AS BIGINT) AS low_diversity_rows
+FROM grp GROUP BY 1
+""",
+    description=(
+        "k-anonymity / l-diversity audit with a generalization ladder "
+        "(Sweeney 2002; Machanavajjhala 2007): quasi-identifiers "
+        "(nation, mktsegment) coarsened stepwise to (region, segment) "
+        "then (segment) — per level, the minimum equivalence-class size "
+        "k, minimum sensitive-value diversity l over acctbal bands, and "
+        "how many rows sit in classes below k=10 / l=2. One groupBy per "
+        "level over compact derived keys; the nation->region lookup is "
+        "a broadcast dim join — privacy release audits at 100 TB are "
+        "exactly this shape."
+    ),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    sens = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("long") / 100000.0
+        ).cast("long").alias("bal_band"),
+        "n_regionkey",
+    )
+    levels = (
+        sens.select(
+            F.lit(0).alias("level"),
+            F.col("c_nationkey").cast("long").alias("q1"),
+            F.col("c_mktsegment").alias("q2"),
+            "bal_band",
+        )
+        .unionByName(
+            sens.select(
+                F.lit(1).alias("level"),
+                F.col("n_regionkey").cast("long").alias("q1"),
+                F.col("c_mktsegment").alias("q2"),
+                "bal_band",
+            )
+        )
+        .unionByName(
+            sens.select(
+                F.lit(2).alias("level"),
+                F.lit(-1).cast("long").alias("q1"),
+                F.col("c_mktsegment").alias("q2"),
+                "bal_band",
+            )
+        )
+    )
+    grp = levels.groupBy("level", "q1", "q2").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("bal_band").alias("l"),
+    )
+    return grp.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("k_min"),
+        F.min("l").cast("long").alias("l_min"),
+        F.sum(F.when(F.col("k") < 10, F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("at_risk_rows"),
+        F.sum(F.when(F.col("l") < 2, F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("low_diversity_rows"),
+    )
+
+
+@register(
+    "ml_group_influence",
+    oracle="""
+WITH s AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT ship_year, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM s GROUP BY 1
+),
+t AS (
+  SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+         SUM(sxx) AS tsxx, SUM(sxy) AS tsxy
+  FROM a
+),
+d AS (
+  SELECT ship_year, CAST(n AS BIGINT) AS n,
+         CAST(tn - n AS DOUBLE) AS nd,
+         CAST(tsx - sx AS DOUBLE) AS sxd,
+         CAST(tsy - sy AS DOUBLE) AS syd,
+         CAST(tsxx - sxx AS DOUBLE) AS sxxd,
+         CAST(tsxy - sxy AS DOUBLE) AS sxyd,
+         CAST(tn AS DOUBLE) AS gnd, CAST(tsx AS DOUBLE) AS gsxd,
+         CAST(tsy AS DOUBLE) AS gsyd, CAST(tsxx AS DOUBLE) AS gsxxd,
+         CAST(tsxy AS DOUBLE) AS gsxyd
+  FROM a, t
+)
+SELECT ship_year, n,
+       (gnd*gsxyd - gsxd*gsyd) / (gnd*gsxxd - gsxd*gsxd) AS slope_full,
+       (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS slope_loo,
+       ((nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd))
+         - ((gnd*gsxyd - gsxd*gsyd) / (gnd*gsxxd - gsxd*gsxd)) AS delta_slope
+FROM d
+""",
+    description=(
+        "Leave-one-group-out OLS influence: for each ship-year cohort, "
+        "the regression slope (extendedprice ~ quantity) refit WITHOUT "
+        "that cohort, via subtraction of exact int64 sufficient "
+        "statistics from the global totals — influence analysis with "
+        "NO per-group refit pass. One data-sized scan produces 5 "
+        "decimal sums per group (map-side combine); every downstream "
+        "term is group-count-sized. The 100 TB form of 'which data "
+        "source moves the model': delete-a-group influence from one "
+        "aggregation, the Cook's-distance idea lifted to groups."
+    ),
+)
+def ml_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = (
+        li.select(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
+            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        )
+    )
+    t = a.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    d = a.crossJoin(F.broadcast(t))
+    nd = (F.col("tn") - F.col("n")).cast("double")
+    sxd = (F.col("tsx") - F.col("sx")).cast("double")
+    syd = (F.col("tsy") - F.col("sy")).cast("double")
+    sxxd = (F.col("tsxx") - F.col("sxx")).cast("double")
+    sxyd = (F.col("tsxy") - F.col("sxy")).cast("double")
+    gnd = F.col("tn").cast("double")
+    gsxd = F.col("tsx").cast("double")
+    gsyd = F.col("tsy").cast("double")
+    gsxxd = F.col("tsxx").cast("double")
+    gsxyd = F.col("tsxy").cast("double")
+    slope_full = (gnd * gsxyd - gsxd * gsyd) / (gnd * gsxxd - gsxd * gsxd)
+    slope_loo = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return d.select(
+        "ship_year",
+        F.col("n").cast("long").alias("n"),
+        slope_full.alias("slope_full"),
+        slope_loo.alias("slope_loo"),
+        (slope_loo - slope_full).alias("delta_slope"),
+    )
