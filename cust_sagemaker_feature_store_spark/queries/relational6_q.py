@@ -806,3 +806,83 @@ def ml_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope_loo.alias("slope_loo"),
         (slope_loo - slope_full).alias("delta_slope"),
     )
+
+
+@register(
+    "ml_item_item_cf",
+    oracle="""
+WITH e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         COUNT(DISTINCT a.l_orderkey) AS support
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+n AS (SELECT l_partkey AS item, COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY 1),
+sim AS (
+  SELECT e.src, e.dst, CAST(e.support AS BIGINT) AS support,
+         CAST(e.support AS DOUBLE)
+           / sqrt(CAST(na.n_orders AS DOUBLE) * CAST(nb.n_orders AS DOUBLE)) AS cosine
+  FROM e
+  JOIN n na ON na.item = e.src
+  JOIN n nb ON nb.item = e.dst
+  WHERE e.support >= 2
+),
+rk AS (
+  SELECT src, dst, support, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS BIGINT) AS rank
+  FROM sim
+)
+SELECT src AS item, dst AS neighbor, support, cosine, rank
+FROM rk WHERE rank <= 3
+""",
+    description=(
+        "Item-item collaborative filtering (Sarwar et al. 2001, the "
+        "Amazon 'bought together' primitive): cosine similarity between "
+        "items over basket-membership vectors — support(i,j) / "
+        "sqrt(n_i*n_j) — for co-purchased pairs with support >= 2, "
+        "top-3 neighbors per item with deterministic tie-break. "
+        "Complements graph_link_prediction, which scores NON-adjacent "
+        "2-hop pairs; this ranks the adjacent ones. Support comes from "
+        "cooccurrence_edges(with_support=True), so the per-basket "
+        "dense_rank cap bounds the quadratic blowup on hot baskets; "
+        "rank<=3 compiles to WindowGroupLimit, so each task keeps 3 "
+        "rows per item before the shuffle."
+    ),
+)
+def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", with_support=True
+    ).filter(F.col("support") >= 2)
+    n = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    sim = (
+        e.join(n.select(F.col("item").alias("src"), F.col("n_orders").alias("na")), "src")
+        .join(n.select(F.col("item").alias("dst"), F.col("n_orders").alias("nb")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.col("support").cast("long").alias("support"),
+            (
+                F.col("support").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("src").alias("item"),
+            F.col("dst").alias("neighbor"),
+            "support",
+            "cosine",
+            "rank",
+        )
+    )
