@@ -886,3 +886,147 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "ml_conformal_coverage",
+    oracle="""
+WITH base AS (
+  SELECT ((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 AS h,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+sp AS (SELECT h % 4 AS split, x, y FROM base),
+tr AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM sp WHERE split <= 1
+),
+par AS (
+  SELECT CAST(n AS BIGINT) AS n_train,
+         (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
+         (CAST(sy AS DOUBLE)
+           - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+  FROM tr
+),
+scored AS (
+  SELECT sp.split,
+         CAST(ROUND(abs(CAST(sp.y AS DOUBLE) - (par.slope * CAST(sp.x AS DOUBLE) + par.intercept))) AS BIGINT) AS score_c
+  FROM sp, par
+),
+cal AS (SELECT score_c FROM scored WHERE split = 2),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+              (9 * (COUNT(*) + 1) + 9) // 10 AS k
+       FROM cal),
+hist AS (SELECT score_c, COUNT(*) AS nn FROM cal GROUP BY 1),
+cum AS (SELECT score_c, SUM(nn) OVER (ORDER BY score_c) AS cum_n FROM hist),
+qq AS (SELECT MIN(score_c) AS q_c FROM cum, kk WHERE cum.cum_n >= kk.k),
+tst AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN score_c <= qq.q_c THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM scored, qq WHERE split = 3
+)
+SELECT par.n_train, kk.n_cal, tst.n_test,
+       par.slope, qq.q_c,
+       CAST(tst.n_covered AS DOUBLE) / CAST(tst.n_test AS DOUBLE) AS coverage
+FROM par, kk, qq, tst
+""",
+    description=(
+        "Split-conformal prediction coverage (Vovk; Lei et al. 2018): "
+        "deterministic hash split into train/calibration/test, OLS fit "
+        "on train from exact int64 sufficient statistics, conformal "
+        "quantile q = the ceil((n_cal+1)*0.9)-th smallest absolute "
+        "residual on calibration (type-1 selection over the cent-grid "
+        "histogram via the sharded cumulative-count operator — no "
+        "unbounded window), then the empirical coverage of |y - yhat| "
+        "<= q on test. The distribution-free 90% interval check every "
+        "model-serving pipeline should ship; all passes are scans + "
+        "compact-key aggregations, the quantile state is the residual "
+        "RANGE, never the row count."
+    ),
+)
+def ml_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.order_stats import grouped_cumulative_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    sp = li.select(
+        (h % 4).alias("split"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tr = sp.filter(F.col("split") <= 1).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    par = tr.select(
+        F.col("n").cast("long").alias("n_train"),
+        slope.alias("slope"),
+        ((syd - slope * sxd) / nd).alias("intercept"),
+    )
+    scored = sp.crossJoin(F.broadcast(par)).select(
+        "split",
+        "n_train",
+        "slope",
+        F.round(
+            F.abs(
+                F.col("y").cast("double")
+                - (F.col("slope") * F.col("x").cast("double") + F.col("intercept"))
+            )
+        )
+        .cast("long")
+        .alias("score_c"),
+    )
+    cal = scored.filter(F.col("split") == 2).withColumn("g", F.lit(1))
+    kk = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.expr("(9 * (count(1) + 1) + 9) div 10").alias("k"),
+    )
+    cum = grouped_cumulative_counts(cal, "g", cents_col="score_c", shard_size=1_000_000)
+    qq = (
+        cum.crossJoin(F.broadcast(kk))
+        .filter(F.col("cum_n") >= F.col("k"))
+        .agg(F.min("cents").alias("q_c"))
+    )
+    tst = (
+        scored.filter(F.col("split") == 3)
+        .crossJoin(F.broadcast(qq))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("score_c") <= F.col("q_c"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        par.select("n_train", "slope")
+        .crossJoin(F.broadcast(kk.select("n_cal")))
+        .crossJoin(F.broadcast(qq))
+        .crossJoin(F.broadcast(tst))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            "slope",
+            "q_c",
+            (F.col("n_covered").cast("double") / F.col("n_test").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -416,3 +416,14 @@ def test_decode_media_dispatches_png_for_real():
     means = px[:, :, :3].reshape(-1, 3).mean(axis=0)
     assert feats[:2] == [2.0, 2.0]
     assert feats[2:] == [float(m) for m in means]
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    # split-conformal marginal coverage: >= 1 - alpha in expectation;
+    # allow finite-sample slack below and sanity-bound above
+    from cust_sagemaker_feature_store_spark.queries import REGISTRY
+
+    row = REGISTRY["ml_conformal_coverage"].fn(spark, sf_dir).head()
+    assert row["n_train"] > 0 and row["n_cal"] > 0 and row["n_test"] > 0
+    assert 0.85 <= row["coverage"] <= 1.0, row["coverage"]
+    assert row["q_c"] >= 0
