@@ -1027,3 +1027,112 @@ def udf_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_PNG_FEATURES_SCHEMA)
+
+
+_PHASH_SCHEMA = (
+    "media_id long, width long, height long, phash long, bits_set long"
+)
+
+
+@register(
+    "udf_multimodal_phash",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS width,
+         CAST(8 + doc_id % 3 AS BIGINT) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, x.x AS x, y.y AS y,
+         (((media_id + 3 * x.x + 7 * y.y) % 256)
+          + ((2 * media_id + 5 * x.x + y.y) % 256)
+          + ((3 * media_id + x.x + 4 * y.y) % 256)) // 3 AS gray
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+),
+blocks AS (
+  SELECT media_id, width, height,
+         (y * 4) // height AS by, (x * 4) // width AS bx,
+         SUM(gray) AS bs, COUNT(*) AS bn
+  FROM px GROUP BY 1, 2, 3, 4, 5
+),
+tot AS (
+  SELECT media_id, SUM(bs) AS ts, SUM(bn) AS tn FROM blocks GROUP BY 1
+),
+bits AS (
+  SELECT b.media_id, b.width, b.height,
+         CASE WHEN b.bs * t.tn > t.ts * b.bn
+              THEN CAST(1 AS BIGINT) << CAST(4 * b.by + b.bx AS INTEGER)
+              ELSE 0 END AS bitval,
+         CASE WHEN b.bs * t.tn > t.ts * b.bn THEN 1 ELSE 0 END AS one
+  FROM blocks b JOIN tot t USING (media_id)
+)
+SELECT media_id, width, height,
+       CAST(SUM(bitval) AS BIGINT) AS phash,
+       CAST(SUM(one) AS BIGINT) AS bits_set
+FROM bits GROUP BY 1, 2, 3
+""",
+    description=(
+        "[EXT] perceptual average-hash over the REAL PNG codec: per "
+        "document a deterministic raster (>= 8x8) round-trips through "
+        "encode_png/decode_png (filter (id+y)%5 varies per scanline, "
+        "all five de-filter paths hot), then aHash: integer grayscale "
+        "(r+g+b)//3, 4x4 variable-size blocks by index mapping "
+        "(x*4)//w, each bit = block mean > global mean decided by "
+        "EXACT integer cross-multiplication (bs*tn > ts*bn — no "
+        "float), packed into a 16-bit hash. The oracle recomputes the "
+        "hash from the pixel rule alone, so any codec OR pooling bug "
+        "breaks it. The dedup-for-images rung: at 100 TB the hash is "
+        "16 bits per image, Hamming-joinable like simhash64."
+    ),
+)
+def udf_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 8 + mid % 3
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (mid + 3 * x + 7 * y) % 256,
+                        (2 * mid + 5 * x + y) % 256,
+                        (3 * mid + x + 4 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                filters = [(mid + yy) % 5 for yy in range(h)]
+                dec = decode_png(encode_png(px, row_filters=filters))
+                gray = dec.astype(np.int64).sum(axis=2) // 3
+                bx = (np.arange(w, dtype=np.int64) * 4) // w
+                by = (np.arange(h, dtype=np.int64) * 4) // h
+                phash = 0
+                ones = 0
+                ts = int(gray.sum())
+                tn = w * h
+                for b_y in range(4):
+                    for b_x in range(4):
+                        m = gray[by == b_y][:, bx == b_x]
+                        bs, bn = int(m.sum()), int(m.size)
+                        if bs * tn > ts * bn:
+                            phash |= 1 << (4 * b_y + b_x)
+                            ones += 1
+                rows.append((mid, w, h, phash, ones))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "phash", "bits_set"],
+            )
+
+    return docs.mapInPandas(run, schema=_PHASH_SCHEMA)
