@@ -1136,3 +1136,48 @@ def udf_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+@register(
+    "stream_dedup_twin",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(*) > 1
+""",
+    description=(
+        "[EXT] batch twin of streaming dedup (streaming/windows."
+        "stream_dedup -> dropDuplicatesWithinWatermark): the dedup "
+        "state table holds exactly one entry per key inside the "
+        "watermark horizon, so the batch twin reports, per colliding "
+        "key (user, type, minute bucket), the arrival count and how "
+        "many redeliveries an at-least-once source would have "
+        "suppressed. Keys that never collide carry no state cost "
+        "beyond eviction — HAVING > 1 keeps the report duplicate-"
+        "focused. Streaming execution of the same key arithmetic is "
+        "pinned by tests/test_streaming.py::"
+        "test_stream_dedup_twin_matches_batch."
+    ),
+)
+def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", "ts").alias("minute_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_arrivals"))
+        .filter(F.col("n_arrivals") > 1)
+        .select(
+            "user_id",
+            "event_type",
+            "minute_bucket",
+            "n_arrivals",
+            (F.col("n_arrivals") - 1).cast("long").alias("n_suppressed"),
+        )
+    )

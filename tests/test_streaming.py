@@ -822,3 +822,55 @@ def test_stream_asof_enrich_restart_matches_batch(spark, tmp_path):
     assert not by_id[3]["fresh"]  # future-relative feature nulled
     assert by_id[4]["fresh"]      # post-restart row still enriched
     assert not by_id[5]["fresh"] and by_id[5]["feature_ts"] is None
+
+
+def test_stream_dedup_twin_matches_batch(spark, tmp_path):
+    """Streaming dedup on the composite (user, type, minute) key emits
+    exactly the batch-distinct key set — the equality the
+    stream_dedup_twin oracle row certifies from the batch side."""
+    from cust_sagemaker_feature_store_spark.streaming import stream_dedup
+
+    rows = [
+        "event_id,ts,user_id,event_type,value",
+        "1,2024-01-01 00:05:10,1,click,10.0",
+        "2,2024-01-01 00:05:40,1,click,11.0",  # same minute key
+        "3,2024-01-01 00:06:00,1,click,1.0",   # next minute
+        "4,2024-01-01 00:05:30,2,click,2.0",
+        "5,2024-01-01 00:05:45,1,view,3.0",
+    ]
+    d = tmp_path / "dedup_twin_in"
+    d.mkdir()
+    (d / "e.csv").write_text("\n".join(rows) + "\n")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ev = (
+        spark.readStream.schema(schema)
+        .csv(str(d), header=True)
+        .withColumn("minute_bucket", F.date_trunc("minute", "ts"))
+    )
+    q = (
+        stream_dedup(
+            ev, keys=("user_id", "event_type", "minute_bucket"), watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_twin_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"], str(r["minute_bucket"]))
+        for r in spark.sql("SELECT * FROM dedup_twin_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [tuple(r.split(",")) for r in rows[1:]], "a string, ts string, u string, t string, v string"
+    ).select(
+        F.col("u").cast("long").alias("user_id"),
+        F.col("t").alias("event_type"),
+        F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("minute_bucket"),
+    ).distinct()
+    want = {
+        (r["user_id"], r["event_type"], str(r["minute_bucket"]))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 4
