@@ -427,3 +427,19 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
     assert row["n_train"] > 0 and row["n_cal"] > 0 and row["n_test"] > 0
     assert 0.85 <= row["coverage"] <= 1.0, row["coverage"]
     assert row["q_c"] >= 0
+
+
+def test_isotonic_calibration_monotone_and_pav(spark, sf_dir):
+    from cust_sagemaker_feature_store_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["ml_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    fitted = [r["fitted_rate"] for r in rows]
+    # isotonic: non-decreasing in the bin order
+    assert all(a <= b + 1e-12 for a, b in zip(fitted, fitted[1:])), fitted
+    # PAV preserves the weighted mean (sum n*fitted == total positives)
+    tot_fit = sum(r["n"] * r["fitted_rate"] for r in rows)
+    tot_pos = sum(r["n_pos"] for r in rows)
+    assert abs(tot_fit - tot_pos) < 1e-6 * max(1, tot_pos)
