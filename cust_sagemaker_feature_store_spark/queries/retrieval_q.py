@@ -766,3 +766,124 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(RRF_TOP)
     )
+
+
+MMR_POOL = 10
+MMR_K = 5
+# lambda = 0.7: mmr = 0.7*rel - 0.3*max_sim_to_selected (Carbonell 1998)
+
+
+def _mmr_oracle() -> str:
+    head = """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+rel AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv.v, qv.v))), 6) AS rel
+  FROM embeddings e, qv
+),
+pool AS (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+pe AS (SELECT p.doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+       FROM pool p JOIN embeddings e ON e.vec_id = p.doc_id),
+sims AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM pe a JOIN pe b ON a.doc_id <> b.doc_id
+),
+sel_1 AS (
+  SELECT doc_id, rel, 0.7 * rel AS mmr, CAST(1 AS BIGINT) AS rank
+  FROM pool ORDER BY rel DESC, doc_id LIMIT 1
+)"""
+    parts = [head]
+    for t in range(2, MMR_K + 1):
+        parts.append(f""",
+cand_{t} AS (
+  SELECT p.doc_id, p.rel, MAX(s.sim) AS ms
+  FROM pool p JOIN sims s ON s.a = p.doc_id
+  WHERE s.b IN (SELECT doc_id FROM sel_{t - 1})
+    AND p.doc_id NOT IN (SELECT doc_id FROM sel_{t - 1})
+  GROUP BY 1, 2
+),
+pick_{t} AS (
+  SELECT doc_id, rel, 0.7 * rel - 0.3 * ms AS mmr, CAST({t} AS BIGINT) AS rank
+  FROM cand_{t} ORDER BY mmr DESC, doc_id LIMIT 1
+),
+sel_{t} AS (SELECT * FROM sel_{t - 1} UNION ALL SELECT * FROM pick_{t})""")
+    parts.append(f"\nSELECT rank, doc_id, rel, mmr FROM sel_{MMR_K} ORDER BY rank")
+    return "".join(parts)
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle=_mmr_oracle(),
+    description=(
+        "[EXT] maximal-marginal-relevance diversity rerank (Carbonell & "
+        "Goldstein 1998, the RAG context-packing standard): greedy "
+        "5-round selection from the cosine top-10 pool, each round "
+        "argmax of 0.7*rel - 0.3*max-sim-to-already-selected with "
+        "doc_id tie-break. Pool relevance and pairwise sims are "
+        "ROUND(...,6) so every argmax decision is bit-identical "
+        "cross-engine; the oracle unrolls all 5 rounds as chained "
+        "CTEs (the pagerank pattern). Scale shape: the corpus-sized "
+        "stage is ONE TakeOrderedAndProject (pool selection); the "
+        "greedy loop runs on pool-sized frames (10 rows, 90 sims), "
+        "constant at any corpus size."
+    ),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from .similarity_q import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    pool = S.cosine_topk(emb, qv, k=MMR_POOL).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("rel")
+    )
+    pe = pool.join(emb, pool.doc_id == emb.vec_id).select(
+        "doc_id", S.as_double("embedding").alias("v")
+    )
+    a, b = pe.alias("a"), pe.alias("b")
+    sims = a.join(b, F.col("a.doc_id") != F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("a"),
+        F.col("b.doc_id").alias("b"),
+        F.round(
+            S.dot(F.col("a.v"), F.col("b.v"))
+            / (S.l2_norm(F.col("a.v")) * S.l2_norm(F.col("b.v"))),
+            6,
+        ).alias("sim"),
+    )
+    sel = (
+        pool.orderBy(F.desc("rel"), "doc_id")
+        .limit(1)
+        .select(
+            "doc_id",
+            "rel",
+            (F.lit(0.7) * F.col("rel")).alias("mmr"),
+            F.lit(1).cast("long").alias("rank"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        prev_ids = sel.select("doc_id")
+        to_sel = sims.join(
+            prev_ids.withColumnRenamed("doc_id", "b"), "b", "left_semi"
+        )
+        ms = to_sel.groupBy(F.col("a").alias("doc_id")).agg(
+            F.max("sim").alias("ms")
+        )
+        cand = pool.join(prev_ids, "doc_id", "left_anti").join(ms, "doc_id")
+        pick = (
+            cand.select(
+                "doc_id",
+                "rel",
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms")).alias("mmr"),
+                F.lit(t).cast("long").alias("rank"),
+            )
+            .orderBy(F.desc("mmr"), "doc_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("rank", "doc_id", "rel", "mmr")
