@@ -425,3 +425,19 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """REAL nearest-neighbor resize of an (H, W, C) uint8 array: output
+    pixel (x, y) samples source pixel ((x*W)//out_w, (y*H)//out_h) —
+    pure integer index mapping, so the result is bit-exact and
+    oracle-expressible (the de-gated rung of resize_stub; a real
+    pipeline would swap in an area/bilinear kernel behind the same
+    signature)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    return px[sy][:, sx]

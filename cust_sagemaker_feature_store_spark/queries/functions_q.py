@@ -1181,3 +1181,80 @@ def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_arrivals") - 1).cast("long").alias("n_suppressed"),
         )
     )
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, out_w long, out_h long, sum_r long, sum_g long, sum_b long"
+)
+
+
+@register(
+    "udf_multimodal_resize",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(5 + doc_id % 8 AS BIGINT) AS w,
+         CAST(5 + doc_id % 6 AS BIGINT) AS h
+  FROM documents
+),
+op AS (
+  SELECT media_id, w, h, xo.xo AS xo, yo.yo AS yo,
+         (xo.xo * w) // 4 AS sx, (yo.yo * h) // 3 AS sy
+  FROM dims,
+       unnest(generate_series(0, 3)) AS xo(xo),
+       unnest(generate_series(0, 2)) AS yo(yo)
+)
+SELECT media_id, CAST(4 AS BIGINT) AS out_w, CAST(3 AS BIGINT) AS out_h,
+       CAST(SUM((media_id + 4 * sx + 9 * sy) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((5 * media_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((7 * media_id + 6 * sx + sy) % 256) AS BIGINT) AS sum_b
+FROM op GROUP BY 1
+""",
+    description=(
+        "[EXT] REAL image resize over the REAL BMP codec: deterministic "
+        "rasters round-trip encode_bmp/decode_bmp, then nearest-"
+        "neighbor resample to 4x3 via the pure-integer index map "
+        "(x*W)//out_w (operators/multimodal.resize_nearest — the "
+        "de-gated rung of resize_stub). The oracle recomputes the "
+        "sampled-pixel channel sums from the pixel rule and the SAME "
+        "index map, so a codec bug OR an off-by-one in the resample "
+        "grid breaks the hash. Narrow per-row transform; at 100 TB "
+        "media bytes never shuffle, only the resized features leave "
+        "the executor."
+    ),
+)
+def udf_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_bmp, encode_bmp, resize_nearest
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 5 + mid % 8, 5 + mid % 6
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (mid + 4 * x + 9 * y) % 256,
+                        (5 * mid + 2 * x + 3 * y) % 256,
+                        (7 * mid + 6 * x + y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                dec = decode_bmp(encode_bmp(px))
+                rs = resize_nearest(dec, 4, 3)
+                sums = rs.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append((mid, 4, 3, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return docs.mapInPandas(run, schema=_RESIZE_SCHEMA)

@@ -443,3 +443,22 @@ def test_isotonic_calibration_monotone_and_pav(spark, sf_dir):
     tot_fit = sum(r["n"] * r["fitted_rate"] for r in rows)
     tot_pos = sum(r["n_pos"] for r in rows)
     assert abs(tot_fit - tot_pos) < 1e-6 * max(1, tot_pos)
+
+
+def test_resize_nearest_identity_and_downsample():
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    # identity geometry is a no-op
+    assert (resize_nearest(px, 4, 6) == px).all()
+    # 2x downsample picks every other source pixel
+    half = resize_nearest(px, 2, 3)
+    assert half.shape == (3, 2, 3)
+    assert (half == px[::2][:, ::2]).all()
+    # upsample repeats source pixels, never interpolates
+    up = resize_nearest(px[:1, :1], 3, 2)
+    assert (up == px[0, 0]).all()
