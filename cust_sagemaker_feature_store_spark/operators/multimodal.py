@@ -441,3 +441,47 @@ def resize_nearest(pixels, out_w: int, out_h: int):
     sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
     sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
     return px[sy][:, sx]
+
+
+# Toy frame container: b"FRMS" + u32 frame count + per frame
+# (u32 payload length + payload). Stands in for a real media container
+# so the frame-sampling path exercises REAL parse + per-frame codec
+# decode end-to-end; swapping in ffmpeg means replacing exactly these
+# two functions behind the same signatures.
+_FRAMES_MAGIC = b"FRMS"
+
+
+def encode_frames(frames) -> bytes:
+    """Pack a list of encoded frame payloads (e.g. BMP bytes) into the
+    length-prefixed FRMS container."""
+    import struct
+
+    out = [_FRAMES_MAGIC, struct.pack("<I", len(frames))]
+    for payload in frames:
+        out.append(struct.pack("<I", len(payload)))
+        out.append(payload)
+    return b"".join(out)
+
+
+def decode_frames(content: bytes) -> list[bytes]:
+    """Parse the FRMS container back into its frame payloads; strict
+    bounds checks so truncated containers fail loudly, not silently."""
+    import struct
+
+    if content[:4] != _FRAMES_MAGIC:
+        raise ValueError("not a FRMS container")
+    (n,) = struct.unpack_from("<I", content, 4)
+    off = 8
+    frames = []
+    for _ in range(n):
+        if off + 4 > len(content):
+            raise ValueError("truncated FRMS header")
+        (ln,) = struct.unpack_from("<I", content, off)
+        off += 4
+        if off + ln > len(content):
+            raise ValueError("truncated FRMS payload")
+        frames.append(content[off : off + ln])
+        off += ln
+    if off != len(content):
+        raise ValueError("trailing bytes after FRMS frames")
+    return frames

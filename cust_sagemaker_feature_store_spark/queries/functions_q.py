@@ -1258,3 +1258,102 @@ def udf_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_FRAMES_OUT_SCHEMA = (
+    "media_id long, frame_index long, n_frames long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+@register(
+    "udf_multimodal_frames",
+    oracle="""
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+         CAST(3 + doc_id % 4 AS BIGINT) AS w,
+         CAST(2 + doc_id % 3 AS BIGINT) AS h
+  FROM documents
+),
+sampled AS (
+  SELECT media_id, n_frames, w, h, f.f AS frame_index
+  FROM vids, unnest(generate_series(0, n_frames - 1)) AS f(f)
+  WHERE f.f % 2 = 0
+),
+px AS (
+  SELECT media_id, n_frames, frame_index, x.x AS x, y.y AS y
+  FROM sampled,
+       unnest(generate_series(0, w - 1)) AS x(x),
+       unnest(generate_series(0, h - 1)) AS y(y)
+)
+SELECT media_id, frame_index, n_frames,
+       CAST(SUM((media_id + 11 * frame_index + 2 * x + 3 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * media_id + 7 * frame_index + x + 5 * y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((3 * media_id + 13 * frame_index + 4 * x + y) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1, 2, 3
+""",
+    description=(
+        "[EXT] REAL frame sampling: per document a multi-frame FRMS "
+        "container (documented length-prefixed toy container — the "
+        "ffmpeg seam) holding 2-5 real BMP-encoded frames is PARSED, "
+        "every 2nd frame is selected, and each sampled frame is "
+        "decoded by the real decode_bmp — container parse + per-frame "
+        "codec both on the hot path (de-gating frame_sample_stub). "
+        "The oracle recomputes sampled-frame channel sums from the "
+        "(id, frame, x, y) pixel rule, so a container offset bug, a "
+        "wrong sample stride, or a codec bug all break the hash. One "
+        "output row per SAMPLED frame; media bytes never shuffle."
+    ),
+)
+def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import (
+            decode_bmp,
+            decode_frames,
+            encode_bmp,
+            encode_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                nf, w, h = 2 + mid % 4, 3 + mid % 4, 2 + mid % 3
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                payloads = []
+                for fi in range(nf):
+                    px = np.stack(
+                        [
+                            (mid + 11 * fi + 2 * x + 3 * y) % 256,
+                            (2 * mid + 7 * fi + x + 5 * y) % 256,
+                            (3 * mid + 13 * fi + 4 * x + y) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    payloads.append(encode_bmp(px))
+                container = encode_frames(payloads)
+                # the REAL parse + sample + decode under test
+                frames = decode_frames(container)
+                for fi in range(0, len(frames), 2):
+                    dec = decode_bmp(frames[fi])
+                    sums = dec.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (mid, fi, nf, int(sums[0]), int(sums[1]), int(sums[2]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "n_frames",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_FRAMES_OUT_SCHEMA)

@@ -462,3 +462,23 @@ def test_resize_nearest_identity_and_downsample():
     # upsample repeats source pixels, never interpolates
     up = resize_nearest(px[:1, :1], 3, 2)
     assert (up == px[0, 0]).all()
+
+
+def test_frames_container_roundtrip_and_errors():
+    import pytest as _pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_frames,
+        encode_frames,
+    )
+
+    frames = [b"abc", b"", b"0123456789"]
+    packed = encode_frames(frames)
+    assert decode_frames(packed) == frames
+    assert decode_frames(encode_frames([])) == []
+    with _pytest.raises(ValueError):
+        decode_frames(b"XXXX\x00\x00\x00\x00")
+    with _pytest.raises(ValueError):
+        decode_frames(packed[:-1])  # truncated payload
+    with _pytest.raises(ValueError):
+        decode_frames(packed + b"!")  # trailing garbage
