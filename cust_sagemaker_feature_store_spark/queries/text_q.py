@@ -2730,3 +2730,109 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
 def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.allpairs_prefix_join(docs, k=5, threshold=0.5)
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(lower(trim(text))) AS content_hash,
+         len({SQL_TOKS}) AS n_tokens,
+         len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           * 1.0 / len({SQL_TOKS}) AS stop_ratio,
+         CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS}) AS ttr
+  FROM documents
+),
+base AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_unique,
+         CAST(SUM(CASE WHEN (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+                           + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+                           + CASE WHEN ttr BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) >= 2
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass
+  FROM per_doc GROUP BY 1
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM per_doc GROUP BY 1, 2
+)
+SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+       lc.lang AS top_lang,
+       CAST(b.n_docs - b.n_unique AS DOUBLE) / b.n_docs AS dup_frac,
+       CAST(b.n_quality_pass AS DOUBLE) / b.n_docs AS quality_pass_frac,
+       CAST(b.n_tokens AS DOUBLE) / b.n_docs AS mean_doc_tokens
+FROM base b JOIN lc ON lc.source = b.source AND lc.rn = 1
+""",
+    description=(
+        "[EXT] dataset-card manifest per source: the one-page summary a "
+        "curated 100 TB release ships with (Gebru et al., Datasheets "
+        "for Datasets) — doc/token/char counts, language spread with "
+        "the modal language, exact-dup fraction from content hashes, "
+        "and the 3-gate quality pass rate, composed from the repo's "
+        "independently-oracled primitives. Two compact groupBys "
+        "(source, and source x lang) over derived columns; output is "
+        "|sources| rows at any corpus size."
+    ),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    stop_ratio = T.stopword_hits(toks, T.LANG_STOPWORDS["en"]) * F.lit(1.0) / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    gates = (
+        F.when(n.between(20, 2000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when(ttr.between(0.1, 0.9), 1).otherwise(0)
+    )
+    per_doc = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        T.content_fingerprint("text").alias("content_hash"),
+        n.alias("n_tokens"),
+        F.when(gates >= 2, 1).otherwise(0).alias("quality_pass"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("content_hash").cast("long").alias("n_unique"),
+        F.sum("quality_pass").cast("long").alias("n_quality_pass"),
+    )
+    lc = (
+        per_doc.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return base.join(lc, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "top_lang",
+        ((F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")).alias(
+            "dup_frac"
+        ),
+        (F.col("n_quality_pass").cast("double") / F.col("n_docs")).alias(
+            "quality_pass_frac"
+        ),
+        (F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_doc_tokens"
+        ),
+    )
