@@ -1357,3 +1357,103 @@ def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(run, schema=_FRAMES_OUT_SCHEMA)
+
+
+_PHASH_CTE = """
+dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 5 AS BIGINT) AS width,
+         CAST(8 + doc_id % 3 AS BIGINT) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, x.x AS x, y.y AS y,
+         (((media_id + 3 * x.x + 7 * y.y) % 256)
+          + ((2 * media_id + 5 * x.x + y.y) % 256)
+          + ((3 * media_id + x.x + 4 * y.y) % 256)) // 3 AS gray
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+),
+blocks AS (
+  SELECT media_id, (y * 4) // height AS by, (x * 4) // width AS bx,
+         SUM(gray) AS bs, COUNT(*) AS bn
+  FROM px GROUP BY 1, 2, 3
+),
+tot AS (SELECT media_id, SUM(bs) AS ts, SUM(bn) AS tn FROM blocks GROUP BY 1),
+ph AS (
+  SELECT b.media_id,
+         CAST(SUM(CASE WHEN b.bs * t.tn > t.ts * b.bn
+                  THEN CAST(1 AS BIGINT) << CAST(4 * b.by + b.bx AS INTEGER)
+                  ELSE 0 END) AS BIGINT) AS phash
+  FROM blocks b JOIN tot t USING (media_id)
+  GROUP BY 1
+)
+"""
+
+
+@register(
+    "dedup_phash_pairs",
+    oracle=f"""
+WITH {_PHASH_CTE}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+""",
+    description=(
+        "[EXT] image near-dup pairs by Hamming distance <= 2 over the "
+        "codec-backed perceptual hash — the image rung of the dedup "
+        "ladder. The Spark side NEVER does the all-pairs join: the "
+        "16-bit hash splits into 3 bit-slice bands (6+5+5), and by "
+        "pigeonhole any pair within Hamming 2 agrees exactly on at "
+        "least one band, so candidates come from a hash-equi join on "
+        "(band_idx, band_value) buckets — lossless, same shape as "
+        "simhash banding, linear in bucket occupancy at 100 TB. The "
+        "oracle computes the textbook quadratic join from the pixel "
+        "rule; equality proves both the banding's losslessness and "
+        "the codec-decoded hash."
+    ),
+)
+def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ph = udf_multimodal_phash(spark, sf_dir).select("media_id", "phash")
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("phash") % 64).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    ((F.col("phash") / 64).cast("long") % 32).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"),
+                    ((F.col("phash") / 2048).cast("long") % 32).alias("bv"),
+                ),
+            )
+        ).alias("band"),
+    ).select("media_id", "phash", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= 2)
+        .select("media_a", "media_b", "hamming")
+    )

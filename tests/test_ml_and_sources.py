@@ -482,3 +482,28 @@ def test_frames_container_roundtrip_and_errors():
         decode_frames(packed[:-1])  # truncated payload
     with _pytest.raises(ValueError):
         decode_frames(packed + b"!")  # trailing garbage
+
+
+def test_phash_banding_lossless_vs_bruteforce(spark, sf_dir):
+    # pigeonhole: 3 bands over 16 bits never miss a Hamming<=2 pair
+    from cust_sagemaker_feature_store_spark.queries.functions_q import (
+        dedup_phash_pairs,
+        udf_multimodal_phash,
+    )
+
+    ph = {
+        r["media_id"]: r["phash"]
+        for r in udf_multimodal_phash(spark, sf_dir).collect()
+    }
+    ids = sorted(ph)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(ph[a] ^ ph[b]).count("1") <= 2
+    }
+    banded = {
+        (r["media_a"], r["media_b"])
+        for r in dedup_phash_pairs(spark, sf_dir).collect()
+    }
+    assert banded == brute
