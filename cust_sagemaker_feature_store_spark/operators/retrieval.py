@@ -195,3 +195,38 @@ def bm25_topk(
         .orderBy(F.desc("score_u"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_scores_frame(
+    docs: DataFrame,
+    terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 per-doc scores against a TERM FRAME (one `term` column)
+    instead of a literal list — the shape query-expansion needs, where
+    the term set is itself data-dependent. Same exact-arithmetic
+    formulation as bm25_topk (see its docstring for the int64-margin
+    analysis); the term frame broadcasts, so the only data-sized work
+    is the tf join. Output: (id_col, score_u) — callers add the
+    float score / top-k."""
+    tf = term_frequencies(docs, id_col, text_col).join(
+        F.broadcast(terms.select("term")), "term"
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    stats = corpus_stats(docs, text_col)
+    scored = tf.join(F.broadcast(df_tbl), "term").crossJoin(F.broadcast(stats))
+    tfc, dl = F.col("tf"), F.col("dl").cast("long")
+    n, tt, dfc = F.col("n_docs"), F.col("total_tokens"), F.col("df")
+    sat = (F.lit(22) * tfc * tt).cast("double") / (
+        (F.lit(10) * tfc * tt + F.lit(3) * tt + F.lit(9) * dl * n).cast("double")
+    )
+    idf = (F.lit(2) * n - F.lit(2) * dfc + F.lit(1)).cast("double") / (
+        (F.lit(2) * dfc + F.lit(1)).cast("double")
+    )
+    term_scaled = F.floor(idf * sat * F.lit(float(SCORE_SCALE))).alias("term_scaled")
+    return (
+        scored.select(id_col, term_scaled)
+        .groupBy(id_col)
+        .agg(F.sum("term_scaled").cast("long").alias("score_u"))
+    )

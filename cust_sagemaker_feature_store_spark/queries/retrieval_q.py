@@ -887,3 +887,94 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick)
     return sel.select("rank", "doc_id", "rel", "mmr")
+
+
+PRF_FEEDBACK = 5
+PRF_EXPAND = 3
+PRF_TOP = 10
+
+_PRF_BM25 = """floor(
+  (CAST(2*c.n_docs - 2*d.df + 1 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+  * (CAST(22*q.tf*c.total_tokens AS DOUBLE)
+     / CAST(10*q.tf*c.total_tokens + 3*c.total_tokens + 9*q.dl*c.n_docs AS DOUBLE))
+  * 1000000.0)"""
+
+
+@register(
+    "retrieval_prf_expansion",
+    oracle="WITH "
+    + _SQL_TF.strip()
+    + f""",
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents
+),
+q1 AS (SELECT * FROM tf WHERE term IN ({", ".join(repr(t) for t in QUERY_TERMS)})),
+d1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM q1 GROUP BY 1),
+s1 AS (
+  SELECT q.doc_id, CAST({_PRF_BM25} AS BIGINT) AS term_scaled
+  FROM q1 q JOIN d1 d USING (term) CROSS JOIN corpus c
+),
+a1 AS (SELECT doc_id, CAST(SUM(term_scaled) AS BIGINT) AS score_u FROM s1 GROUP BY 1),
+fb AS (SELECT doc_id FROM a1 ORDER BY score_u DESC, doc_id LIMIT {PRF_FEEDBACK}),
+ex AS (
+  SELECT term FROM tf JOIN fb USING (doc_id)
+  WHERE term NOT IN ({", ".join(repr(t) for t in QUERY_TERMS)})
+  GROUP BY term ORDER BY SUM(tf) DESC, term LIMIT {PRF_EXPAND}
+),
+qterms AS (
+  SELECT term FROM ex
+  UNION ALL
+  SELECT unnest([{", ".join(repr(t) for t in QUERY_TERMS)}]) AS term
+),
+q2 AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+d2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM q2 GROUP BY 1),
+s2 AS (
+  SELECT q.doc_id, CAST({_PRF_BM25} AS BIGINT) AS term_scaled
+  FROM q2 q JOIN d2 d USING (term) CROSS JOIN corpus c
+),
+a2 AS (SELECT doc_id, CAST(SUM(term_scaled) AS BIGINT) AS score_u FROM s2 GROUP BY 1)
+SELECT doc_id, score_u, CAST(score_u AS DOUBLE) / 1000000.0 AS bm25
+FROM a2 ORDER BY score_u DESC, doc_id LIMIT {PRF_TOP}
+""",
+    description=(
+        "[EXT] pseudo-relevance-feedback query expansion (Rocchio/RM1 "
+        "family): BM25 top-5 for the seed terms, expand with the 3 "
+        "highest-total-tf non-seed terms from those feedback docs "
+        "(deterministic int tie-break), rescore the corpus with the "
+        "expanded term FRAME, return the new top-10. The expansion "
+        "term set is data-dependent, so the second pass uses "
+        "bm25_scores_frame (term frame broadcast join) instead of an "
+        "IN-list — the operator shape a real retrieval stack needs. "
+        "Two corpus-sized tf passes, everything else feedback-pool-"
+        "sized; scores on the exact 1e-6 floor grid as all BM25 here."
+    ),
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fb = R.bm25_topk(docs, QUERY_TERMS, k=PRF_FEEDBACK).select("doc_id")
+    tf_all = R.term_frequencies(docs)
+    ex = (
+        tf_all.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), "term")
+        .limit(PRF_EXPAND)
+        .select("term")
+    )
+    seed = docs.sparkSession.createDataFrame(
+        [(t,) for t in QUERY_TERMS], "term string"
+    )
+    qterms = ex.unionByName(seed)
+    scores = R.bm25_scores_frame(docs, qterms)
+    return (
+        scores.select(
+            "doc_id",
+            "score_u",
+            (F.col("score_u").cast("double") / 1000000.0).alias("bm25"),
+        )
+        .orderBy(F.desc("score_u"), "doc_id")
+        .limit(PRF_TOP)
+    )
