@@ -177,6 +177,26 @@ BENCH_QUERIES = [
     "graph_label_propagation",
     "stream_asof_twin",
     "text_shared_spans",
+    # round-10 additions (second wave): the exact prefix-filter
+    # similarity join, 2D skyline, privacy audit, influence/conformal/
+    # isotonic ML-eval shelf, item-item CF, diversity + PRF retrieval,
+    # the de-gated multimodal rungs and their dedup/dataset-card
+    # consumers
+    "dedup_allpairs_prefix",
+    "sort_skyline_parts",
+    "dq_k_anonymity",
+    "ml_group_influence",
+    "ml_item_item_cf",
+    "ml_conformal_coverage",
+    "ml_isotonic_calibration",
+    "stream_dedup_twin",
+    "retrieval_mmr_rerank",
+    "retrieval_prf_expansion",
+    "udf_multimodal_phash",
+    "udf_multimodal_resize",
+    "udf_multimodal_frames",
+    "dedup_phash_pairs",
+    "pipeline_dataset_card",
 ]
 
 

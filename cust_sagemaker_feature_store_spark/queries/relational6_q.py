@@ -1030,3 +1030,117 @@ def ml_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ml_shapley_r2",
+    oracle="""
+WITH s AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+a AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x1 AS HUGEINT)*x1) AS s11, SUM(CAST(x2 AS HUGEINT)*x2) AS s22,
+         SUM(CAST(x1 AS HUGEINT)*x2) AS s12,
+         SUM(CAST(x1 AS HUGEINT)*y) AS s1y, SUM(CAST(x2 AS HUGEINT)*y) AS s2y,
+         SUM(CAST(y AS HUGEINT)*y) AS syy
+  FROM s
+),
+c AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS c11,
+         CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS c22,
+         CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE) AS c12,
+         CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS c1y,
+         CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS c2y,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS cyy
+  FROM a
+),
+f AS (
+  SELECT n,
+         (c1y * c1y) / (c11 * cyy) AS r2_1,
+         (c2y * c2y) / (c22 * cyy) AS r2_2,
+         (((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * c1y
+          + ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * c2y) / cyy AS r2_12
+  FROM c
+)
+SELECT 'quantity' AS feature, n, r2_1 AS r2_alone, r2_12 AS r2_full,
+       0.5 * r2_1 + 0.5 * (r2_12 - r2_2) AS shapley_phi
+FROM f
+UNION ALL
+SELECT 'discount' AS feature, n, r2_2 AS r2_alone, r2_12 AS r2_full,
+       0.5 * r2_2 + 0.5 * (r2_12 - r2_1) AS shapley_phi
+FROM f
+""",
+    description=(
+        "Exact Shapley R-squared attribution over the two-feature "
+        "coalition lattice (Lipovetsky & Conklin 2001): each feature's "
+        "phi averages its marginal R-squared contribution over both "
+        "join orders, phi_1 + phi_2 = full-model R-squared by "
+        "construction (pinned in a test). All four coalition fits come "
+        "from ONE scan's exact sufficient statistics (the ridge/OLS "
+        "shelf pattern — 10 decimal sums, 2x2 Cramer solve in IEEE "
+        "mirrored term-for-term); the 'which feature earns the fit' "
+        "report with no refits and no sampling, at any corpus size."
+    ),
+)
+def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x1 = F.round(F.col("l_quantity") * 100).cast("long")
+    x2 = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x1"))).alias("s1"),
+        F.sum(dec(F.col("x2"))).alias("s2"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).alias("s11"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).alias("s22"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).alias("s12"),
+        F.sum(dec(F.col("x1") * F.col("y"))).alias("s1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).alias("s2y"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2, sy = (F.col(c).cast("double") for c in ("s1", "s2", "sy"))
+    c11 = F.col("s11").cast("double") - s1 * s1 / nd
+    c22 = F.col("s22").cast("double") - s2 * s2 / nd
+    c12 = F.col("s12").cast("double") - s1 * s2 / nd
+    c1y = F.col("s1y").cast("double") - s1 * sy / nd
+    c2y = F.col("s2y").cast("double") - s2 * sy / nd
+    cyy = F.col("syy").cast("double") - sy * sy / nd
+    r2_1 = (c1y * c1y) / (c11 * cyy)
+    r2_2 = (c2y * c2y) / (c22 * cyy)
+    det = c11 * c22 - c12 * c12
+    r2_12 = (((c22 * c1y - c12 * c2y) / det) * c1y + ((c11 * c2y - c12 * c1y) / det) * c2y) / cyy
+    base = a.select(
+        F.col("n").cast("long").alias("n"),
+        r2_1.alias("r2_1"),
+        r2_2.alias("r2_2"),
+        r2_12.alias("r2_12"),
+    )
+    q = base.select(
+        F.lit("quantity").alias("feature"),
+        "n",
+        F.col("r2_1").alias("r2_alone"),
+        F.col("r2_12").alias("r2_full"),
+        (F.lit(0.5) * F.col("r2_1") + F.lit(0.5) * (F.col("r2_12") - F.col("r2_2"))).alias(
+            "shapley_phi"
+        ),
+    )
+    d = base.select(
+        F.lit("discount").alias("feature"),
+        "n",
+        F.col("r2_2").alias("r2_alone"),
+        F.col("r2_12").alias("r2_full"),
+        (F.lit(0.5) * F.col("r2_2") + F.lit(0.5) * (F.col("r2_12") - F.col("r2_1"))).alias(
+            "shapley_phi"
+        ),
+    )
+    return q.unionByName(d)

@@ -507,3 +507,16 @@ def test_phash_banding_lossless_vs_bruteforce(spark, sf_dir):
         for r in dedup_phash_pairs(spark, sf_dir).collect()
     }
     assert banded == brute
+
+
+def test_shapley_r2_efficiency_axiom(spark, sf_dir):
+    # Shapley efficiency: the phis sum to the full-model R2 exactly
+    from cust_sagemaker_feature_store_spark.queries import REGISTRY
+
+    rows = REGISTRY["ml_shapley_r2"].fn(spark, sf_dir).collect()
+    assert len(rows) == 2
+    phi_sum = sum(r["shapley_phi"] for r in rows)
+    r2_full = rows[0]["r2_full"]
+    assert abs(phi_sum - r2_full) < 1e-12
+    for r in rows:
+        assert 0.0 <= r["r2_alone"] <= 1.0 + 1e-12
