@@ -1688,3 +1688,241 @@ def stream_asof_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature_value",
         "fresh",
     )
+
+
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+MARKOV_ITERS = 8
+_MGRID = 1_000_000_000_000  # 1e-12 value grid per iteration
+
+
+def _markov_journey_pairs_sql() -> str:
+    """Journey transition pairs: per (user, day), events ordered by
+    (ts, event_id), truncated at the first purchase; START opens every
+    journey, CONV/NULL closes it."""
+    return """
+base0 AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ordered AS (
+  SELECT user_id, day, event_type, rn,
+         MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+           OVER (PARTITION BY user_id, day) AS pmin
+  FROM base0
+),
+pre AS (
+  SELECT user_id, day, event_type, rn, pmin,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY rn) AS prn,
+         COUNT(*) OVER (PARTITION BY user_id, day) AS npre
+  FROM ordered
+  WHERE event_type <> 'purchase' AND (pmin IS NULL OR rn < pmin)
+),
+journeys AS (
+  SELECT user_id, day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_conv
+  FROM ordered GROUP BY 1, 2
+),
+chain AS (
+  SELECT p.user_id, p.day, p.event_type AS s,
+         COALESCE(LEAD(p.event_type) OVER (PARTITION BY p.user_id, p.day ORDER BY p.prn),
+                  CASE WHEN j.has_conv = 1 THEN 'CONV' ELSE 'NULL' END) AS t
+  FROM pre p JOIN journeys j USING (user_id, day)
+),
+starts AS (
+  SELECT p.user_id, p.day, 'START' AS s, p.event_type AS t
+  FROM pre p WHERE p.prn = 1
+  UNION ALL
+  SELECT j.user_id, j.day, 'START' AS s, 'CONV' AS t
+  FROM journeys j
+  WHERE j.has_conv = 1
+    AND NOT EXISTS (SELECT 1 FROM pre p
+                    WHERE p.user_id = j.user_id AND p.day = j.day)
+),
+pairs AS (SELECT s, t FROM chain UNION ALL SELECT s, t FROM starts),
+tr AS (
+  SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COUNT(*) AS DOUBLE)
+           / SUM(COUNT(*)) OVER (PARTITION BY s) AS p
+  FROM pairs GROUP BY 1, 2
+)"""
+
+
+def _markov_oracle() -> str:
+    runs = [("base", None)] + [(ch, ch) for ch in MARKOV_CHANNELS]
+    parts = ["WITH " + _markov_journey_pairs_sql().strip()]
+    for run, removed in runs:
+        cond = f"WHERE t <> '{removed}'" if removed else ""
+        parts.append(f",\ntr_{run} AS (SELECT s, t, p FROM tr {cond})")
+        parts.append(
+            f",\nv_{run}_0 AS (SELECT DISTINCT s, CAST(0.0 AS DOUBLE) AS vv FROM tr_{run})"
+        )
+        for k in range(1, MARKOV_ITERS + 1):
+            parts.append(f""",
+v_{run}_{k} AS (
+  SELECT tr.s,
+         SUM(CAST(ROUND(tr.p * (CASE WHEN tr.t = 'CONV' THEN 1.0
+                                     WHEN tr.t = 'NULL' THEN 0.0
+                                     ELSE COALESCE(v.vv, 0.0) END) * {_MGRID}) AS BIGINT))
+           / {_MGRID}.0 AS vv
+  FROM tr_{run} tr LEFT JOIN v_{run}_{k - 1} v ON v.s = tr.t
+  GROUP BY 1
+)""")
+    sel = []
+    for ch in MARKOV_CHANNELS:
+        sel.append(f"""
+SELECT '{ch}' AS channel,
+       (SELECT vv FROM v_base_{MARKOV_ITERS} WHERE s = 'START') AS base_conv,
+       COALESCE((SELECT vv FROM v_{ch}_{MARKOV_ITERS} WHERE s = 'START'), 0.0) AS removed_conv,
+       ((SELECT vv FROM v_base_{MARKOV_ITERS} WHERE s = 'START')
+        - COALESCE((SELECT vv FROM v_{ch}_{MARKOV_ITERS} WHERE s = 'START'), 0.0))
+         / (SELECT vv FROM v_base_{MARKOV_ITERS} WHERE s = 'START') AS removal_effect""")
+    parts.append("\n" + "\nUNION ALL\n".join(sel))
+    return "".join(parts)
+
+
+@register(
+    "events_markov_attribution",
+    oracle=_markov_oracle(),
+    description=(
+        "[EXT] Markov-chain removal-effect attribution (Anderl et al. "
+        "2016, the data-driven alternative to last-touch): per-(user, "
+        "day) journeys truncated at first purchase become first-order "
+        "transition probabilities (START / channels / CONV / NULL); "
+        "conversion probability from START by 8 fixed absorption "
+        "iterations, then each channel's removal effect = relative "
+        "drop in conversion when its inbound edges divert to NULL. "
+        "Every iteration floors each term onto the 1e-12 grid and "
+        "int64-sums, so both engines run the identical fixed-point "
+        "arithmetic (convergence is not assumed — the iteration COUNT "
+        "is the contract). Corpus-sized work: ONE windowed pass to "
+        "pairs; the 5 runs x 8 iterations operate on the pinned "
+        "|states|^2 transition table (<= 36 rows), constant at any "
+        "corpus size."
+    ),
+)
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    wkey = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    wpart = Window.partitionBy("user_id", F.to_date("ts"))
+    ordered = ev.select(
+        "user_id",
+        day.alias("day"),
+        "event_type",
+        F.row_number().over(wkey).alias("rn"),
+    ).withColumn(
+        "pmin",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(
+            Window.partitionBy("user_id", "day")
+        ),
+    )
+    pre = (
+        ordered.filter(
+            (F.col("event_type") != "purchase")
+            & (F.col("pmin").isNull() | (F.col("rn") < F.col("pmin")))
+        )
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "day").orderBy("rn")
+            ),
+        )
+    )
+    journeys = ordered.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_conv"
+        )
+    )
+    chain = (
+        pre.join(journeys, ["user_id", "day"])
+        .withColumn(
+            "nxt",
+            F.lead("event_type").over(
+                Window.partitionBy("user_id", "day").orderBy("prn")
+            ),
+        )
+        .select(
+            F.col("event_type").alias("s"),
+            F.coalesce(
+                F.col("nxt"),
+                F.when(F.col("has_conv") == 1, F.lit("CONV")).otherwise(
+                    F.lit("NULL")
+                ),
+            ).alias("t"),
+        )
+    )
+    starts = (
+        pre.filter(F.col("prn") == 1)
+        .select("user_id", "day")
+        .withColumn("s", F.lit("START"))
+        .join(
+            pre.filter(F.col("prn") == 1).select(
+                "user_id", "day", F.col("event_type").alias("t")
+            ),
+            ["user_id", "day"],
+        )
+        .select("s", "t")
+    )
+    conv_only = (
+        journeys.filter(F.col("has_conv") == 1)
+        .join(pre.select("user_id", "day").distinct(), ["user_id", "day"], "left_anti")
+        .select(F.lit("START").alias("s"), F.lit("CONV").alias("t"))
+    )
+    pairs = chain.unionByName(starts).unionByName(conv_only)
+    tr_full = (
+        pairs.groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "p",
+            F.col("c").cast("double")
+            / F.sum("c").over(Window.partitionBy("s")),
+        )
+        .select("s", "t", "p")
+        .localCheckpoint(eager=True)  # 5 runs x 8 iterations reuse this
+    )
+
+    def absorb(tr: DataFrame) -> DataFrame:
+        v = tr.select("s").distinct().withColumn("vv", F.lit(0.0))
+        for _ in range(MARKOV_ITERS):
+            val = (
+                F.when(F.col("t") == "CONV", F.lit(1.0))
+                .when(F.col("t") == "NULL", F.lit(0.0))
+                .otherwise(F.coalesce(F.col("vv"), F.lit(0.0)))
+            )
+            v = (
+                tr.join(v.select(F.col("s").alias("t"), "vv"), "t", "left")
+                .groupBy("s")
+                .agg(
+                    (
+                        F.sum(F.round(F.col("p") * val * _MGRID).cast("long"))
+                        / F.lit(float(_MGRID))
+                    ).alias("vv")
+                )
+            )
+        return v
+
+    base = absorb(tr_full).filter(F.col("s") == "START").select(
+        F.col("vv").alias("base_conv")
+    )
+    out = None
+    for ch in MARKOV_CHANNELS:
+        rem = absorb(tr_full.filter(F.col("t") != ch))
+        rc = rem.filter(F.col("s") == "START").select(
+            F.col("vv").alias("removed_conv")
+        )
+        row = (
+            base.crossJoin(F.broadcast(rc))
+            .select(
+                F.lit(ch).alias("channel"),
+                "base_conv",
+                F.coalesce(F.col("removed_conv"), F.lit(0.0)).alias("removed_conv"),
+                (
+                    (F.col("base_conv") - F.coalesce(F.col("removed_conv"), F.lit(0.0)))
+                    / F.col("base_conv")
+                ).alias("removal_effect"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -520,3 +520,16 @@ def test_shapley_r2_efficiency_axiom(spark, sf_dir):
     assert abs(phi_sum - r2_full) < 1e-12
     for r in rows:
         assert 0.0 <= r["r2_alone"] <= 1.0 + 1e-12
+
+
+def test_markov_attribution_sanity(spark, sf_dir):
+    # removal effects are in [0, 1]: removing a channel can only lower
+    # (or keep) the absorbed conversion probability; base_conv > 0
+    from cust_sagemaker_feature_store_spark.queries import REGISTRY
+
+    rows = REGISTRY["events_markov_attribution"].fn(spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == {"click", "error", "signup", "view"}
+    for r in rows:
+        assert r["base_conv"] > 0
+        assert -1e-12 <= r["removal_effect"] <= 1.0 + 1e-12, r
+        assert r["removed_conv"] <= r["base_conv"] + 1e-12
