@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "udf_multimodal_frames",
     "dedup_phash_pairs",
     "pipeline_dataset_card",
+    "ml_shapley_r2",
+    "events_markov_attribution",
+    "ml_learning_curve",
 ]
 
 

@@ -1144,3 +1144,92 @@ def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return q.unionByName(d)
+
+
+LEARNING_FRACTIONS = ((1, 10), (1, 4), (1, 2), (1, 1))  # 10/25/50/100 %
+
+
+@register(
+    "ml_learning_curve",
+    oracle="""
+WITH s AS (
+  SELECT ((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 AS h,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+fr AS (
+  SELECT f.num, f.den FROM (VALUES (1, 10), (1, 4), (1, 2), (1, 1)) AS f(num, den)
+),
+a AS (
+  SELECT fr.num, fr.den, COUNT(*) AS n,
+         SUM(s.x) AS sx, SUM(s.y) AS sy,
+         SUM(s.x*s.x) AS sxx, SUM(s.y*s.y) AS syy, SUM(s.x*s.y) AS sxy
+  FROM s JOIN fr ON s.h * fr.den < 4294967296 * fr.num
+  GROUP BY 1, 2
+)
+SELECT CAST(num AS DOUBLE) / den AS train_frac,
+       CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
+       ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))
+         / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r2
+FROM a
+""",
+    description=(
+        "Learning curve from nested deterministic subsamples: OLS "
+        "slope and R-squared at 10/25/50/100% train fractions, where "
+        "fraction f keeps rows with hash < f (NESTED samples — each "
+        "smaller set is a subset of every larger one, so the curve "
+        "measures data volume, not sample luck). The pure-integer "
+        "predicate h*den < 2^32*num avoids any float threshold; each "
+        "fraction's fit comes from exact int64 sufficient statistics "
+        "in one scan over the fraction lattice (a 4-row broadcast "
+        "join). The 'is more data still buying accuracy' planning "
+        "report every 100 TB pipeline needs before the next crawl."
+    ),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    s = li.select(
+        h.alias("h"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    fr = li.sparkSession.createDataFrame(
+        list(LEARNING_FRACTIONS), "num long, den long"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = (
+        s.join(
+            F.broadcast(fr),
+            F.col("h") * F.col("den") < F.lit(4294967296) * F.col("num"),
+        )
+        .groupBy("num", "den")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
+            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    num = nd * sxyd - sxd * syd
+    return a.select(
+        (F.col("num").cast("double") / F.col("den")).alias("train_frac"),
+        F.col("n").cast("long").alias("n"),
+        (num / (nd * sxxd - sxd * sxd)).alias("slope"),
+        ((num * num) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))).alias("r2"),
+    )
