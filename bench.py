@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "ml_shapley_r2",
     "events_markov_attribution",
     "ml_learning_curve",
+    "graph_mst_boruvka",
 ]
 
 

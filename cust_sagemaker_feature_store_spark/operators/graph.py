@@ -605,3 +605,96 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def boruvka_forest(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Borůvka minimum spanning forest, fixed synchronous rounds
+    (Borůvka 1926; the MapReduce-friendly MST — each round every
+    component grabs its lightest outgoing edge, so component count at
+    least HALVES per round: R rounds complete any component of <= 2^R
+    supernodes, and log2(n) rounds the whole graph).
+
+    Input: CANONICAL undirected edges (src < dst) with an orderable
+    weight. Ties break by the total order (w, src, dst), which is
+    equivalent to distinct weights, so the forest is UNIQUE — the
+    classic argument — hence bit-reproducible and oracle-pinnable.
+    Both engines run the same fixed R rounds, so the output is pinned
+    even if a >2^R-supernode component is still mid-contraction (the
+    fixed-round contract of label_propagation/pagerank).
+
+    Per round: one broadcast-ish label join + a per-component
+    row_number window (the argmin), then component relabel via
+    dup_clusters' large-star/small-star contraction on the SELECTED
+    edges only (one edge per component — the relabel graph is
+    component-count-sized, never corpus-sized). Lazy per-round
+    localCheckpoints keep the plan linear (the measured Bellman-Ford
+    rule); the selected-edge frame pins eagerly because dup_clusters
+    runs its own jobs against it.
+
+    Output: (src, dst, w, round) — the forest edges and the round that
+    picked each. Single-linkage clustering at threshold t = this
+    forest with edges > t removed, which is why MST is the backbone
+    of semantic-dedup hierarchies."""
+    from pyspark.sql import Window
+
+    from .dedup import dup_clusters
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comp = nodes.select(
+        "node", F.col("node").cast("long").alias("label")
+    ).localCheckpoint(eager=False)
+    picked = None
+    for r in range(1, rounds + 1):
+        ca = comp.select(F.col("node").alias("src"), F.col("label").alias("ca"))
+        cb = comp.select(F.col("node").alias("dst"), F.col("label").alias("cb"))
+        e2 = e.join(ca, "src").join(cb, "dst").filter(F.col("ca") != F.col("cb"))
+        oriented = e2.select("src", "dst", "w", "ca", "cb").unionByName(
+            e2.select(
+                "src",
+                "dst",
+                "w",
+                F.col("cb").alias("ca"),
+                F.col("ca").alias("cb"),
+            )
+        )
+        wv = Window.partitionBy("ca").orderBy("w", "src", "dst")
+        sel = (
+            oriented.withColumn("__rn", F.row_number().over(wv))
+            .filter(F.col("__rn") == 1)
+            .select("src", "dst", "w", "ca", "cb")
+            .localCheckpoint(eager=True)  # feeds both the forest and dup_clusters' jobs
+        )
+        sel_edges = (
+            sel.select("src", "dst", "w")
+            .distinct()
+            .withColumn("round", F.lit(r).cast("long"))
+        )
+        picked = sel_edges if picked is None else picked.unionByName(sel_edges)
+        mapping = dup_clusters(sel.select("ca", "cb"), "ca", "cb").select(
+            F.col("node").alias("__old"), F.col("label").alias("__new")
+        )
+        comp = (
+            comp.join(mapping, comp.label == mapping.__old, "left")
+            .select(
+                "node", F.coalesce("__new", "label").cast("long").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return picked

@@ -752,3 +752,94 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part_key"), F.col("label").alias("community")
     ).orderBy("part_key")
+
+
+MST_ROUNDS = 4
+
+
+def _mst_oracle() -> str:
+    parts = ["""WITH RECURSIVE p AS MATERIALIZED (
+  SELECT a.l_partkey AS s, b.l_partkey AS d,
+         COUNT(DISTINCT a.l_orderkey) AS sup
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+ed AS MATERIALIZED (SELECT s AS src, d AS dst, CAST(-sup AS BIGINT) AS w FROM p WHERE sup >= 2),
+nd AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+comp_0 AS MATERIALIZED (SELECT node, node AS label FROM nd)"""]
+    for r in range(1, MST_ROUNDS + 1):
+        parts.append(f""",
+e2_{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, a.label AS ca, b.label AS cb
+  FROM ed e
+  JOIN comp_{r - 1} a ON a.node = e.src
+  JOIN comp_{r - 1} b ON b.node = e.dst
+  WHERE a.label <> b.label
+),
+ori_{r} AS (
+  SELECT src, dst, w, ca, cb FROM e2_{r}
+  UNION ALL
+  SELECT src, dst, w, cb AS ca, ca AS cb FROM e2_{r}
+),
+sel_{r} AS MATERIALIZED (
+  SELECT src, dst, w, ca, cb FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ca ORDER BY w, src, dst) AS rn
+    FROM ori_{r}) WHERE rn = 1
+),
+per_{r} AS (SELECT DISTINCT src, dst, w, CAST({r} AS BIGINT) AS round FROM sel_{r}),
+und_{r} AS (SELECT ca AS a, cb AS b FROM sel_{r} UNION SELECT cb, ca FROM sel_{r}),
+reach_{r}(node, label) AS (
+  SELECT a, a FROM und_{r}
+  UNION
+  SELECT u.b, t.label FROM reach_{r} t JOIN und_{r} u ON u.a = t.node
+),
+map_{r} AS (SELECT node, MIN(label) AS newlab FROM reach_{r} GROUP BY 1),
+comp_{r} AS MATERIALIZED (
+  SELECT c.node, COALESCE(m.newlab, c.label) AS label
+  FROM comp_{r - 1} c LEFT JOIN map_{r} m ON m.node = c.label
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM per_{r}" for r in range(1, MST_ROUNDS + 1)
+    )
+    parts.append(f"""
+SELECT src AS part_a, dst AS part_b, CAST(-w AS BIGINT) AS support, round
+FROM ({union})""")
+    return "".join(parts)
+
+
+@register(
+    "graph_mst_boruvka",
+    oracle=_mst_oracle(),
+    description=(
+        "[EXT] maximum-support spanning forest of the co-purchase "
+        "graph via fixed-round Borůvka (1926; the MapReduce MST): "
+        "each round every component grabs its strongest outgoing tie "
+        "(w = -support, ties by (w, src, dst) — a total order, so the "
+        "forest is UNIQUE and oracle-pinnable), components contract "
+        "via the large-star/small-star relabel on the selected edges "
+        "only. 4 rounds complete components up to 16 supernodes; both "
+        "engines run the same fixed rounds. The backbone MST IS "
+        "single-linkage clustering (cut at support t = the dedup "
+        "hierarchy), and component count halves per round — log2(n) "
+        "rounds at any scale, with per-round relabel graphs bounded "
+        "by component count, never corpus size. Support comes from "
+        "the CAPPED cooccurrence_edges."
+    ),
+)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", with_support=True
+    )
+    ed = (
+        sup.filter((F.col("support") >= 2) & (F.col("src") < F.col("dst")))
+        .select("src", "dst", (-F.col("support")).cast("long").alias("w"))
+    )
+    forest = G.boruvka_forest(ed, rounds=MST_ROUNDS)
+    return forest.select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        (-F.col("w")).cast("long").alias("support"),
+        "round",
+    )

@@ -524,3 +524,61 @@ def test_label_propagation_matches_synchronous_reference(spark):
 
     with pytest.raises(ValueError, match="rounds"):
         G.label_propagation(edges, rounds=0)
+
+
+def _kruskal(nodes, edges):
+    # edges: (src, dst, w) canonical; unique total order (w, src, dst)
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, s, d in sorted((w, s, d) for s, d, w in edges):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+            out.add((s, d))
+    return out
+
+
+def test_boruvka_forest_matches_kruskal_random(spark):
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators.graph import boruvka_forest
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        nodes = list(range(n))
+        eset = set()
+        while len(eset) < 45:
+            a, b = rng.sample(nodes, 2)
+            eset.add((min(a, b), max(a, b)))
+        edges = [(s, d, rng.randrange(1, 12)) for s, d in sorted(eset)]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = {
+            (r["src"], r["dst"])
+            for r in boruvka_forest(df, rounds=6).collect()
+        }
+        want = _kruskal(nodes, edges)
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_boruvka_forest_path_and_ties(spark):
+    from cust_sagemaker_feature_store_spark.operators.graph import boruvka_forest
+
+    # a path with ALL-EQUAL weights: tie-break by (src, dst) still
+    # yields the unique spanning tree (n-1 edges, no cycle)
+    path = [(i, i + 1, 5) for i in range(10)]
+    df = spark.createDataFrame(path, "src long, dst long, w long")
+    got = boruvka_forest(df, rounds=5).collect()
+    assert {(r["src"], r["dst"]) for r in got} == {(i, i + 1) for i in range(10)}
+    # two disjoint components -> a forest, one tree each
+    two = [(0, 1, 1), (1, 2, 2), (0, 2, 3), (10, 11, 1)]
+    df2 = spark.createDataFrame(two, "src long, dst long, w long")
+    got2 = {(r["src"], r["dst"]) for r in boruvka_forest(df2, rounds=4).collect()}
+    assert got2 == {(0, 1), (1, 2), (10, 11)}
