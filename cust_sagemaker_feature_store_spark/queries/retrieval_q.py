@@ -840,8 +840,14 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    pool = S.cosine_topk(emb, qv, k=MMR_POOL).select(
-        F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("rel")
+    # pin pool + sims: the greedy loop references them in every round's
+    # plan — unpinned, each of the 5 rounds re-scans the corpus for the
+    # TakeOrdered pool (measured 7.1s -> pinned 3.1s at sf0.1); both
+    # frames are pool-sized (10 rows / 90 rows)
+    pool = (
+        S.cosine_topk(emb, qv, k=MMR_POOL)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cosine_sim").alias("rel"))
+        .localCheckpoint(eager=True)
     )
     pe = pool.join(emb, pool.doc_id == emb.vec_id).select(
         "doc_id", S.as_double("embedding").alias("v")
@@ -855,7 +861,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (S.l2_norm(F.col("a.v")) * S.l2_norm(F.col("b.v"))),
             6,
         ).alias("sim"),
-    )
+    ).localCheckpoint(eager=True)
     sel = (
         pool.orderBy(F.desc("rel"), "doc_id")
         .limit(1)
