@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "events_markov_attribution",
     "ml_learning_curve",
     "graph_mst_boruvka",
+    "graph_single_linkage_cut",
 ]
 
 

@@ -843,3 +843,69 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("w")).cast("long").alias("support"),
         "round",
     )
+
+
+SL_CUT = 3  # single-linkage cut: keep forest edges with support >= 3
+
+
+def _single_linkage_oracle() -> str:
+    # the Borůvka forest CTEs, then cut at the support threshold and
+    # take connected components of what survives
+    mst = _mst_oracle()
+    head, _tail = mst.rsplit("\nSELECT src AS part_a", 1)
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, dst, w FROM per_{r}" for r in range(1, MST_ROUNDS + 1)
+    )
+    return head + f""",
+forest AS MATERIALIZED (SELECT src, dst FROM ({union}) WHERE -w >= {SL_CUT}),
+fund AS (SELECT src AS a, dst AS b FROM forest UNION SELECT dst, src FROM forest),
+freach(node, label) AS (
+  SELECT a, a FROM fund
+  UNION
+  SELECT u.b, t.label FROM freach t JOIN fund u ON u.a = t.node
+),
+fcc AS (SELECT node, MIN(label) AS label FROM freach GROUP BY 1)
+SELECT node AS part, label AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+FROM fcc
+"""
+
+
+@register(
+    "graph_single_linkage_cut",
+    oracle=_single_linkage_oracle(),
+    description=(
+        "[EXT] single-linkage clustering by CUTTING the Borůvka "
+        "backbone: drop forest edges below support 3, components of "
+        "the survivors ARE the single-linkage clusters at that "
+        "threshold (the classic MST<->single-linkage equivalence, "
+        "Gower & Ross 1969) — sweeping the threshold costs one filter "
+        "per level over the |V|-1-edge forest, never a re-clustering "
+        "of the corpus. Spark side reuses boruvka_forest + the "
+        "large-star/small-star contraction; the oracle unrolls the "
+        "same fixed rounds and a recursive-CTE component pass."
+    ),
+)
+def graph_single_linkage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dup_clusters
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", with_support=True
+    )
+    ed = (
+        sup.filter((F.col("support") >= 2) & (F.col("src") < F.col("dst")))
+        .select("src", "dst", (-F.col("support")).cast("long").alias("w"))
+    )
+    forest = G.boruvka_forest(ed, rounds=MST_ROUNDS).filter(
+        -F.col("w") >= SL_CUT
+    )
+    cc = dup_clusters(forest.select("src", "dst"), "src", "dst")
+    wsz = Window.partitionBy("label")
+    return cc.select(
+        F.col("node").alias("part"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(wsz).cast("long").alias("cluster_size"),
+    )
