@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "ml_learning_curve",
     "graph_mst_boruvka",
     "graph_single_linkage_cut",
+    "events_holt_trend",
 ]
 
 

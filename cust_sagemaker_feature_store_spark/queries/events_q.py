@@ -1926,3 +1926,86 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+HOLT_GRID = 1_000_000  # 1e-6 state grid: floor(x*1e6 + 0.5) both engines
+
+
+@register(
+    "events_holt_trend",
+    oracle="""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+o AS MATERIALIZED (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d),
+h(rn, day, y, level, trend) AS (
+  SELECT o.rn, o.day, o.y, CAST(o.y AS DOUBLE),
+         CAST(o2.y AS DOUBLE) - CAST(o.y AS DOUBLE)
+  FROM o, o AS o2 WHERE o.rn = 1 AND o2.rn = 2
+  UNION ALL
+  SELECT o.rn, o.day, o.y,
+         floor((0.5 * o.y + 0.5 * (h.level + h.trend)) * 1000000 + 0.5) / 1000000.0,
+         floor((0.25 * (floor((0.5 * o.y + 0.5 * (h.level + h.trend)) * 1000000 + 0.5) / 1000000.0
+                        - h.level)
+                + 0.75 * h.trend) * 1000000 + 0.5) / 1000000.0
+  FROM h JOIN o ON o.rn = h.rn + 1
+)
+SELECT CAST(rn AS BIGINT) AS rn, CAST(day AS VARCHAR) AS day, y, level, trend FROM h
+""",
+    description=(
+        "[EXT] Holt linear-trend exponential smoothing over the daily "
+        "event series (alpha=1/2, beta=1/4 — dyadic coefficients, so "
+        "each step is exact IEEE; the state additionally snaps to the "
+        "1e-6 grid via floor(x*1e6+0.5) on BOTH engines, avoiding the "
+        "round-half conventions that differ between them). The "
+        "recurrence is inherently sequential, so it runs in ONE "
+        "applyInPandas over the DAILY AGGREGATE — bounded by the "
+        "calendar (a century is 36.5k rows), never the corpus; the "
+        "corpus-sized stage is the one groupBy(day). The oracle walks "
+        "the same recurrence as a recursive CTE. Completes the "
+        "series shelf (EWMA, CUSUM, Theil-Sen) with the forecasting "
+        "rung: yhat(t+h) = level + h*trend."
+    ),
+)
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < 2:
+            raise ValueError("Holt smoothing needs at least 2 days")
+
+        def snap(x: float) -> float:
+            return math.floor(x * HOLT_GRID + 0.5) / HOLT_GRID
+
+        levels, trends = [], []
+        for i, y in enumerate(pdf["y"]):
+            y = float(y)
+            if i == 0:
+                lv, tr = y, float(pdf["y"][1]) - y
+            else:
+                lv = snap(0.5 * y + 0.5 * (levels[-1] + trends[-1]))
+                tr = snap(0.25 * (lv - levels[-1]) + 0.75 * trends[-1])
+            levels.append(lv)
+            trends.append(tr)
+        return pd.DataFrame(
+            {
+                "rn": range(1, len(pdf) + 1),
+                "day": pdf["day"].map(lambda d: d.isoformat()),
+                "y": pdf["y"],
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    return daily.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        holt, schema="rn long, day string, y long, level double, trend double"
+    )
