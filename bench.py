@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "graph_mst_boruvka",
     "graph_single_linkage_cut",
     "events_holt_trend",
+    "pipeline_curriculum_pack",
 ]
 
 

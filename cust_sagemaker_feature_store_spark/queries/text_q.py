@@ -2836,3 +2836,101 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_doc_tokens"
         ),
     )
+
+
+CURRICULUM_BIN_TOKENS = 1000
+_CURR_SHARD = 4096  # curriculum-key range per shard (two-phase prefix)
+
+
+@register(
+    "pipeline_curriculum_pack",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         len({SQL_TOKS}) AS n_tokens,
+         (CASE WHEN len({SQL_TOKS}) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+        + CASE WHEN len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                    * 1.0 / len({SQL_TOKS}) BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS})
+                    BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) AS gates
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, gates,
+         SUM(n_tokens) OVER (ORDER BY gates DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT CAST(FLOOR((cum - n_tokens) / {CURRICULUM_BIN_TOKENS}.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(MIN(gates) AS BIGINT) AS min_gates,
+       CAST(MAX(gates) AS BIGINT) AS max_gates
+FROM c GROUP BY 1
+""",
+    description=(
+        "[EXT] curriculum packing: documents stream into ~1000-token "
+        "training bins in QUALITY order (3-gate score descending, "
+        "doc_id tie-break) — easy/clean data first, the curriculum-"
+        "learning data layout (Bengio et al. 2009) composed with "
+        "sequential first-fit packing. The global running sum uses the "
+        "same two-phase sharded prefix as text_pack_bins, but over the "
+        "composite curriculum key (3-gates)*2^40 + doc_id, so no task "
+        "ever owns the whole ordering; bins are contiguous in the "
+        "curriculum by construction (max_gates non-increasing across "
+        "bin_id — pinned by test)."
+    ),
+)
+def pipeline_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    stop_ratio = T.stopword_hits(toks, T.LANG_STOPWORDS["en"]) * F.lit(1.0) / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    gates = (
+        F.when(n.between(20, 2000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when(ttr.between(0.1, 0.9), 1).otherwise(0)
+    )
+    q = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        gates.cast("long").alias("gates"),
+        # curriculum key: gates DESC then doc_id ASC, as one monotone long
+        ((F.lit(3) - gates.cast("long")) * F.lit(1 << 40) + F.col("doc_id")).alias(
+            "__key"
+        ),
+    ).withColumn("__shard", F.expr(f"__key div {_CURR_SHARD}"))
+    shard_tot = q.groupBy("__shard").agg(F.sum("n_tokens").alias("__st"))
+    w_sh = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = shard_tot.select(
+        "__shard", (F.sum("__st").over(w_sh) - F.col("__st")).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy("__key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        q.withColumn("__cin", F.sum("n_tokens").over(w_in))
+        .join(offsets, "__shard")
+        .withColumn("cum", F.col("__cin") + F.col("__off"))
+    )
+    return (
+        c.groupBy(
+            F.floor(
+                (F.col("cum") - F.col("n_tokens")) / float(CURRICULUM_BIN_TOKENS)
+            )
+            .cast("long")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("gates").cast("long").alias("min_gates"),
+            F.max("gates").cast("long").alias("max_gates"),
+        )
+    )

@@ -910,3 +910,22 @@ def test_allpairs_prefix_join_planted_and_pruning(spark):
         F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(0.5)).cast("long") + 1
     ).count()
     assert n_prefix < n_full
+
+
+def test_curriculum_pack_monotone_quality(spark, sf_dir):
+    # curriculum invariant: quality (max_gates) never increases as
+    # bin_id advances — easy/clean bins come first
+    from cust_sagemaker_feature_store_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["pipeline_curriculum_pack"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    assert rows, "no bins"
+    # the stream is sorted by gates desc, so an earlier bin's WORST doc
+    # is still at least as good as a later bin's BEST doc
+    for a, b in zip(rows, rows[1:]):
+        assert a["min_gates"] >= b["max_gates"], (a, b)
+    # every bin is non-empty and every document lands in exactly one bin
+    assert all(r["n_docs"] >= 1 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 500
