@@ -1095,3 +1095,83 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p").cast("double") / F.col("n")).alias("pos_rate"),
         "fitted_rate",
     )
+
+
+@register(
+    "ml_woe_iv",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(FLOOR(value / {CAL_BIN_WIDTH}) AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM events GROUP BY 1
+),
+t AS (SELECT SUM(pos) AS tp, SUM(neg) AS tn FROM b),
+w AS (
+  SELECT b.bin, b.pos, b.neg,
+         CAST(ROUND(ln(((b.pos + 0.5) / t.tp) / ((b.neg + 0.5) / t.tn))
+                    * 1000000000) AS BIGINT) / 1000000000.0 AS woe,
+         (((b.pos + 0.5) / t.tp) - ((b.neg + 0.5) / t.tn)) AS gap
+  FROM b, t
+),
+w2 AS (SELECT bin, pos, neg, woe, gap * woe AS iv_term FROM w)
+SELECT bin, pos, neg, woe,
+       CAST(SUM(CAST(ROUND(iv_term * 1000000000) AS BIGINT)) OVER ()
+            AS DOUBLE) / 1000000000.0 AS iv_total
+FROM w2
+""",
+    description=(
+        "[EXT] weight of evidence + information value over the score "
+        "bins (the credit-scoring feature screen; Siddiqi 2006): WoE = "
+        "ln(bin's share of positives / share of negatives), IV = sum "
+        "over bins of (share gap) * WoE — IV < 0.02 means the feature "
+        "carries no signal, > 0.5 suspiciously much. Counts exact "
+        "int64 with the standard +0.5 smoothing (zero-positive bins "
+        "stay finite); WoE snaps onto the 1e-9 grid (ln differs by an "
+        "ULP between libm and the JVM — the mutual-information rule), "
+        "and the IV sum is grid-floored first "
+        "(mutual-information pattern) so the total is order-"
+        "independent. One map-side-combined pass, #bins output rows."
+    ),
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    b = ev.groupBy(
+        F.floor(F.col("value") / CAL_BIN_WIDTH).cast("long").alias("bin")
+    ).agg(
+        F.sum(y).cast("long").alias("pos"),
+        F.sum(1 - y).cast("long").alias("neg"),
+    )
+    t = b.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
+    w = b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "pos",
+        "neg",
+        (
+            F.round(
+                F.log(
+                    ((F.col("pos") + F.lit(0.5)) / F.col("tp"))
+                    / ((F.col("neg") + F.lit(0.5)) / F.col("tn"))
+                )
+                * 1e9
+            ).cast("long")
+            / F.lit(1e9)
+        ).alias("woe"),
+        (
+            ((F.col("pos") + F.lit(0.5)) / F.col("tp"))
+            - ((F.col("neg") + F.lit(0.5)) / F.col("tn"))
+        ).alias("gap"),
+    ).withColumn("iv_term", F.col("gap") * F.col("woe")).drop("gap")
+    return w.select(
+        "bin",
+        "pos",
+        "neg",
+        "woe",
+        (
+            F.sum(F.round(F.col("iv_term") * 1e9).cast("long")).over(
+                Window.partitionBy()
+            )
+            / F.lit(1e9)
+        ).cast("double").alias("iv_total"),
+    )
