@@ -984,3 +984,107 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_u"), "doc_id")
         .limit(PRF_TOP)
     )
+
+
+NDCG_K = 10
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle="WITH "
+    + _SQL_QUERY_STATS.format(terms=_terms_sql(), toks=SQL_TOKS)
+    + f""",
+rel AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS rel FROM qtf GROUP BY 1
+),
+scored AS (
+  SELECT q.doc_id,
+         CAST(floor(
+           (CAST(2*c.n_docs - 2*d.df + 1 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+           * (CAST(22*q.tf*c.total_tokens AS DOUBLE)
+              / CAST(10*q.tf*c.total_tokens + 3*c.total_tokens + 9*q.dl*c.n_docs AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS term_scaled
+  FROM qtf q JOIN dft d USING (term) CROSS JOIN corpus c
+),
+agg AS (SELECT doc_id, CAST(SUM(term_scaled) AS BIGINT) AS score_u FROM scored GROUP BY 1),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rank
+  FROM agg ORDER BY score_u DESC, doc_id LIMIT {NDCG_K}
+),
+dcg AS (
+  SELECT SUM(CAST(ROUND(rel.rel / (ln(ranked.rank + 1) / ln(2)) * 1000000000) AS BIGINT)) AS dcg_u
+  FROM ranked JOIN rel USING (doc_id)
+),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank
+  FROM rel ORDER BY rel DESC, doc_id LIMIT {NDCG_K}
+),
+idcg AS (
+  SELECT SUM(CAST(ROUND(rel / (ln(rank + 1) / ln(2)) * 1000000000) AS BIGINT)) AS idcg_u
+  FROM ideal
+)
+SELECT CAST({NDCG_K} AS BIGINT) AS k,
+       CAST(dcg_u AS DOUBLE) / 1000000000.0 AS dcg,
+       CAST(idcg_u AS DOUBLE) / 1000000000.0 AS idcg,
+       CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) AS ndcg
+FROM dcg, idcg
+""",
+    description=(
+        "[EXT] nDCG@10 of the BM25 ranking against graded relevance = "
+        "total query-term frequency per doc (linear-gain DCG, "
+        "Järvelin & Kekäläinen 2002): DCG over the BM25 top-10, IDCG "
+        "over the relevance-ideal top-10, one division. Each rel/"
+        "log2(rank+1) term snaps onto the 1e-9 grid before the int64 "
+        "sum (ln ULP rule + order independence). The ranking-quality "
+        "eval rung next to AP/AUC — both top-k frames are "
+        "TakeOrderedAndProject, the relevance table is query-term-"
+        "postings-sized."
+    ),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = R.term_frequencies(docs).filter(F.col("term").isin(QUERY_TERMS))
+    rel = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("rel"))
+    bm = R.bm25_topk(docs, QUERY_TERMS, k=NDCG_K).select("doc_id", "score_u")
+    ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_u"), "doc_id"))
+        .alias("rank"),
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    term = lambda r, k: F.round(  # noqa: E731
+        r / log2(k + F.lit(1.0)) * 1e9
+    ).cast("long")
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .agg(F.sum(term(F.col("rel").cast("double"), F.col("rank").cast("double"))).alias("dcg_u"))
+    )
+    # TakeOrderedAndProject the pool FIRST (the relevance table is
+    # postings-sized at 100 TB); the ranking window then runs on k rows
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(NDCG_K)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), "doc_id"))
+            .alias("rank"),
+        )
+    )
+    idcg = ideal.agg(
+        F.sum(term(F.col("rel").cast("double"), F.col("rank").cast("double"))).alias("idcg_u")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(NDCG_K).cast("long").alias("k"),
+            (F.col("dcg_u").cast("double") / 1e9).alias("dcg"),
+            (F.col("idcg_u").cast("double") / 1e9).alias("idcg"),
+            (F.col("dcg_u").cast("double") / F.col("idcg_u").cast("double")).alias(
+                "ndcg"
+            ),
+        )
+    )
