@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "graph_single_linkage_cut",
     "events_holt_trend",
     "pipeline_curriculum_pack",
+    "ml_woe_iv",
+    "retrieval_ndcg_eval",
 ]
 
 
