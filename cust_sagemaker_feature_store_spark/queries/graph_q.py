@@ -727,6 +727,13 @@ ORDER BY part_key""")
     return "".join(parts)
 
 
+def _lpa_cte(rounds: int) -> str:
+    """The LPA oracle's CTE prefix (through l{rounds}) without the
+    final SELECT — reused by the modularity evaluation."""
+    full = _lpa_oracle(rounds)
+    return full.rsplit("\nSELECT node AS part_key", 1)[0]
+
+
 @register(
     "graph_label_propagation",
     oracle=_lpa_oracle(LPA_ROUNDS),
@@ -908,4 +915,104 @@ def graph_single_linkage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part"),
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(wsz).cast("long").alias("cluster_size"),
+    )
+
+
+@register(
+    "graph_modularity_lpa",
+    oracle=_lpa_cte(LPA_ROUNDS)
+    + f""",
+can AS (SELECT s, d FROM e WHERE s < d),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM can),
+deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+intra AS (
+  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS ec
+  FROM can
+  JOIN l{LPA_ROUNDS} la ON la.node = can.s
+  JOIN l{LPA_ROUNDS} lb ON lb.node = can.d AND lb.label = la.label
+  GROUP BY 1
+),
+dc AS (
+  SELECT l.label, CAST(SUM(deg.dg) AS BIGINT) AS dsum,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM l{LPA_ROUNDS} l JOIN deg USING (node) GROUP BY 1
+),
+per AS (
+  SELECT dc.label, dc.n_nodes, COALESCE(intra.ec, 0) AS ec, dc.dsum
+  FROM dc LEFT JOIN intra USING (label)
+),
+q AS (
+  SELECT CAST(SUM(4 * m.m * per.ec - per.dsum * per.dsum) AS DOUBLE)
+           / (4.0 * MAX(m.m) * MAX(m.m)) AS q
+  FROM per, m
+)
+SELECT per.label AS community, per.n_nodes,
+       per.ec AS intra_edges, per.dsum AS degree_sum,
+       q.q AS modularity
+FROM per, q
+""",
+    description=(
+        "[EXT] Newman modularity of the label-propagation communities "
+        "(Newman & Girvan 2004): Q = sum_c [e_c/m - (d_c/2m)^2], "
+        "computed as ONE exact integer numerator sum(4*m*e_c - d_c^2) "
+        "over a single division by 4m^2 — no per-community float "
+        "accumulation, so the score is bit-identical cross-engine. "
+        "The eval metric for the community detector (pairs with the "
+        "detector the way nDCG pairs with BM25): per-community node "
+        "count, intra-edge count and degree mass, plus the global Q. "
+        "Intra edges come from one canonical-edge join against the "
+        "label frame; everything after the LPA rounds is "
+        "community-count-sized."
+    ),
+)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    labels = G.label_propagation(edges, rounds=LPA_ROUNDS)
+    can = edges.filter(F.col("src") < F.col("dst"))
+    m = can.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    intra = (
+        can.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.sum("dg").cast("long").alias("dsum"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    per = dc.join(intra, "label", "left").select(
+        "label",
+        "n_nodes",
+        F.coalesce("ec", F.lit(0)).cast("long").alias("ec"),
+        "dsum",
+    )
+    q = (
+        per.crossJoin(F.broadcast(m))
+        .agg(
+            (
+                F.sum(
+                    F.lit(4) * F.col("m") * F.col("ec")
+                    - F.col("dsum") * F.col("dsum")
+                ).cast("double")
+                / (F.lit(4.0) * F.max("m") * F.max("m"))
+            ).alias("q")
+        )
+    )
+    return per.crossJoin(F.broadcast(q)).select(
+        F.col("label").alias("community"),
+        "n_nodes",
+        F.col("ec").alias("intra_edges"),
+        F.col("dsum").alias("degree_sum"),
+        F.col("q").alias("modularity"),
     )
