@@ -2009,3 +2009,62 @@ def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy(F.lit(1).alias("__g")).applyInPandas(
         holt, schema="rn long, day string, y long, level double, trend double"
     )
+
+
+@register(
+    "events_rolling_slope",
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT day, x, y,
+         COUNT(*) OVER win AS n,
+         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         SUM(x*x) OVER win AS sxx, SUM(x*y) OVER win AS sxy
+  FROM d
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS VARCHAR) AS day, y, CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n >= 2 THEN
+         (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+       END AS slope_7d
+FROM w
+""",
+    description=(
+        "[EXT] rolling 7-day OLS trend slope of the daily event count "
+        "— the windowed-regression monitor ('is this metric "
+        "accelerating?') next to EWMA/CUSUM/Theil-Sen. Sufficient "
+        "statistics (n, Sx, Sy, Sxx, Sxy) are exact int64 sums over a "
+        "ROWS BETWEEN 6 PRECEDING frame on the DAILY aggregate — "
+        "calendar-sized, never the corpus — and each slope is the "
+        "closed-form division mirrored term-for-term; days with a "
+        "single point yield NULL rather than 0/0."
+    ),
+)
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    win = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    n = F.count(F.lit(1)).over(win)
+    sx = F.sum("x").over(win)
+    sy = F.sum("y").over(win)
+    sxx = F.sum(F.col("x") * F.col("x")).over(win)
+    sxy = F.sum(F.col("x") * F.col("y")).over(win)
+    nd = n.cast("double")
+    slope = (nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")) / (
+        nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    )
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        n.cast("long").alias("n_window"),
+        F.when(n >= 2, slope).alias("slope_7d"),
+    )
