@@ -1233,3 +1233,114 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / (nd * sxxd - sxd * sxd)).alias("slope"),
         ((num * num) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))).alias("r2"),
     )
+
+
+SUBSAMPLE_BITS = 8  # replicate b = rows whose hash bit b is 0 (~half each)
+
+
+@register(
+    "ml_subsample_stability",
+    oracle=f"""
+WITH s AS (
+  SELECT ((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 AS h,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+reps AS (
+  SELECT b.b AS replicate, s.x, s.y
+  FROM s, unnest(generate_series(0, {SUBSAMPLE_BITS - 1})) AS b(b)
+  WHERE (s.h // (1 << b.b)) % 2 = 0
+),
+a AS (
+  SELECT replicate, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM reps GROUP BY 1
+),
+f AS (
+  SELECT CAST(replicate AS BIGINT) AS replicate, CAST(n AS BIGINT) AS n,
+         (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope
+  FROM a
+),
+g AS (
+  SELECT CAST(SUM(CAST(ROUND(slope * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / {SUBSAMPLE_BITS} AS mean_slope,
+         CAST(SUM(CAST(ROUND(slope * slope * 1000000000) AS BIGINT)) AS DOUBLE)
+           / 1000000000.0 / {SUBSAMPLE_BITS} AS mean_sq
+  FROM f
+)
+SELECT f.replicate, f.n, f.slope,
+       g.mean_slope,
+       sqrt(g.mean_sq - g.mean_slope * g.mean_slope) AS slope_sd
+FROM f, g
+""",
+    description=(
+        "Deterministic subsample-stability error bars: 8 overlapping "
+        "half-samples defined by hash BITS (replicate b keeps rows "
+        "whose key-hash bit b is 0 — no RNG, so the 'bootstrap' is "
+        "reproducible on any cluster), OLS slope per replicate from "
+        "exact sufficient statistics in ONE grouped pass (explode by "
+        "bit, map-side combine), then the across-replicate mean and "
+        "sd of the slope with grid-floored moment sums. The "
+        "uncertainty-quantification rung next to the conformal "
+        "interval: how much does the fit move when half the data "
+        "leaves?"
+    ),
+)
+def ml_subsample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    s = li.select(
+        h.alias("h"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    bits = F.array(*[F.lit(b) for b in range(SUBSAMPLE_BITS)])
+    reps = (
+        s.select(F.explode(bits).alias("replicate"), "h", "x", "y")
+        .filter((F.col("h") / F.pow(F.lit(2.0), F.col("replicate"))).cast("long") % 2 == 0)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = reps.groupBy("replicate").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    f = a.select(
+        F.col("replicate").cast("long").alias("replicate"),
+        F.col("n").cast("long").alias("n"),
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("slope"),
+    )
+    g = f.agg(
+        (
+            F.sum(F.round(F.col("slope") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / SUBSAMPLE_BITS
+        ).alias("mean_slope"),
+        (
+            F.sum(F.round(F.col("slope") * F.col("slope") * 1e9).cast("long")).cast(
+                "double"
+            )
+            / 1e9
+            / SUBSAMPLE_BITS
+        ).alias("mean_sq"),
+    )
+    return f.crossJoin(F.broadcast(g)).select(
+        "replicate",
+        "n",
+        "slope",
+        "mean_slope",
+        F.sqrt(F.col("mean_sq") - F.col("mean_slope") * F.col("mean_slope")).alias(
+            "slope_sd"
+        ),
+    )
