@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "pipeline_curriculum_pack",
     "ml_woe_iv",
     "retrieval_ndcg_eval",
+    "graph_modularity_lpa",
+    "events_rolling_slope",
+    "ml_subsample_stability",
 ]
 
 
