@@ -2934,3 +2934,65 @@ def pipeline_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gates").cast("long").alias("max_gates"),
         )
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+WITH {SQL_SHINGLE_CTE},
+fr AS (SELECT f.num, f.den FROM (VALUES (1, 10), (1, 4), (1, 2), (1, 1)) AS f(num, den)),
+g AS (
+  SELECT fr.num, fr.den,
+         COUNT(DISTINCT d.doc_id) AS n_docs,
+         COUNT(DISTINCT d.shingle) AS n_distinct,
+         COUNT(*) AS n_total
+  FROM d JOIN fr ON (d.doc_id * 2654435761) % 4294967296 * fr.den < 4294967296 * fr.num
+  GROUP BY 1, 2
+)
+SELECT CAST(num AS DOUBLE) / den AS frac,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct AS BIGINT) AS distinct_shingles,
+       CAST(n_total AS BIGINT) AS total_shingles,
+       CAST(n_distinct AS DOUBLE) / n_total AS novelty_rate
+FROM g
+""",
+    description=(
+        "[EXT] vocabulary-growth (Heaps'-law) curve over NESTED "
+        "deterministic doc subsamples: distinct word-3-gram count at "
+        "10/25/50/100% of the corpus, selected by the pure-integer "
+        "hash predicate (each smaller sample is a subset of every "
+        "larger one, so the curve measures VOLUME, not sample luck — "
+        "the learning-curve pattern applied to data diversity). A "
+        "flattening curve says new data is repeating itself — the "
+        "crawl-more-or-stop signal that pairs with ml_learning_curve's "
+        "accuracy view. One explode + a 4-row lattice join; distinct "
+        "counts shuffle compact (shingle, fraction) keys."
+    ),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = D.shingle_sets(docs, k=3)
+    fr = docs.sparkSession.createDataFrame(
+        [(1, 10), (1, 4), (1, 2), (1, 1)], "num long, den long"
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    g = (
+        sets_.withColumn("__h", h)
+        .join(
+            F.broadcast(fr),
+            F.col("__h") * F.col("den") < F.lit(4294967296) * F.col("num"),
+        )
+        .groupBy("num", "den")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("shingle").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+    return g.select(
+        (F.col("num").cast("double") / F.col("den")).alias("frac"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_distinct").cast("long").alias("distinct_shingles"),
+        F.col("n_total").cast("long").alias("total_shingles"),
+        (F.col("n_distinct").cast("double") / F.col("n_total")).alias("novelty_rate"),
+    )
