@@ -1518,3 +1518,132 @@ def fs_asof_join_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso("prior_ts").alias("prior_time"),
         "prior_value",
     )
+
+
+SNAP_DRIFT_T1 = "2024-01-10 00:00:00"
+SNAP_DRIFT_T2 = "2024-01-20 00:00:00"
+
+
+@register(
+    "fs_snapshot_drift_psi",
+    oracle=f"""
+WITH snap AS (
+  SELECT 1 AS which, event_type, CAST(FLOOR(value / {DRIFT_BIN_WIDTH}) AS BIGINT) AS bin
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{SNAP_DRIFT_T1}'
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT 2, event_type, CAST(FLOOR(value / {DRIFT_BIN_WIDTH}) AS BIGINT)
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '{SNAP_DRIFT_T2}'
+  ) WHERE rn = 1
+),
+cnt AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN which = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN which = 2 THEN 1 ELSE 0 END) AS n2
+  FROM snap GROUP BY 1, 2
+),
+spine AS (
+  SELECT DISTINCT c.event_type, s.bin
+  FROM cnt c CROSS JOIN (SELECT UNNEST(range({DRIFT_BINS})) AS bin) s
+),
+dense AS (
+  SELECT s.event_type, s.bin,
+         CAST(COALESCE(c.n1, 0) AS BIGINT) AS n1,
+         CAST(COALESCE(c.n2, 0) AS BIGINT) AS n2
+  FROM spine s LEFT JOIN cnt c ON s.event_type = c.event_type AND s.bin = c.bin
+),
+tot AS (SELECT event_type, SUM(n1) AS t1, SUM(n2) AS t2 FROM dense GROUP BY 1),
+term AS (
+  SELECT d.event_type, d.n1, d.n2, t.t1, t.t2,
+         (CAST(d.n1 + 1 AS DOUBLE) / CAST(t.t1 + {DRIFT_BINS} AS DOUBLE)) AS p,
+         (CAST(d.n2 + 1 AS DOUBLE) / CAST(t.t2 + {DRIFT_BINS} AS DOUBLE)) AS q
+  FROM dense d JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(t1) AS BIGINT) AS n_snap1,
+       CAST(MAX(t2) AS BIGINT) AS n_snap2,
+       SUM(CAST(ROUND((p - q) * ln(p / q) * 1000000000) AS BIGINT)) / 1000000000.0 AS psi,
+       CAST(SUM(ABS(n1 * t2 - n2 * t1)) AS DOUBLE)
+         / (2.0 * MAX(t1) * MAX(t2)) AS tvd
+FROM term GROUP BY event_type
+""",
+    description=(
+        "[EXT] SERVING-STATE drift between two point-in-time online "
+        "snapshots: the latest value per (user, feature) AS OF Jan 10 "
+        "vs AS OF Jan 20, binned and compared per feature with "
+        "Laplace-smoothed PSI (terms on the 1e-9 grid) and exact "
+        "cross-multiplied total variation. Complements "
+        "fs_feature_drift_psi, which measures the event FLOW — this "
+        "measures what the ONLINE STORE would serve, i.e. the drift "
+        "the model actually eats between two training cuts (the PIT "
+        "backtest question). Two WindowGroupLimit snapshot passes, "
+        "then everything is #features x #bins-sized."
+    ),
+)
+def fs_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(asof: str, which: int):
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            ev.filter(F.col("ts") <= F.lit(asof).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(which).alias("which"),
+                "event_type",
+                F.floor(F.col("value") / DRIFT_BIN_WIDTH).cast("long").alias("bin"),
+            )
+        )
+
+    snaps = snap(SNAP_DRIFT_T1, 1).unionByName(snap(SNAP_DRIFT_T2, 2))
+    cnt = (
+        snaps.groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("which") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("which") == 2, 1).otherwise(0)).alias("n2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spine = cnt.select("event_type").distinct().crossJoin(
+        ev.sparkSession.range(DRIFT_BINS).select(F.col("id").alias("bin"))
+    )
+    dense = spine.join(cnt, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+        F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    p = (F.col("n1") + 1).cast("double") / (F.col("t1") + DRIFT_BINS).cast("double")
+    q = (F.col("n2") + 1).cast("double") / (F.col("t2") + DRIFT_BINS).cast("double")
+    return (
+        dense.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("t1").cast("long").alias("n_snap1"),
+            F.max("t2").cast("long").alias("n_snap2"),
+            (
+                F.sum(
+                    F.round((p - q) * F.log(p / q) * 1e9).cast("long")
+                )
+                / 1e9
+            ).alias("psi"),
+            (
+                F.sum(
+                    F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+                ).cast("double")
+                / (F.lit(2.0) * F.max("t1") * F.max("t2"))
+            ).alias("tvd"),
+        )
+    )
