@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "graph_modularity_lpa",
     "events_rolling_slope",
     "ml_subsample_stability",
+    "text_vocab_growth",
+    "fs_snapshot_drift_psi",
 ]
 
 
