@@ -163,7 +163,10 @@ _R5_DRIVER_GREEN = [
     "events_seasonal_anomaly", "events_active_sessions_peak",
     "ml_winsorize_robust_scale", "events_changepoint_cusum",
     "events_survival_km", "dedup_containment_pairs", "pipeline_curate_v2",
-    "text_kl_domain_shift", "text_zipf_slope", "dedup_incremental_batch",
+    # text_kl_domain_shift REMOVED: r11 replaces its dense |S|x|V|
+    # crossJoin spine with the closed-form absent-token remainder
+    # (r10 verdict next-round #4), invalidating the r5 evidence.
+    "text_zipf_slope", "dedup_incremental_batch",
     "text_ngram_novelty", "text_tfidf_topk", "text_bm25_topk",
     "text_bigram_lift", "ml_hashed_features", "ml_target_encoding",
     "text_bigram_lm", "ml_naive_bayes", "graph_clustering_coeff",
@@ -299,18 +302,56 @@ _R9_DRIVER_GREEN = [
     # are already listed in the earlier lists and are omitted here.
 ]
 
-# ROUND-11 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r10.json's green rows into an _R10_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r11 changes), then
-# retarget _WINDOW_PRIORITY at whatever r11 invalidates.
+_R10_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r10.json (50/50 green, 0 errors)
+    # earned by code unchanged in r11. Excluded on purpose (r11 changes
+    # their implementation, invalidating the r10 evidence per the
+    # policy above):
+    #   dedup_allpairs_prefix — r11 converts allpairs_prefix_join's
+    #     prefix length and length filter to exact integer/rational
+    #     arithmetic (ADVICE r10 #1: float F.ceil(n*t) overshoots by an
+    #     ULP for thresholds not representable in binary);
+    #   graph_mst_boruvka / graph_single_linkage_cut — r11 removes
+    #     boruvka_forest's silent cast-to-long of the weight column
+    #     (ADVICE r10 #2), rotating both callers;
+    #   sort_skyline_parts — r11 makes skyline_2d's NULL handling
+    #     explicit (ADVICE r10 #3);
+    #   ml_subsample_stability — r11 replaces the double-division bit
+    #     test with integer shiftright (ADVICE r10 #4).
+    "dedup_phash_pairs", "dq_k_anonymity", "events_holt_trend",
+    "events_markov_attribution", "events_rolling_slope",
+    "fs_snapshot_drift_psi", "graph_bfs_depths", "graph_closeness_seeds",
+    "graph_kcore_floor", "graph_label_propagation",
+    "graph_link_prediction", "graph_modularity_lpa",
+    "graph_pagerank_deep", "graph_pagerank_parts", "graph_ppr_seeds",
+    "ml_conformal_coverage", "ml_group_influence",
+    "ml_isotonic_calibration", "ml_item_item_cf", "ml_learning_curve",
+    "ml_shapley_r2", "ml_woe_iv", "pipeline_curriculum_pack",
+    "pipeline_dataset_card", "retrieval_mmr_rerank",
+    "retrieval_ndcg_eval", "retrieval_prf_expansion",
+    "stream_asof_twin", "stream_dedup_twin", "text_bpe_fertility",
+    "text_bpe_merges", "text_shared_spans", "text_vocab_growth",
+    "udf_multimodal_frames", "udf_multimodal_phash",
+    "udf_multimodal_png", "udf_multimodal_resize",
+    # r1–r9 re-verifications also green in r10 (fs_time_range,
+    # fs_latest_snapshot, fs_snapshot_asof, fs_point_lookup,
+    # fs_asof_join, fs_tombstone_snapshot, fs_snapshot_diff,
+    # fs_scd2_history) are already listed in the earlier lists and are
+    # omitted here.
+]
+
+# ROUND-12 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r11.json's green rows into an _R11_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r12 changes), then
+# retarget _WINDOW_PRIORITY at whatever r12 invalidates.
 _WINDOW_PRIORITY = [
-    # Queries whose implementations r10 touches (the support self-join
-    # cap + the cooccurrence_edges with_support extension — see the
-    # exclusion notes in _R9_DRIVER_GREEN and the r7 list): re-prove
-    # them before anything else.
-    "graph_link_prediction", "graph_kcore_floor", "graph_ppr_seeds",
-    "graph_pagerank_parts", "graph_pagerank_deep", "graph_bfs_depths",
-    "graph_closeness_seeds",
+    # Queries whose implementations r11 touches (the ADVICE r10 fixes
+    # plus the KL closed-form spine — see the exclusion notes in
+    # _R10_DRIVER_GREEN and _R5_DRIVER_GREEN): re-prove them before
+    # anything else.
+    "dedup_allpairs_prefix", "graph_mst_boruvka",
+    "graph_single_linkage_cut", "sort_skyline_parts",
+    "ml_subsample_stability", "text_kl_domain_shift",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
@@ -329,7 +370,7 @@ def _reorder_registry() -> None:
         | set(_R3_DRIVER_GREEN) | set(_R4_DRIVER_GREEN)
         | set(_R5_DRIVER_GREEN) | set(_R6_DRIVER_GREEN)
         | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
-        | set(_R9_DRIVER_GREEN)
+        | set(_R9_DRIVER_GREEN) | set(_R10_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
