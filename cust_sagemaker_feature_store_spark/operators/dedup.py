@@ -20,6 +20,7 @@ Hamming-distance variant.
 
 from __future__ import annotations
 
+from fractions import Fraction
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -196,7 +197,7 @@ def allpairs_prefix_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    threshold: float = 0.5,
+    threshold: float | tuple[int, int] = 0.5,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard similarity join >= `threshold` via
     prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
@@ -221,8 +222,32 @@ def allpairs_prefix_join(
 
     Output: (doc_a, doc_b, inter, jaccard) — identical, by the
     lossless-pruning argument, to the naive all-pairs join the oracle
-    computes."""
-    t = float(threshold)
+    computes.
+
+    Threshold arithmetic (ADVICE r10 #1): every bound derived from the
+    threshold runs in EXACT integer arithmetic on the rational num/den
+    — a float threshold is read as its shortest round-trip decimal
+    (so 0.55 means exactly 11/20), or pass a (num, den) tuple
+    directly. The former double forms were unsound at boundaries:
+    F.ceil(n * t) overshoots by an ULP when n*t lands on an integer
+    (t=0.55, n=100 gave ceil 56, not 55), silently shortening the
+    prefix below the lossless bound, and the double length filter
+    (b.n >= a.n * t) excluded exact size-ratio boundary pairs."""
+    if isinstance(threshold, tuple):
+        frac = Fraction(*threshold)
+    else:
+        # repr round-trip: the shortest decimal that parses back to
+        # this double — i.e. the threshold the caller actually wrote.
+        frac = Fraction(str(float(threshold)))
+    if not (0 < frac <= 1):
+        raise ValueError(f"threshold must be in (0, 1], got {frac}")
+    num, den = frac.numerator, frac.denominator
+    if den > 1_000_000:
+        raise ValueError(
+            "threshold denominator too large for exact int64 bounds "
+            f"({den}); pass threshold as a (num, den) tuple with a "
+            "denominator <= 1e6"
+        )
     sets_ = shingle_sets(df, text_col, id_col, k)
     sizes = sets_.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     dfreq = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -235,8 +260,11 @@ def allpairs_prefix_join(
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, id_col)
     )
-    # lossless prefix length: n - ceil(t*n) + 1
-    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("long") + 1
+    # lossless prefix length: n - ceil(n*num/den) + 1, the ceil as
+    # exact integral division (n*num + den - 1) div den — never the
+    # double product (ADVICE r10 #1).
+    min_inter = F.expr(f"(n * {num}L + {den - 1}L) div {den}L")
+    prefix_len = F.col("n") - min_inter + 1
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "shingle", "n")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -245,10 +273,11 @@ def allpairs_prefix_join(
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        # length filter: Jaccard >= t forces t <= |A|/|B| <= 1/t
+        # length filter: Jaccard >= t forces t <= |A|/|B| <= 1/t,
+        # cross-multiplied to exact integers (b.n >= a.n * num/den).
         .filter(
-            (F.col("b.n") >= F.col("a.n") * F.lit(t))
-            & (F.col("a.n") >= F.col("b.n") * F.lit(t))
+            (F.col("b.n") * F.lit(den) >= F.col("a.n") * F.lit(num))
+            & (F.col("a.n") * F.lit(den) >= F.col("b.n") * F.lit(num))
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -273,7 +302,12 @@ def allpairs_prefix_join(
             F.col("inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
-        .filter(F.col("jaccard") >= t)
+        # exact verify: inter/union >= num/den, cross-multiplied —
+        # the double `jaccard` column is report-only.
+        .filter(
+            F.col("inter") * F.lit(den)
+            >= (F.col("n_a") + F.col("n_b") - F.col("inter")) * F.lit(num)
+        )
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
 

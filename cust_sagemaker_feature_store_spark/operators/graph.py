@@ -628,7 +628,9 @@ def boruvka_forest(
     supernodes, and log2(n) rounds the whole graph).
 
     Input: CANONICAL undirected edges (src < dst) with an orderable
-    weight. Ties break by the total order (w, src, dst), which is
+    weight (kept in its native type — long, double, decimal, even
+    string all work; NaN weights sort LAST under Spark's ordering).
+    Ties break by the total order (w, src, dst), which is
     equivalent to distinct weights, so the forest is UNIQUE — the
     classic argument — hence bit-reproducible and oracle-pinnable.
     Both engines run the same fixed R rounds, so the output is pinned
@@ -654,10 +656,16 @@ def boruvka_forest(
 
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    # The weight keeps its NATIVE orderable type (ADVICE r10 #2: the
+    # former cast-to-long silently truncated fractional weights such
+    # as cosine distances, producing a wrong forest with no error).
+    # The argmin window and the (w, src, dst) tie-break only need an
+    # orderable column; only src/dst must be integral for the
+    # contraction relabel.
     e = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
-        F.col(weight).cast("long").alias("w"),
+        F.col(weight).alias("w"),
     ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))

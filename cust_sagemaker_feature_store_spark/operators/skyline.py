@@ -38,7 +38,17 @@ def skyline_2d(
     inequality in at least one, so duplicate (x, y) points are all on
     the frontier together or not at all — matching the NOT EXISTS
     oracle bit-for-bit.
+
+    NULL coordinates (ADVICE r10 #3): under the NOT EXISTS contract a
+    row with NULL x or y is incomparable to everything — every
+    dominance predicate evaluates to unknown — so it is always on the
+    frontier and never dominates. The former implementation silently
+    DROPPED such rows (F.max skips NULLs and the equality join back
+    never matches NULL); they are now split off up front and passed
+    through, and they never enter the best-y aggregation.
     """
+    null_rows = df.filter(F.col(x_col).isNull() | F.col(y_col).isNull())
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     # best y at each distinct x — the only data-sized shuffle
     pv = df.groupBy(F.col(x_col).alias("__x")).agg(
         F.max(F.col(y_col)).alias("__best")
@@ -71,7 +81,9 @@ def skyline_2d(
     )
     # keep input rows attaining the best y at a frontier x; AQE picks
     # broadcast for the (frontier-sized) right side
-    return df.join(
+    frontier = df.join(
         frontier_x,
         (F.col(x_col) == F.col("__x")) & (F.col(y_col) == F.col("__best")),
     ).drop("__x", "__best")
+    # incomparable NULL-coordinate rows rejoin the frontier (see note)
+    return frontier.unionByName(null_rows)

@@ -1299,9 +1299,12 @@ def ml_subsample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
     bits = F.array(*[F.lit(b) for b in range(SUBSAMPLE_BITS)])
+    # integer bit test, matching the oracle's (h // (1 << b)) % 2
+    # semantics directly (ADVICE r10 #4: the former double division
+    # was exact only because h < 2^32 fits a double — fragile).
     reps = (
         s.select(F.explode(bits).alias("replicate"), "h", "x", "y")
-        .filter((F.col("h") / F.pow(F.lit(2.0), F.col("replicate"))).cast("long") % 2 == 0)
+        .filter(F.expr("shiftright(h, cast(replicate as int)) % 2 = 0"))
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     a = reps.groupBy("replicate").agg(

@@ -582,3 +582,18 @@ def test_boruvka_forest_path_and_ties(spark):
     df2 = spark.createDataFrame(two, "src long, dst long, w long")
     got2 = {(r["src"], r["dst"]) for r in boruvka_forest(df2, rounds=4).collect()}
     assert got2 == {(0, 1), (1, 2), (10, 11)}
+
+
+def test_boruvka_forest_fractional_weights(spark):
+    # ADVICE r10 #2 regression: the weight column keeps its native
+    # type. The old cast-to-long truncated 2.9/2.1 both to 2, so the
+    # (w, src, dst) tie-break picked the WRONG edge (1,2) instead of
+    # (1,3). True MST of this triangle is {(2,3) w=1.95, (1,3) w=2.1}.
+    from cust_sagemaker_feature_store_spark.operators.graph import boruvka_forest
+
+    tri = [(1, 2, 2.9), (1, 3, 2.1), (2, 3, 1.95)]
+    df = spark.createDataFrame(tri, "src long, dst long, w double")
+    rows = boruvka_forest(df, rounds=4).collect()
+    assert {(r["src"], r["dst"]) for r in rows} == {(2, 3), (1, 3)}
+    # the weight comes back untruncated, in its native double type
+    assert sorted(r["w"] for r in rows) == [1.95, 2.1]

@@ -1015,6 +1015,25 @@ def test_skyline_2d_matches_bruteforce_random(spark):
         assert got == _brute_skyline(pts), f"trial {trial} diverged"
 
 
+def test_skyline_2d_null_coordinates_incomparable(spark):
+    # ADVICE r10 #3 regression: under the NOT EXISTS oracle contract a
+    # NULL-coordinate row is incomparable — always on the frontier,
+    # never dominating. The old code silently dropped such rows.
+    from cust_sagemaker_feature_store_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, 10, 5),      # dominated by (3, 5, 9)? 5<=10 and 9>=5 -> yes
+        (2, 5, None),    # NULL y: retained, dominates nothing
+        (3, 5, 9),
+        (4, None, 99),   # NULL x: retained, its y must NOT suppress others
+        (5, 20, 9),      # dominated by (3, 5, 9)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"] for r in skyline_2d(df, "x", "y", shard_size=7).collect()}
+    # frontier of the non-null points is just (5, 9); both NULL rows ride along
+    assert got == {2, 3, 4}
+
+
 def test_skyline_2d_duplicates_and_single_point(spark):
     from cust_sagemaker_feature_store_spark.operators.skyline import skyline_2d
 

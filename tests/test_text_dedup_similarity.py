@@ -912,6 +912,35 @@ def test_allpairs_prefix_join_planted_and_pruning(spark):
     assert n_prefix < n_full
 
 
+def test_allpairs_prefix_join_exact_threshold_boundary(spark):
+    # ADVICE r10 #1 regression: t=0.55 is not a binary double, so the
+    # former double bounds (F.ceil(n*t) and b.n >= a.n*t) overshot by
+    # an ULP at exact boundaries. |A|=20, |B|=11 with B subset of A has
+    # Jaccard exactly 11/20 = 0.55 and MUST be returned; the old
+    # length filter required 11 >= 20*0.55 = 11.000000000000002 and
+    # silently dropped it. Also checks the (num, den) tuple form and
+    # the argument guards.
+    import pytest
+
+    a_text = " ".join(f"t{i:02d}" for i in range(20))
+    b_text = " ".join(f"t{i:02d}" for i in range(11))
+    df = spark.createDataFrame(
+        [(0, a_text), (1, b_text)], "doc_id long, text string"
+    )
+    for thr in (0.55, (11, 20)):
+        rows = D.allpairs_prefix_join(df, k=1, threshold=thr).collect()
+        assert len(rows) == 1, f"boundary pair missed at threshold={thr}"
+        assert rows[0]["inter"] == 11 and rows[0]["jaccard"] == 11 / 20
+    # the naive join agrees (double division of 11/20 rounds to the
+    # same double as the literal 0.55)
+    naive = D.jaccard_pairs(df, k=1, threshold=0.55).collect()
+    assert len(naive) == 1
+    with pytest.raises(ValueError, match="threshold"):
+        D.allpairs_prefix_join(df, threshold=0.0)
+    with pytest.raises(ValueError, match="denominator"):
+        D.allpairs_prefix_join(df, threshold=(1, 10_000_019))
+
+
 def test_curriculum_pack_monotone_quality(spark, sf_dir):
     # curriculum invariant: quality (max_gates) never increases as
     # bin_id advances — easy/clean bins come first
