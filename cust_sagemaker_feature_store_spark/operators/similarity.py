@@ -693,32 +693,22 @@ def kmeans_parallel_seed(
     return cand[chosen]
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_lists: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample of the corpus
-    (`_seed_vectors`), cells = argmin centroid per vector, probe the
-    nprobe cells nearest the query. All narrow ops + one small
-    broadcast of centroids."""
+def _with_cells(embeddings: DataFrame, cent, vec_col: str) -> DataFrame:
+    """`embeddings` plus an `__cell` int column = nearest-centroid id.
+
+    One Arrow batch matmul per partition against the broadcast
+    centroid matrix. A chained-when() expression would be O(n_lists)
+    deep — fine at 16 lists, Catalyst/codegen blowup at realistic IVF
+    scale (r2 review); this shape is flat in n_lists.
+    argmin(||x-c||²) == argmin(c·c - 2 x·c): the x·x term is constant
+    per row. Ties resolve to the lowest cell id (np.argmin), matching
+    the strict-< scan it replaces."""
     import numpy as np
 
-    cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
-    spark = embeddings.sparkSession
-    b_cent = spark.sparkContext.broadcast(cent)
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
-    # cell assignment: one Arrow batch matmul per partition against the
-    # broadcast centroid matrix. The former chained-when() expression
-    # was O(n_lists) deep — fine at 16 lists, Catalyst/codegen blowup at
-    # realistic IVF scale (r2 review); this shape is flat in n_lists.
-    # argmin(||x-c||²) == argmin(c·c - 2 x·c): the x·x term is constant
-    # per row. Ties resolve to the lowest cell id (np.argmin), matching
-    # the strict-< scan it replaces.
+    b_cent = embeddings.sparkSession.sparkContext.broadcast(cent)
+
     def _assign(batches):
         c = b_cent.value
         c_sq = (c * c).sum(axis=1)
@@ -733,24 +723,106 @@ def ivf_topk(
             )
             yield pdf
 
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
     # a fresh StructType — .add() would mutate the frame's cached schema
     assigned_schema = StructType(
         list(embeddings.schema.fields) + [StructField("__cell", IntegerType())]
     )
-    assigned = embeddings.mapInPandas(_assign, schema=assigned_schema)
+    return embeddings.mapInPandas(_assign, schema=assigned_schema)
 
-    q = [float(x) for x in query_vec]
-    q_dists = sorted(
-        (float(((cent[ci] - np.asarray(q)) ** 2).sum()), ci)
-        for ci in range(len(cent))
-    )
-    probe_cells = [ci for _, ci in q_dists[:nprobe]]
 
-    qcol = F.array(*[F.lit(x) for x in q])
+def _probe_order(cent, query_vec: list[float]) -> list[int]:
+    """Cell ids sorted by squared distance from the query (nearest
+    first), ties to the lowest id — the probe priority list."""
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query_vec])
+    return [
+        ci
+        for _, ci in sorted(
+            (float(((cent[ci] - q) ** 2).sum()), ci) for ci in range(len(cent))
+        )
+    ]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: centroids = deterministic sample of the corpus
+    (`_seed_vectors`), cells = argmin centroid per vector
+    (`_with_cells`), probe the nprobe cells nearest the query. All
+    narrow ops + one small broadcast of centroids."""
+    cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
+    assigned = _with_cells(embeddings, cent, vec_col)
+    probe_cells = _probe_order(cent, query_vec)[:nprobe]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("__cell").isin(probe_cells))
+        .select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_filtered_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    predicate: Column,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN under a metadata predicate with FILTER-AWARE probing —
+    the standard vector-store operation (FAISS IDSelector / Milvus
+    filtered search semantics): the index (centroids + cell
+    assignment) is built on the FULL corpus exactly as `ivf_topk`
+    builds it, the predicate arrives at query time, and the probe
+    width scales with the filter's measured selectivity so a
+    selective filter still surfaces ~k candidates.
+
+    nprobe_eff = min(n_lists, ceil(nprobe / s)) where s is the exact
+    match fraction from one aggregate over the corpus — e.g. a 10%
+    filter probes 10x the cells. Candidates are filtered BEFORE the
+    top-k, so the result is a true top-k over filtered candidates:
+    its recall against the exact filtered brute-force provably
+    dominates the naive post-filter approach (run unfiltered ANN,
+    filter the k hits), because the candidate pool is a superset of
+    the post-filter survivors under the same probe ordering.
+
+    Scale story: the selectivity aggregate and the assignment are one
+    narrow pass each; probing reads nprobe_eff cells ~ nprobe/s
+    vectors ~ the same candidate volume as the unfiltered query sees
+    — the filter costs a constant factor, never a corpus blowup.
+
+    Raises ValueError when nothing matches the predicate (recall
+    against an empty ground truth is undefined)."""
+    import math
+
+    sel = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(predicate, 1)).alias("m"),
+    ).head()
+    if not sel["m"]:
+        raise ValueError("predicate matches no rows")
+    s = sel["m"] / sel["n"]
+    nprobe_eff = min(n_lists, math.ceil(nprobe / s))
+    cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
+    assigned = _with_cells(embeddings, cent, vec_col)
+    probe_cells = _probe_order(cent, query_vec)[:nprobe_eff]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("__cell").isin(probe_cells))
+        .filter(predicate)
         .select(
             F.col(id_col),
             F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),

@@ -107,7 +107,10 @@ _R3_DRIVER_GREEN = [
     # rows-only entries whose r3 `spark_rows` evidence covers unchanged
     # code (no exact oracle exists by construction):
     "agg_approx_distinct", "agg_approx_percentile", "sim_lsh_dup_pairs",
-    "sim_ivf_topk",
+    # sim_ivf_topk REMOVED: r11 factors ivf_topk's cell assignment
+    # into the shared _with_cells helper (reused by the new
+    # ivf_filtered_topk), rotating every ivf_topk caller per the
+    # ANY-operator-change policy.
 ]
 
 _R4_DRIVER_GREEN = [
@@ -153,7 +156,10 @@ _R5_DRIVER_GREEN = [
     #     unchanged, but the operator body changed, so the r5 evidence
     #     rotates back in per the policy).
     "text_contamination_overlap", "sim_srp_banded_recall",
-    "sim_ann_recall_floor", "fs_ttl_snapshot", "fs_feature_drift_psi",
+    # sim_ann_recall_floor REMOVED: r11's ivf_topk refactor
+    # (_with_cells extraction) rotates it per the operator-change
+    # policy.
+    "fs_ttl_snapshot", "fs_feature_drift_psi",
     "fs_rollup_reaggregation", "fs_bitemporal_asof", "agg_corr_matrix",
     "agg_chi_squared", "ml_ridge_closed_form", "agg_key_skew_profile",
     "ml_auc_exact", "ml_mutual_information", "join_runtime_filter_orders",
@@ -247,7 +253,10 @@ _R7_DRIVER_GREEN = [
     # graph_bfs_depths / graph_closeness_seeds REMOVED (same r10
     # cooccurrence_edges rotation as the pagerank pair above).
     "graph_sssp_weighted",
-    "sim_ivf_nprobe_sweep", "ml_association_rules",
+    # sim_ivf_nprobe_sweep REMOVED: r11's ivf_topk refactor
+    # (_with_cells extraction) rotates it per the operator-change
+    # policy.
+    "ml_association_rules",
     "ml_ab_test_proportions", "fs_training_set_pit", "ml_brier_score",
     "events_dau_wau_stickiness", "agg_exact_moments_by_flag",
     # r1–r6 re-verifications also green in r07 (the fs_* family,
@@ -352,6 +361,9 @@ _WINDOW_PRIORITY = [
     "dedup_allpairs_prefix", "graph_mst_boruvka",
     "graph_single_linkage_cut", "sort_skyline_parts",
     "ml_subsample_stability", "text_kl_domain_shift",
+    # the ivf_topk refactor rotations (see the r3/r5/r7 exclusion
+    # notes):
+    "sim_ivf_topk", "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

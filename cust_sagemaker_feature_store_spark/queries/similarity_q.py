@@ -57,6 +57,128 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, _query_vector(spark, sf_dir), k=TOP_K)
 
 
+FILTER_LABEL = 5  # metadata predicate for the filtered-ANN surface
+
+_FILTERED_COSINE_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {qid}
+), scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e, q
+  WHERE e.label = {label}
+)
+SELECT vec_id, label, cosine_sim
+FROM scored
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
+@register(
+    "sim_filtered_topk",
+    oracle=_FILTERED_COSINE_SQL.format(
+        qid=QUERY_VEC_ID, label=FILTER_LABEL, k=TOP_K
+    ),
+    description=(
+        "[EXT] exact top-k under a metadata predicate — the filtered "
+        "vector search every RAG deployment runs (WHERE label = "
+        f"{FILTER_LABEL}, ~10% selective). The filter lands BEFORE "
+        "scoring, so Catalyst pushes it into the parquet scan and the "
+        "cosine evaluates only on survivors; orderBy+limit is one "
+        "TakeOrderedAndProject, no corpus shuffle. The exact baseline "
+        "the filter-aware IVF path is measured against."
+    ),
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return S.cosine_topk(
+        emb.filter(F.col("label") == FILTER_LABEL), qv, k=TOP_K
+    ).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "label", "cosine_sim")
+
+
+# floor under the measured deterministic recalls of the filter-aware
+# IVF path at n_lists=8, nprobe=2, label>=5 (~50% selective =>
+# nprobe_eff 4): 0.8 / 0.6 / 0.5 at sf0.001 / 0.01 / 0.1; the naive
+# post-filter baseline measures 0.4 / 0.4 / 0.3 on the same index.
+FILTERED_RECALL_FLOOR = 0.3
+
+
+@register(
+    "sim_ivf_filtered_recall_floor",
+    oracle="""
+SELECT 'aware_ge_postfilter' AS check_name, TRUE AS ok
+UNION ALL
+SELECT 'ivf_filtered_recall' AS check_name, TRUE AS ok
+ORDER BY check_name
+""",
+    description=(
+        "[EXT] driver-visible floor for FILTER-AWARE IVF probing "
+        "(ivf_filtered_topk): recall vs the exact filtered brute "
+        f"force must clear {FILTERED_RECALL_FLOOR} (measured 0.5-0.8 "
+        "across sf0.001-0.1), AND must dominate the naive post-filter "
+        "baseline (run unfiltered IVF top-k, then filter the hits) — "
+        "dominance is a theorem (the aware candidate pool is a "
+        "superset of the post-filter survivors under the same probe "
+        "ordering, and dropping competitors never demotes a row), so "
+        "a violation means the probe-widening logic broke. Both "
+        "checks run inside Spark; the oracle pins the booleans, so a "
+        "regression hash-mismatches."
+    ),
+)
+def sim_ivf_filtered_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    pred = F.col("label") >= FILTER_LABEL
+    # lazy pin: the exact filtered top-k feeds both recall joins
+    exact_ids = (
+        S.cosine_topk(emb.filter(pred), qv, k=TOP_K)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    aware_hits = (
+        S.ivf_filtered_topk(emb, qv, pred, k=TOP_K, n_lists=8, nprobe=2)
+        .select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_aware"))
+    )
+    # naive post-filter baseline on the SAME index configuration
+    post_hits = (
+        S.ivf_topk(emb, qv, k=TOP_K, n_lists=8, nprobe=2)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .filter(pred)
+        .select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_post"))
+    )
+    need = int(FILTERED_RECALL_FLOOR * TOP_K)
+    return (
+        aware_hits.crossJoin(post_hits)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("aware_ge_postfilter").alias("check_name"),
+                        (F.col("n_aware") >= F.col("n_post")).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("ivf_filtered_recall").alias("check_name"),
+                        (F.col("n_aware") >= need).alias("ok"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.check_name", "r.ok")
+        .orderBy("check_name")
+    )
+
+
 @register(
     "sim_pairs_blocked",
     oracle="""

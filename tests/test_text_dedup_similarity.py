@@ -222,6 +222,50 @@ def test_ivf_scales_to_many_lists(spark, sf_dir):
     assert rows and rows[0]["vec_id"] == 0  # own cell always probed first
 
 
+def test_ivf_filtered_topk_semantics(spark, sf_dir):
+    # Filter-aware IVF probing: (1) a selective predicate widens the
+    # probe to ALL cells, making the result EQUAL the exact filtered
+    # brute force; (2) recall always dominates the naive post-filter
+    # baseline (theorem: superset candidate pool, same probe order);
+    # (3) an unsatisfiable predicate raises instead of returning an
+    # empty frame recall can't be defined against.
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    # (1) label == 5 is ~10% selective -> nprobe_eff = ceil(2/0.1) = 20,
+    # capped at n_lists=8 = probe everything = exact
+    sel = F.col("label") == 5
+    exact_sel = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in S.cosine_topk(emb.filter(sel), q, k=10).collect()
+    ]
+    aware_sel = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in S.ivf_filtered_topk(emb, q, sel, k=10, n_lists=8, nprobe=2).collect()
+    ]
+    assert aware_sel == exact_sel
+
+    # (2) dominance at the registered half-selective configuration
+    pred = F.col("label") >= 5
+    exact = {r["vec_id"] for r in S.cosine_topk(emb.filter(pred), q, k=10).collect()}
+    aware = {
+        r["vec_id"]
+        for r in S.ivf_filtered_topk(emb, q, pred, k=10, n_lists=8, nprobe=2).collect()
+    }
+    keep = {r["vec_id"] for r in emb.filter(pred).select("vec_id").collect()}
+    post = {
+        r["vec_id"]
+        for r in S.ivf_topk(emb, q, k=10, n_lists=8, nprobe=2).collect()
+    } & keep
+    assert len(aware & exact) >= len(post & exact)
+
+    # (3) empty predicate fails loudly
+    with pytest.raises(ValueError, match="no rows"):
+        S.ivf_filtered_topk(emb, q, F.col("label") == -99, k=10)
+
+
 def test_cosine_self_similarity(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     sims = emb.select(
