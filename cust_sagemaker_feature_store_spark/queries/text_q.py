@@ -2720,6 +2720,59 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ENCODE_TOP = 50  # vocabulary head reported by the encode surface
+
+
+@register(
+    "text_bpe_encode",
+    oracle=(
+        _bpe_cte(BPE_ROUNDS)
+        + f"""
+SELECT sym AS token,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM s{BPE_ROUNDS} GROUP BY 1
+ORDER BY n_occurrences DESC, token LIMIT {BPE_ENCODE_TOP}"""
+    ),
+    description=(
+        "[EXT] BPE ENCODE surface (r10 verdict next-round #6): train "
+        "the 12-round merge table, then tokenize the corpus vocabulary "
+        "through operators/bpe.apply_merges — the priority-ordered "
+        "replay path every downstream caller uses on NEW text — and "
+        "report the top-50 vocabulary units by exact corpus occurrence "
+        "(occurrences = sum of word counts containing the unit, plus "
+        "distinct-word spread). Because encode replays the learned "
+        "merges in training order, its tokenization provably equals "
+        "the training-final state, which is exactly what the oracle's "
+        "unrolled CTE chain computes — the green row IS the "
+        "train/encode-equivalence proof at corpus scale. Encode cost "
+        "mirrors training cost: per merge, vocabulary-sized windows "
+        "only; nothing rescans the corpus (one word-count shuffle "
+        "shared with training via a lazy pin)."
+    ),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    # lazy pin: the initial symbol state feeds BOTH the trainer and
+    # the encode replay; unpinned each would redo the corpus scan.
+    syms = B.initial_symbols(B.word_counts(docs)).localCheckpoint(
+        eager=False
+    )
+    merges = B.train_merges(syms, rounds=BPE_ROUNDS)
+    enc = B.apply_merges(syms, merges)
+    return (
+        enc.groupBy(F.col("sym").alias("token"))
+        .agg(
+            F.countDistinct("word").cast("long").alias("n_words"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(BPE_ENCODE_TOP)
+    )
+
+
 # word 5-gram shingles for the prefix-filter join (k=5 so the shingle
 # universe is near-unique — the regime where prefix filtering prunes);
 # short docs yield one whole-text shingle, mirroring operators/text.shingles
