@@ -1447,6 +1447,64 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WRES_K = 20  # exact per-source sample size
+WRES_TEMP = 2  # temperature: weights flattened to n_chars^(1/T) = sqrt
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+WITH k AS (
+  SELECT source, doc_id, n_chars,
+         ln(CAST((doc_id * 2654435761) % {_WS_MOD} + 1 AS DOUBLE)
+            / {_WS_MOD + 1}) / sqrt(CAST(n_chars AS DOUBLE)) AS key
+  FROM documents
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY source ORDER BY key DESC, doc_id) AS BIGINT)
+         AS sample_rank
+FROM k QUALIFY sample_rank <= {WRES_K}
+ORDER BY source, sample_rank
+""",
+    description=(
+        "[EXT] per-source exact-size weighted reservoir (r10 verdict "
+        "next-round #7): an Efraimidis-Spirakis sample of EXACTLY "
+        f"{WRES_K} docs from EACH source, weighted by temperature-"
+        f"flattened length n_chars^(1/{WRES_TEMP}) = sqrt(n_chars) — "
+        "the per-domain draw a mixture builder takes after setting "
+        "temperature weights (sample_weighted_docs is the global, "
+        "unflattened variant; the mixture shelf resamples by "
+        "temperature but had no exact-size grouped draw). sqrt is "
+        "IEEE-correctly-rounded in both engines, so the weight needs "
+        "no grid; ln(u)/sqrt(w) keys only ORDER the per-group top-k "
+        "(u-grid separation is orders above libm ULP noise) and no "
+        "float reaches the output. rank<=k over a per-source window "
+        "executes as WindowGroupLimit — per-group heads kept map-"
+        "side, never a corpus sort."
+    ),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % _WS_MOD + 1).cast("double")
+        / F.lit(float(_WS_MOD + 1))
+    )
+    k = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.sqrt(F.col("n_chars").cast("double"))).alias("key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("key").desc(), "doc_id")
+    return (
+        k.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= WRES_K)
+        .select("source", "doc_id", "n_chars", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
 @register(
     "text_kl_domain_shift",
     oracle=f"""
