@@ -1,0 +1,196 @@
+"""Streaming maintenance of the banded dedup index (r10 verdict
+next-round #5).
+
+The batch incremental path already exists: a new shard is classified
+against the corpus's STORED byte-sized indexes (content hashes +
+MinHash LSH band buckets) by operators/dedup.incremental_dedup_status,
+never against corpus text. This module keeps those indexes CURRENT
+under a document stream: a file-source readStream feeds a foreachBatch
+sink that (1) classifies each micro-batch against the index as of the
+batch's start, (2) appends the batch's own hash/band entries so the
+NEXT batch sees them.
+
+Exactly-once discipline (the streaming/ingest.py epoch idea, adapted):
+every index and status write is stamped with the micro-batch epoch
+(batch_id) and written as a DYNAMIC PARTITION OVERWRITE of that epoch's
+partition, so a checkpoint replay rewrites the identical partition
+instead of duplicating rows. Classification reads only `epoch <
+batch_id` index entries, which makes it BOTH deterministic (documents
+in the same micro-batch never see each other — the same contract the
+batch twin states in SQL) and replay-safe (a half-written crashed
+epoch is invisible to its own re-run).
+
+Scale story: per micro-batch the work is O(batch) signing plus two
+left-semi probes into the stored index; the index itself is byte-sized
+(one md5 per doc + n_bands buckets per doc) and partition-pruned by
+epoch only at write time — probes read all epochs but only the two
+narrow index columns. Nothing ever rescans history text.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import incremental_dedup_status, minhash_bands
+
+_HASH_SCHEMA = "h string, epoch long"
+_BAND_SCHEMA = "band int, bucket string, epoch long"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+class StreamingDedupIndex:
+    """File-source streaming dedup-index maintainer for a document
+    stream with (doc_id, text) columns."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        index_root: str,
+        num_hashes: int = 4,
+        rows_per_band: int = 2,
+        k: int = 3,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.k = k
+        self.hashes_dir = os.path.join(index_root, "hashes")
+        self.bands_dir = os.path.join(index_root, "bands")
+        self.status_dir = os.path.join(index_root, "status")
+        self.checkpoint_dir = os.path.join(index_root, "_checkpoint")
+
+    # -- micro-batch sink ---------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            if not batch.take(1):
+                return
+            spark = self.spark
+            # the index AS OF this batch's start: strictly earlier epochs
+            # (replay-safe — a crashed half-write of THIS epoch is
+            # invisible to its own re-run)
+            hashes = _read_or_empty(spark, self.hashes_dir, _HASH_SCHEMA)
+            bands = _read_or_empty(spark, self.bands_dir, _BAND_SCHEMA)
+            status = incremental_dedup_status(
+                batch,
+                hashes.filter(F.col("epoch") < batch_id).select("h"),
+                bands.filter(F.col("epoch") < batch_id).select("band", "bucket"),
+                num_hashes=self.num_hashes,
+                rows_per_band=self.rows_per_band,
+                k=self.k,
+            ).withColumn("epoch", F.lit(batch_id).cast("long"))
+            epoch = F.lit(batch_id).cast("long").alias("epoch")
+            new_hashes = batch.select(
+                F.md5(F.lower(F.trim(F.col("text")))).alias("h"), epoch
+            ).distinct()
+            new_bands = minhash_bands(
+                batch,
+                num_hashes=self.num_hashes,
+                rows_per_band=self.rows_per_band,
+                k=self.k,
+            ).select("band", "bucket", epoch).distinct()
+            for frame, path in (
+                (status, self.status_dir),
+                (new_hashes, self.hashes_dir),
+                (new_bands, self.bands_dir),
+            ):
+                (
+                    frame.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch")
+                    .parquet(path, compression="snappy")
+                )
+        finally:
+            batch.unpersist()
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start(self, schema: str = "doc_id long, text string"):
+        """readStream over the input directory -> foreachBatch index
+        maintenance; availableNow processes all pending files and stops
+        (the test/replay mode)."""
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .csv(self.input_dir, header=True)
+        )
+        return (
+            src.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def statuses(self) -> DataFrame:
+        return self.spark.read.parquet(self.status_dir)
+
+
+def replay_epochs(
+    docs: DataFrame,
+    epoch_col,
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Batch twin of the streaming maintainer: classify every document
+    against the index built from STRICTLY EARLIER epochs, in one
+    declarative plan (no per-epoch loop — the epoch inequality join
+    states the same contract the stream enforces operationally).
+
+    Returns (doc_id, epoch, status). The first epoch classifies
+    against an empty index, so it is all 'new'; a doc never sees its
+    own epoch — exactly the micro-batch-boundary semantics of
+    StreamingDedupIndex.process_batch."""
+    tagged = docs.withColumn("epoch", epoch_col.cast("long"))
+    hashes = tagged.select(
+        "doc_id", "epoch", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    exact = (
+        hashes.alias("b")
+        .join(
+            hashes.alias("c"),
+            (F.col("b.h") == F.col("c.h"))
+            & (F.col("c.epoch") < F.col("b.epoch")),
+            "semi",
+        )
+        .select(F.col("doc_id"))
+    )
+    bb = minhash_bands(
+        tagged, num_hashes=num_hashes, rows_per_band=rows_per_band, k=k
+    ).join(tagged.select("doc_id", "epoch"), "doc_id")
+    near = (
+        bb.alias("b")
+        .join(
+            bb.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket"))
+            & (F.col("c.epoch") < F.col("b.epoch")),
+            "semi",
+        )
+        .select(F.col("doc_id"))
+        .distinct()
+    )
+    return (
+        tagged.select("doc_id", "epoch")
+        .join(exact.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "epoch",
+            F.when(F.col("__e") == 1, F.lit("exact_dup"))
+            .when(F.col("__n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -824,6 +824,87 @@ def test_stream_asof_enrich_restart_matches_batch(spark, tmp_path):
     assert not by_id[5]["fresh"] and by_id[5]["feature_ts"] is None
 
 
+def test_stream_dedup_index_restart_matches_batch(spark, tmp_path):
+    """The streaming dedup-index maintainer must classify every doc
+    against the index of strictly earlier micro-batches and keep the
+    index current — across a checkpoint RESTART — exactly as the
+    replay_epochs batch twin states declaratively. Exercises all
+    three statuses: an exact duplicate of an earlier epoch's text, a
+    near-dup (one-token change, shares band buckets), a within-batch
+    duplicate (must be 'new' — same epoch is invisible), and fresh
+    text."""
+    from cust_sagemaker_feature_store_spark.streaming.dedup_index import (
+        StreamingDedupIndex,
+        replay_epochs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    other = "completely different words live here in this other text"
+    header = "doc_id,text"
+    batches = [
+        [header, f'0,"{base}"', f'1,"{other}"', f'2,"{base}"'],  # 2: within-batch dup -> new
+        [header, f'10,"{base}"', f'11,"{near}"'],                # exact + near
+        [header, f'20,"{near}"', f'21,"more fresh text arrives after the restart"'],
+    ]
+    d = tmp_path / "dedup_idx_in"
+    d.mkdir()
+    root = str(tmp_path / "dedup_idx")
+    idx = StreamingDedupIndex(spark, str(d), root)
+
+    # epoch 0+1 before the restart, epoch 2 after
+    for phase, todo in ((0, (0, 1)), (1, (2,))):
+        for b in todo:
+            p = d / f"b{b}.csv"
+            p.write_text("\n".join(batches[b]) + "\n")
+            os.utime(p, (1_700_000_000 + b * 60, 1_700_000_000 + b * 60))
+        q = idx.start()
+        q.awaitTermination(120)
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["epoch"], r["status"])
+        for r in idx.statuses().collect()
+    }
+    assert len(got) == 7  # exactly once per doc, across the restart
+    assert got[0] == (0, "new") and got[1] == (0, "new")
+    assert got[2] == (0, "new")  # within-batch dup: same epoch invisible
+    assert got[10] == (1, "exact_dup")
+    assert got[11] == (1, "near_dup")
+    assert got[20] == (2, "exact_dup")  # near's text seen in epoch 1
+    assert got[21] == (2, "new")  # post-restart fresh text
+
+    # the batch twin (one declarative plan) agrees doc-for-doc
+    rows = [
+        (int(line.split(",", 1)[0]), line.split(",", 1)[1].strip('"'), e)
+        for e, b in enumerate(batches)
+        for line in b[1:]
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    epoch_of = {i: e for i, _, e in rows}
+    twin = replay_epochs(
+        docs,
+        F.when(F.col("doc_id") < 10, 0)
+        .when(F.col("doc_id") < 20, 1)
+        .otherwise(2),
+    )
+    want = {
+        r["doc_id"]: (r["epoch"], r["status"]) for r in twin.collect()
+    }
+    assert want == got
+    assert all(epoch_of[i] == e for i, (e, _) in want.items())
+
+    # the index is current: hashes/bands cover every epoch exactly once
+    hashes = spark.read.parquet(os.path.join(root, "hashes"))
+    assert hashes.select("epoch").distinct().count() == 3
+    # base's content hash appears once per epoch that wrote it (0 and 1)
+    assert (
+        hashes.groupBy("h").count().agg(F.max("count")).head()[0] <= 2
+    )
+
+
 def test_stream_dedup_twin_matches_batch(spark, tmp_path):
     """Streaming dedup on the composite (user, type, minute) key emits
     exactly the batch-distinct key set — the equality the
