@@ -230,3 +230,76 @@ def bm25_scores_frame(
         .groupBy(id_col)
         .agg(F.sum("term_scaled").cast("long").alias("score_u"))
     )
+
+
+QL_SCALE = 1_000_000_000  # 1e-9 log-score grid
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 1000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    SIGIR'01) — the language-modeling retrieval family next to BM25:
+
+        score(d) = sum_t ln((tf_td + mu*p_t) / (dl_d + mu)),
+        p_t = cf_t / TT (collection language model)
+
+    decomposed, as LM-retrieval implementations do, into a SPARSE part
+    over (doc, present-term) rows plus a per-doc length part:
+
+        sum_{t: tf>0} ln(1 + tf*TT/(mu*cf_t)) + |Q'| * ln(mu/(dl + mu))
+
+    where |Q'| counts query terms with cf > 0 (a cf=0 term contributes
+    no evidence either way — the standard drop). Every ln output lands
+    on the 1e-9 grid as int64 before summation, so scores are
+    order-independent and engine-exact; tf*TT and mu*cf multiply as
+    doubles of exact ints (no int64 overflow ceiling at 100 TB token
+    counts, unlike a scaled-integer formulation).
+
+    Work: one corpus-narrow dl pass + the query-sparse tf join + a
+    TakeOrderedAndProject — identical scale shape to bm25_topk."""
+    tf = term_frequencies(docs, id_col, text_col).filter(
+        F.col("term").isin(query_terms)
+    )
+    cf_tbl = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    stats = corpus_stats(docs, text_col)
+    nq = cf_tbl.agg(F.count("*").cast("long").alias("n_q"))
+    present = tf.join(F.broadcast(cf_tbl), "term").crossJoin(F.broadcast(stats))
+    lp = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("tf").cast("double") * F.col("total_tokens").cast("double"))
+            / (F.lit(mu) * F.col("cf").cast("double"))
+        )
+        * F.lit(QL_SCALE)
+    ).cast("long")
+    per_doc = present.groupBy(id_col).agg(F.sum(lp).alias("ps"))
+    dls = docs.select(F.col(id_col), F.size(T.tokens(text_col)).alias("dl"))
+    lq = F.round(
+        F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu)))
+        * F.lit(QL_SCALE)
+    ).cast("long")
+    scored = (
+        dls.join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("ps"), F.lit(0)) + F.col("n_q") * lq)
+            .cast("long")
+            .alias("score_u"),
+        )
+    )
+    return (
+        scored.select(
+            id_col,
+            "score_u",
+            (F.col("score_u").cast("double") / float(QL_SCALE)).alias("ql"),
+        )
+        .orderBy(F.desc("score_u"), F.asc(id_col))
+        .limit(k)
+    )

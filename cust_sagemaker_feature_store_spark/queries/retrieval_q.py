@@ -1088,3 +1088,63 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+QL_MU = 1000.0
+
+
+@register(
+    "retrieval_query_likelihood",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, len({SQL_TOKS}) AS dl, unnest({SQL_TOKS}) AS term
+    FROM documents
+  )
+  GROUP BY 1, 2, 3
+),
+qtf AS (SELECT * FROM tf WHERE term IN ({', '.join(f"'{t}'" for t in QUERY_TERMS)})),
+cft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM qtf GROUP BY 1),
+corpus AS (
+  SELECT CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS total_tokens FROM documents
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_q FROM cft),
+ps AS (
+  SELECT q.doc_id,
+         CAST(SUM(CAST(ROUND(
+           ln(1.0 + (CAST(q.tf AS DOUBLE) * CAST(c.total_tokens AS DOUBLE))
+                    / (1000.0 * CAST(f.cf AS DOUBLE)))
+           * 1000000000) AS BIGINT)) AS BIGINT) AS ps
+  FROM qtf q JOIN cft f USING (term) CROSS JOIN corpus c GROUP BY 1
+),
+dls AS (SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS dl FROM documents),
+sc AS (
+  SELECT d.doc_id,
+         COALESCE(p.ps, 0)
+           + nq.n_q * CAST(ROUND(
+               ln(1000.0 / (CAST(d.dl AS DOUBLE) + 1000.0))
+               * 1000000000) AS BIGINT) AS score_u
+  FROM dls d LEFT JOIN ps p USING (doc_id) CROSS JOIN nq
+)
+SELECT doc_id, CAST(score_u AS BIGINT) AS score_u,
+       CAST(score_u AS DOUBLE) / 1000000000.0 AS ql
+FROM sc ORDER BY score_u DESC, doc_id LIMIT {TOP_K}
+""",
+    description=(
+        "[EXT] Dirichlet-smoothed query-likelihood top-k (Zhai & "
+        "Lafferty SIGIR'01; mu=1000) — the language-modeling retrieval "
+        "family next to BM25/TF-IDF, decomposed into the sparse "
+        "present-term part ln(1 + tf*TT/(mu*cf)) plus the per-doc "
+        "length normalizer |Q|*ln(mu/(dl+mu)), so EVERY document is "
+        "ranked (shorter docs win when evidence ties — the LM "
+        "smoothing behavior BM25 lacks). Each ln lands on the 1e-9 "
+        "grid as int64 before summation (order-independent, engine-"
+        "exact); tf*TT multiplies as doubles so no int64 ceiling at "
+        "100 TB token counts. One corpus-narrow dl pass + the query-"
+        "sparse tf join + TakeOrderedAndProject."
+    ),
+)
+def retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return R.query_likelihood_topk(docs, QUERY_TERMS, k=TOP_K, mu=QL_MU)

@@ -989,3 +989,108 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+CORESET_K = 8  # greedy k-center rounds (incl. the fixed seed)
+CORESET_SEED = QUERY_VEC_ID  # deterministic start: vec_id 0
+
+
+def _kcenter_oracle(k: int, seed: int) -> str:
+    """Unrolled greedy k-center twin (the BPE/markov pattern): stage r
+    takes the argmax of the running min squared distance (rounded to
+    6dp, vec_id tie-break) and folds the new center into the state."""
+    dist = (
+        "ROUND(m.dxx - 2 * list_dot_product(m.e, c.e) + c.dxx, 6)"
+    )
+    ctes = [
+        """v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS dxx
+  FROM embeddings)""",
+        f"c0 AS (SELECT e, dxx FROM v WHERE vec_id = {seed})",
+        """m0 AS MATERIALIZED (
+  SELECT m.vec_id, m.e, m.dxx,
+         ROUND(m.dxx - 2 * list_dot_product(m.e, c.e) + c.dxx, 6) AS mind
+  FROM v m, c0 c)""",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""c{r} AS (
+  SELECT vec_id, e, dxx, mind FROM m{r - 1}
+  ORDER BY mind DESC, vec_id LIMIT 1)"""
+        )
+        if r < k - 1:
+            ctes.append(
+                f"""m{r} AS MATERIALIZED (
+  SELECT m.vec_id, m.e, m.dxx, LEAST(m.mind, {dist}) AS mind
+  FROM m{r - 1} m, c{r} c)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS selection_rank, vec_id,"
+        f" mind AS radius_sq FROM c{r}"
+        for r in range(1, k)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT CAST(0 AS BIGINT) AS selection_rank,
+       CAST({seed} AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS radius_sq
+UNION ALL
+{union}
+ORDER BY selection_rank"""
+    )
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(CORESET_K, CORESET_SEED),
+    description=(
+        "[EXT] greedy k-center coreset selection over the embedding "
+        "corpus (Gonzalez 1985 farthest-point traversal; the coreset "
+        "rung of data pruning, Sener & Savarese ICLR'18): from a fixed "
+        f"seed, {CORESET_K - 1} rounds each pick the vector FARTHEST "
+        "from every already-selected center (max of the running min "
+        "squared L2, 6dp grid, vec_id tie-break) — the diversity "
+        "sample that covers the corpus within the reported radius, "
+        "2-approximation guaranteed. Scale shape: the min-distance "
+        "state UPDATES INCREMENTALLY (one narrow pass against the "
+        "single new center per round — never re-scanning all centers), "
+        "each argmax is one TakeOrderedAndProject, zero shuffles "
+        "total; per-round lazy localCheckpoints keep the plan linear. "
+        "The oracle unrolls the same greedy recursion; radius_sq is "
+        "each pick's covering distance at selection time (NULL for "
+        "the seed), monotonically non-increasing."
+    ),
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", S.as_double("embedding").alias("e")
+    ).withColumn("dxx", S.dot(F.col("e"), F.col("e")))
+    seed = v.filter(F.col("vec_id") == CORESET_SEED).head()
+
+    def dist_to(center_vec: list, center_dxx: float):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.round(
+            F.col("dxx") - 2 * S.dot(F.col("e"), c) + F.lit(float(center_dxx)),
+            6,
+        )
+
+    cur = v.withColumn("mind", dist_to(seed["e"], seed["dxx"]))
+    picks = [(0, int(seed["vec_id"]), None)]
+    for r in range(1, CORESET_K):
+        # lazy pin per round: the argmax head() and the next round's
+        # update both read this frame; unpinned, lineage re-derives
+        # every prior round per job (the Bellman-Ford rule)
+        cur = cur.localCheckpoint(eager=False)
+        top = cur.orderBy(F.desc("mind"), "vec_id").head()
+        picks.append((r, int(top["vec_id"]), float(top["mind"])))
+        if r < CORESET_K - 1:
+            cur = cur.withColumn(
+                "mind", F.least(F.col("mind"), dist_to(top["e"], top["dxx"]))
+            )
+    return emb.sparkSession.createDataFrame(
+        picks, "selection_rank long, vec_id long, radius_sq double"
+    ).orderBy("selection_rank")
