@@ -211,6 +211,17 @@ BENCH_QUERIES = [
     "ml_subsample_stability",
     "text_vocab_growth",
     "fs_snapshot_drift_psi",
+    # r11 additions — incl. the two heavy ones the r11 verdict flagged as
+    # bench-invisible: text_bpe_encode (~27s, 24 vocabulary rounds) and
+    # sample_coreset_kcenter (k sequential corpus argmax passes)
+    "dedup_minhash_estimate_error",
+    "sample_weighted_reservoir",
+    "sample_coreset_kcenter",
+    "stream_dedup_index_twin",
+    "text_bpe_encode",
+    "retrieval_query_likelihood",
+    "sim_filtered_topk",
+    "sim_ivf_filtered_recall_floor",
 ]
 
 

@@ -20,6 +20,7 @@ Hamming-distance variant.
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 from functools import reduce
 
@@ -235,19 +236,33 @@ def allpairs_prefix_join(
     (b.n >= a.n * t) excluded exact size-ratio boundary pairs."""
     if isinstance(threshold, tuple):
         frac = Fraction(*threshold)
+        if frac.denominator > 1_000_000:
+            # an explicit tuple with a huge denominator is a caller
+            # error — rounding a deliberately-exact rational would be
+            # worse than refusing it.
+            raise ValueError(
+                "threshold denominator too large for exact int64 "
+                f"bounds ({frac.denominator}); pass a (num, den) "
+                "tuple with a denominator <= 1e6"
+            )
     else:
         # repr round-trip: the shortest decimal that parses back to
         # this double — i.e. the threshold the caller actually wrote.
         frac = Fraction(str(float(threshold)))
+        if frac.denominator > 1_000_000:
+            # computed floats (1/3, 0.1 + 0.2, ...) round-trip to huge
+            # denominators; conservatively FLOOR onto a 1e-6 grid
+            # instead of raising (r11 advice — the pre-r11 code
+            # accepted any float here). Rounding down keeps the query
+            # a coherent exact join at a threshold <= the caller's, so
+            # no pair the caller wanted is lost; the verify filter
+            # uses the same rational, so results stay exact.
+            frac = Fraction(
+                math.floor(float(threshold) * 1_000_000), 1_000_000
+            )
     if not (0 < frac <= 1):
         raise ValueError(f"threshold must be in (0, 1], got {frac}")
     num, den = frac.numerator, frac.denominator
-    if den > 1_000_000:
-        raise ValueError(
-            "threshold denominator too large for exact int64 bounds "
-            f"({den}); pass threshold as a (num, den) tuple with a "
-            "denominator <= 1e6"
-        )
     sets_ = shingle_sets(df, text_col, id_col, k)
     sizes = sets_.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     dfreq = sets_.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

@@ -100,7 +100,13 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("label") == FILTER_LABEL), qv, k=TOP_K
     ).join(
         emb.select("vec_id", "label"), "vec_id"
-    ).select("vec_id", "label", "cosine_sim")
+    ).select("vec_id", "label", "cosine_sim").orderBy(
+        # re-pin row order after the label join (which drops the top-k
+        # sort) to match the oracle's ORDER BY — r11 advice: a
+        # row-order-sensitive canonicalizer must not see an unordered
+        # frame even though the local comparison is multiset-based
+        F.desc("cosine_sim"), "vec_id"
+    )
 
 
 # floor under the measured deterministic recalls of the filter-aware
@@ -157,7 +163,9 @@ def sim_ivf_filtered_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(exact_ids, "vec_id")
         .agg(F.count(F.lit(1)).alias("n_post"))
     )
-    need = int(FILTERED_RECALL_FLOOR * TOP_K)
+    # round, not int(): int(0.3 * 10) truncates 2.999... to 2 and would
+    # silently enforce one hit below the documented floor (r11 advice)
+    need = round(FILTERED_RECALL_FLOOR * TOP_K)
     return (
         aware_hits.crossJoin(post_hits)
         .select(

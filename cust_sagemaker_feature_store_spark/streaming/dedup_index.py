@@ -41,7 +41,14 @@ _BAND_SCHEMA = "band int, bucket string, epoch long"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    if os.path.isdir(path):
+    # Probe existence through the Hadoop FileSystem API so the check is
+    # correct on HDFS/S3/ABFS, not just the local filesystem — an
+    # os.path.isdir probe would be always-False on object stores and
+    # silently read an empty index every micro-batch (r11 advice).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
 

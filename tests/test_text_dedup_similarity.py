@@ -983,6 +983,12 @@ def test_allpairs_prefix_join_exact_threshold_boundary(spark):
         D.allpairs_prefix_join(df, threshold=0.0)
     with pytest.raises(ValueError, match="denominator"):
         D.allpairs_prefix_join(df, threshold=(1, 10_000_019))
+    # r11 advice: a computed float whose repr round-trips to a huge
+    # denominator (1/3) must NOT raise — it floors onto a 1e-6 grid
+    # (333333/1000000 < 1/3), so the subset pair at Jaccard 11/20 is
+    # still returned (floor never loses wanted pairs).
+    rows = D.allpairs_prefix_join(df, k=1, threshold=1 / 3).collect()
+    assert len(rows) == 1 and rows[0]["inter"] == 11
 
 
 def test_curriculum_pack_monotone_quality(spark, sf_dir):
