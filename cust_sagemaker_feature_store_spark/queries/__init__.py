@@ -349,20 +349,45 @@ _R10_DRIVER_GREEN = [
     # omitted here.
 ]
 
-# ROUND-12 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r11.json's green rows into an _R11_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r12 changes), then
-# retarget _WINDOW_PRIORITY at whatever r12 invalidates.
+_R11_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r11.json (49/50 green + the
+    # by-construction no_oracle sim_ivf_topk, 0 errors) earned by code
+    # unchanged in r12. Excluded on purpose (r12 changes their
+    # implementation, invalidating the r11 evidence per the policy
+    # above):
+    #   dedup_allpairs_prefix — r12 floors computed-float thresholds
+    #     onto a 1e-6 grid in allpairs_prefix_join instead of raising
+    #     (ADVICE r11 #4);
+    #   stream_dedup_index_twin — r12 converts the index existence
+    #     probe to the Hadoop FileSystem API (ADVICE r11 #3);
+    #   sim_filtered_topk — r12 re-pins its row order after the label
+    #     join (ADVICE r11 #1);
+    #   sim_ivf_filtered_recall_floor — r12 rounds (not truncates) the
+    #     recall-floor hit count (ADVICE r11 #2);
+    #   sim_ann_recall_floor / sim_ivf_nprobe_sweep — r12 adds the
+    #     persisted build/probe index split to the IVF family in
+    #     operators/similarity.py, rotating every ivf_topk caller per
+    #     the ANY-operator-change policy.
+    "graph_mst_boruvka", "graph_single_linkage_cut",
+    "sort_skyline_parts", "ml_subsample_stability",
+    "text_kl_domain_shift", "dedup_minhash_estimate_error",
+    "sample_weighted_reservoir", "text_bpe_encode",
+    "retrieval_query_likelihood", "sample_coreset_kcenter",
+    # r1–r10 re-verifications also green in r11 (the fs_* family,
+    # q1/q3/q5, the semi/anti joins, agg_orders_by_status) are already
+    # listed in the earlier lists and are omitted here.
+]
+
+# ROUND-13 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r12.json's green rows into an _R12_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r13 changes), then
+# retarget _WINDOW_PRIORITY at whatever r13 invalidates.
 _WINDOW_PRIORITY = [
-    # Queries whose implementations r11 touches (the ADVICE r10 fixes
-    # plus the KL closed-form spine — see the exclusion notes in
-    # _R10_DRIVER_GREEN and _R5_DRIVER_GREEN): re-prove them before
-    # anything else.
-    "dedup_allpairs_prefix", "graph_mst_boruvka",
-    "graph_single_linkage_cut", "sort_skyline_parts",
-    "ml_subsample_stability", "text_kl_domain_shift",
-    # the ivf_topk refactor rotations (see the r3/r5/r7 exclusion
-    # notes):
+    # Queries whose implementations r12 touches (the ADVICE r11 fixes
+    # plus the persisted-IVF-index refactor — see the exclusion notes
+    # in _R11_DRIVER_GREEN): re-prove them before anything else.
+    "dedup_allpairs_prefix", "stream_dedup_index_twin",
+    "sim_filtered_topk", "sim_ivf_filtered_recall_floor",
     "sim_ivf_topk", "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
 ]
 
@@ -383,6 +408,7 @@ def _reorder_registry() -> None:
         | set(_R5_DRIVER_GREEN) | set(_R6_DRIVER_GREEN)
         | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
         | set(_R9_DRIVER_GREEN) | set(_R10_DRIVER_GREEN)
+        | set(_R11_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
