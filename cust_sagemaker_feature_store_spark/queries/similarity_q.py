@@ -1102,3 +1102,88 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         picks, "selection_rank long, vec_id long, radius_sq double"
     ).orderBy("selection_rank")
+
+
+IVF_TWIN_EPOCHS = 4  # vec_id % 4 — four micro-batches
+IVF_TWIN_LISTS = 8   # frozen centroids = the 8 smallest vec_ids
+
+_IVF_TWIN_SQL = f"""
+WITH g AS (
+  SELECT vec_id, vec_id % {IVF_TWIN_EPOCHS} AS epoch,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, gv AS cv
+  FROM g WHERE vec_id < {IVF_TWIN_LISTS}
+),
+dist AS (
+  SELECT g.vec_id, g.epoch, c.cell,
+         CAST(list_sum(list_transform(range(1, 1 + len(g.gv)),
+           i -> (g.gv[i]-c.cv[i])*(g.gv[i]-c.cv[i]))) AS BIGINT) AS d2
+  FROM g CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, epoch, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM dist
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM best WHERE rn = 1
+GROUP BY epoch, cell
+ORDER BY epoch, cell
+"""
+
+
+@register(
+    "stream_ivf_index_twin",
+    oracle=_IVF_TWIN_SQL,
+    description=(
+        "[EXT] batch twin of the streaming IVF-index maintainer "
+        "(streaming/ivf_index.StreamingIvfIndex): the corpus split "
+        f"into {IVF_TWIN_EPOCHS} ingest epochs (vec_id % "
+        f"{IVF_TWIN_EPOCHS}), every vector assigned to its nearest "
+        "FROZEN centroid, per-(epoch, cell) partition counts + "
+        "vec_id-sum — exactly the partition content the maintainer's "
+        "dynamic-overwrite appends produce. Assignment runs on the "
+        "exact int64 1e-6 component grid (grid_assign_cells) so the "
+        "argmin is bit-identical cross-engine — the float "
+        "_with_cells argmin is not ORACLE-portable, the same reason "
+        "dedup_simhash pins an md5 twin; the production float path's "
+        "stream == batch == probe identities are pinned by "
+        "tests/test_streaming.py::test_ivf_index_stream_equals_batch "
+        "and tests/test_text_dedup_similarity.py::"
+        "test_ivf_index_probe_matches_inline. Centroids: the "
+        f"{IVF_TWIN_LISTS} smallest vec_ids' vectors, frozen — the "
+        "IVF serving contract (lists grow, quantizer retrains "
+        "offline). One narrow assignment pass, one grouped count; "
+        "nothing corpus x corpus (the n_lists fan-out is a flat "
+        "JVM expression, not a join)."
+    ),
+)
+def stream_ivf_index_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVF_TWIN_LISTS)
+        .select("vec_id", S.grid_vector("embedding").alias("gv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["gv"]] for r in cent_rows]
+    assigned = S.grid_assign_cells(
+        emb.withColumn(
+            "epoch", (F.col("vec_id") % IVF_TWIN_EPOCHS).cast("long")
+        ),
+        centroids,
+    )
+    return (
+        assigned.groupBy("epoch", "cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .orderBy("epoch", "cell")
+    )

@@ -1,0 +1,130 @@
+"""Streaming maintenance of the persisted IVF ANN index (r11 verdict
+next-round #4) — the vector-store symmetry of streaming/dedup_index.py.
+
+`operators/similarity.build_ivf_index` materializes the inline IVF
+path's state (centroids + cell-assigned vectors, partitioned by
+(epoch, cell)) with the bulk build stamped epoch = -1. This module
+keeps that index CURRENT under an embedding stream: a file-source
+readStream feeds a foreachBatch sink that assigns each micro-batch's
+vectors to cells under the FROZEN stored centroids (the standard IVF
+serving contract — lists grow, the quantizer retrains offline) and
+appends them under epoch = batch_id.
+
+Exactly-once discipline (same as the dedup index): every write is a
+DYNAMIC PARTITION OVERWRITE of this epoch's (epoch=batch_id, cell=*)
+partitions, so a checkpoint replay of a crashed micro-batch rewrites
+the identical partitions instead of duplicating vectors. Unlike the
+dedup maintainer there is no read-your-index step — assignment
+depends only on the frozen centroids — so the epoch stamp's only job
+is replay idempotence, which the restart test pins.
+
+Batch twin: `replay_ivf_epochs` states the same contract
+declaratively (assign every epoch's vectors under the same frozen
+centroids) — stream == batch is pinned bit-for-bit by
+tests/test_streaming.py::test_ivf_index_stream_equals_batch. The
+DRIVER-visible twin (queries/similarity_q.stream_ivf_index_twin)
+runs the same per-epoch/per-cell maintenance semantics through
+`grid_assign_cells` (exact int64 arithmetic) so its oracle is
+portable to DuckDB — the float `_with_cells` argmin is not
+cross-engine-exact, the same reason dedup_simhash has an md5 twin.
+
+Scale story: per micro-batch the work is one narrow assignment pass
+over the batch (broadcast KB-sized centroids) plus a partitioned
+append; probes (`probe_ivf_index`) prune to nprobe cell directories
+across all epochs and never rescan the corpus. A compaction that
+folds old epochs into epoch -1 is an offline rewrite of the same
+table (core/maintenance.compact_offline's shape).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    _index_paths,
+    _with_cells,
+    load_ivf_centroids,
+)
+
+
+class StreamingIvfIndex:
+    """File-source streaming maintainer for a persisted IVF index
+    whose bulk build (`build_ivf_index`) already populated
+    ``index_root`` — new vectors stream in as parquet files of
+    (id_col, vec_col) rows."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        index_root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.index_root = index_root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.cent = load_ivf_centroids(spark, index_root)  # frozen
+        self.vectors_dir = _index_paths(index_root)["vectors"]
+        self.checkpoint_dir = os.path.join(index_root, "_checkpoint")
+
+    # -- micro-batch sink ---------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        (
+            # keep every batch column (metadata travels with the
+            # vectors, same as the bulk build) + the epoch stamp
+            _with_cells(batch, self.cent, self.vec_col)
+            .select("*", F.lit(batch_id).cast("long").alias("epoch"))
+            .withColumnRenamed("__cell", "cell")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "cell")
+            .parquet(self.vectors_dir, compression="snappy")
+        )
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start(self, schema: str):
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.input_dir)
+        )
+        return (
+            src.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(self.vectors_dir)
+
+
+def replay_ivf_epochs(
+    spark: SparkSession,
+    vectors: DataFrame,
+    epoch_col,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch twin of the streaming maintainer: every vector assigned
+    under the same frozen stored centroids, stamped with its epoch —
+    one declarative plan, no per-epoch loop (epochs are independent
+    because the centroids are frozen; the epoch stamp exists for
+    replay idempotence, not ordering). Returns
+    (id, epoch, cell) — the maintained index's logical content."""
+    cent = load_ivf_centroids(spark, index_root)
+    return (
+        _with_cells(vectors.withColumn("epoch", epoch_col.cast("long")), cent, vec_col)
+        .select(F.col(id_col), F.col("epoch"), F.col("__cell").alias("cell"))
+    )

@@ -955,3 +955,72 @@ def test_stream_dedup_twin_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_ivf_index_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming IVF-index maintainer must assign every streamed
+    vector under the FROZEN stored centroids and append it exactly
+    once — across a checkpoint restart — bit-identically to the
+    replay_ivf_epochs batch twin; and a probe over the maintained
+    index (bulk epoch + streamed epochs) must equal the inline scoring
+    path over the same assignment."""
+    import os
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+    from cust_sagemaker_feature_store_spark.streaming.ivf_index import (
+        StreamingIvfIndex,
+        replay_ivf_epochs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "ivf_idx")
+    S.build_ivf_index(base, root, n_lists=8)
+
+    stream_rows = emb.filter(F.col("vec_id") % 4 != 0)
+    d = tmp_path / "ivf_in"
+    d.mkdir()
+    idx = StreamingIvfIndex(spark, str(d) + "/*", root)
+    schema = "vec_id long, embedding array<float>, label int"
+    # two phases around a RESTART: files b1+b2 before, b3 after; the
+    # checkpoint must resume past the processed files
+    # (maxFilesPerTrigger=1 -> one micro-batch per file)
+    for todo in ((1, 2), (3,)):
+        for e in todo:
+            p = str(d / f"b{e}.parquet")
+            stream_rows.filter(F.col("vec_id") % 4 == e).coalesce(1).write.parquet(p)
+            t = 1_700_000_000 + e * 60
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (t, t))
+            os.utime(p, (t, t))
+        q = idx.start(schema)
+        q.awaitTermination(120)
+        q.stop()
+
+    got = idx.vectors().filter(F.col("epoch") >= 0)
+    # exactly once per streamed vector, across the restart
+    assert got.count() == stream_rows.count()
+    assert got.select("vec_id").distinct().count() == stream_rows.count()
+    # stream == batch twin, (vec_id, epoch->file order, cell) for all
+    got_set = {
+        (r["vec_id"], r["cell"]) for r in got.select("vec_id", "cell").collect()
+    }
+    twin = replay_ivf_epochs(
+        spark, stream_rows, (F.col("vec_id") % 4) - 1, root
+    )
+    want_set = {(r["vec_id"], r["cell"]) for r in twin.collect()}
+    assert got_set == want_set
+    # probe over the FULL maintained index == inline scoring over the
+    # same frozen assignment (bulk + streamed epochs together)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cent = S.load_ivf_centroids(spark, root)
+    cells = S._probe_order(cent, qv)[:4]
+    want = S._score_cosine_topk(
+        S._with_cells(emb, cent, "embedding")
+        .withColumnRenamed("__cell", "cell")
+        .filter(F.col("cell").isin(cells)),
+        qv, 10, "vec_id", "embedding",
+    ).collect()
+    probe = S.probe_ivf_index(spark, root, qv, k=10, nprobe=4).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in want]

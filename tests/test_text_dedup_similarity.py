@@ -1008,3 +1008,72 @@ def test_curriculum_pack_monotone_quality(spark, sf_dir):
     # every bin is non-empty and every document lands in exactly one bin
     assert all(r["n_docs"] >= 1 for r in rows)
     assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_ivf_index_probe_matches_inline(spark, sf_dir, tmp_path):
+    """probe-from-stored-index must be BIT-identical to the inline
+    ivf_topk on the same corpus (same centroids, same assignment,
+    same scoring tail) — the build-once/probe-many contract of
+    build_ivf_index. Also pins the filtered probe against the
+    equivalent inline filter placement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    root = str(tmp_path / "ivf_idx")
+    S.build_ivf_index(emb, root, n_lists=8)
+    for nprobe in (2, 4):
+        inline = S.ivf_topk(emb, q, k=10, n_lists=8, nprobe=nprobe).collect()
+        stored = S.probe_ivf_index(spark, root, q, k=10, nprobe=nprobe).collect()
+        assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+    # stored centroids round-trip bit-for-bit
+    import numpy as np
+
+    cent = S._seed_vectors(emb, 8, "vec_id", "embedding")
+    assert np.array_equal(S.load_ivf_centroids(spark, root), cent)
+    # filtered probe: same candidates as filtering the assigned frame
+    # inline before the scoring tail
+    pred = F.col("label") >= 5
+    assigned = S._with_cells(emb, cent, "embedding")
+    cells = S._probe_order(cent, q)[:4]
+    want = S._score_cosine_topk(
+        assigned.filter(F.col("__cell").isin(cells)).filter(pred),
+        q, 10, "vec_id", "embedding",
+    ).collect()
+    got = S.probe_ivf_index(
+        spark, root, q, k=10, nprobe=4, predicate=pred
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivfpq_index_probe_matches_inline(spark, sf_dir, tmp_path):
+    """IVFADC probe from stored centroids/codebooks/codes/vectors must
+    be bit-identical to the inline ivfpq_topk for the same trained
+    state (float64 and int32 parquet round-trips are exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    root = str(tmp_path / "ivfpq_idx")
+    cent, books = S.build_ivfpq_index(emb, root, n_lists=8)
+    inline = S.ivfpq_topk(
+        emb, q, k=10, n_lists=8, cent=cent, codebooks=books
+    ).collect()
+    stored = S.probe_ivfpq_index(spark, root, q, k=10).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+
+
+def test_grid_assign_cells_exact_ties(spark):
+    """grid_assign_cells must argmin on exact int64 grid distances
+    with ties to the LOWEST cell id — including a planted exact tie
+    a float path could break either way."""
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),       # equidistant from cells 1 and 2 -> 1
+            (1, [1.0, 0.0]),       # exactly cell 1
+            (2, [-0.9999995, 0.0]) # rounds to -1.0 grid -> cell 2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cent = [[1_000_000, 0], [-1_000_000, 0]]  # +1 and -1 on the grid
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in S.grid_assign_cells(df, cent).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1}
