@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "sim_ivf_filtered_recall_floor",
     # r12 additions
     "stream_ivf_index_twin",
+    "sim_ivfpq_filtered_recall_floor",
 ]
 
 

@@ -1212,6 +1212,33 @@ def ivfpq_topk(
     # probe cells nearest the query; one ADC table per probed cell
     q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
     probe_cells = [int(ci) for ci in q_cells[:nprobe]]
+    shortlist = _adc_shortlist(
+        index, cent, codebooks, probe_cells, q, rerank, id_col
+    )
+    return _score_cosine_topk(
+        embeddings.join(F.broadcast(shortlist.select(id_col)), id_col),
+        [float(x) for x in q], k, id_col, vec_col,
+    )
+
+
+def _adc_shortlist(
+    index: DataFrame,
+    cent,
+    codebooks,
+    probe_cells: list[int],
+    q,
+    rerank: int,
+    id_col: str,
+) -> DataFrame:
+    """The IVFADC shortlist tier shared by the inline, filtered, and
+    stored-index probe paths: per-cell asymmetric-distance lookup
+    tables (driver-side microseconds), one Arrow pass over the probed
+    cells' codes, TakeOrdered of `rerank` ids. Extracted so the
+    filtered variant is the same machinery over a restricted index
+    frame, not a parallel copy."""
+    import numpy as np
+
+    m_subvectors, _, sub = codebooks.shape
     tables = {}
     for ci in probe_cells:
         qr = q - cent[ci]
@@ -1223,8 +1250,7 @@ def ivfpq_topk(
                 for j in range(m_subvectors)
             ]
         )  # (M, n_codes_eff)
-    spark = embeddings.sparkSession
-    b_tables = spark.sparkContext.broadcast(tables)
+    b_tables = index.sparkSession.sparkContext.broadcast(tables)
 
     def _adc(batches):
         import pandas as pd
@@ -1246,21 +1272,90 @@ def ivfpq_topk(
                 {id_col: pdf[id_col].to_numpy(), "__adc": dists}
             )
 
-    shortlist = (
+    return (
         index.filter(F.col("__cell").isin(probe_cells))
         .mapInPandas(_adc, schema=f"{id_col} long, __adc double")
         .orderBy(F.col("__adc").asc(), F.col(id_col))
         .limit(rerank)
     )
-    qcol = F.array(*[F.lit(float(x)) for x in q])
-    return (
-        embeddings.join(F.broadcast(shortlist), id_col)
-        .select(
-            F.col(id_col),
-            F.round(cosine(as_double(vec_col), qcol), 6).alias("cosine_sim"),
+
+
+def ivfpq_filtered_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    predicate: Column,
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 6,
+    m_subvectors: int = 16,
+    n_codes: int = 64,
+    rerank: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVFADC ANN under a metadata predicate with FILTER-AWARE probing
+    — r11's `ivf_filtered_topk` composed with the PQ shortlist tier,
+    i.e. what a 100 TB vector store actually executes for filtered
+    search over quantized codes (FAISS IDSelector over an IVFPQ
+    index). The index (centroids, codebooks, codes) is built on the
+    FULL corpus exactly as `ivfpq_topk` builds it; at query time the
+    probe width scales with the filter's measured selectivity
+    (nprobe_eff = min(n_lists, ceil(nprobe / s))) and INELIGIBLE
+    candidates are excluded BEFORE the ADC shortlist truncation, so
+    the rerank pool is spent entirely on eligible vectors.
+
+    Recall vs the exact filtered brute force provably dominates the
+    naive post-filter approach (run unfiltered IVFADC, filter the k
+    hits) at equal nprobe: every post-filter survivor that is true
+    top-k is eligible, lies in a probed-cells subset, and ranks no
+    worse among eligible-only ADC candidates than among all — so it
+    reaches the aware shortlist, where only items ranked above it in
+    the exact filtered order can displace it from the final k.
+
+    Eligibility reaches the codes frame as a semi-join against the
+    predicate-filtered id set (broadcast when the filter is
+    selective); a deployment carrying the predicate columns IN the
+    codes table (as build_ivf_index does for raw vectors) turns that
+    join into a scan-pushed filter."""
+    import math
+
+    import numpy as np
+
+    sel = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(predicate, 1)).alias("m"),
+    ).head()
+    if not sel["m"]:
+        raise ValueError("predicate matches no rows")
+    s = sel["m"] / sel["n"]
+    nprobe_eff = min(n_lists, math.ceil(nprobe / s))
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if cent is None:
+        cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
+    else:
+        cent = np.asarray(cent, dtype=np.float64)
+    if codebooks is None:
+        codebooks = _seed_codebooks(
+            embeddings, cent, m_subvectors, n_codes, id_col, vec_col
         )
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-        .limit(k)
+    else:
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+
+    eligible = embeddings.filter(predicate).select(id_col)
+    index = pq_encode(embeddings, cent, codebooks, id_col, vec_col).join(
+        F.broadcast(eligible), id_col, "semi"
+    )
+    q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    probe_cells = [int(ci) for ci in q_cells[:nprobe_eff]]
+    shortlist = _adc_shortlist(
+        index, cent, codebooks, probe_cells, q, rerank, id_col
+    )
+    return _score_cosine_topk(
+        embeddings.join(F.broadcast(shortlist.select(id_col)), id_col),
+        [float(x) for x in q], k, id_col, vec_col,
     )
 
 
@@ -1823,39 +1918,13 @@ def probe_ivfpq_index(
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
     probe_cells = [int(ci) for ci in q_cells[:nprobe]]
-    tables = {}
-    for ci in probe_cells:
-        qr = q - cent[ci]
-        tables[ci] = np.stack(
-            [
-                ((qr[j * sub : (j + 1) * sub][None, :] - codebooks[j]) ** 2).sum(axis=1)
-                for j in range(n_blocks)
-            ]
-        )
-    b_tables = spark.sparkContext.broadcast(tables)
-
-    def _adc(batches):
-        import pandas as pd
-
-        tbl = b_tables.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            dists = np.empty(len(pdf), dtype=np.float64)
-            codes = np.stack(pdf["codes"].to_numpy())
-            cells = pdf["cell"].to_numpy()
-            for ci in np.unique(cells):
-                mask = cells == ci
-                t = tbl[int(ci)]
-                dists[mask] = t[np.arange(t.shape[0])[None, :], codes[mask]].sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "__adc": dists})
-
-    shortlist = (
+    index = (
         spark.read.parquet(paths["codes"])
-        .filter(F.col("cell").isin(probe_cells))
-        .mapInPandas(_adc, schema=f"{id_col} long, __adc double")
-        .orderBy(F.col("__adc").asc(), F.col(id_col))
-        .limit(rerank)
+        .withColumnRenamed("codes", "__codes")
+        .withColumnRenamed("cell", "__cell")
+    )
+    shortlist = _adc_shortlist(
+        index, cent, codebooks, probe_cells, q, rerank, id_col
     )
     vectors = spark.read.parquet(paths["vectors"])
     return _score_cosine_topk(

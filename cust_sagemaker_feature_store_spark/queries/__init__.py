@@ -247,8 +247,11 @@ _R7_DRIVER_GREEN = [
     #   events_time_to_convert_quantiles — r8 adds the positive-weight
     #     validation to order_stats.grouped_cumulative_counts, the
     #     operator all five flow through (ADVICE r7 #4).
-    "sim_pca_power_floor", "sim_ivfpq_recall_floor",
-    "sim_ivfpq_lloyd_recall_floor", "stream_interval_join_twin",
+    # sim_ivfpq_recall_floor / sim_ivfpq_lloyd_recall_floor REMOVED:
+    # r12 extracts the ADC shortlist tier from ivfpq_topk
+    # (_adc_shortlist, shared with the new filtered + stored-probe
+    # paths), rotating every caller per the operator-change policy.
+    "sim_pca_power_floor", "stream_interval_join_twin",
     "stream_session_window_twin", "dedup_cluster_size_histogram",
     # graph_bfs_depths / graph_closeness_seeds REMOVED (same r10
     # cooccurrence_edges rotation as the pagerank pair above).
@@ -295,7 +298,8 @@ _R9_DRIVER_GREEN = [
     #   graph_kcore_floor / graph_ppr_seeds — r10 extends the
     #     cooccurrence_edges operator they call (with_support branch),
     #     rotating every caller per the ANY-operator-change policy.
-    "sim_ivfpq_trained_codebook_floor",
+    # sim_ivfpq_trained_codebook_floor / sim_ivf_kmeanspar_recall_floor
+    # REMOVED: same r12 _adc_shortlist rotation as the r7 pair above.
     "ml_pr_curve_topf1",
     "fs_training_set_multi", "fs_asof_join_composite",
     "join_interval_overlap", "sample_group_split_audit",
@@ -303,7 +307,7 @@ _R9_DRIVER_GREEN = [
     "text_strip_boilerplate", "dedup_threshold_sweep",
     "dedup_loss_weights", "text_repeated_spans", "pipeline_curate_v3",
     "dedup_candidate_quality", "retrieval_rrf_fusion",
-    "sim_ivf_kmeanspar_recall_floor", "sim_matryoshka_recall",
+    "sim_matryoshka_recall",
     "udf_multimodal_bmp", "agg_count_min_sketch", "fn_luhn_check_digit",
     "stream_count_min_twin", "dq_functional_dependency",
     "events_theil_sen_daily", "ml_pinball_loss", "ml_average_precision",
@@ -389,6 +393,9 @@ _WINDOW_PRIORITY = [
     "dedup_allpairs_prefix", "stream_dedup_index_twin",
     "sim_filtered_topk", "sim_ivf_filtered_recall_floor",
     "sim_ivf_topk", "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
+    # the _adc_shortlist extraction rotations (ivfpq_topk callers):
+    "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
+    "sim_ivfpq_trained_codebook_floor", "sim_ivf_kmeanspar_recall_floor",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

@@ -1187,3 +1187,83 @@ def stream_ivf_index_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "cell")
     )
+
+
+# floor under the measured deterministic recalls of the filter-aware
+# IVFADC path at n_lists=8, nprobe=2, label>=5 (~50% selective =>
+# nprobe_eff 4): 0.8 / 0.6 / 0.4 at sf0.001 / 0.01 / 0.1; the naive
+# post-filter baseline measures 0.4 / 0.4 / 0.3 on the same index.
+IVFPQ_FILTERED_RECALL_FLOOR = (3, 10)  # num/den — no float truncation
+
+
+@register(
+    "sim_ivfpq_filtered_recall_floor",
+    oracle="""
+SELECT 'aware_ge_postfilter' AS check_name, TRUE AS ok
+UNION ALL
+SELECT 'ivfpq_filtered_recall' AS check_name, TRUE AS ok
+ORDER BY check_name
+""",
+    description=(
+        "[EXT] driver-visible floor for FILTER-AWARE IVFADC probing "
+        "(ivfpq_filtered_topk — r11's selectivity-scaled probing "
+        "composed with the PQ shortlist tier, the operation a 100 TB "
+        "vector store runs for filtered search over quantized codes): "
+        "recall vs the exact filtered brute force must clear 3/10 "
+        "(measured 0.4-0.8 across sf0.001-0.1), AND must dominate the "
+        "naive post-filter baseline (run unfiltered IVFADC, filter "
+        "the k hits) — dominance is a theorem (every true-top-k "
+        "post-filter survivor is eligible, probed, ranks no worse "
+        "among eligible-only ADC candidates than among all, so it "
+        "reaches the aware shortlist where only exact-filtered-order "
+        "superiors can displace it). Both checks run inside Spark; "
+        "the oracle pins the booleans, so a regression "
+        "hash-mismatches."
+    ),
+)
+def sim_ivfpq_filtered_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    pred = F.col("label") >= FILTER_LABEL
+    # lazy pin: the exact filtered top-k feeds both recall joins
+    exact_ids = (
+        S.cosine_topk(emb.filter(pred), qv, k=TOP_K)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
+    )
+    aware_hits = (
+        S.ivfpq_filtered_topk(emb, qv, pred, k=TOP_K, n_lists=8, nprobe=2)
+        .select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_aware"))
+    )
+    # naive post-filter baseline on the SAME index configuration
+    post_hits = (
+        S.ivfpq_topk(emb, qv, k=TOP_K, n_lists=8, nprobe=2)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .filter(pred)
+        .select("vec_id")
+        .join(exact_ids, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_post"))
+    )
+    num, den = IVFPQ_FILTERED_RECALL_FLOOR
+    need = (TOP_K * num + den - 1) // den  # exact ceil, no float path
+    return (
+        aware_hits.crossJoin(post_hits)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("aware_ge_postfilter").alias("check_name"),
+                        (F.col("n_aware") >= F.col("n_post")).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("ivfpq_filtered_recall").alias("check_name"),
+                        (F.col("n_aware") >= need).alias("ok"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.check_name", "r.ok")
+        .orderBy("check_name")
+    )

@@ -1077,3 +1077,28 @@ def test_grid_assign_cells_exact_ties(spark):
         for r in S.grid_assign_cells(df, cent).collect()
     }
     assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_ivfpq_filtered_topk_semantics(spark, sf_dir):
+    """Filtered IVFADC: every hit satisfies the predicate, the result
+    is a true top-k over the aware candidate pool, and the aware path
+    recalls at least as many exact-filtered hits as post-filtering
+    the unfiltered IVFADC answer (the dominance the floor query
+    pins)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    pred = F.col("label") >= 5
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    aware = S.ivfpq_filtered_topk(emb, q, pred, k=10, n_lists=8, nprobe=2).collect()
+    assert len(aware) == 10
+    assert all(labels[r["vec_id"]] >= 5 for r in aware)
+    exact = {r["vec_id"] for r in S.cosine_topk(emb.filter(pred), q, k=10).collect()}
+    post = {
+        r["vec_id"]
+        for r in S.ivfpq_topk(emb, q, k=10, n_lists=8, nprobe=2).collect()
+        if labels[r["vec_id"]] >= 5
+    }
+    aware_ids = {r["vec_id"] for r in aware}
+    assert len(aware_ids & exact) >= len(post & exact)
+    with pytest.raises(ValueError, match="predicate"):
+        S.ivfpq_filtered_topk(emb, q, F.col("label") > 10**9, k=10)
