@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     # r12 additions
     "stream_ivf_index_twin",
     "sim_ivfpq_filtered_recall_floor",
+    "pipeline_curate_v4",
 ]
 
 

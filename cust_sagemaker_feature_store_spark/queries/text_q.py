@@ -3345,3 +3345,129 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_total").cast("long").alias("total_shingles"),
         (F.col("n_distinct").cast("double") / F.col("n_total")).alias("novelty_rate"),
     )
+
+
+@register(
+    "pipeline_curate_v4",
+    oracle=f"""
+WITH mix AS (
+  SELECT source, doc_id, n_chars, text
+  FROM documents
+  WHERE (doc_id * 2654435761) % 1000 <
+        CASE WHEN source IN ('src0', 'src1') THEN 1000
+             WHEN source IN ('src2', 'src3') THEN 500
+             ELSE 250 END
+),
+sel AS (
+  SELECT source, doc_id, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ln(CAST((doc_id * 2654435761) % {_WS_MOD} + 1 AS DOUBLE)
+                       / {_WS_MOD + 1}) / sqrt(CAST(n_chars AS DOUBLE)) DESC,
+                    doc_id) AS rn
+  FROM mix QUALIFY rn <= {WRES_K}
+),
+q AS (
+  SELECT source, doc_id,
+         len({SQL_TOKS}) AS n_tokens,
+         (CASE WHEN len({SQL_TOKS}) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+        + CASE WHEN len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                    * 1.0 / len({SQL_TOKS}) BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS})
+                    BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) AS gates
+  FROM sel
+),
+c AS (
+  SELECT source, n_tokens, gates,
+         SUM(n_tokens) OVER (ORDER BY gates DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT CAST(FLOOR((cum - n_tokens) / {CURRICULUM_BIN_TOKENS}.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(MIN(gates) AS BIGINT) AS min_gates,
+       CAST(MAX(gates) AS BIGINT) AS max_gates,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM c GROUP BY 1 ORDER BY 1
+""",
+    description=(
+        "[EXT] end-to-end data-mixture builder (r11 verdict next-round "
+        "#7): the three independently-oracled tiers composed into one "
+        "recipe — (1) per-source mixture rates keep 100%/50%/25% "
+        "tiers via the scan-pushed multiplicative-hash predicate "
+        "(text_mixture_resample), (2) from the survivors an exact-"
+        f"size Efraimidis-Spirakis draw of {WRES_K} docs per source "
+        "weighted by temperature-flattened length sqrt(n_chars) "
+        "(sample_weighted_reservoir; WindowGroupLimit, no corpus "
+        "sort), (3) the selected docs packed into ~1000-token "
+        "curriculum bins in quality-gate order "
+        "(pipeline_curriculum_pack) — the DoReMi-shaped domain-"
+        "reweighting surface (Xie et al. 2023, public methodology): "
+        "set mixture weights, draw exact per-domain samples, lay out "
+        "the curriculum. Scale shape: tiers 1-2 are one scan + one "
+        "per-source WindowGroupLimit over the corpus; tier 3's global "
+        "running sum runs over the SAMPLE (<= sources x k rows, "
+        "bounded by construction), so the single-partition window "
+        "that would be a bottleneck corpus-side never sees corpus "
+        "cardinality."
+    ),
+)
+def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    permille = (
+        F.when(F.col("source").isin("src0", "src1"), 1000)
+        .when(F.col("source").isin("src2", "src3"), 500)
+        .otherwise(250)
+    )
+    mix = docs.filter((F.col("doc_id") * F.lit(2654435761)) % 1000 < permille)
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % _WS_MOD + 1).cast("double")
+        / F.lit(float(_WS_MOD + 1))
+    )
+    key = F.log(u) / F.sqrt(F.col("n_chars").cast("double"))
+    w = Window.partitionBy("source").orderBy(key.desc(), "doc_id")
+    sel = (
+        mix.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WRES_K)
+        .select("source", "doc_id", "text")
+    )
+    toks = T.tokens("text")
+    n = F.size(toks)
+    stop_ratio = T.stopword_hits(toks, T.LANG_STOPWORDS["en"]) * F.lit(1.0) / n
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    gates = (
+        F.when(n.between(20, 2000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.5), 1).otherwise(0)
+        + F.when(ttr.between(0.1, 0.9), 1).otherwise(0)
+    )
+    q = sel.select(
+        "source",
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        gates.cast("long").alias("gates"),
+    )
+    # sample-sized frame (<= sources x WRES_K rows): the global window
+    # is bounded by construction, not a corpus-scale single partition
+    cum = F.sum("n_tokens").over(
+        Window.orderBy(F.desc("gates"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum", cum)
+        .groupBy(
+            F.floor(
+                (F.col("cum") - F.col("n_tokens")) / float(CURRICULUM_BIN_TOKENS)
+            )
+            .cast("long")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.min("gates").cast("long").alias("min_gates"),
+            F.max("gates").cast("long").alias("max_gates"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("bin_id")
+    )
