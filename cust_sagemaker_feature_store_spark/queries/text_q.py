@@ -2127,7 +2127,13 @@ FROM sizes GROUP BY 1
 )
 def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    # lazy pin: dup_clusters eager-pins BOTH its node set and its edge
+    # set from this frame (two jobs) — unpinned, the minhash banding
+    # derivation runs twice before the first contraction round (r11
+    # verdict #5: this query's artifact spread was the repo's widest)
+    pairs = D.minhash_candidates(
+        docs, num_hashes=4, rows_per_band=2
+    ).localCheckpoint(eager=False)
     labels = D.dup_clusters(pairs, "doc_a", "doc_b")
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
