@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "stream_ivf_index_twin",
     "sim_ivfpq_filtered_recall_floor",
     "pipeline_curate_v4",
+    "sim_ivf_list_skew",
 ]
 
 

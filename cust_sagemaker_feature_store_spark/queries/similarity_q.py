@@ -1267,3 +1267,79 @@ def sim_ivfpq_filtered_recall_floor(spark: SparkSession, sf_dir: str) -> DataFra
         .select("r.check_name", "r.ok")
         .orderBy("check_name")
     )
+
+
+_IVF_SKEW_SQL = f"""
+WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, gv AS cv
+  FROM g WHERE vec_id < {IVF_TWIN_LISTS}
+),
+dist AS (
+  SELECT g.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, 1 + len(g.gv)),
+           i -> (g.gv[i]-c.cv[i])*(g.gv[i]-c.cv[i]))) AS BIGINT) AS d2
+  FROM g CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM dist
+),
+sizes AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM best WHERE rn = 1 GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_vecs,
+       CAST(MIN(n) AS BIGINT) AS min_cell,
+       CAST(MAX(n) AS BIGINT) AS max_cell,
+       CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n) AS imbalance
+FROM sizes
+"""
+
+
+@register(
+    "sim_ivf_list_skew",
+    oracle=_IVF_SKEW_SQL,
+    description=(
+        "[EXT] IVF inverted-list skew audit: per-cell population of "
+        "the grid-assignment index (same portable centroids/argmin as "
+        "stream_ivf_index_twin) reduced to the serving-health summary "
+        "— cell count, min/max list size, and the imbalance factor "
+        "max_cell / mean_cell that bounds worst-case probe latency "
+        "(a probe reads nprobe lists; one hot list = the tail "
+        "latency). The metric a vector-store operator watches to "
+        "decide when to retrain centroids — the ops counterpart of "
+        "the recall floors. Exact int64 sizes, ONE division for the "
+        "factor (max * n_cells / total, mirrored term-for-term); one "
+        "narrow assignment pass + a cell-sized aggregate."
+    ),
+)
+def sim_ivf_list_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVF_TWIN_LISTS)
+        .select("vec_id", S.grid_vector("embedding").alias("gv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["gv"]] for r in cent_rows]
+    sizes = (
+        S.grid_assign_cells(emb, centroids)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        (
+            (F.max("n") * F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("imbalance"),
+    )

@@ -128,3 +128,39 @@ def replay_ivf_epochs(
         _with_cells(vectors.withColumn("epoch", epoch_col.cast("long")), cent, vec_col)
         .select(F.col(id_col), F.col("epoch"), F.col("__cell").alias("cell"))
     )
+
+
+def compact_ivf_epochs(spark: SparkSession, index_root: str) -> int:
+    """Fold every streamed epoch into the bulk-build epoch (-1): one
+    offline rewrite of the vectors table that leaves probe results
+    bit-identical (probes read all epochs; only the partition layout
+    changes) and returns the index to a single epoch per cell — the
+    maintenance pass that keeps the epoch count bounded under a
+    long-running stream, exactly compact_offline's role for the
+    feature store. Returns the number of folded epochs.
+
+    The rewrite stages into a sibling directory and renames last, so a
+    crash mid-compaction leaves the live index intact (the same
+    single-writer window core/maintenance.py documents)."""
+    import shutil
+
+    from ..operators.similarity import IVF_BASE_EPOCH, _index_paths
+
+    vectors_dir = _index_paths(index_root)["vectors"]
+    df = spark.read.parquet(vectors_dir)
+    epochs = [r["epoch"] for r in df.select("epoch").distinct().collect()]
+    streamed = [e for e in epochs if e != IVF_BASE_EPOCH]
+    if not streamed:
+        return 0
+    staged = vectors_dir + ".__compact__"
+    (
+        df.withColumn("epoch", F.lit(IVF_BASE_EPOCH).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("epoch", "cell")
+        .parquet(staged, compression="snappy")
+    )
+    old = vectors_dir + ".__old__"
+    os.rename(vectors_dir, old)
+    os.rename(staged, vectors_dir)
+    shutil.rmtree(old)
+    return len(streamed)

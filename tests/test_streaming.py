@@ -1024,3 +1024,16 @@ def test_ivf_index_stream_equals_batch(spark, sf_dir, tmp_path):
     ).collect()
     probe = S.probe_ivf_index(spark, root, qv, k=10, nprobe=4).collect()
     assert [tuple(r) for r in probe] == [tuple(r) for r in want]
+    # compaction folds the streamed epochs into the bulk epoch without
+    # changing any probe answer (bit-identical before/after)
+    from cust_sagemaker_feature_store_spark.streaming.ivf_index import (
+        compact_ivf_epochs,
+    )
+
+    assert compact_ivf_epochs(spark, root) == 3
+    after = idx.vectors()
+    assert [r["epoch"] for r in after.select("epoch").distinct().collect()] == [-1]
+    assert after.count() == emb.count()
+    probe2 = S.probe_ivf_index(spark, root, qv, k=10, nprobe=4).collect()
+    assert [tuple(r) for r in probe2] == [tuple(r) for r in probe]
+    assert compact_ivf_epochs(spark, root) == 0  # idempotent no-op
