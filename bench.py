@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     "sim_ivfpq_filtered_recall_floor",
     "pipeline_curate_v4",
     "sim_ivf_list_skew",
+    "sample_dsir_importance",
+    "sim_corpus_diversity",
 ]
 
 

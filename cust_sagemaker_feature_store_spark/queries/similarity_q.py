@@ -1343,3 +1343,93 @@ def sim_ivf_list_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n") * F.count(F.lit(1))).cast("double") / F.sum("n")
         ).alias("imbalance"),
     )
+
+
+DIV_GRID = 1_000_000  # 1e-6 unit-vector component grid
+
+
+@register(
+    "sim_corpus_diversity",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e
+),
+u AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(x / nv * {DIV_GRID}) AS BIGINT)) AS g
+  FROM nrm
+),
+gd AS (
+  SELECT vec_id, i AS pos, g[i] AS gx
+  FROM u, unnest(generate_series(1, len(g))) AS t(i)
+),
+sums AS (SELECT pos, CAST(SUM(gx) AS BIGINT) AS s FROM gd GROUP BY 1),
+q AS (SELECT SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ssq FROM sums),
+m AS (
+  SELECT CAST(SUM(gx * gx) AS BIGINT) AS sn,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+  FROM gd
+)
+SELECT m.n,
+       m.sn AS sum_norm_sq,
+       CAST(q.ssq AS DOUBLE) AS sum_vec_sq,
+       (CAST(q.ssq AS DOUBLE) - CAST(m.sn AS DOUBLE))
+         / (CAST(m.n AS DOUBLE) * (m.n - 1)) / {DIV_GRID * DIV_GRID}.0
+         AS mean_pairwise_cosine
+FROM q CROSS JOIN m
+""",
+    description=(
+        "[EXT] corpus semantic-diversity audit WITHOUT the quadratic "
+        "pair join: mean pairwise cosine over unit vectors via the "
+        "sum identity sum_(i!=j) cos(i,j) = ||sum_i u_i||^2 - "
+        "sum_i ||u_i||^2 — one narrow pass + a dim-sized aggregate "
+        "where the naive form is n^2 d (25M pairs already at sf0.1). "
+        "The collapse-detection signal curation watches next to "
+        "near-dup rates: diversity falling toward 1 means the corpus "
+        "is semantically collapsing even when no pair crosses a dedup "
+        "threshold. Exactness: unit vectors snap to the 1e-6 "
+        "component grid (identical IEEE divide/round both engines), "
+        "per-dimension sums are exact int64, their squares accumulate "
+        "in decimal(38)/HUGEINT, and the final mean is a mirrored "
+        "division chain over those exact integers."
+    ),
+)
+def sim_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S.as_double("embedding")
+    nv = S.l2_norm(v)
+    g = F.transform(v, lambda x: F.round(x / nv * DIV_GRID).cast("long"))
+    gd = (
+        emb.select("vec_id", F.posexplode(g).alias("pos", "gx"))
+        # feeds the per-dimension sums AND the norm/count aggregate
+        .localCheckpoint(eager=False)
+    )
+    q = (
+        gd.groupBy("pos")
+        .agg(F.sum("gx").cast("long").alias("s"))
+        .agg(
+            F.sum(
+                F.col("s").cast(DecimalType(38, 0))
+                * F.col("s").cast(DecimalType(38, 0))
+            ).alias("ssq")
+        )
+    )
+    m = gd.agg(
+        F.sum(F.col("gx") * F.col("gx")).cast("long").alias("sn"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    return q.crossJoin(m).select(
+        "n",
+        F.col("sn").alias("sum_norm_sq"),
+        F.col("ssq").cast("double").alias("sum_vec_sq"),
+        (
+            (F.col("ssq").cast("double") - F.col("sn").cast("double"))
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+            / F.lit(float(DIV_GRID) * float(DIV_GRID))
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -3477,3 +3477,127 @@ def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+DSIR_K = 25  # selected sample size
+DSIR_TARGET = "src0"  # the high-quality target domain
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST({SQL_TOKS}) AS t FROM documents
+),
+dt AS (
+  SELECT doc_id, MIN(source) AS source, t, CAST(COUNT(*) AS BIGINT) AS n_dt
+  FROM tok GROUP BY doc_id, t
+),
+raw AS (SELECT t, CAST(SUM(n_dt) AS BIGINT) AS n_raw FROM dt GROUP BY 1),
+tgt AS (
+  SELECT t, CAST(SUM(n_dt) AS BIGINT) AS n_tgt
+  FROM dt WHERE source = '{DSIR_TARGET}' GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(n_raw) AS BIGINT) AS t_raw
+  FROM raw
+),
+ttgt AS (SELECT CAST(COALESCE(SUM(n_tgt), 0) AS BIGINT) AS t_tgt FROM tgt),
+term AS (
+  SELECT raw.t,
+         CAST(ROUND(ln(CAST(COALESCE(tgt.n_tgt, 0) + 1 AS DOUBLE)) * 1000000000) AS BIGINT)
+       - CAST(ROUND(ln(CAST(ttgt.t_tgt + tot.v AS DOUBLE)) * 1000000000) AS BIGINT)
+       - CAST(ROUND(ln(CAST(raw.n_raw + 1 AS DOUBLE)) * 1000000000) AS BIGINT)
+       + CAST(ROUND(ln(CAST(tot.t_raw + tot.v AS DOUBLE)) * 1000000000) AS BIGINT)
+         AS dl
+  FROM raw LEFT JOIN tgt USING (t) CROSS JOIN tot CROSS JOIN ttgt
+)
+SELECT dt.doc_id, MIN(dt.source) AS source,
+       CAST(SUM(dt.n_dt * term.dl) AS BIGINT) AS logw_grid,
+       CAST(SUM(dt.n_dt * term.dl) AS DOUBLE) / 1000000000 AS logw
+FROM dt JOIN term USING (t)
+GROUP BY dt.doc_id
+ORDER BY logw_grid DESC, dt.doc_id
+LIMIT {DSIR_K}
+""",
+    description=(
+        "[EXT] DSIR-shaped data selection (Xie et al. 2023, 'Data "
+        "Selection for Language Models via Importance Resampling' — "
+        "public methodology): per-document importance weight "
+        "log w_d = sum_t n_dt * [ln p_target(t) - ln p_raw(t)] "
+        f"between an add-1-smoothed unigram LM of the target domain "
+        f"('{DSIR_TARGET}') and of the full corpus, top-{DSIR_K} docs "
+        "selected by weight (deterministic variant of the paper's "
+        "Gumbel resampling — same ranking statistic, no noise, so the "
+        "draw is reproducible and oracle-exact). Every ln is snapped "
+        "to the 1e-9 grid BEFORE combining (int64 per-term "
+        "arithmetic, the KL/WOE discipline), so the per-doc sum and "
+        "the ordering are exact cross-engine; the double logw is one "
+        "mirrored division. Scale shape: two vocabulary-sized "
+        "aggregates, one gram-keyed join of per-(doc, token) counts "
+        "against the vocabulary table, one grouped sum per doc, "
+        "TakeOrdered k — the inverted-index shape of BM25/"
+        "query-likelihood, nothing corpus x corpus."
+    ),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", "source", F.explode(T.tokens("text")).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).cast("long").alias("n_dt"),
+        )
+        # gram-keyed frame feeds the raw LM, the target LM, and the
+        # per-doc scoring join (3 jobs' worth of branches in one plan:
+        # vocabulary-sized -> lazy pin, the measured rule)
+        .localCheckpoint(eager=False)
+    )
+    raw = dt.groupBy("t").agg(F.sum("n_dt").cast("long").alias("n_raw"))
+    tgt = (
+        dt.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("t")
+        .agg(F.sum("n_dt").cast("long").alias("n_tgt"))
+    )
+    tot = raw.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("n_raw").cast("long").alias("t_raw"),
+    )
+    ttgt = tgt.agg(F.coalesce(F.sum("n_tgt"), F.lit(0)).cast("long").alias("t_tgt"))
+
+    def r9(col):
+        return F.round(F.log(col) * F.lit(1_000_000_000)).cast("long")
+
+    term = (
+        raw.join(tgt, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttgt))
+        .select(
+            "t",
+            (
+                r9((F.coalesce(F.col("n_tgt"), F.lit(0)) + 1).cast("double"))
+                - r9((F.col("t_tgt") + F.col("v")).cast("double"))
+                - r9((F.col("n_raw") + 1).cast("double"))
+                + r9((F.col("t_raw") + F.col("v")).cast("double"))
+            ).alias("dl"),
+        )
+    )
+    return (
+        dt.join(term, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.sum(F.col("n_dt") * F.col("dl")).cast("long").alias("logw_grid"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "logw_grid",
+            (F.col("logw_grid").cast("double") / 1e9).alias("logw"),
+        )
+        .orderBy(F.desc("logw_grid"), "doc_id")
+        .limit(DSIR_K)
+    )
