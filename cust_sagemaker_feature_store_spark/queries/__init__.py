@@ -372,10 +372,14 @@ _R11_DRIVER_GREEN = [
     #     persisted build/probe index split to the IVF family in
     #     operators/similarity.py, rotating every ivf_topk caller per
     #     the ANY-operator-change policy.
+    #   text_bpe_encode — r12 switches the encode replay to the
+    #     single-pass grouped-pandas `apply_merges_fast` (bit-identical
+    #     to the round replay, equality-pinned by test; encode stage
+    #     3.8s -> 0.9s warm at sf0.1 for 12 merges, 99s -> 2.2s for 24).
     "graph_mst_boruvka", "graph_single_linkage_cut",
     "sort_skyline_parts", "ml_subsample_stability",
     "text_kl_domain_shift", "dedup_minhash_estimate_error",
-    "sample_weighted_reservoir", "text_bpe_encode",
+    "sample_weighted_reservoir",
     "retrieval_query_likelihood", "sample_coreset_kcenter",
     # r1–r10 re-verifications also green in r11 (the fs_* family,
     # q1/q3/q5, the semi/anti joins, agg_orders_by_status) are already
@@ -396,6 +400,8 @@ _WINDOW_PRIORITY = [
     # the _adc_shortlist extraction rotations (ivfpq_topk callers):
     "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
     "sim_ivfpq_trained_codebook_floor", "sim_ivf_kmeanspar_recall_floor",
+    # the apply_merges_fast encode switch:
+    "text_bpe_encode",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

@@ -3027,7 +3027,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     merges = B.train_merges(syms, rounds=BPE_ROUNDS)
-    enc = B.apply_merges(syms, merges)
+    # single-pass encode (r12): one grouped-pandas job instead of one
+    # Spark round per merge — bit-identical to the round replay
+    # (tests/test_bpe.py::test_apply_merges_fast_equals_replay);
+    # measured encode stage 3.8s -> 0.9s warm at sf0.1 for 12 merges,
+    # 99s -> 2.2s for 24 (replay cost grows superlinearly in rounds,
+    # the single pass is flat) — training now dominates the query
+    enc = B.apply_merges_fast(syms, merges)
     return (
         enc.groupBy(F.col("sym").alias("token"))
         .agg(

@@ -95,3 +95,37 @@ def test_train_merges_rejects_zero_rounds(spark):
     words = spark.createDataFrame([Row(word="ab", cnt=1)])
     with pytest.raises(ValueError, match="rounds"):
         B.train_merges(B.initial_symbols(words), rounds=0)
+
+
+def test_apply_merges_fast_equals_replay(spark, sf_dir):
+    """The single-pass grouped-pandas encode must be BIT-identical to
+    the per-merge round replay on the full corpus symbol state —
+    including the overlapping-run regime (left==right merges) the
+    odd-rank islands selection exists for."""
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    syms = B.initial_symbols(B.word_counts(docs)).localCheckpoint(eager=False)
+    merges = B.train_merges(syms, rounds=8)
+    slow = {
+        (r["word"], r["pos"]): (r["sym"], r["cnt"])
+        for r in B.apply_merges(syms, merges).collect()
+    }
+    fast = {
+        (r["word"], r["pos"]): (r["sym"], r["cnt"])
+        for r in B.apply_merges_fast(syms, merges).collect()
+    }
+    assert fast == slow
+    # planted overlapping-run case: merge (a,a) over "aaaa a" words
+    df = spark.createDataFrame(
+        [("aaaa", 3), ("aaa", 2), ("a", 1)], "word string, cnt long"
+    )
+    s2 = B.initial_symbols(df)
+    m2 = spark.createDataFrame(
+        [(1, "a", "a"), (2, "aa", "aa")],
+        "merge_round long, lhs string, rhs string",
+    )
+    slow2 = sorted(tuple(r) for r in B.apply_merges(s2, m2).collect())
+    fast2 = sorted(tuple(r) for r in B.apply_merges_fast(s2, m2).collect())
+    assert fast2 == slow2
