@@ -201,3 +201,55 @@ def replay_epochs(
             .alias("status"),
         )
     )
+
+
+def compact_dedup_epochs(spark: SparkSession, index_root: str) -> int:
+    """Fold the hash and band index tables' epochs into a single epoch
+    (the minimum present) — the maintenance pass that keeps partition
+    counts bounded under a long-running stream, symmetric with
+    streaming/ivf_index.compact_ivf_epochs. Classification semantics
+    are preserved for every FUTURE batch: a future batch_id B reads
+    `epoch < B`, and all folded entries keep satisfying that (the
+    fold only ever lowers epochs). Entries also deduplicate on fold —
+    the same band bucket appended by many epochs collapses to one
+    row, so compaction SHRINKS the index. The status table (an audit
+    log keyed by classification epoch) is left untouched.
+
+    MUST run only while the stream is STOPPED with no pending replay
+    (the single-writer window every maintenance op here documents):
+    folding a crashed half-written epoch E under the base epoch would
+    let E's own replay read its partial entries through `epoch < E`
+    and misclassify its documents as duplicates of themselves — the
+    exact hazard the epoch stamp exists to prevent.
+
+    Stage-and-rename per table, so a crash mid-compaction leaves the
+    live index readable. Returns the number of folded epochs beyond
+    the first (0 = already compact)."""
+    import shutil
+
+    folded = 0
+    for sub, schema, cols in (
+        ("hashes", _HASH_SCHEMA, ["h"]),
+        ("bands", _BAND_SCHEMA, ["band", "bucket"]),
+    ):
+        path = os.path.join(index_root, sub)
+        df = _read_or_empty(spark, path, schema)
+        epochs = [r["epoch"] for r in df.select("epoch").distinct().collect()]
+        if len(epochs) <= 1:
+            continue
+        folded = max(folded, len(epochs) - 1)
+        base = min(epochs)
+        staged = path + ".__compact__"
+        (
+            df.select(*cols)
+            .distinct()
+            .withColumn("epoch", F.lit(base).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(staged, compression="snappy")
+        )
+        old = path + ".__old__"
+        os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old)
+    return folded

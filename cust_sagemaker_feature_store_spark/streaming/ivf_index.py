@@ -139,6 +139,11 @@ def compact_ivf_epochs(spark: SparkSession, index_root: str) -> int:
     long-running stream, exactly compact_offline's role for the
     feature store. Returns the number of folded epochs.
 
+    MUST run only while the stream is STOPPED with no pending replay:
+    folding a crashed half-written epoch E into -1 would duplicate its
+    rows when E's replay re-writes the epoch=E partitions (dynamic
+    overwrite only replaces E's own partitions, not the folded copies).
+
     The rewrite stages into a sibling directory and renames last, so a
     crash mid-compaction leaves the live index intact (the same
     single-writer window core/maintenance.py documents)."""

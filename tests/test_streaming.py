@@ -1037,3 +1037,68 @@ def test_ivf_index_stream_equals_batch(spark, sf_dir, tmp_path):
     probe2 = S.probe_ivf_index(spark, root, qv, k=10, nprobe=4).collect()
     assert [tuple(r) for r in probe2] == [tuple(r) for r in probe]
     assert compact_ivf_epochs(spark, root) == 0  # idempotent no-op
+
+
+def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
+    """Folding the dedup index's epochs must (a) shrink or keep the
+    entry count (cross-epoch duplicates collapse), (b) preserve the
+    classification every FUTURE batch computes (`epoch < B` reads see
+    the same hash/bucket sets), and (c) be an idempotent no-op when
+    already compact."""
+    import os
+
+    from cust_sagemaker_feature_store_spark.operators.dedup import (
+        incremental_dedup_status,
+    )
+    from cust_sagemaker_feature_store_spark.streaming.dedup_index import (
+        StreamingDedupIndex,
+        compact_dedup_epochs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words live here in this other text"
+    header = "doc_id,text"
+    batches = [
+        [header, f'0,"{base}"', f'1,"{other}"'],
+        [header, f'10,"{base}"'],  # repeats epoch 0's text -> dup entries
+        [header, f'20,"{other}"'],
+    ]
+    d = tmp_path / "cmp_idx_in"
+    d.mkdir()
+    for b, lines in enumerate(batches):
+        p = d / f"b{b}.csv"
+        p.write_text("\n".join(lines) + "\n")
+        os.utime(p, (1_700_000_000 + b * 60,) * 2)
+    root = str(tmp_path / "cmp_idx")
+    idx = StreamingDedupIndex(spark, str(d), root)
+    q = idx.start()
+    q.awaitTermination(120)
+    q.stop()
+
+    def classify_future(batch_id=99):
+        hashes = spark.read.parquet(os.path.join(root, "hashes"))
+        bands = spark.read.parquet(os.path.join(root, "bands"))
+        probe = spark.createDataFrame(
+            [(100, base), (101, "never seen before text entirely new")],
+            "doc_id long, text string",
+        )
+        return sorted(
+            (r["doc_id"], r["status"])
+            for r in incremental_dedup_status(
+                probe,
+                hashes.filter(F.col("epoch") < batch_id).select("h"),
+                bands.filter(F.col("epoch") < batch_id).select("band", "bucket"),
+                num_hashes=4, rows_per_band=2, k=3,
+            ).collect()
+        )
+
+    before = classify_future()
+    n_hashes_before = spark.read.parquet(os.path.join(root, "hashes")).count()
+    assert compact_dedup_epochs(spark, root) == 2
+    after = classify_future()
+    assert after == before
+    n_hashes_after = spark.read.parquet(os.path.join(root, "hashes")).count()
+    assert n_hashes_after < n_hashes_before  # the repeated text collapsed
+    hashes = spark.read.parquet(os.path.join(root, "hashes"))
+    assert [r["epoch"] for r in hashes.select("epoch").distinct().collect()] == [0]
+    assert compact_dedup_epochs(spark, root) == 0
