@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "sim_ivf_list_skew",
     "sample_dsir_importance",
     "sim_corpus_diversity",
+    "dedup_incremental_components",
 ]
 
 

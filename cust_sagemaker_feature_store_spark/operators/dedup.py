@@ -802,3 +802,69 @@ def incremental_dedup_status(
             .alias("status"),
         )
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Update connected-component labels under NEW edges without
+    recomputing over the old edge set — the cluster-state maintenance
+    an incremental dedup pipeline runs when a fresh shard's candidate
+    pairs arrive (the component analogue of incremental_dedup_status).
+
+    `labels` is dup_clusters' output contract: (node, label) with
+    label = the component's minimum node id. New edges map their
+    endpoints through the existing labels (unknown nodes label
+    themselves); the DISTINCT label pairs that differ form a
+    COMPONENT graph — its size is bounded by the number of components
+    the new edges touch, never the corpus — and star-contraction over
+    that tiny graph yields the label merges, applied back with one
+    broadcast-sized remap join.
+
+    Correctness: the merged component's new label is the minimum of
+    the merged old labels, and each old label is already its
+    sub-component's minimum node id, so the min-id invariant is
+    preserved — the output is IDENTICAL to dup_clusters over the
+    union of old and new edges (pinned by the
+    dedup_incremental_components oracle, whose ground truth is the
+    full recompute).
+
+    Scale story: one hash join of the new edges against the label
+    store, a component-sized star contraction, one remap join.
+    Nothing touches historical edges or text."""
+    e = new_edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    new_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # label lookup for every endpoint; unseen nodes label themselves
+    lab = (
+        new_nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+        .localCheckpoint(eager=True)  # feeds two join sides + the union
+    )
+    le = (
+        e.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "la"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "lb"), "dst")
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+    # all known nodes: old store + newly seen endpoints
+    combined = labels.unionByName(lab.join(labels, "node", "left_anti"))
+    if not le.take(1):
+        return combined
+    merged = dup_clusters(le, "la", "lb").select(
+        F.col("node").alias("label"), F.col("label").alias("__new")
+    )
+    return (
+        combined.join(F.broadcast(merged), "label", "left")
+        .select("node", F.coalesce("__new", F.col("label")).alias("label"))
+    )

@@ -3607,3 +3607,81 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("logw_grid"), "doc_id")
         .limit(DSIR_K)
     )
+
+
+@register(
+    "dedup_incremental_components",
+    oracle=f"""
+WITH RECURSIVE {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT node AS doc_id, label AS cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+FROM cc
+""",
+    description=(
+        "[EXT] INCREMENTAL connected-component maintenance "
+        "(operators/dedup.incremental_components): the corpus's dup "
+        "clusters are built from the 75% 'historical' shard's "
+        "candidate pairs, then the remaining pairs (every pair "
+        "touching a doc_id % 4 == 3 'new' doc) arrive as an "
+        "incremental batch — endpoints map through the stored label "
+        "table, the DISTINCT differing label pairs form a "
+        "COMPONENT-sized merge graph, star contraction runs over "
+        "THAT, and one broadcast remap updates the store. The oracle "
+        "is the FULL recompute over all pairs (same recursive CTE as "
+        "dedup_clusters), so hash equality IS the proof that "
+        "incremental maintenance equals recomputation — the min-id "
+        "label invariant makes merged labels reproduce exactly. At "
+        "100 TB this is the difference between touching the new "
+        "shard's pairs + affected components and re-contracting a "
+        "corpus-sized graph every ingest."
+    ),
+)
+def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # one candidate generation, split into historical/new by epoch
+    # (feeds both branches -> lazy pin)
+    pairs = D.minhash_candidates(
+        docs, num_hashes=4, rows_per_band=2
+    ).localCheckpoint(eager=False)
+    is_new = (F.col("doc_a") % 4 == 3) | (F.col("doc_b") % 4 == 3)
+    base_labels = D.dup_clusters(
+        pairs.filter(~is_new), "doc_a", "doc_b"
+    )
+    updated = D.incremental_components(
+        base_labels, pairs.filter(is_new), "doc_a", "doc_b"
+    )
+    w = Window.partitionBy("label")
+    return updated.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -1102,3 +1102,33 @@ def test_ivfpq_filtered_topk_semantics(spark, sf_dir):
     assert len(aware_ids & exact) >= len(post & exact)
     with pytest.raises(ValueError, match="predicate"):
         S.ivfpq_filtered_topk(emb, q, F.col("label") > 10**9, k=10)
+
+
+def test_incremental_components_planted(spark):
+    """Planted merge topology: two existing components bridged by one
+    new edge (labels must merge to the global min), a brand-new
+    isolated pair (self-labeled then merged), and a redundant
+    within-component edge (no-op)."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20)],
+        "node long, label long",
+    )
+    new_edges = spark.createDataFrame(
+        [(2, 11),    # bridges component 1 and component 10 -> label 1
+         (30, 31),   # brand-new nodes -> component 30
+         (1, 2)],    # redundant inside component 1 -> no-op
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in D.incremental_components(labels, new_edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 20: 20, 30: 30, 31: 30}
+    # no merging edges at all: label store passes through + new selfs
+    got2 = {
+        r["node"]: r["label"]
+        for r in D.incremental_components(
+            labels, spark.createDataFrame([(1, 2)], "src long, dst long")
+        ).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 10: 10, 11: 10, 20: 20}
