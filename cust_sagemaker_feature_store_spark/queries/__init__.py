@@ -252,7 +252,9 @@ _R7_DRIVER_GREEN = [
     # (_adc_shortlist, shared with the new filtered + stored-probe
     # paths), rotating every caller per the operator-change policy.
     "sim_pca_power_floor", "stream_interval_join_twin",
-    "stream_session_window_twin", "dedup_cluster_size_histogram",
+    # dedup_cluster_size_histogram REMOVED: r12 adds the candidate-pair
+    # lazy pin (r11 verdict #5), rotating per the ANY-change policy.
+    "stream_session_window_twin",
     # graph_bfs_depths / graph_closeness_seeds REMOVED (same r10
     # cooccurrence_edges rotation as the pagerank pair above).
     "graph_sssp_weighted",
@@ -402,6 +404,8 @@ _WINDOW_PRIORITY = [
     "sim_ivfpq_trained_codebook_floor", "sim_ivf_kmeanspar_recall_floor",
     # the apply_merges_fast encode switch:
     "text_bpe_encode",
+    # the candidate-pair pin (r11 verdict #5):
+    "dedup_cluster_size_histogram",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
