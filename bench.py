@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "sample_dsir_importance",
     "sim_corpus_diversity",
     "dedup_incremental_components",
+    "text_code_switching",
 ]
 
 

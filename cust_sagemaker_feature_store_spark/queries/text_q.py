@@ -3685,3 +3685,121 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+def _sql_seg_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split(line, ' '), "
+        f"x -> list_contains([{words}], x)))"
+    )
+
+
+@register(
+    "text_code_switching",
+    oracle=f"""
+WITH {SQL_LINE_SEG_CTE},
+ls AS (
+  SELECT doc_id, line_no,
+         {_sql_seg_hits('en')} AS h_en,
+         {_sql_seg_hits('de')} AS h_de,
+         {_sql_seg_hits('es')} AS h_es,
+         {_sql_seg_hits('fr')} AS h_fr,
+         {_sql_seg_hits('zh')} AS h_zh
+  FROM seg
+),
+p AS (
+  SELECT doc_id, line_no,
+         CASE
+           WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+           WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+           WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+           WHEN h_fr >= h_zh THEN 'fr'
+           ELSE 'zh'
+         END AS seg_lang
+  FROM ls
+),
+c AS (
+  SELECT doc_id, seg_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, seg_lang, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, seg_lang) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_segments,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_langs
+  FROM c
+)
+SELECT doc_id, n_segments, n_langs,
+       seg_lang AS majority_lang,
+       n AS n_majority,
+       1.0 - CAST(n AS DOUBLE) / n_segments AS minority_frac
+FROM r WHERE rn = 1
+ORDER BY doc_id
+""",
+    description=(
+        "[EXT] intra-document code-switching audit: every 3-token "
+        "segment (the boilerplate tier's line unit) language-ID'd by "
+        "the same stopword-profile argmax as text_langid, then per "
+        "document the segment-language mixture — segment count, "
+        "distinct languages, majority language (count tie -> "
+        "lexicographic), minority fraction (ONE division). The "
+        "multilingual-curation signal document-level langid cannot "
+        "see: a doc that is 70% English / 30% German classifies 'en' "
+        "whole-doc while a third of its tokens pollute an "
+        "English-only training mix. Narrow per-row segmentation + "
+        "two grouped aggregates; the per-language hit counting is a "
+        "flat expression, not a join."
+    ),
+)
+def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    segs = T.doc_line_segments(docs, line_tokens=3)
+    seg_toks = T.tokens("line")
+    h = {
+        lang: T.stopword_hits(seg_toks, T.LANG_STOPWORDS[lang]).alias(f"h_{lang}")
+        for lang in ("en", "de", "es", "fr", "zh")
+    }
+    ls = segs.select("doc_id", "line_no", *h.values())
+    hc = {lang: F.col(f"h_{lang}") for lang in ("en", "de", "es", "fr", "zh")}
+    pred = (
+        F.when(
+            (hc["en"] >= hc["de"]) & (hc["en"] >= hc["es"])
+            & (hc["en"] >= hc["fr"]) & (hc["en"] >= hc["zh"]),
+            "en",
+        )
+        .when((hc["de"] >= hc["es"]) & (hc["de"] >= hc["fr"]) & (hc["de"] >= hc["zh"]), "de")
+        .when((hc["es"] >= hc["fr"]) & (hc["es"] >= hc["zh"]), "es")
+        .when(hc["fr"] >= hc["zh"], "fr")
+        .otherwise("zh")
+    )
+    c = (
+        ls.select("doc_id", pred.alias("seg_lang"))
+        .groupBy("doc_id", "seg_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wd = Window.partitionBy("doc_id")
+    r = c.select(
+        "doc_id",
+        "seg_lang",
+        "n",
+        F.row_number()
+        .over(wd.orderBy(F.desc("n"), "seg_lang"))
+        .alias("rn"),
+        F.sum("n").over(wd).cast("long").alias("n_segments"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("n_langs"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_langs",
+            F.col("seg_lang").alias("majority_lang"),
+            F.col("n").alias("n_majority"),
+            (1.0 - F.col("n").cast("double") / F.col("n_segments")).alias(
+                "minority_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
