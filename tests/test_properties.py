@@ -510,3 +510,114 @@ def test_containment_pairs_match_python_reference(spark, corpus):
                 if max(ca, cb) >= thr:
                     expected[(i, j)] = (inter, len(sets_[i]), len(sets_[j]))
     assert got == expected
+
+
+# -- incremental connected components == full recompute on random graphs
+
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_strategy, edge_strategy)
+def test_incremental_components_equals_full(spark, old_edges, new_edges):
+    """For ANY split of an edge set into (historical, incremental),
+    dup_clusters(historical) updated by incremental_components(new)
+    must equal dup_clusters(all edges) — the maintenance contract."""
+    from cust_sagemaker_feature_store_spark.operators.dedup import (
+        dup_clusters,
+        incremental_components,
+    )
+
+    schema = "src long, dst long"
+    all_edges = old_edges + new_edges
+    if not all_edges:
+        return
+    full = {
+        r["node"]: r["label"]
+        for r in dup_clusters(
+            spark.createDataFrame(all_edges, schema), "src", "dst"
+        ).collect()
+    }
+    if old_edges:
+        base = dup_clusters(
+            spark.createDataFrame(old_edges, schema), "src", "dst"
+        )
+    else:
+        base = spark.createDataFrame([], "node long, label long")
+    if new_edges:
+        got_df = incremental_components(
+            base, spark.createDataFrame(new_edges, schema)
+        )
+    else:
+        got_df = base
+    got = {r["node"]: r["label"] for r in got_df.collect()}
+    assert got == full
+
+
+# -- grid cell assignment == brute-force integer argmin -----------------
+
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vec_strategy)
+def test_grid_assign_cells_matches_bruteforce(spark, vecs):
+    """grid_assign_cells must agree with a pure-python argmin over the
+    same rounded integer grid (ties -> lowest cell) for arbitrary
+    float32 vectors."""
+    from cust_sagemaker_feature_store_spark.operators.similarity import (
+        GRID_CELL_SCALE,
+        grid_assign_cells,
+    )
+
+    cents = [[GRID_CELL_SCALE, 0, 0, 0], [0, -GRID_CELL_SCALE, 0, 0], [0, 0, 0, 0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cell"] for r in grid_assign_cells(df, cents).collect()
+    }
+    import math
+    import struct
+
+    def half_away(v):
+        # Spark round() is half-away-from-zero, NOT python's banker's
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    for i, v in enumerate(vecs):
+        # replicate float32 storage then the double multiply+round
+        g = [
+            half_away(struct.unpack("f", struct.pack("f", x))[0] * GRID_CELL_SCALE)
+            for x in v
+        ]
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(g, c)) for c in cents
+        ]
+        want = dists.index(min(dists))
+        assert got[i] == want, (v, g, dists, got[i])
