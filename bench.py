@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "sim_corpus_diversity",
     "dedup_incremental_components",
     "text_code_switching",
+    "fs_late_data_impact",
 ]
 
 

@@ -1647,3 +1647,67 @@ def fs_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tvd"),
         )
     )
+
+
+@register(
+    "fs_late_data_impact",
+    oracle=f"""
+WITH late AS (
+  SELECT * FROM events WHERE event_id % 10 = 7
+),
+cur AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 10 <> 7
+  ) WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, {sql_iso('l.ts')} AS event_time,
+       CASE WHEN c.user_id IS NULL THEN 'new_key'
+            WHEN (l.ts > c.ts) OR (l.ts = c.ts AND l.event_id > c.event_id)
+              THEN 'wins'
+            ELSE 'no_op' END AS impact
+FROM late l LEFT JOIN cur c USING (user_id)
+ORDER BY l.event_id
+""",
+    description=(
+        "[EXT] late-data / backfill IMPACT AUDIT: before replaying a "
+        "late-arriving shard (here the event_id % 10 = 7 slice) into "
+        "the store, classify each late record against the CURRENT "
+        "serving snapshot — 'wins' (outranks the key's latest by the "
+        "(event_time, ingest-order) contract and will flip serving "
+        "state), 'no_op' (history-only append), or 'new_key'. The "
+        "decision an operator makes before an expensive backfill: if "
+        "everything is no_op, the replay only rewrites history "
+        "partitions and the online store is untouched. One "
+        "WindowGroupLimit snapshot + one key-sized left join — the "
+        "late shard never scans history beyond the latest-per-key "
+        "frame."
+    ),
+)
+def fs_late_data_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_late = F.col("event_id") % 10 == 7
+    late = ev.filter(is_late)
+    cur = latest_snapshot_window(
+        ev.filter(~is_late), "user_id", "ts", tie_breaker="event_id"
+    ).select(
+        "user_id", F.col("ts").alias("__cts"), F.col("event_id").alias("__cid")
+    )
+    wins = (F.col("ts") > F.col("__cts")) | (
+        (F.col("ts") == F.col("__cts")) & (F.col("event_id") > F.col("__cid"))
+    )
+    return (
+        late.join(cur, "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            iso("ts").alias("event_time"),
+            F.when(F.col("__cts").isNull(), "new_key")
+            .when(wins, "wins")
+            .otherwise("no_op")
+            .alias("impact"),
+        )
+        .orderBy("event_id")
+    )
