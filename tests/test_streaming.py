@@ -1102,3 +1102,59 @@ def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
     hashes = spark.read.parquet(os.path.join(root, "hashes"))
     assert [r["epoch"] for r in hashes.select("epoch").distinct().collect()] == [0]
     assert compact_dedup_epochs(spark, root) == 0
+
+
+def test_component_store_stream_equals_full(spark, sf_dir, tmp_path):
+    """Streaming label-store maintenance over three pair batches —
+    with a checkpoint restart between batch 2 and 3 — must end at
+    exactly dup_clusters over ALL pairs (arrival order never matters
+    for connected components), and a replayed batch must rewrite
+    nothing (incremental_components is idempotent)."""
+    import os
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.dedup import (
+        dup_clusters,
+        minhash_candidates,
+    )
+    from cust_sagemaker_feature_store_spark.streaming.components import (
+        StreamingComponentStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, num_hashes=4, rows_per_band=2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    d = tmp_path / "cc_in"
+    d.mkdir()
+    store = StreamingComponentStore(
+        spark, str(d) + "/*", str(tmp_path / "cc_store")
+    )
+    # batches 0+1 before the restart, batch 2 after
+    for todo in ((0, 1), (2,)):
+        for e in todo:
+            p = str(d / f"b{e}.parquet")
+            pairs.filter((F.col("src") % 3) == e).coalesce(1).write.parquet(p)
+            t = 1_700_000_000 + e * 60
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (t, t))
+            os.utime(p, (t, t))
+        q = store.start()
+        q.awaitTermination(120)
+        q.stop()
+
+    got = {r["node"]: r["label"] for r in store.labels().collect()}
+    want = {
+        r["node"]: r["label"]
+        for r in dup_clusters(pairs, "src", "dst").collect()
+    }
+    assert got == want
+    # idempotent replay: re-applying every batch changes nothing
+    import glob
+
+    before = sorted(map(tuple, store.labels().collect()))
+    for e in (0, 1, 2):
+        store.process_batch(
+            spark.read.parquet(str(d / f"b{e}.parquet")), batch_id=99 + e
+        )
+    assert sorted(map(tuple, store.labels().collect())) == before
