@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "dedup_incremental_components",
     "text_code_switching",
     "fs_late_data_impact",
+    "sample_dsir_resample",
 ]
 
 

@@ -3803,3 +3803,138 @@ def text_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# independent hash-uniform for the Gumbel draw: a different LCG
+# multiplier than the weight hash, so the noise is not a function of
+# the importance key's residue pattern
+_DSIR_G_MOD = 1_000_000
+
+
+@register(
+    "sample_dsir_resample",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST({SQL_TOKS}) AS t FROM documents
+),
+dt AS (
+  SELECT doc_id, MIN(source) AS source, t, CAST(COUNT(*) AS BIGINT) AS n_dt
+  FROM tok GROUP BY doc_id, t
+),
+raw AS (SELECT t, CAST(SUM(n_dt) AS BIGINT) AS n_raw FROM dt GROUP BY 1),
+tgt AS (
+  SELECT t, CAST(SUM(n_dt) AS BIGINT) AS n_tgt
+  FROM dt WHERE source = '{DSIR_TARGET}' GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(n_raw) AS BIGINT) AS t_raw
+  FROM raw
+),
+ttgt AS (SELECT CAST(COALESCE(SUM(n_tgt), 0) AS BIGINT) AS t_tgt FROM tgt),
+term AS (
+  SELECT raw.t,
+         CAST(ROUND(ln(CAST(COALESCE(tgt.n_tgt, 0) + 1 AS DOUBLE)) * 1000000000) AS BIGINT)
+       - CAST(ROUND(ln(CAST(ttgt.t_tgt + tot.v AS DOUBLE)) * 1000000000) AS BIGINT)
+       - CAST(ROUND(ln(CAST(raw.n_raw + 1 AS DOUBLE)) * 1000000000) AS BIGINT)
+       + CAST(ROUND(ln(CAST(tot.t_raw + tot.v AS DOUBLE)) * 1000000000) AS BIGINT)
+         AS dl
+  FROM raw LEFT JOIN tgt USING (t) CROSS JOIN tot CROSS JOIN ttgt
+),
+w AS (
+  SELECT dt.doc_id, MIN(dt.source) AS source,
+         CAST(SUM(dt.n_dt * term.dl) AS BIGINT) AS logw_grid
+  FROM dt JOIN term USING (t)
+  GROUP BY dt.doc_id
+),
+g AS (
+  SELECT doc_id, source, logw_grid,
+         logw_grid + CAST(ROUND(
+           -ln(-ln(CAST((doc_id * 1103515245 + 12345) % {_DSIR_G_MOD} + 1 AS DOUBLE)
+                   / {_DSIR_G_MOD + 1}))
+           * 1000000000) AS BIGINT) AS key_grid
+  FROM w
+)
+SELECT doc_id, source, logw_grid, key_grid
+FROM g ORDER BY key_grid DESC, doc_id LIMIT {DSIR_K}
+""",
+    description=(
+        "[EXT] DSIR's actual sampler (Xie et al. 2023 §3, public): "
+        "Gumbel-top-k over the importance log-weights — key = log w_d "
+        "+ Gumbel noise, top-k by key, which draws WITHOUT "
+        "replacement from the softmax of the weights; here the Gumbel "
+        "-ln(-ln(u)) uses a deterministic hash-uniform u (independent "
+        "LCG from the weight hash), so the stochastic resample is "
+        "reproducible across engines and reruns. Noise snapped to the "
+        "1e-9 grid and ADDED to the int64 weight grid, so ordering is "
+        "exact; completes sample_dsir_importance (the noise-free "
+        "deterministic variant) into the paper's sampling semantics. "
+        "Same inverted-index scale shape plus one per-doc expression."
+    ),
+)
+def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", "source", F.explode(T.tokens("text")).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).cast("long").alias("n_dt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    raw = dt.groupBy("t").agg(F.sum("n_dt").cast("long").alias("n_raw"))
+    tgt = (
+        dt.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("t")
+        .agg(F.sum("n_dt").cast("long").alias("n_tgt"))
+    )
+    tot = raw.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("n_raw").cast("long").alias("t_raw"),
+    )
+    ttgt = tgt.agg(F.coalesce(F.sum("n_tgt"), F.lit(0)).cast("long").alias("t_tgt"))
+
+    def r9(col):
+        return F.round(F.log(col) * F.lit(1_000_000_000)).cast("long")
+
+    term = (
+        raw.join(tgt, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ttgt))
+        .select(
+            "t",
+            (
+                r9((F.coalesce(F.col("n_tgt"), F.lit(0)) + 1).cast("double"))
+                - r9((F.col("t_tgt") + F.col("v")).cast("double"))
+                - r9((F.col("n_raw") + 1).cast("double"))
+                + r9((F.col("t_raw") + F.col("v")).cast("double"))
+            ).alias("dl"),
+        )
+    )
+    w = (
+        dt.join(term, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.sum(F.col("n_dt") * F.col("dl")).cast("long").alias("logw_grid"),
+        )
+    )
+    u = (
+        ((F.col("doc_id") * F.lit(1103515245) + 12345) % _DSIR_G_MOD + 1).cast(
+            "double"
+        )
+        / F.lit(float(_DSIR_G_MOD + 1))
+    )
+    gumbel = F.round(-F.log(-F.log(u)) * F.lit(1_000_000_000)).cast("long")
+    return (
+        w.select(
+            "doc_id",
+            "source",
+            "logw_grid",
+            (F.col("logw_grid") + gumbel).alias("key_grid"),
+        )
+        .orderBy(F.desc("key_grid"), "doc_id")
+        .limit(DSIR_K)
+    )
