@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "text_code_switching",
     "fs_late_data_impact",
     "sample_dsir_resample",
+    "dq_t_closeness",
 ]
 
 

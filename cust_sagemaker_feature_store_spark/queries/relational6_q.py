@@ -1347,3 +1347,119 @@ def ml_subsample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_sd"
         ),
     )
+
+
+@register(
+    "dq_t_closeness",
+    oracle="""
+WITH sens AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0) AS BIGINT) AS bal_band
+  FROM customer
+),
+cls AS (
+  SELECT c_nationkey AS q1, c_mktsegment AS q2, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k_cb
+  FROM sens GROUP BY 1, 2, 3
+),
+ksz AS (SELECT q1, q2, CAST(SUM(k_cb) AS BIGINT) AS k_c FROM cls GROUP BY 1, 2),
+gb AS (SELECT bal_band, CAST(SUM(k_cb) AS BIGINT) AS g_b FROM cls GROUP BY 1),
+gt AS (SELECT CAST(SUM(g_b) AS BIGINT) AS g FROM gb),
+grid AS (
+  SELECT ksz.q1, ksz.q2, ksz.k_c, gb.bal_band, gb.g_b,
+         COALESCE(cls.k_cb, 0) AS k_cb
+  FROM ksz CROSS JOIN gb
+  LEFT JOIN cls ON cls.q1 = ksz.q1 AND cls.q2 = ksz.q2
+              AND cls.bal_band = gb.bal_band
+),
+cum AS (
+  SELECT q1, q2, k_c, bal_band,
+         CAST(SUM(k_cb) OVER (PARTITION BY q1, q2 ORDER BY bal_band
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f_c,
+         CAST(SUM(g_b) OVER (PARTITION BY q1, q2 ORDER BY bal_band
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f_g
+  FROM grid
+),
+emd AS (
+  SELECT q1, q2, MAX(k_c) AS k_c,
+         CAST(SUM(ABS(f_c * (SELECT g FROM gt) - f_g * k_c)) AS BIGINT) AS num
+  FROM cum GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       MAX(CAST(num AS DOUBLE) / (CAST(k_c AS DOUBLE) * (SELECT g FROM gt))) AS emd_max,
+       CAST(SUM(CASE WHEN num * 10 > 3 * k_c * (SELECT g FROM gt)
+                     THEN k_c ELSE 0 END) AS BIGINT) AS rows_above_t
+FROM emd
+""",
+    description=(
+        "[EXT] t-closeness audit (Li, Li & Venkatasubramanian 2007 — "
+        "the third privacy rung after k-anonymity and l-diversity): "
+        "per quasi-identifier class, the 1-D earth-mover's distance "
+        "between the class's sensitive-attribute (acctbal band) "
+        "distribution and the global one — computed as the sum of "
+        "|CDF difference| over ordered bands in EXACT integer "
+        "arithmetic (f_c * G - f_g * k_c, one double division per "
+        "class only for the report), with the t = 0.3 breach count "
+        "decided by integer cross-multiplication. A class can be "
+        "k-anonymous and l-diverse yet leak via a skewed sensitive "
+        "distribution; this is the audit that catches it. Shapes: the "
+        "class x band grid is (classes x bands)-sized (both bounded "
+        "taxonomies), never row-scale; one window cumsum + one "
+        "grouped sum."
+    ),
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sens = cust.select(
+        F.col("c_nationkey").alias("q1"),
+        F.col("c_mktsegment").alias("q2"),
+        F.floor(
+            F.round(F.col("c_acctbal") * 100).cast("long") / 100000.0
+        ).cast("long").alias("bal_band"),
+    )
+    cls = sens.groupBy("q1", "q2", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("k_cb")
+    )
+    # class-x-band grid (bounded taxonomies) -> lazy pin: feeds the
+    # class sizes, the global band masses, and the grid join
+    cls = cls.localCheckpoint(eager=False)
+    ksz = cls.groupBy("q1", "q2").agg(F.sum("k_cb").cast("long").alias("k_c"))
+    gb = cls.groupBy("bal_band").agg(F.sum("k_cb").cast("long").alias("g_b"))
+    g_total = int(gb.agg(F.sum("g_b")).head()[0])
+    grid = (
+        ksz.crossJoin(F.broadcast(gb))
+        .join(cls, ["q1", "q2", "bal_band"], "left")
+        .select(
+            "q1", "q2", "k_c", "bal_band", "g_b",
+            F.coalesce("k_cb", F.lit(0)).alias("k_cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("q1", "q2")
+        .orderBy("bal_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "q1", "q2", "k_c",
+        F.sum("k_cb").over(w).cast("long").alias("f_c"),
+        F.sum("g_b").over(w).cast("long").alias("f_g"),
+    )
+    emd = cum.groupBy("q1", "q2").agg(
+        F.max("k_c").alias("k_c"),
+        F.sum(
+            F.abs(F.col("f_c") * F.lit(g_total) - F.col("f_g") * F.col("k_c"))
+        ).cast("long").alias("num"),
+    )
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max(
+            F.col("num").cast("double")
+            / (F.col("k_c").cast("double") * F.lit(float(g_total)))
+        ).alias("emd_max"),
+        F.sum(
+            F.when(
+                F.col("num") * 10 > F.lit(3) * F.col("k_c") * F.lit(g_total),
+                F.col("k_c"),
+            ).otherwise(0)
+        ).cast("long").alias("rows_above_t"),
+    )
