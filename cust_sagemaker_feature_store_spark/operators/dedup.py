@@ -233,7 +233,17 @@ def allpairs_prefix_join(
     F.ceil(n * t) overshoots by an ULP when n*t lands on an integer
     (t=0.55, n=100 gave ceil 56, not 55), silently shortening the
     prefix below the lossless bound, and the double length filter
-    (b.n >= a.n * t) excluded exact size-ratio boundary pairs."""
+    (b.n >= a.n * t) excluded exact size-ratio boundary pairs.
+
+    Computed-float thresholds whose round-trip decimal exceeds a 1e-6
+    denominator (1/3, 0.1 + 0.2, ...) are FLOORED onto the 1e-6 grid,
+    so the EFFECTIVE threshold is floor(t*1e6)/1e6 <= t and the result
+    may include pairs with Jaccard in [floor(t*1e6)/1e6, t) — i.e.
+    slightly below the float the caller wrote (ADVICE r12 #2
+    documents this broadened-result semantics). The join is exact at
+    the effective rational; callers needing the exact float cut can
+    re-filter the returned `jaccard`, or pass the intended (num, den)
+    tuple to avoid the grid entirely."""
     if isinstance(threshold, tuple):
         frac = Fraction(*threshold)
         if frac.denominator > 1_000_000:

@@ -1280,6 +1280,14 @@ def _adc_shortlist(
     )
 
 
+# Ceiling on predicate-match count for broadcasting the eligible-id
+# set into the codes semi-join (ADVICE r12 #4): 2M int64 ids ~ 16 MB
+# serialized — comfortably under Spark's 8 GB broadcast hard cap and
+# typical driver/executor headroom. Above it the plain shuffled
+# semi-join wins: at 100 TB a 50%-selective filter is billions of ids.
+_FILTER_BROADCAST_MAX_IDS = 2_000_000
+
+
 def ivfpq_filtered_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -1306,19 +1314,32 @@ def ivfpq_filtered_topk(
     candidates are excluded BEFORE the ADC shortlist truncation, so
     the rerank pool is spent entirely on eligible vectors.
 
-    Recall vs the exact filtered brute force provably dominates the
-    naive post-filter approach (run unfiltered IVFADC, filter the k
-    hits) at equal nprobe: every post-filter survivor that is true
-    top-k is eligible, lies in a probed-cells subset, and ranks no
-    worse among eligible-only ADC candidates than among all — so it
-    reaches the aware shortlist, where only items ranked above it in
-    the exact filtered order can displace it from the final k.
+    Dominance over the naive post-filter approach (run unfiltered
+    IVFADC at `nprobe`, filter the k hits) is STRUCTURAL, not
+    measured (ADVICE r12 #1 — the former argument compared rankings
+    across DIFFERENT probed-cell sets, which extra eligible
+    candidates from the wider aware probe can break): the rerank pool
+    is the UNION of the aware shortlist and the eligible members of
+    the unfiltered `nprobe` shortlist, so it contains every vector
+    the post-filter baseline can return. The final tier scores the
+    pool EXACTLY (cosine against raw vectors), and exact top-k over a
+    candidate pool keeps every true-top-k pool member (a rank-r <= k
+    truth has at most r-1 eligible vectors above it anywhere, hence
+    fewer than k in the pool) — so recall is monotone in the pool and
+    aware recall >= post-filter recall on any data, any scale. The
+    union's extra ADC pass reads the same nprobe-subset of the
+    already-encoded (lazily pinned) codes — a second lookup over
+    probed cells, not a second encode.
 
     Eligibility reaches the codes frame as a semi-join against the
-    predicate-filtered id set (broadcast when the filter is
-    selective); a deployment carrying the predicate columns IN the
-    codes table (as build_ivf_index does for raw vectors) turns that
-    join into a scan-pushed filter."""
+    predicate-filtered id set, BROADCAST only when the measured match
+    count is small enough to ship to every executor
+    (m <= _FILTER_BROADCAST_MAX_IDS, ADVICE r12 #4 — at 50%
+    selectivity on a 100 TB corpus the hint would overwhelm the
+    driver; an unselective filter takes the plain shuffled semi-join
+    instead). A deployment carrying the predicate columns IN the
+    codes table (as build_ivf_index does for raw vectors) turns the
+    join into a scan-pushed filter either way."""
     import math
 
     import numpy as np
@@ -1345,16 +1366,29 @@ def ivfpq_filtered_topk(
         codebooks = np.asarray(codebooks, dtype=np.float64)
 
     eligible = embeddings.filter(predicate).select(id_col)
-    index = pq_encode(embeddings, cent, codebooks, id_col, vec_col).join(
-        F.broadcast(eligible), id_col, "semi"
-    )
+    if sel["m"] <= _FILTER_BROADCAST_MAX_IDS:
+        eligible = F.broadcast(eligible)
+    # one encode pass serves both shortlist branches below (lazy pin:
+    # the codes frame is read by the aware AND baseline subtrees of
+    # the same job, and mapInPandas output is not a reusable exchange)
+    index = pq_encode(embeddings, cent, codebooks, id_col, vec_col)
+    index = index.localCheckpoint(eager=False)
     q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
     probe_cells = [int(ci) for ci in q_cells[:nprobe_eff]]
-    shortlist = _adc_shortlist(
-        index, cent, codebooks, probe_cells, q, rerank, id_col
+    aware = _adc_shortlist(
+        index.join(eligible, id_col, "semi"),
+        cent, codebooks, probe_cells, q, rerank, id_col,
     )
+    # the post-filter baseline's reachable set: unfiltered shortlist at
+    # the caller's nprobe, restricted to eligible ids. Unioning it into
+    # the rerank pool makes aware >= post-filter a theorem (docstring).
+    baseline = _adc_shortlist(
+        index, cent, codebooks, [int(ci) for ci in q_cells[:nprobe]],
+        q, rerank, id_col,
+    ).join(eligible, id_col, "semi")
+    pool = aware.select(id_col).union(baseline.select(id_col)).distinct()
     return _score_cosine_topk(
-        embeddings.join(F.broadcast(shortlist.select(id_col)), id_col),
+        embeddings.join(F.broadcast(pool), id_col),
         [float(x) for x in q], k, id_col, vec_col,
     )
 

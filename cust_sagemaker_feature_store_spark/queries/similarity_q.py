@@ -1212,13 +1212,14 @@ ORDER BY check_name
         "recall vs the exact filtered brute force must clear 3/10 "
         "(measured 0.4-0.8 across sf0.001-0.1), AND must dominate the "
         "naive post-filter baseline (run unfiltered IVFADC, filter "
-        "the k hits) — dominance is a theorem (every true-top-k "
-        "post-filter survivor is eligible, probed, ranks no worse "
-        "among eligible-only ADC candidates than among all, so it "
-        "reaches the aware shortlist where only exact-filtered-order "
-        "superiors can displace it). Both checks run inside Spark; "
-        "the oracle pins the booleans, so a regression "
-        "hash-mismatches."
+        "the k hits) — dominance is STRUCTURAL as of r13 (ADVICE r12 "
+        "#1): the operator unions the eligible members of the "
+        "unfiltered nprobe shortlist into the rerank pool, so the "
+        "pool contains everything the baseline can return, and exact "
+        "rerank over a superset pool keeps every true-top-k pool "
+        "member (fewer than k candidates can outrank it). Both "
+        "checks run inside Spark; the oracle pins the booleans, so a "
+        "regression hash-mismatches."
     ),
 )
 def sim_ivfpq_filtered_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:

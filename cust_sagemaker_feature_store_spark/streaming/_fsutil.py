@@ -1,0 +1,66 @@
+"""Hadoop-FileSystem helpers shared by the streaming index maintainers
+(dedup_index, ivf_index, components).
+
+os.rename / shutil.rmtree only operate on a local POSIX filesystem;
+index roots on HDFS/S3/ABFS need the Hadoop FileSystem API — the same
+API the existence probes already use (r11 advice moved probes there;
+r12 advice moves the compaction swaps too, ADVICE r12 #3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — correct on
+    HDFS/S3/ABFS where an os.path probe is always-False."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a parquet table that may not exist yet (first micro-batch
+    of a fresh index), returning an empty frame of the declared schema
+    when absent. The probe goes through the Hadoop FileSystem API so
+    the check is correct on object stores, not just local disk."""
+    if fs_exists(spark, path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def staged_swap(spark: SparkSession, live: str, staged: str) -> None:
+    """Swap a staged rewrite into the live path via Hadoop fs.rename /
+    fs.delete: live -> live.__old__, staged -> live, delete __old__.
+
+    There IS a brief window between the two renames where the live
+    path is absent — a reader racing the swap must retry, which the
+    single-writer / stream-stopped window the compaction docstrings
+    require already rules out for the maintainers themselves. A crash
+    inside the window leaves the old data intact under `.__old__`
+    (recover by renaming it back); a pointer/manifest indirection
+    would close the window entirely at the cost of an extra read hop
+    on every probe. On failure of the second rename the first is
+    rolled back, so the live path never stays absent on a clean error
+    path.
+
+    Note HDFS/local rename is atomic per call; S3A "rename" is a
+    copy+delete — on S3 prefer a manifest pointer for large indexes.
+    """
+    fs, jlive, jvm = _fs_and_path(spark, live)
+    jstaged = jvm.org.apache.hadoop.fs.Path(staged)
+    jold = jvm.org.apache.hadoop.fs.Path(live + ".__old__")
+    if fs.exists(jold):  # leftover from an interrupted earlier swap
+        fs.delete(jold, True)
+    if not fs.rename(jlive, jold):
+        raise IOError(f"staged_swap: rename {live} -> {live}.__old__ failed")
+    if not fs.rename(jstaged, jlive):
+        fs.rename(jold, jlive)  # roll back: live must not stay absent
+        raise IOError(f"staged_swap: rename {staged} -> {live} failed")
+    fs.delete(jold, True)

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_dedup_status, minhash_bands
+from ._fsutil import read_or_empty, staged_swap
 
 _HASH_SCHEMA = "h string, epoch long"
 _BAND_SCHEMA = "band int, bucket string, epoch long"
@@ -45,12 +46,7 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     # correct on HDFS/S3/ABFS, not just the local filesystem — an
     # os.path.isdir probe would be always-False on object stores and
     # silently read an empty index every micro-batch (r11 advice).
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jpath):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    return read_or_empty(spark, path, schema)
 
 
 class StreamingDedupIndex:
@@ -222,11 +218,15 @@ def compact_dedup_epochs(spark: SparkSession, index_root: str) -> int:
     and misclassify its documents as duplicates of themselves — the
     exact hazard the epoch stamp exists to prevent.
 
-    Stage-and-rename per table, so a crash mid-compaction leaves the
-    live index readable. Returns the number of folded epochs beyond
-    the first (0 = already compact)."""
-    import shutil
-
+    Stage-and-rename per table through the Hadoop FileSystem API
+    (ADVICE r12 #3 — os.rename/shutil.rmtree only work on local POSIX
+    paths, inconsistent with _read_or_empty's object-store-correct
+    probes). The swap is two renames, so there is a BRIEF window where
+    the table path is absent; the stream-stopped single-writer window
+    above already excludes concurrent readers of the maintainer's own
+    tables, and a crash inside the window leaves the old table intact
+    under `.__old__` (see _fsutil.staged_swap). Returns the number of
+    folded epochs beyond the first (0 = already compact)."""
     folded = 0
     for sub, schema, cols in (
         ("hashes", _HASH_SCHEMA, ["h"]),
@@ -248,8 +248,5 @@ def compact_dedup_epochs(spark: SparkSession, index_root: str) -> int:
             .partitionBy("epoch")
             .parquet(staged, compression="snappy")
         )
-        old = path + ".__old__"
-        os.rename(path, old)
-        os.rename(staged, path)
-        shutil.rmtree(old)
+        staged_swap(spark, path, staged)
     return folded

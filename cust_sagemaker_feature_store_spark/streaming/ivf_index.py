@@ -48,6 +48,7 @@ from ..operators.similarity import (
     _with_cells,
     load_ivf_centroids,
 )
+from ._fsutil import staged_swap
 
 
 class StreamingIvfIndex:
@@ -144,11 +145,13 @@ def compact_ivf_epochs(spark: SparkSession, index_root: str) -> int:
     rows when E's replay re-writes the epoch=E partitions (dynamic
     overwrite only replaces E's own partitions, not the folded copies).
 
-    The rewrite stages into a sibling directory and renames last, so a
-    crash mid-compaction leaves the live index intact (the same
-    single-writer window core/maintenance.py documents)."""
-    import shutil
-
+    The rewrite stages into a sibling directory and swaps last through
+    the Hadoop FileSystem API (ADVICE r12 #3 — os.rename/shutil.rmtree
+    only work on local POSIX paths). The swap is two renames with a
+    BRIEF window where the vectors path is absent; the stream-stopped
+    single-writer window above already excludes concurrent probes
+    during maintenance, and a crash inside the window leaves the old
+    table intact under `.__old__` (see _fsutil.staged_swap)."""
     from ..operators.similarity import IVF_BASE_EPOCH, _index_paths
 
     vectors_dir = _index_paths(index_root)["vectors"]
@@ -164,8 +167,5 @@ def compact_ivf_epochs(spark: SparkSession, index_root: str) -> int:
         .partitionBy("epoch", "cell")
         .parquet(staged, compression="snappy")
     )
-    old = vectors_dir + ".__old__"
-    os.rename(vectors_dir, old)
-    os.rename(staged, vectors_dir)
-    shutil.rmtree(old)
+    staged_swap(spark, vectors_dir, staged)
     return len(streamed)
