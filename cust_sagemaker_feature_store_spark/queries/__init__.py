@@ -388,24 +388,56 @@ _R11_DRIVER_GREEN = [
     # listed in the earlier lists and are omitted here.
 ]
 
-# ROUND-13 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r12.json's green rows into an _R12_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r13 changes), then
-# retarget _WINDOW_PRIORITY at whatever r13 invalidates.
-_WINDOW_PRIORITY = [
-    # Queries whose implementations r12 touches (the ADVICE r11 fixes
-    # plus the persisted-IVF-index refactor — see the exclusion notes
-    # in _R11_DRIVER_GREEN): re-prove them before anything else.
-    "dedup_allpairs_prefix", "stream_dedup_index_twin",
+_R12_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r12.json (49/50 green + the
+    # by-construction no_oracle sim_ivf_topk, 0 errors) earned by code
+    # unchanged in r13. Excluded on purpose (r13 changes their
+    # implementation, invalidating the r12 evidence per the policy
+    # above):
+    #   sim_ivfpq_filtered_recall_floor — r13 makes the post-filter
+    #     dominance STRUCTURAL (union the unfiltered nprobe
+    #     shortlist's eligible members into the rerank pool) and
+    #     gates the eligible-id broadcast on the measured match count
+    #     (ADVICE r12 #1/#4), changing ivfpq_filtered_topk's body;
+    #   dedup_allpairs_prefix — r13 documents allpairs_prefix_join's
+    #     floor-to-grid threshold semantics (ADVICE r12 #2; text-only,
+    #     but the operator body changed, so the evidence rotates per
+    #     the policy — the ml_pr_curve_topf1 r9 precedent);
+    #   stream_dedup_index_twin / stream_ivf_index_twin — r13 moves
+    #     both modules' epoch-compaction swaps to the Hadoop
+    #     FileSystem API (ADVICE r12 #3) and extends the IVF
+    #     maintainer with PQ-code upkeep; the twins' own data paths
+    #     (replay_epochs / grid_assign_cells) are untouched, but the
+    #     maintainer-module-change discipline rotates them (the r12
+    #     _read_or_empty precedent).
     "sim_filtered_topk", "sim_ivf_filtered_recall_floor",
-    "sim_ivf_topk", "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
-    # the _adc_shortlist extraction rotations (ivfpq_topk callers):
+    "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
     "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
     "sim_ivfpq_trained_codebook_floor", "sim_ivf_kmeanspar_recall_floor",
-    # the apply_merges_fast encode switch:
-    "text_bpe_encode",
-    # the candidate-pair pin (r11 verdict #5):
-    "dedup_cluster_size_histogram",
+    "text_bpe_encode", "dedup_cluster_size_histogram",
+    "fs_late_data_impact", "dq_t_closeness", "pipeline_curate_v4",
+    "sample_dsir_importance", "dedup_incremental_components",
+    "text_code_switching", "sample_dsir_resample", "sim_ivf_list_skew",
+    "sim_corpus_diversity",
+    # rows-only entry whose r12 `spark_rows` evidence covers unchanged
+    # code (no exact oracle exists by construction; its hash-green
+    # floors sit in the same driver window):
+    "sim_ivf_topk",
+    # r1–r11 re-verifications also green in r12 (the fs_* family) are
+    # already listed in the earlier lists and are omitted here.
+]
+
+# ROUND-14 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r13.json's green rows into an _R13_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r14 changes), then
+# retarget _WINDOW_PRIORITY at whatever r14 invalidates.
+_WINDOW_PRIORITY = [
+    # Queries whose implementations r13 touches (the ADVICE r12 fixes
+    # — see the exclusion notes in _R12_DRIVER_GREEN): re-prove them
+    # before anything else. r13's brand-new queries follow
+    # automatically as non-green exact-oracle entries.
+    "sim_ivfpq_filtered_recall_floor", "dedup_allpairs_prefix",
+    "stream_dedup_index_twin", "stream_ivf_index_twin",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
@@ -425,7 +457,7 @@ def _reorder_registry() -> None:
         | set(_R5_DRIVER_GREEN) | set(_R6_DRIVER_GREEN)
         | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
         | set(_R9_DRIVER_GREEN) | set(_R10_DRIVER_GREEN)
-        | set(_R11_DRIVER_GREEN)
+        | set(_R11_DRIVER_GREEN) | set(_R12_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
