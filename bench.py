@@ -236,6 +236,14 @@ BENCH_QUERIES = [
     "dq_t_closeness",
 ]
 
+# r13 (r12 verdict next-round #2): bench the FULL registry — every
+# remaining registered query appended in sorted order, so the ~125
+# previously-invisible entries (q4/q10/q14/q17/q18, the set ops,
+# cube/rollup, the fs_asof variants, ...) enter the 2x gate's field
+# of view. The curated list above keeps its historical order so
+# per-round common-set ratios stay directly diffable.
+BENCH_QUERIES += [n for n in sorted(REGISTRY) if n not in set(BENCH_QUERIES)]
+
 
 def _err_msg(exc: Exception) -> str:
     """First line of the exception message, never raising itself — an

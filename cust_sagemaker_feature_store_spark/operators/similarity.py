@@ -1817,6 +1817,30 @@ def load_ivf_centroids(spark, index_root: str):
     )
 
 
+def load_pq_codebooks(spark, index_root: str):
+    """The stored PQ sub-codebooks, (M, n_codes, sub) — bit-identical
+    to the matrix `build_ivfpq_index` persisted (float64 parquet
+    round-trip is exact). Shared by the stored-index probe and the
+    streaming IVFADC maintainer (both must encode under EXACTLY the
+    frozen quantizer)."""
+    import numpy as np
+
+    cb_rows = (
+        spark.read.parquet(_index_paths(index_root)["codebooks"])
+        .orderBy("block", "code")
+        .collect()
+    )
+    n_blocks = max(r["block"] for r in cb_rows) + 1
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    sub = len(cb_rows[0]["centroid"])
+    codebooks = np.zeros((n_blocks, n_codes, sub), dtype=np.float64)
+    for r in cb_rows:
+        codebooks[r["block"], r["code"]] = np.asarray(
+            [float(x) for x in r["centroid"]], dtype=np.float64
+        )
+    return codebooks
+
+
 def probe_ivf_index(
     spark,
     index_root: str,
@@ -1938,17 +1962,7 @@ def probe_ivfpq_index(
 
     paths = _index_paths(index_root)
     cent = load_ivf_centroids(spark, index_root)
-    cb_rows = (
-        spark.read.parquet(paths["codebooks"]).orderBy("block", "code").collect()
-    )
-    n_blocks = max(r["block"] for r in cb_rows) + 1
-    n_codes = max(r["code"] for r in cb_rows) + 1
-    sub = len(cb_rows[0]["centroid"])
-    codebooks = np.zeros((n_blocks, n_codes, sub), dtype=np.float64)
-    for r in cb_rows:
-        codebooks[r["block"], r["code"]] = np.asarray(
-            [float(x) for x in r["centroid"]], dtype=np.float64
-        )
+    codebooks = load_pq_codebooks(spark, index_root)
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
     probe_cells = [int(ci) for ci in q_cells[:nprobe]]
@@ -2015,3 +2029,61 @@ def grid_assign_cells(
         out_col,
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
     )
+
+
+def grid_pq_codes(
+    df: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """EXACT PQ encoding on the integer grid — the oracle-portable
+    twin of `pq_encode`, as `grid_assign_cells` is of `_with_cells`:
+    assign the nearest centroid (int64 argmin, ties to lowest cell),
+    take the integer residual against the CHOSEN centroid, and per
+    block emit the argmin-distance codebook entry (ties to lowest
+    code). `codebooks` is (M blocks) x (n_codes) x (sub grid ints)
+    with M*sub == dim. All JVM-side expressions, flat in
+    n_lists + M*n_codes, no Python — bit-identical in any engine with
+    exact int64 arithmetic, which is what lets the streaming IVFADC
+    maintainer's batch twin (stream_ivfpq_index_twin) pin codes in
+    DuckDB while the float `pq_encode` argmin stays engine-local.
+    Residual components are bounded by 2 grid magnitudes (~2e7), so a
+    block distance is < sub * 4e14 — far under int64."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = grid_assign_cells(df, centroids, vec_col, cell_col)
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(int(c)).cast("long") for c in cvec])
+            for cvec in centroids
+        ]
+    )
+    res = F.zip_with(
+        grid_vector(vec_col),
+        F.element_at(cent_arr, F.col(cell_col) + 1),
+        lambda a, b: a - b,
+    )
+    blocks = []
+    for j in range(m):
+        rb = F.slice(res, j * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        rb,
+                        F.array(*[F.lit(int(c)).cast("long") for c in code]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for code in codebooks[j]
+            ]
+        )
+        blocks.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return out.withColumn(codes_col, F.array(*blocks))

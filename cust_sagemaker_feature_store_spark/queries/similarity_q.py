@@ -1189,6 +1189,132 @@ def stream_ivf_index_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_TWIN_BLOCKS = 4  # M sub-codebooks over the 64-dim grid vectors
+IVFPQ_TWIN_CODES = 8   # codebook entries = residuals of vec_ids [8, 16)
+
+_IVFPQ_TWIN_SQL = f"""
+WITH g AS MATERIALIZED (
+  SELECT vec_id, vec_id % {IVF_TWIN_EPOCHS} AS epoch,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, gv AS cv
+  FROM g WHERE vec_id < {IVF_TWIN_LISTS}
+),
+dist AS (
+  SELECT g.vec_id, g.epoch, g.gv, c.cell, c.cv,
+         CAST(list_sum(list_transform(range(1, 1 + len(g.gv)),
+           i -> (g.gv[i]-c.cv[i])*(g.gv[i]-c.cv[i]))) AS BIGINT) AS d2
+  FROM g CROSS JOIN cent c
+),
+res AS MATERIALIZED (
+  SELECT vec_id, epoch, cell,
+         list_transform(range(1, 1 + len(gv)), i -> gv[i]-cv[i]) AS rv
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+cb AS (
+  SELECT CAST(vec_id - {IVF_TWIN_LISTS} AS INT) AS code, rv AS cbv
+  FROM res
+  WHERE vec_id >= {IVF_TWIN_LISTS}
+    AND vec_id < {IVF_TWIN_LISTS + IVFPQ_TWIN_CODES}
+),
+bd AS (
+  SELECT r.vec_id, b.j, c.code,
+         CAST(list_sum(list_transform(range(1, 17),
+           i -> (r.rv[b.j*16 + i] - c.cbv[b.j*16 + i])
+              * (r.rv[b.j*16 + i] - c.cbv[b.j*16 + i]))) AS BIGINT) AS d2
+  FROM res r
+  CROSS JOIN (SELECT CAST(unnest(range({IVFPQ_TWIN_BLOCKS})) AS INT) AS j) b
+  CROSS JOIN cb c
+),
+vcodes AS (
+  SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+    FROM bd
+  ) WHERE rn = 1
+  GROUP BY vec_id
+)
+SELECT CAST(r.epoch AS BIGINT) AS epoch, r.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(r.vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(k.code_sum) AS BIGINT) AS sum_codes
+FROM res r JOIN vcodes k USING (vec_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "stream_ivfpq_index_twin",
+    oracle=_IVFPQ_TWIN_SQL,
+    description=(
+        "[EXT] batch twin of the streaming IVFADC-index maintainer "
+        "(streaming/ivf_index.StreamingIvfpqIndex, r12 verdict "
+        f"next-round #3): the corpus split into {IVF_TWIN_EPOCHS} "
+        "ingest epochs, every vector coarse-assigned to its nearest "
+        "FROZEN centroid AND PQ-encoded against FROZEN sub-codebooks "
+        f"({IVFPQ_TWIN_BLOCKS} blocks x {IVFPQ_TWIN_CODES} codes = "
+        "residuals of a fixed sample), reduced to per-(epoch, cell) "
+        "counts + vec_id-sum + code-sum — exactly the codes-table "
+        "content the maintainer's dynamic-overwrite appends produce. "
+        "Assignment and encoding run on the exact int64 1e-6 grid "
+        "(grid_pq_codes) so argmins are bit-identical cross-engine; "
+        "the production float path's stream == batch == probe == "
+        "compaction identities are pinned by tests/test_streaming.py"
+        "::test_ivfpq_index_stream_equals_batch. One narrow encode "
+        "pass (flat JVM expressions, no Python), one grouped count; "
+        "the M x n_codes fan-out is expression-level, never a join."
+    ),
+)
+def stream_ivfpq_index_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < IVF_TWIN_LISTS + IVFPQ_TWIN_CODES)
+        .select("vec_id", S.grid_vector("embedding").alias("gv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["gv"]] for r in rows[:IVF_TWIN_LISTS]]
+    sub = len(centroids[0]) // IVFPQ_TWIN_BLOCKS
+    # codebook entry c of block j = block j of sample vector (8+c)'s
+    # residual against ITS nearest frozen centroid — Python ints, the
+    # same exact arithmetic both engines run on the corpus side
+    codebooks: list[list[list[int]]] = [[] for _ in range(IVFPQ_TWIN_BLOCKS)]
+    for r in rows[IVF_TWIN_LISTS:]:
+        gv = [int(x) for x in r["gv"]]
+        d2 = [sum((a - b) * (a - b) for a, b in zip(gv, c)) for c in centroids]
+        cell = d2.index(min(d2))
+        rv = [a - b for a, b in zip(gv, centroids[cell])]
+        for j in range(IVFPQ_TWIN_BLOCKS):
+            codebooks[j].append(rv[j * sub : (j + 1) * sub])
+    assigned = S.grid_pq_codes(
+        emb.withColumn(
+            "epoch", (F.col("vec_id") % IVF_TWIN_EPOCHS).cast("long")
+        ),
+        centroids,
+        codebooks,
+    )
+    return (
+        assigned.groupBy("epoch", "cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+            F.sum(
+                F.aggregate(
+                    "codes", F.lit(0).cast("long"), lambda a, x: a + x
+                )
+            ).cast("long").alias("sum_codes"),
+        )
+        .orderBy("epoch", "cell")
+    )
+
+
 # floor under the measured deterministic recalls of the filter-aware
 # IVFADC path at n_lists=8, nprobe=2, label>=5 (~50% selective =>
 # nprobe_eff 4): 0.8 / 0.6 / 0.4 at sf0.001 / 0.01 / 0.1; the naive

@@ -48,7 +48,7 @@ from ..operators.similarity import (
     _with_cells,
     load_ivf_centroids,
 )
-from ._fsutil import staged_swap
+from ._fsutil import fs_exists, staged_swap
 
 
 class StreamingIvfIndex:
@@ -110,6 +110,142 @@ class StreamingIvfIndex:
         return self.spark.read.parquet(self.vectors_dir)
 
 
+class StreamingIvfpqIndex:
+    """File-source streaming maintainer for a persisted IVFADC index
+    whose bulk build (`build_ivfpq_index`) already populated
+    ``index_root`` (r12 verdict next-round #3) — new vectors stream
+    in as parquet files of (id_col, vec_col) rows.
+
+    Per micro-batch, BOTH index tables advance under the FROZEN
+    stored quantizer (centroids + PQ sub-codebooks — the IVFADC
+    serving contract: codes accumulate, the quantizer retrains
+    offline via `retrain_ivfpq_index`):
+
+      - ``codes/``: the batch `pq_encode`d and appended under
+        (epoch=batch_id, cell) — the byte-sized ADC shortlist tier;
+      - ``vectors/``: the raw batch appended under epoch=batch_id —
+        the exact-rerank tier (epoch-only partitioning, exactly the
+        bulk build's layout: rerank joins by id, never scans cells).
+
+    Exactly-once discipline is the same dynamic-partition-overwrite
+    seam as StreamingIvfIndex: a checkpoint replay of a crashed
+    micro-batch rewrites the identical (epoch=batch_id, ...)
+    partitions instead of duplicating rows, pinned by
+    tests/test_streaming.py::test_ivfpq_index_stream_restart_idempotent.
+    Probes (`probe_ivfpq_index`) read all epochs of both tables, so a
+    probe after N streamed batches is bit-identical to the inline
+    `ivfpq_topk` over the union corpus under the same quantizer
+    (test_ivfpq_index_stream_probe_matches_inline)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        index_root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        from ..operators.similarity import load_pq_codebooks
+
+        self.spark = spark
+        self.input_dir = input_dir
+        self.index_root = index_root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.cent = load_ivf_centroids(spark, index_root)  # frozen
+        self.codebooks = load_pq_codebooks(spark, index_root)  # frozen
+        paths = _index_paths(index_root)
+        self.codes_dir = paths["codes"]
+        self.vectors_dir = paths["vectors"]
+        self.checkpoint_dir = os.path.join(index_root, "_checkpoint")
+
+    # -- micro-batch sink ---------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import pq_encode
+
+        if not batch.take(1):
+            return
+        epoch = F.lit(batch_id).cast("long").alias("epoch")
+        (
+            pq_encode(batch, self.cent, self.codebooks,
+                      self.id_col, self.vec_col)
+            .select(
+                F.col(self.id_col), F.col("__codes").alias("codes"),
+                epoch, F.col("__cell").alias("cell"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "cell")
+            .parquet(self.codes_dir, compression="snappy")
+        )
+        (
+            batch.select(F.col(self.id_col), F.col(self.vec_col), epoch)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(self.vectors_dir, compression="snappy")
+        )
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start(self, schema: str):
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.input_dir)
+        )
+        return (
+            src.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(self.codes_dir)
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(self.vectors_dir)
+
+
+def replay_ivfpq_epochs(
+    spark: SparkSession,
+    vectors: DataFrame,
+    epoch_col,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch twin of the streaming IVFADC maintainer: every vector
+    encoded under the same frozen stored quantizer, stamped with its
+    epoch — one declarative plan, no per-epoch loop (epochs are
+    independent because the quantizer is frozen). Returns
+    (id, epoch, cell, codes) — the maintained codes table's logical
+    content; stream == batch is pinned bit-for-bit by
+    tests/test_streaming.py::test_ivfpq_index_stream_equals_batch."""
+    from ..operators.similarity import load_pq_codebooks, pq_encode
+
+    cent = load_ivf_centroids(spark, index_root)
+    codebooks = load_pq_codebooks(spark, index_root)
+    return (
+        # pq_encode's output schema is (id, __cell, __codes) — the
+        # epoch stamp rejoins by id (vs the stream, which knows its
+        # batch_id operationally and stamps the literal)
+        pq_encode(vectors, cent, codebooks, id_col, vec_col)
+        .join(
+            vectors.select(
+                F.col(id_col), epoch_col.cast("long").alias("epoch")
+            ),
+            id_col,
+        )
+        .select(
+            F.col(id_col), F.col("epoch"),
+            F.col("__cell").alias("cell"), F.col("__codes").alias("codes"),
+        )
+    )
+
+
 def replay_ivf_epochs(
     spark: SparkSession,
     vectors: DataFrame,
@@ -132,10 +268,11 @@ def replay_ivf_epochs(
 
 
 def compact_ivf_epochs(spark: SparkSession, index_root: str) -> int:
-    """Fold every streamed epoch into the bulk-build epoch (-1): one
-    offline rewrite of the vectors table that leaves probe results
+    """Fold every streamed epoch into the bulk-build epoch (-1): an
+    offline rewrite of the index's row tables (``vectors``, and for
+    an IVFADC index also ``codes``) that leaves probe results
     bit-identical (probes read all epochs; only the partition layout
-    changes) and returns the index to a single epoch per cell — the
+    changes) and returns the index to a single epoch — the
     maintenance pass that keeps the epoch count bounded under a
     long-running stream, exactly compact_offline's role for the
     feature store. Returns the number of folded epochs.
@@ -154,18 +291,29 @@ def compact_ivf_epochs(spark: SparkSession, index_root: str) -> int:
     table intact under `.__old__` (see _fsutil.staged_swap)."""
     from ..operators.similarity import IVF_BASE_EPOCH, _index_paths
 
-    vectors_dir = _index_paths(index_root)["vectors"]
-    df = spark.read.parquet(vectors_dir)
-    epochs = [r["epoch"] for r in df.select("epoch").distinct().collect()]
-    streamed = [e for e in epochs if e != IVF_BASE_EPOCH]
-    if not streamed:
-        return 0
-    staged = vectors_dir + ".__compact__"
-    (
-        df.withColumn("epoch", F.lit(IVF_BASE_EPOCH).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("epoch", "cell")
-        .parquet(staged, compression="snappy")
-    )
-    staged_swap(spark, vectors_dir, staged)
-    return len(streamed)
+    paths = _index_paths(index_root)
+    folded = 0
+    # IVF layout: vectors partitioned (epoch, cell). IVFPQ layout:
+    # codes partitioned (epoch, cell), raw vectors partitioned by
+    # epoch only (the rerank tier joins by id, never scans cells) —
+    # fold whichever tables exist, each under its own layout.
+    for sub in ("vectors", "codes"):
+        path = paths[sub]
+        if not fs_exists(spark, path):
+            continue
+        df = spark.read.parquet(path)
+        epochs = [r["epoch"] for r in df.select("epoch").distinct().collect()]
+        streamed = [e for e in epochs if e != IVF_BASE_EPOCH]
+        if not streamed:
+            continue
+        part_cols = ["epoch", "cell"] if "cell" in df.columns else ["epoch"]
+        staged = path + ".__compact__"
+        (
+            df.withColumn("epoch", F.lit(IVF_BASE_EPOCH).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(staged, compression="snappy")
+        )
+        staged_swap(spark, path, staged)
+        folded = max(folded, len(streamed))
+    return folded

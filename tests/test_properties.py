@@ -621,3 +621,57 @@ def test_grid_assign_cells_matches_bruteforce(spark, vecs):
         ]
         want = dists.index(min(dists))
         assert got[i] == want, (v, g, dists, got[i])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vec_strategy)
+def test_grid_pq_codes_matches_bruteforce(spark, vecs):
+    """grid_pq_codes must agree with a pure-python PQ encode over the
+    same rounded integer grid (cell argmin -> residual -> per-block
+    code argmin, ties -> lowest index) for arbitrary float32
+    vectors."""
+    from cust_sagemaker_feature_store_spark.operators.similarity import (
+        GRID_CELL_SCALE,
+        grid_pq_codes,
+    )
+
+    cents = [[GRID_CELL_SCALE, 0, 0, 0], [0, -GRID_CELL_SCALE, 0, 0], [0, 0, 0, 0]]
+    # 2 blocks of 2 dims, 3 codes each — includes a zero code so ties hit
+    books = [
+        [[0, 0], [GRID_CELL_SCALE, 0], [-GRID_CELL_SCALE, GRID_CELL_SCALE]],
+        [[0, 0], [0, GRID_CELL_SCALE], [GRID_CELL_SCALE, GRID_CELL_SCALE]],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in grid_pq_codes(df, cents, books).collect()
+    }
+    import math
+    import struct
+
+    def half_away(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    for i, v in enumerate(vecs):
+        g = [
+            half_away(struct.unpack("f", struct.pack("f", x))[0] * GRID_CELL_SCALE)
+            for x in v
+        ]
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(g, c)) for c in cents
+        ]
+        cell = dists.index(min(dists))
+        rv = [a - b for a, b in zip(g, cents[cell])]
+        codes = []
+        for j, book in enumerate(books):
+            rb = rv[j * 2 : (j + 1) * 2]
+            bd = [sum((a - b) * (a - b) for a, b in zip(rb, c)) for c in book]
+            codes.append(bd.index(min(bd)))
+        assert got[i] == (cell, tuple(codes)), (v, g, cell, codes, got[i])

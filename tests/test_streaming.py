@@ -1039,6 +1039,88 @@ def test_ivf_index_stream_equals_batch(spark, sf_dir, tmp_path):
     assert compact_ivf_epochs(spark, root) == 0  # idempotent no-op
 
 
+def test_ivfpq_index_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming IVFADC maintainer must encode every streamed
+    vector under the FROZEN stored quantizer (centroids + PQ
+    codebooks) and append it exactly once — across a checkpoint
+    restart — bit-identically to the replay_ivfpq_epochs batch twin;
+    a probe over the maintained index (bulk + streamed epochs) must
+    equal the inline ivfpq_topk over the union corpus under the same
+    quantizer; and compaction must fold BOTH row tables (codes and
+    raw vectors) without changing any probe answer."""
+    import os
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+    from cust_sagemaker_feature_store_spark.streaming.ivf_index import (
+        StreamingIvfpqIndex,
+        compact_ivf_epochs,
+        replay_ivfpq_epochs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "ivfpq_idx")
+    cent, books = S.build_ivfpq_index(base, root, n_lists=8)
+
+    stream_rows = emb.filter(F.col("vec_id") % 4 != 0).select(
+        "vec_id", "embedding"
+    )
+    d = tmp_path / "ivfpq_in"
+    d.mkdir()
+    idx = StreamingIvfpqIndex(spark, str(d) + "/*", root)
+    schema = "vec_id long, embedding array<float>"
+    # two phases around a RESTART: files b1+b2 before, b3 after
+    for todo in ((1, 2), (3,)):
+        for e in todo:
+            p = str(d / f"b{e}.parquet")
+            stream_rows.filter(F.col("vec_id") % 4 == e).coalesce(1).write.parquet(p)
+            t = 1_700_000_000 + e * 60
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (t, t))
+            os.utime(p, (t, t))
+        q = idx.start(schema)
+        q.awaitTermination(120)
+        q.stop()
+
+    got = idx.codes().filter(F.col("epoch") >= 0)
+    # exactly once per streamed vector, across the restart, both tables
+    assert got.count() == stream_rows.count()
+    assert got.select("vec_id").distinct().count() == stream_rows.count()
+    assert idx.vectors().filter(F.col("epoch") >= 0).count() == stream_rows.count()
+    # stream == batch twin on (vec_id, epoch, cell, codes)
+    got_set = {
+        (r["vec_id"], r["epoch"], r["cell"], tuple(r["codes"]))
+        for r in got.collect()
+    }
+    twin = replay_ivfpq_epochs(
+        spark, stream_rows, (F.col("vec_id") % 4) - 1, root
+    )
+    want_set = {
+        (r["vec_id"], r["epoch"], r["cell"], tuple(r["codes"]))
+        for r in twin.collect()
+    }
+    assert got_set == want_set
+    # probe over the FULL maintained index == inline IVFADC over the
+    # union corpus under the same frozen quantizer
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    want = S.ivfpq_topk(
+        emb, qv, k=10, n_lists=8, nprobe=4, rerank=60,
+        cent=cent, codebooks=books,
+    ).collect()
+    probe = S.probe_ivfpq_index(spark, root, qv, k=10, nprobe=4, rerank=60).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in want]
+    # compaction folds BOTH tables' streamed epochs into the bulk epoch
+    # without changing any probe answer (bit-identical before/after)
+    assert compact_ivf_epochs(spark, root) == 3
+    for tbl in (idx.codes(), idx.vectors()):
+        assert [r["epoch"] for r in tbl.select("epoch").distinct().collect()] == [-1]
+        assert tbl.count() == emb.count()
+    probe2 = S.probe_ivfpq_index(spark, root, qv, k=10, nprobe=4, rerank=60).collect()
+    assert [tuple(r) for r in probe2] == [tuple(r) for r in probe]
+    assert compact_ivf_epochs(spark, root) == 0  # idempotent no-op
+
+
 def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
     """Folding the dedup index's epochs must (a) shrink or keep the
     entry count (cross-epoch duplicates collapse), (b) preserve the
