@@ -64,3 +64,40 @@ def staged_swap(spark: SparkSession, live: str, staged: str) -> None:
         fs.rename(jold, jlive)  # roll back: live must not stay absent
         raise IOError(f"staged_swap: rename {staged} -> {live} failed")
     fs.delete(jold, True)
+
+
+def staged_swap_many(spark: SparkSession, pairs: list[tuple[str, str]]) -> None:
+    """Swap SEVERAL staged rewrites into their live paths as one
+    all-or-nothing group: every live path is parked under `.__old__`
+    and every staged path renamed in, and only after ALL renames
+    succeed are the `.__old__` backups deleted. On any failure the
+    completed swaps are rolled back, so the group never ends half
+    swapped on a clean error path — the consistency a multi-table
+    index rebuild needs (new centroids probed against old codes is a
+    WRONG index, not a stale one). A hard crash mid-group can still
+    leave a mix; every `.__old__` survivor is the recovery copy, and
+    the callers' stopped-stream/no-reader window is what makes the
+    group window safe operationally."""
+    if not pairs:
+        return
+    fs, _, jvm = _fs_and_path(spark, pairs[0][0])
+    P = jvm.org.apache.hadoop.fs.Path
+    done: list[tuple[str, str]] = []
+    try:
+        for live, staged in pairs:
+            jold = P(live + ".__old__")
+            if fs.exists(jold):
+                fs.delete(jold, True)
+            if not fs.rename(P(live), jold):
+                raise IOError(f"staged_swap_many: park {live} failed")
+            if not fs.rename(P(staged), P(live)):
+                fs.rename(jold, P(live))
+                raise IOError(f"staged_swap_many: swap-in {staged} failed")
+            done.append((live, staged))
+    except Exception:
+        for live, staged in reversed(done):  # roll back completed swaps
+            fs.rename(P(live), P(staged))
+            fs.rename(P(live + ".__old__"), P(live))
+        raise
+    for live, _ in pairs:
+        fs.delete(P(live + ".__old__"), True)

@@ -317,3 +317,100 @@ def compact_ivf_epochs(spark: SparkSession, index_root: str) -> int:
         staged_swap(spark, path, staged)
         folded = max(folded, len(streamed))
     return folded
+
+
+def retrain_ivfpq_index(
+    spark: SparkSession,
+    index_root: str,
+    seed_rounds: int = 3,
+    lloyd_rounds: int = 2,
+    pq_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Offline quantizer retrain + staged rebuild of a stored IVFADC
+    index (r12 verdict next-round #4) — the maintenance pass a vector
+    store runs once enough streamed epochs have drifted the corpus
+    away from the quantizer the bulk build froze:
+
+    1. read the ACCUMULATED corpus — every epoch of the stored raw
+       vectors (bulk build + all streamed appends);
+    2. retrain the quantizer over it with the shared production
+       recipe (`operators/similarity.retrain_quantizer`: k-means||
+       seeding + exact-integer Lloyd centroids + Lloyd-trained PQ
+       sub-codebooks), keeping the stored index's n_lists / M /
+       n_codes shape;
+    3. re-encode every vector under the new quantizer and rebuild ALL
+       FOUR tables into staged siblings — codes and vectors fold to
+       epoch -1 (a retrain is a natural compaction point: every
+       row's code changes anyway) — then swap the group in via
+       `_fsutil.staged_swap_many`, which keeps every `.__old__`
+       backup until the whole group has renamed (new centroids
+       probed against old codes would be a WRONG index, not a stale
+       one).
+
+    MUST run only while the stream is STOPPED with no pending replay
+    and no concurrent probes (the single-writer window every
+    maintenance op here documents); restart the maintainer afterwards
+    and it picks up the new frozen quantizer from the store. Returns
+    the retrained (cent, codebooks); recall-vs-exact and
+    distortion-not-worse are driver-pinned by
+    queries/similarity_q.sim_ivfpq_retrained_floor over the same
+    recipe, and stored-probe == inline equality by
+    tests/test_streaming.py::test_retrain_ivfpq_index."""
+    from ..operators.similarity import (
+        IVF_BASE_EPOCH,
+        load_pq_codebooks,
+        pq_encode,
+        retrain_quantizer,
+    )
+    from ._fsutil import staged_swap_many
+
+    paths = _index_paths(index_root)
+    corpus = spark.read.parquet(paths["vectors"]).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    old_books = load_pq_codebooks(spark, index_root)
+    n_lists = len(load_ivf_centroids(spark, index_root))
+    cent, books = retrain_quantizer(
+        corpus, n_lists=n_lists,
+        m_subvectors=int(old_books.shape[0]),
+        n_codes=int(old_books.shape[1]),
+        seed_rounds=seed_rounds, lloyd_rounds=lloyd_rounds,
+        pq_rounds=pq_rounds, id_col=id_col, vec_col=vec_col,
+    )
+    staged = {k: p + ".__retrain__" for k, p in paths.items()}
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cent[i]]) for i in range(len(cent))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(staged["centroids"])
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "block int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(staged["codebooks"])
+    epoch = F.lit(IVF_BASE_EPOCH).cast("long").alias("epoch")
+    (
+        pq_encode(corpus, cent, books, id_col, vec_col)
+        .select(
+            F.col(id_col), F.col("__codes").alias("codes"),
+            epoch, F.col("__cell").alias("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("epoch", "cell")
+        .parquet(staged["codes"], compression="snappy")
+    )
+    (
+        corpus.select(F.col(id_col), F.col(vec_col), epoch)
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(staged["vectors"], compression="snappy")
+    )
+    staged_swap_many(
+        spark, [(paths[k], staged[k]) for k in
+                ("centroids", "codebooks", "codes", "vectors")]
+    )
+    return cent, books

@@ -1121,6 +1121,57 @@ def test_ivfpq_index_stream_equals_batch(spark, sf_dir, tmp_path):
     assert compact_ivf_epochs(spark, root) == 0  # idempotent no-op
 
 
+def test_retrain_ivfpq_index(spark, sf_dir, tmp_path):
+    """Offline quantizer retrain over the accumulated epochs must (a)
+    persist exactly the retrained quantizer (store round-trips the
+    retrain_quantizer output bit-for-bit), (b) fold both row tables to
+    the bulk epoch covering the FULL accumulated corpus, (c) leave the
+    store probe-consistent: stored probe == inline ivfpq_topk over the
+    union corpus under the retrained quantizer, and (d) not worsen
+    total PQ distortion vs the seeded bulk-build quantizer."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+    from cust_sagemaker_feature_store_spark.streaming.ivf_index import (
+        StreamingIvfpqIndex,
+        retrain_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "ivfpq_retrain")
+    cent0, books0 = S.build_ivfpq_index(base, root, n_lists=8)
+    # one streamed epoch via the maintainer's own sink
+    idx = StreamingIvfpqIndex(spark, str(tmp_path / "unused"), root)
+    idx.process_batch(emb.filter(F.col("vec_id") % 2 == 1), 0)
+
+    cent, books = retrain_ivfpq_index(spark, root)
+    # (a) the store round-trips the retrained quantizer exactly
+    assert np.array_equal(S.load_ivf_centroids(spark, root), cent)
+    assert np.array_equal(S.load_pq_codebooks(spark, root), books)
+    # (b) single bulk epoch, full corpus, in both row tables
+    for tbl in (idx.codes(), idx.vectors()):
+        assert [r["epoch"] for r in tbl.select("epoch").distinct().collect()] == [-1]
+        assert tbl.count() == emb.count()
+    # (c) stored probe == inline under the retrained quantizer
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    want = S.ivfpq_topk(
+        emb, qv, k=10, n_lists=8, nprobe=4, rerank=60,
+        cent=cent, codebooks=books,
+    ).collect()
+    probe = S.probe_ivfpq_index(spark, root, qv, k=10, nprobe=4, rerank=60).collect()
+    assert [tuple(r) for r in probe] == [tuple(r) for r in want]
+    # (d) retraining must not worsen the quantization objective
+    d_new = S.pq_distortion(emb, cent, books)
+    d_old = S.pq_distortion(emb, cent0, books0)
+    assert d_new <= d_old + max(1, d_old // 10**9)
+    # no staged/backup leftovers after a clean swap
+    import os
+
+    assert not [e for e in os.listdir(root) if "__" in e and e != "_checkpoint"]
+
+
 def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
     """Folding the dedup index's epochs must (a) shrink or keep the
     entry count (cross-epoch duplicates collapse), (b) preserve the
