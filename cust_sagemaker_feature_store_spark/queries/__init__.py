@@ -409,13 +409,16 @@ _R12_DRIVER_GREEN = [
     #     maintainer with PQ-code upkeep; the twins' own data paths
     #     (replay_epochs / grid_assign_cells) are untouched, but the
     #     maintainer-module-change discipline rotates them (the r12
-    #     _read_or_empty precedent).
+    #     _read_or_empty precedent);
+    #   pipeline_curate_v4 — r13 factors its body into the shared
+    #     _curate_v4_bins tail (reused verbatim by the new
+    #     pipeline_curate_stream_twin), rotating it per the policy.
     "sim_filtered_topk", "sim_ivf_filtered_recall_floor",
     "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
     "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
     "sim_ivfpq_trained_codebook_floor", "sim_ivf_kmeanspar_recall_floor",
     "text_bpe_encode", "dedup_cluster_size_histogram",
-    "fs_late_data_impact", "dq_t_closeness", "pipeline_curate_v4",
+    "fs_late_data_impact", "dq_t_closeness",
     "sample_dsir_importance", "dedup_incremental_components",
     "text_code_switching", "sample_dsir_resample", "sim_ivf_list_skew",
     "sim_corpus_diversity",
@@ -438,6 +441,8 @@ _WINDOW_PRIORITY = [
     # automatically as non-green exact-oracle entries.
     "sim_ivfpq_filtered_recall_floor", "dedup_allpairs_prefix",
     "stream_dedup_index_twin", "stream_ivf_index_twin",
+    # the _curate_v4_bins factoring (shared with the new stream twin):
+    "pipeline_curate_v4",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

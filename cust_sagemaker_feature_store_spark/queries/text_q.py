@@ -3426,7 +3426,15 @@ FROM c GROUP BY 1 ORDER BY 1
     ),
 )
 def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return _curate_v4_bins(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_v4_bins(docs: DataFrame) -> DataFrame:
+    """The curate_v4 recipe (mixture rates -> exact per-source
+    weighted reservoir -> quality-gate curriculum packing) over an
+    arbitrary documents frame — factored (r13) so pipeline_curate_v4
+    (full corpus) and pipeline_curate_stream_twin (corpus minus the
+    dup-label store's duplicates) run literally the same tail."""
     permille = (
         F.when(F.col("source").isin("src0", "src1"), 1000)
         .when(F.col("source").isin("src2", "src3"), 500)
@@ -3685,6 +3693,117 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+@register(
+    "pipeline_curate_stream_twin",
+    oracle=f"""
+WITH RECURSIVE {SQL_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         MIN(substr(md5(shingle), 1, 8)) AS mh0,
+         MIN(substr(md5(shingle), 9, 8)) AS mh1,
+         MIN(substr(md5(shingle), 17, 8)) AS mh2,
+         MIN(substr(md5(shingle), 25, 8)) AS mh3
+  FROM d GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+),
+pedges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pedges
+  UNION
+  SELECT doc_b, doc_a FROM pedges
+),
+reach(node, label) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.dst, r.label FROM reach r JOIN und u ON u.src = r.node
+),
+cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+kept AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+),
+mix AS (
+  SELECT source, doc_id, n_chars, text
+  FROM kept
+  WHERE (doc_id * 2654435761) % 1000 <
+        CASE WHEN source IN ('src0', 'src1') THEN 1000
+             WHEN source IN ('src2', 'src3') THEN 500
+             ELSE 250 END
+),
+sel AS (
+  SELECT source, doc_id, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ln(CAST((doc_id * 2654435761) % {_WS_MOD} + 1 AS DOUBLE)
+                       / {_WS_MOD + 1}) / sqrt(CAST(n_chars AS DOUBLE)) DESC,
+                    doc_id) AS rn
+  FROM mix QUALIFY rn <= {WRES_K}
+),
+q AS (
+  SELECT source, doc_id,
+         len({SQL_TOKS}) AS n_tokens,
+         (CASE WHEN len({SQL_TOKS}) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+        + CASE WHEN len(list_filter({SQL_TOKS}, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                    * 1.0 / len({SQL_TOKS}) BETWEEN 0.01 AND 0.5 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(len(list_distinct({SQL_TOKS})) AS DOUBLE) / len({SQL_TOKS})
+                    BETWEEN 0.1 AND 0.9 THEN 1 ELSE 0 END) AS gates
+  FROM sel
+),
+c AS (
+  SELECT source, n_tokens, gates,
+         SUM(n_tokens) OVER (ORDER BY gates DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT CAST(FLOOR((cum - n_tokens) / {CURRICULUM_BIN_TOKENS}.0) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(MIN(gates) AS BIGINT) AS min_gates,
+       CAST(MAX(gates) AS BIGINT) AS max_gates,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM c GROUP BY 1 ORDER BY 1
+""",
+    description=(
+        "[EXT] end-to-end STREAMING curation twin (r12 verdict "
+        "next-round #5): the served output of the three streaming "
+        "maintainers composed — banded dedup index (who collides) -> "
+        "component label store (who merges) -> curate_v4 over the "
+        "corpus MINUS every doc whose stored label says duplicate "
+        "(label != node; the cluster's min-id canonical survives, "
+        "isolated docs never enter the store and survive untouched). "
+        "This batch twin states the same contract declaratively: "
+        "MinHash band candidates (dedup_minhash_candidates' exact "
+        "tier), large-star/small-star components (dedup_clusters), "
+        "anti-join, then literally the same _curate_v4_bins tail as "
+        "pipeline_curate_v4 — four independently-oracled tiers, one "
+        "recipe. The operational stream path (StreamingDedupIndex + "
+        "StreamingComponentStore maintained per-batch, curate served "
+        "from the stored labels) equals this twin bit-for-bit by "
+        "tests/test_streaming.py::test_curate_stream_twin_matches_batch. "
+        "Scale: pairs/components as their tiers document; the dup "
+        "drop is one anti join (dup set is corpus-scale at 100 TB — "
+        "no broadcast hint); curation unchanged."
+    ),
+)
+def pipeline_curate_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    labels = D.dup_clusters(pairs, "doc_a", "doc_b")
+    dups = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(dups, "doc_id", "anti")
+    return _curate_v4_bins(kept)
 
 
 def _sql_seg_hits(lang: str) -> str:

@@ -1237,6 +1237,43 @@ def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
     assert compact_dedup_epochs(spark, root) == 0
 
 
+def test_curate_stream_twin_matches_batch(spark, sf_dir, tmp_path):
+    """The composed streaming curation path — candidate pairs folded
+    batch-by-batch into the component LABEL STORE, curation served
+    over the corpus minus the store's duplicates — must emit exactly
+    the pipeline_curate_stream_twin batch query, bin for bin (the
+    label store converges to dup_clusters regardless of arrival
+    order, and the curate tail is literally the same function)."""
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.dedup import (
+        minhash_candidates,
+    )
+    from cust_sagemaker_feature_store_spark.queries import REGISTRY
+    from cust_sagemaker_feature_store_spark.queries.text_q import (
+        _curate_v4_bins,
+    )
+    from cust_sagemaker_feature_store_spark.streaming.components import (
+        StreamingComponentStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs, num_hashes=4, rows_per_band=2).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    store = StreamingComponentStore(
+        spark, str(tmp_path / "unused"), str(tmp_path / "cur_store")
+    )
+    for e in (0, 1, 2):  # pairs arrive in three micro-batches
+        store.process_batch(pairs.filter((F.col("src") % 3) == e), batch_id=e)
+    dups = store.labels().filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("doc_id")
+    )
+    served = _curate_v4_bins(docs.join(dups, "doc_id", "anti")).collect()
+    twin = REGISTRY["pipeline_curate_stream_twin"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in twin]
+    assert served  # non-degenerate: the curated output has bins
+
+
 def test_component_store_stream_equals_full(spark, sf_dir, tmp_path):
     """Streaming label-store maintenance over three pair batches —
     with a checkpoint restart between batch 2 and 3 — must end at
