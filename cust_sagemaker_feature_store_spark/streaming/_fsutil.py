@@ -25,6 +25,29 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API; False when
+    the path did not exist."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))
+
+
+def data_file_count(spark: SparkSession, path: str) -> int:
+    """Number of data files under a table path (recursive), excluding
+    hidden/metadata entries — the before/after metric the physical
+    compaction passes report."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    it = fs.listFiles(jpath, True)
+    n = 0
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+    return n
+
+
 def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a parquet table that may not exist yet (first micro-batch
     of a fresh index), returning an empty frame of the declared schema

@@ -37,12 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dup_clusters, incremental_components
+from ._fsutil import data_file_count, fs_delete, fs_exists, staged_swap
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    return fs_exists(spark, path)
 
 
 class StreamingComponentStore:
@@ -136,3 +135,37 @@ class StreamingComponentStore:
 
     def labels(self) -> DataFrame:
         return self.spark.read.parquet(self.store_dir).select("node", "label")
+
+
+def vacuum_component_store(spark: SparkSession, store_dir: str) -> dict[str, int]:
+    """Physical vacuum of the label store (r12 verdict next-round #6)
+    — core/maintenance.compact_offline's role for the online-store
+    bucket layout. The store never holds LOGICALLY stale rows: every
+    dirty-bucket rewrite is a dynamic partition overwrite of the
+    bucket's full fresh content, so merged-away labels are gone the
+    moment their bucket rewrites (content equality before/after is
+    the test's assertion). What a long-running stream DOES accumulate
+    is physical debris: the ``__merge_scratch`` staging sibling left
+    by the last micro-batch, and up to shuffle-partition-count small
+    files per rewritten bucket. This pass deletes the scratch sibling
+    and rewrites the store at one file per bucket (repartition on the
+    bucket column — each bucket hashes to exactly one writer task),
+    swapped in through the Hadoop FileSystem API staged-swap
+    discipline. Requires the single-writer, no-concurrent-reader
+    window (stream stopped), like every maintenance op here. Returns
+    {"files_before", "files_after"} for the store's data files."""
+    fs_delete(spark, store_dir + "__merge_scratch")
+    before = data_file_count(spark, store_dir)
+    staged = store_dir + ".__vacuum__"
+    (
+        spark.read.parquet(store_dir)
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(staged, compression="snappy")
+    )
+    staged_swap(spark, store_dir, staged)
+    return {
+        "files_before": before,
+        "files_after": data_file_count(spark, store_dir),
+    }

@@ -1328,3 +1328,20 @@ def test_component_store_stream_equals_full(spark, sf_dir, tmp_path):
             spark.read.parquet(str(d / f"b{e}.parquet")), batch_id=99 + e
         )
     assert sorted(map(tuple, store.labels().collect())) == before
+    # vacuum: content bit-identical, scratch sibling gone, one data
+    # file per bucket afterwards
+    from cust_sagemaker_feature_store_spark.streaming.components import (
+        vacuum_component_store,
+    )
+
+    scratch = store.store_dir + "__merge_scratch"
+    assert os.path.exists(scratch)  # debris from the last micro-batch
+    stats = vacuum_component_store(spark, store.store_dir)
+    assert not os.path.exists(scratch)
+    assert sorted(map(tuple, store.labels().collect())) == before
+    n_buckets_used = (
+        spark.read.parquet(store.store_dir).select("bucket").distinct().count()
+    )
+    assert stats["files_after"] == n_buckets_used <= stats["files_before"]
+    assert not [e for e in os.listdir(os.path.dirname(store.store_dir))
+                if "__vacuum__" in e or ".__old__" in e]
