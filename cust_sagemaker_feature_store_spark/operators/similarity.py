@@ -1415,24 +1415,47 @@ def ivfpq_filtered_topk(
     # the same job, and mapInPandas output is not a reusable exchange)
     index = pq_encode(embeddings, cent, codebooks, id_col, vec_col)
     index = index.localCheckpoint(eager=False)
-    q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
-    probe_cells = [int(ci) for ci in q_cells[:nprobe_eff]]
-    aware = _adc_shortlist(
-        index.join(eligible, id_col, "semi"),
-        cent, codebooks, probe_cells, q, rerank, id_col,
+    pool = _filtered_adc_pool(
+        index, eligible, cent, codebooks, q, nprobe, nprobe_eff,
+        rerank, id_col,
     )
-    # the post-filter baseline's reachable set: unfiltered shortlist at
-    # the caller's nprobe, restricted to eligible ids. Unioning it into
-    # the rerank pool makes aware >= post-filter a theorem (docstring).
-    baseline = _adc_shortlist(
-        index, cent, codebooks, [int(ci) for ci in q_cells[:nprobe]],
-        q, rerank, id_col,
-    ).join(eligible, id_col, "semi")
-    pool = aware.select(id_col).union(baseline.select(id_col)).distinct()
     return _score_cosine_topk(
         embeddings.join(F.broadcast(pool), id_col),
         [float(x) for x in q], k, id_col, vec_col,
     )
+
+
+def _filtered_adc_pool(
+    index: DataFrame,
+    eligible: DataFrame,
+    cent,
+    codebooks,
+    q,
+    nprobe: int,
+    nprobe_eff: int,
+    rerank: int,
+    id_col: str,
+) -> DataFrame:
+    """The filter-aware IVFADC rerank pool shared by the inline
+    (`ivfpq_filtered_topk`) and stored-index (`probe_ivfpq_index`)
+    paths: the eligible-only ADC shortlist over the widened
+    nprobe_eff probe, UNIONed with the eligible members of the
+    unfiltered `nprobe` shortlist — the union is what makes
+    aware >= post-filter recall structural (see ivfpq_filtered_topk's
+    docstring for the argument)."""
+    import numpy as np
+
+    q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    aware = _adc_shortlist(
+        index.join(eligible, id_col, "semi"),
+        cent, codebooks, [int(ci) for ci in q_cells[:nprobe_eff]],
+        q, rerank, id_col,
+    )
+    baseline = _adc_shortlist(
+        index, cent, codebooks, [int(ci) for ci in q_cells[:nprobe]],
+        q, rerank, id_col,
+    ).join(eligible, id_col, "semi")
+    return aware.select(id_col).union(baseline.select(id_col)).distinct()
 
 
 GRAM_SCALE = 1_000_000
@@ -1976,7 +1999,10 @@ def build_ivfpq_index(
         .parquet(paths["codes"], compression="snappy")
     )
     (
-        embeddings.select(F.col(id_col), F.col(vec_col), epoch)
+        # keep EVERY source column (not just id+vector): the filtered
+        # stored probe evaluates metadata predicates against this
+        # table (the build_ivf_index discipline)
+        embeddings.select("*", epoch)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch")
@@ -1994,31 +2020,62 @@ def probe_ivfpq_index(
     rerank: int = 150,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """IVFADC probe from the STORED index: ADC tables computed
     driver-side from the stored centroids/codebooks, shortlist from
     the stored codes of the probed (partition-pruned) cells, exact
     cosine rerank against the stored raw vectors. Mirrors
-    `ivfpq_topk`'s query path line for line over stored state."""
+    `ivfpq_topk`'s query path line for line over stored state.
+
+    `predicate` (r13, evaluated against the stored vectors table —
+    store the metadata columns there at build/stream time) turns this
+    into the stored-index form of `ivfpq_filtered_topk`: selectivity
+    measured with one aggregate over the vectors table, probe width
+    widened to nprobe/s, eligible ids semi-joined into the codes
+    BEFORE shortlist truncation (broadcast only under the measured
+    _FILTER_BROADCAST_MAX_IDS gate), and the same structural-dominance
+    pool union (`_filtered_adc_pool` — shared code, not a parallel
+    copy)."""
+    import math
+
     import numpy as np
 
     paths = _index_paths(index_root)
     cent = load_ivf_centroids(spark, index_root)
     codebooks = load_pq_codebooks(spark, index_root)
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
-    q_cells = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1), kind="stable")
-    probe_cells = [int(ci) for ci in q_cells[:nprobe]]
     index = (
         spark.read.parquet(paths["codes"])
         .withColumnRenamed("codes", "__codes")
         .withColumnRenamed("cell", "__cell")
     )
-    shortlist = _adc_shortlist(
-        index, cent, codebooks, probe_cells, q, rerank, id_col
-    )
     vectors = spark.read.parquet(paths["vectors"])
+    if predicate is None:
+        q_cells = np.argsort(
+            ((cent - q[None, :]) ** 2).sum(axis=1), kind="stable"
+        )
+        pool = _adc_shortlist(
+            index, cent, codebooks,
+            [int(ci) for ci in q_cells[:nprobe]], q, rerank, id_col,
+        ).select(id_col)
+    else:
+        sel = vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(predicate, 1)).alias("m"),
+        ).head()
+        if not sel["m"]:
+            raise ValueError("predicate matches no rows")
+        nprobe_eff = min(len(cent), math.ceil(nprobe / (sel["m"] / sel["n"])))
+        eligible = vectors.filter(predicate).select(id_col)
+        if sel["m"] <= _FILTER_BROADCAST_MAX_IDS:
+            eligible = F.broadcast(eligible)
+        pool = _filtered_adc_pool(
+            index, eligible, cent, codebooks, q, nprobe, nprobe_eff,
+            rerank, id_col,
+        )
     return _score_cosine_topk(
-        vectors.join(F.broadcast(shortlist.select(id_col)), id_col),
+        vectors.join(F.broadcast(pool), id_col),
         query_vec, k, id_col, vec_col,
     )
 
@@ -2052,8 +2109,26 @@ def grid_assign_cells(
     which is what makes the streaming index maintainer's batch twin
     ORACLE-portable (stream_ivf_index_twin) where the float path's
     argmin is not."""
+    dists = grid_distance_array(centroids, vec_col)
+    return df.withColumn(
+        out_col,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def grid_distance_array(
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+) -> Column:
+    """The exact int64 squared-L2 distance array from a grid vector to
+    every centroid — the expression `grid_assign_cells` argmins over,
+    exposed so audits can also read the chosen distance itself
+    (array_min) without re-deriving the fold. Per-vector distances
+    stay under int64 (see grid_assign_cells); SUMS across vectors must
+    go through decimal(38,0)/HUGEINT (the sim_corpus_diversity
+    discipline)."""
     gv = grid_vector(vec_col)
-    dists = F.array(
+    return F.array(
         *[
             F.aggregate(
                 F.zip_with(
@@ -2066,10 +2141,6 @@ def grid_assign_cells(
             )
             for cvec in centroids
         ]
-    )
-    return df.withColumn(
-        out_col,
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
     )
 
 

@@ -412,7 +412,11 @@ _R12_DRIVER_GREEN = [
     #     _read_or_empty precedent);
     #   pipeline_curate_v4 — r13 factors its body into the shared
     #     _curate_v4_bins tail (reused verbatim by the new
-    #     pipeline_curate_stream_twin), rotating it per the policy.
+    #     pipeline_curate_stream_twin), rotating it per the policy;
+    #   sim_ivf_list_skew — r13 factors grid_assign_cells' distance
+    #     fold into grid_distance_array (shared with the new
+    #     sim_quantizer_drift), rotating every grid_assign_cells
+    #     caller per the policy.
     "sim_filtered_topk", "sim_ivf_filtered_recall_floor",
     "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
     "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
@@ -420,7 +424,7 @@ _R12_DRIVER_GREEN = [
     "text_bpe_encode", "dedup_cluster_size_histogram",
     "fs_late_data_impact", "dq_t_closeness",
     "sample_dsir_importance", "dedup_incremental_components",
-    "text_code_switching", "sample_dsir_resample", "sim_ivf_list_skew",
+    "text_code_switching", "sample_dsir_resample",
     "sim_corpus_diversity",
     # rows-only entry whose r12 `spark_rows` evidence covers unchanged
     # code (no exact oracle exists by construction; its hash-green
@@ -443,6 +447,8 @@ _WINDOW_PRIORITY = [
     "stream_dedup_index_twin", "stream_ivf_index_twin",
     # the _curate_v4_bins factoring (shared with the new stream twin):
     "pipeline_curate_v4",
+    # the grid_distance_array factoring (shared with sim_quantizer_drift):
+    "sim_ivf_list_skew",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

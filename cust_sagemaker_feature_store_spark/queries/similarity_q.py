@@ -1522,6 +1522,85 @@ def sim_ivf_list_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANT_DRIFT_SQL = f"""
+WITH g AS (
+  SELECT vec_id, vec_id % {IVF_TWIN_EPOCHS} AS epoch,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, gv AS cv
+  FROM g WHERE vec_id < {IVF_TWIN_LISTS}
+),
+dist AS (
+  SELECT g.vec_id, g.epoch, c.cell,
+         CAST(list_sum(list_transform(range(1, 1 + len(g.gv)),
+           i -> (g.gv[i]-c.cv[i])*(g.gv[i]-c.cv[i]))) AS BIGINT) AS d2
+  FROM g CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, epoch, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM dist
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) AS sum_d2,
+       CAST(SUM(CAST(d2 AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mean_d2
+FROM best WHERE rn = 1
+GROUP BY epoch
+ORDER BY epoch
+"""
+
+
+@register(
+    "sim_quantizer_drift",
+    oracle=_QUANT_DRIFT_SQL,
+    description=(
+        "[EXT] quantizer-drift monitor — the WHEN-TO-RETRAIN signal "
+        "(r13; the ops counterpart of sim_ivf_list_skew's hot-list "
+        "view, feeding retrain_ivfpq_index's schedule): per ingest "
+        "epoch, the coarse quantization error of the FROZEN quantizer "
+        "— count + exact sum/mean of squared grid distance to the "
+        "assigned centroid. Later epochs drifting to a higher mean "
+        "than the epoch the quantizer was trained on = the data has "
+        "moved; probe quality decays before recall floors catch it. "
+        "Exact arithmetic end to end: int64 per-vector distances "
+        "(grid_distance_array — the same fold grid_assign_cells "
+        "argmins), per-epoch sums through decimal(38,0)/HUGEINT (a "
+        "64-dim grid d2 reaches ~2.6e16, corpus sums overflow int64 — "
+        "the sim_corpus_diversity discipline), ONE double conversion "
+        "+ ONE division mirrored term-for-term. One narrow assignment "
+        "pass, an epoch-sized aggregate; nothing corpus x corpus."
+    ),
+)
+def sim_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVF_TWIN_LISTS)
+        .select("vec_id", S.grid_vector("embedding").alias("gv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["gv"]] for r in cent_rows]
+    d2 = F.array_min(S.grid_distance_array(centroids, "embedding"))
+    per_vec = emb.select(
+        (F.col("vec_id") % IVF_TWIN_EPOCHS).cast("long").alias("epoch"),
+        d2.alias("d2"),
+    )
+    sum_d2 = F.sum(F.col("d2").cast("decimal(38,0)")).cast("double")
+    return (
+        per_vec.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            sum_d2.alias("sum_d2"),
+            (sum_d2 / F.count(F.lit(1))).alias("mean_d2"),
+        )
+        .orderBy("epoch")
+    )
+
+
 DIV_GRID = 1_000_000  # 1e-6 unit-vector component grid
 
 

@@ -180,7 +180,10 @@ class StreamingIvfpqIndex:
             .parquet(self.codes_dir, compression="snappy")
         )
         (
-            batch.select(F.col(self.id_col), F.col(self.vec_col), epoch)
+            # keep every batch column (metadata travels with the
+            # vectors for the filtered stored probe, same as the bulk
+            # build)
+            batch.select("*", epoch)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
@@ -367,9 +370,8 @@ def retrain_ivfpq_index(
     from ._fsutil import staged_swap_many
 
     paths = _index_paths(index_root)
-    corpus = spark.read.parquet(paths["vectors"]).select(
-        F.col(id_col), F.col(vec_col)
-    )
+    corpus_full = spark.read.parquet(paths["vectors"]).drop("epoch")
+    corpus = corpus_full.select(F.col(id_col), F.col(vec_col))
     old_books = load_pq_codebooks(spark, index_root)
     n_lists = len(load_ivf_centroids(spark, index_root))
     cent, books = retrain_quantizer(
@@ -404,7 +406,9 @@ def retrain_ivfpq_index(
         .parquet(staged["codes"], compression="snappy")
     )
     (
-        corpus.select(F.col(id_col), F.col(vec_col), epoch)
+        # all source columns survive the rebuild (metadata feeds the
+        # filtered stored probe)
+        corpus_full.select("*", epoch)
         .write.mode("overwrite")
         .partitionBy("epoch")
         .parquet(staged["vectors"], compression="snappy")

@@ -1057,6 +1057,28 @@ def test_ivfpq_index_probe_matches_inline(spark, sf_dir, tmp_path):
     ).collect()
     stored = S.probe_ivfpq_index(spark, root, q, k=10).collect()
     assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+    # filtered stored probe == inline filtered path for the same
+    # quantizer and predicate (metadata columns travel with the stored
+    # vectors; both paths measure the same selectivity, widen to the
+    # same nprobe_eff, and build the same structural-dominance pool)
+    pred = F.col("label") >= 5
+    want = S.ivfpq_filtered_topk(
+        emb, q, pred, k=10, n_lists=8, nprobe=2,
+        cent=cent, codebooks=books,
+    ).collect()
+    got = S.probe_ivfpq_index(
+        spark, root, q, k=10, nprobe=2, predicate=pred
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(
+        r["label"] >= 5
+        for r in emb.join(
+            spark.createDataFrame(
+                [(x["vec_id"],) for x in got], "vec_id long"
+            ),
+            "vec_id",
+        ).collect()
+    )
 
 
 def test_grid_assign_cells_exact_ties(spark):
