@@ -3,13 +3,15 @@
 Images/audio/video are opaque `binary` columns with a typed metadata
 struct; all Spark-side plumbing — schema, partition-preserving
 mapInPandas, Arrow batch shapes — is real and tested. The codec layer
-has two REAL paths with zero dependencies: uncompressed 24-bit BMP
+has three REAL paths with zero dependencies: uncompressed 24-bit BMP
 (`encode_bmp`/`decode_bmp`, pure numpy + struct — header parse, row
-padding, both row orders) and 8-bit truecolor PNG
+padding, both row orders), 8-bit truecolor PNG
 (`encode_png`/`decode_png`, stdlib zlib + all five RFC 2083 scanline
-filters), which `decode_media` dispatches on the BM / \\x89PNG magics.
-Remaining compressed formats (JPEG/audio/video) still need
-PIL/libsndfile/ffmpeg, absent in this container: for those,
+filters), and 16-bit PCM RIFF/WAVE audio (`encode_wav`/`decode_wav`,
+r13 — chunk walk with odd-length padding, zero-copy PCM
+reinterpret); `decode_media` dispatches on the BM / \\x89PNG / RIFF
+magics. Remaining compressed formats (JPEG, compressed audio, video)
+still need PIL/libsndfile/ffmpeg, absent in this container: for those,
 `decode_media(..., strict=True)` raises NotImplementedError at the
 exact hook point, and strict=False falls back to a clearly-marked
 deterministic fake.
@@ -292,15 +294,90 @@ def decode_png(content: bytes):
     return out
 
 
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit integer PCM: an (N,) mono
+    or (N, C) interleavable int16 array becomes the canonical
+    fmt+data layout. Pure numpy + struct; the format is public
+    (Microsoft RIFF WAVE, fmt tag 1 = PCM)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError("encode_wav expects an (N,) or (N, C) array")
+    ch = s.shape[1]
+    data = s.astype("<i2").tobytes()  # row-major = interleaved frames
+    block = 2 * ch
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(content: bytes):
+    """Real pure-stdlib RIFF/WAVE decoder for 16-bit integer PCM
+    (format tag 1): chunk walk honoring RIFF's odd-length padding
+    byte and skipping unknown chunks (LIST, fact, ...), then one
+    zero-copy reinterpret of the data payload. Returns
+    (samples as (N, C) int16 numpy, sample_rate). Raises ValueError
+    on non-WAV/corrupt bytes and NotImplementedError on non-PCM
+    encodings (IEEE float, ADPCM, mu-law) or bit depths != 16 — the
+    gate that remains for formats needing a real codec library."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", content, pos + 4)
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = payload
+        elif tag == b"data":
+            data = payload
+        pos += 8 + length + (length & 1)  # odd chunks pad one byte
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    if len(fmt) < 16:
+        raise ValueError("fmt chunk too short")
+    fmt_tag, ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if fmt_tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format tag {fmt_tag} / {bits}-bit needs a real codec "
+            "library; only 16-bit integer PCM decodes here"
+        )
+    if ch < 1 or block != 2 * ch or len(data) % block:
+        raise ValueError("inconsistent WAV block alignment")
+    return np.frombuffer(data, dtype="<i2").reshape(-1, ch), int(rate)
+
+
 def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]:
     """The codec hook. Uncompressed 24-bit BMP and 8-bit truecolor PNG
     images decode FOR REAL (pure-numpy `decode_bmp` / stdlib-zlib
     `decode_png`): the feature vector is [width, height, mean_r,
     mean_g, mean_b] with exact int sums and one division each (PNG
     alpha, when present, is ignored for the shared 5-float shape).
-    Everything else still needs PIL/libsndfile/ffmpeg, absent in this
-    container: strict=True raises for those formats; strict=False falls
-    back to the deterministic fake."""
+    16-bit PCM RIFF/WAVE audio decodes FOR REAL too (`decode_wav`,
+    r13): [sample_rate, n_channels, n_frames, mean_abs,
+    zero_crossings] — exact int64 |sample| sum with ONE division, and
+    strict sign-change crossings on channel 0. Everything else still
+    needs PIL/libsndfile/ffmpeg, absent in this container:
+    strict=True raises for those formats; strict=False falls back to
+    the deterministic fake."""
     px = None
     if kind == "image" and content:
         if content[:2] == b"BM" and len(content) >= 54:
@@ -312,11 +389,21 @@ def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]
         sums = px[:, :, :3].reshape(-1, 3).sum(axis=0, dtype="int64")
         n = h * w
         return [float(w), float(h)] + [float(int(s)) / n for s in sums]
+    if kind == "audio" and content[:4] == b"RIFF":
+        import numpy as np
+
+        s, rate = decode_wav(content)
+        n, ch = s.shape
+        mean_abs = float(int(np.abs(s.astype(np.int64)).sum())) / (n * ch)
+        c0 = s[:, 0].astype(np.int64)
+        zc = int(((c0[:-1] * c0[1:]) < 0).sum()) if n > 1 else 0
+        return [float(rate), float(ch), float(n), mean_abs, float(zc)]
     if strict:
         raise NotImplementedError(
-            "real media decoding beyond uncompressed BMP and 8-bit "
-            "truecolor PNG requires PIL/libsndfile/ffmpeg, not present "
-            "in this environment; wire the codec here"
+            "real media decoding beyond uncompressed BMP, 8-bit "
+            "truecolor PNG, and 16-bit PCM WAV requires "
+            "PIL/libsndfile/ffmpeg, not present in this environment; "
+            "wire the codec here"
         )
     return fake_decode_features(content)
 

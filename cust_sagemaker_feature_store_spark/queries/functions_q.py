@@ -319,6 +319,99 @@ def udf_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_BMP_FEATURES_SCHEMA)
 
 
+_WAV_FEATURES_SCHEMA = (
+    "media_id long, sample_rate long, n_channels long, n_frames long, "
+    "n_bytes long, sum_abs long, mean_abs double, zero_crossings long"
+)
+
+
+@register(
+    "udf_multimodal_wav",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id AS media_id,
+         CAST(16 + doc_id % 17 AS BIGINT) AS n_frames,
+         CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) AS sample_rate
+  FROM documents
+),
+samp AS (
+  SELECT media_id, n_frames, sample_rate, i.i AS i,
+         (media_id * 37 + i.i * 251) % 4001 - 2000 AS s
+  FROM frames, unnest(generate_series(0, n_frames - 1)) AS i(i)
+),
+x AS (
+  SELECT media_id, n_frames, sample_rate, i, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+  FROM samp
+)
+SELECT media_id, sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       n_frames,
+       CAST(44 + 2 * n_frames AS BIGINT) AS n_bytes,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(SUM(ABS(s)) AS DOUBLE) / n_frames AS mean_abs,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM x GROUP BY 1, 2, 3, 4, 5
+""",
+    description=(
+        "[EXT] REAL audio decode path, oracle-pinned (r13 — the "
+        "de-gated audio rung of the multimodal ladder next to BMP/"
+        "PNG): per document a deterministic mono PCM waveform "
+        "(n = 16 + id%17 frames, sample i = (id*37 + i*251) % 4001 - "
+        "2000, rate 8000 + (id%4)*2000) is ENCODED as a 16-bit "
+        "RIFF/WAVE file and decoded back by the pure-stdlib "
+        "decode_wav inside mapInPandas — real chunk walk, fmt parse, "
+        "zero-copy PCM reinterpret, zero codec dependencies. Features "
+        "are exact integers: |sample| sum (one division for the "
+        "mean), strict sign-change zero crossings, byte size. The "
+        "oracle never sees WAV bytes: it regenerates the waveform "
+        "from the integer rule, so any decoder bug (chunk offsets, "
+        "endianness, block alignment) breaks the hash. Narrow per-row "
+        "transform, no shuffle; compressed audio stays env-gated."
+    ),
+)
+def udf_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 16 + mid % 17
+                rate = 8000 + (mid % 4) * 2000
+                i = np.arange(n, dtype=np.int64)
+                s = (mid * 37 + i * 251) % 4001 - 2000
+                wav = encode_wav(s.astype(np.int16), rate)
+                dec, dec_rate = decode_wav(wav)  # the REAL decode
+                c0 = dec[:, 0].astype(np.int64)
+                sum_abs = int(np.abs(c0).sum())
+                zc = int(((c0[:-1] * c0[1:]) < 0).sum())
+                rows.append(
+                    (
+                        mid, dec_rate, dec.shape[1], dec.shape[0],
+                        len(wav), sum_abs,
+                        float(sum_abs) / dec.shape[0], zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "n_bytes", "sum_abs", "mean_abs", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_WAV_FEATURES_SCHEMA)
+
+
 @register(
     "agg_approx_distinct",
     oracle=None,  # HLL estimate is engine-specific; exactness checked in tests

@@ -418,6 +418,70 @@ def test_decode_media_dispatches_png_for_real():
     assert feats[2:] == [float(m) for m in means]
 
 
+def test_wav_codec_round_trips_pcm():
+    """encode_wav/decode_wav: mono and stereo int16 PCM round-trip
+    bit-exactly; the chunk walk skips unknown chunks and honors RIFF's
+    odd-length padding byte."""
+    import struct
+
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    mono = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and s.shape == (6, 1)
+    assert np.array_equal(s[:, 0], mono)
+    stereo = np.array([[1, -1], [200, -200], [0, 5]], dtype=np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and np.array_equal(s2, stereo)
+    # insert an unknown odd-length chunk between fmt and data: the
+    # walk must skip it plus its pad byte and still find the PCM
+    wav = encode_wav(mono, 8000)
+    fmt_end = wav.index(b"data")
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    patched = wav[:fmt_end] + odd + wav[fmt_end:]
+    s3, rate3 = decode_wav(patched)
+    assert rate3 == 8000 and np.array_equal(s3[:, 0], mono)
+
+
+def test_wav_decoder_gates_and_errors():
+    """decode_wav: non-PCM/non-16-bit formats raise
+    NotImplementedError (the documented env gate); corrupt streams
+    raise ValueError; decode_media dispatches RIFF audio for real with
+    exact integer features."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_media,
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav(np.array([5, -5, 5], dtype=np.int16), 8000)
+    # flip the fmt tag to 3 (IEEE float): gated, not silently wrong
+    i = wav.index(b"fmt ") + 8
+    floaty = wav[:i] + struct.pack("<H", 3) + wav[i + 2 :]
+    with pytest.raises(NotImplementedError):
+        decode_wav(floaty)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+    # real dispatch: [rate, channels, frames, mean_abs, crossings]
+    feats = decode_media(wav, "audio", strict=True)
+    assert feats == [8000.0, 1.0, 3.0, 5.0, 2.0]
+    # non-RIFF audio still falls to the gate under strict
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xfbmp3 frame", "audio", strict=True)
+
+
 def test_conformal_coverage_guarantee(spark, sf_dir):
     # split-conformal marginal coverage: >= 1 - alpha in expectation;
     # allow finite-sample slack below and sanity-bound above
