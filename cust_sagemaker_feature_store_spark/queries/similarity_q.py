@@ -1601,6 +1601,110 @@ def sim_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SILHOUETTE_SQL = f"""
+WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, gv AS cv
+  FROM g WHERE vec_id < {IVF_TWIN_LISTS}
+),
+dist AS (
+  SELECT g.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, 1 + len(g.gv)),
+           i -> (g.gv[i]-c.cv[i])*(g.gv[i]-c.cv[i]))) AS BIGINT) AS d2
+  FROM g CROSS JOIN cent c
+),
+r1 AS (
+  SELECT vec_id, cell, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+  FROM dist
+),
+ab AS (
+  SELECT a.vec_id, a.cell, a.d2 AS a2, b.d2 AS b2
+  FROM r1 a JOIN r1 b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+),
+s AS (
+  SELECT vec_id, cell,
+         CASE WHEN b2 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(
+                (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                / sqrt(CAST(b2 AS DOUBLE)) * 1000000000) AS BIGINT)
+         END AS sg
+  FROM ab
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(sg) AS BIGINT) AS sil_grid_sum,
+       CAST(SUM(sg) AS DOUBLE) / 1000000000 / COUNT(*) AS mean_silhouette
+FROM s GROUP BY cell ORDER BY cell
+"""
+
+
+@register(
+    "sim_silhouette_cells",
+    oracle=_SILHOUETTE_SQL,
+    description=(
+        "[EXT] per-cell SIMPLIFIED SILHOUETTE of the frozen coarse "
+        "quantizer (Hruschka et al.'s centroid-based variant — O(n*k), "
+        "the form that exists at corpus scale where the classic "
+        "O(n^2) pairwise silhouette does not): per vector, a = "
+        "distance to its assigned centroid, b = distance to the "
+        "nearest OTHER centroid (second-smallest, ties by value), "
+        "s = (b - a)/b in [0, 1]; per-cell mean says which inverted "
+        "lists are well-separated and which bleed into a neighbor — "
+        "completing the quantizer ops triptych with sim_ivf_list_skew "
+        "(balance) and sim_quantizer_drift (freshness). Cross-engine "
+        "exact: int64 grid distances (grid_distance_array), sqrt is "
+        "correctly rounded IEEE on identical int64 inputs, the ratio "
+        "mirrored term-for-term and snapped to the 1e-9 grid before "
+        "the int64 sum (the ml_woe_iv convention), ONE division pair "
+        "for the mean. One narrow pass + a k-sized aggregate."
+    ),
+)
+def sim_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVF_TWIN_LISTS)
+        .select("vec_id", S.grid_vector("embedding").alias("gv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["gv"]] for r in cent_rows]
+    x = emb.withColumn(
+        "__d", S.grid_distance_array(centroids, "embedding")
+    ).select(
+        "vec_id",
+        (F.array_position(F.col("__d"), F.array_min("__d")) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.array_min("__d").alias("a2"),
+        F.array_sort("__d")[1].alias("b2"),
+    )
+    a_d = F.sqrt(F.col("a2").cast("double"))
+    b_d = F.sqrt(F.col("b2").cast("double"))
+    sg = F.when(F.col("b2") == 0, F.lit(0).cast("long")).otherwise(
+        F.round((b_d - a_d) / b_d * F.lit(1_000_000_000.0)).cast("long")
+    )
+    return (
+        x.select("cell", sg.alias("sg"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("sg").cast("long").alias("sil_grid_sum"),
+            (
+                F.sum("sg").cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.count(F.lit(1))
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
+    )
+
+
 DIV_GRID = 1_000_000  # 1e-6 unit-vector component grid
 
 
