@@ -64,6 +64,54 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched exact KNN (r13): EVERY query row scored against the
+    corpus in one pass — the bulk-serving shape (score a batch of Q
+    user/query vectors at once) next to the single-vector
+    `cosine_topk`. The query table broadcasts (Q is a serving batch,
+    not a corpus), each corpus row fans out to Q scored rows, and the
+    per-query top-k compiles to WindowGroupLimit — each partition
+    keeps <= k rows PER QUERY before the shuffle, so the exchange
+    carries O(partitions * Q * k), never the corpus.
+
+    Scale note: corpus-pass cost is O(n * Q * d); for large Q route
+    each query through the stored IVF/IVFADC index instead (probes
+    are partition-pruned directory reads). Scores use the same
+    round-6 + id tie-break contract as cosine_topk, so results are
+    oracle-pinnable cross-engine. Returns
+    (query_id, rank, id, cosine_sim)."""
+    scored = embeddings.join(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col), as_double(query_vec_col).alias("__qv")
+            )
+        )
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), F.col("__qv")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cosine_sim")
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def _to_ml_vector(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 

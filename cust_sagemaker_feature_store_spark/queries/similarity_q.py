@@ -1601,6 +1601,57 @@ def sim_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_Q = 4  # serving-batch size for the batched-KNN surface
+
+
+@register(
+    "sim_batch_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {BATCH_Q}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, cosine_sim
+FROM r WHERE rn <= {TOP_K}
+ORDER BY query_id, rank
+""",
+    description=(
+        "[EXT] batched exact KNN (r13 — the bulk-serving surface next "
+        f"to the single-vector sim_cosine_topk): {BATCH_Q} query "
+        "vectors scored against the corpus in ONE pass via a "
+        "broadcast of the query batch, per-query top-10 by the same "
+        "round-6 cosine + id tie-break contract, compiled to "
+        "WindowGroupLimit (each partition keeps <= k rows PER QUERY "
+        "before the shuffle — the exchange carries O(parts*Q*k), "
+        "never the corpus). For a large Q, serve each query from the "
+        "stored IVF/IVFADC index instead; this is the exact baseline "
+        "those probes are graded against, in batch form."
+    ),
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.cosine_topk_batch(emb, queries, k=TOP_K)
+
+
 _SILHOUETTE_SQL = f"""
 WITH g AS (
   SELECT vec_id,
