@@ -1237,6 +1237,42 @@ def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
     assert compact_dedup_epochs(spark, root) == 0
 
 
+def test_streaming_reservoir_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming weighted reservoir must converge to EXACTLY the
+    batch sample_weighted_reservoir regardless of arrival order or
+    batch boundaries (the E-S key is a pure row function, so top-k is
+    an associative idempotent fold), and a replayed batch must change
+    nothing."""
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.queries import REGISTRY
+    from cust_sagemaker_feature_store_spark.streaming.reservoir import (
+        StreamingWeightedReservoir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    res = StreamingWeightedReservoir(
+        spark, str(tmp_path / "unused"), str(tmp_path / "wres_store")
+    )
+    # three batches, deliberately NOT in doc_id order
+    for b, e in enumerate((2, 0, 1)):
+        res.process_batch(docs.filter(F.col("doc_id") % 3 == e), batch_id=b)
+    got = sorted(map(tuple, res.sample().select(
+        "source", "doc_id", "n_chars", "sample_rank").collect()))
+    want = sorted(map(tuple, REGISTRY["sample_weighted_reservoir"]
+                      .fn(spark, sf_dir).collect()))
+    assert got == want and got
+    # idempotent replay: re-applying an already-absorbed batch
+    res.process_batch(docs.filter(F.col("doc_id") % 3 == 0), batch_id=9)
+    got2 = sorted(map(tuple, res.sample().select(
+        "source", "doc_id", "n_chars", "sample_rank").collect()))
+    assert got2 == want
+    # the store stays sample-sized: exactly k rows per source
+    per_src = res.sample().groupBy("source").count().collect()
+    assert all(r["count"] == res.k for r in per_src)
+
+
 def test_curate_stream_twin_matches_batch(spark, sf_dir, tmp_path):
     """The composed streaming curation path — candidate pairs folded
     batch-by-batch into the component LABEL STORE, curation served
