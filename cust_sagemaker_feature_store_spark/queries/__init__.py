@@ -333,15 +333,24 @@ _R10_DRIVER_GREEN = [
     #     explicit (ADVICE r10 #3);
     #   ml_subsample_stability — r11 replaces the double-division bit
     #     test with integer shiftright (ADVICE r10 #4).
+    # ml_shapley_r2 / ml_learning_curve REMOVED: r13's first full
+    # sf0.1 registry replica caught a one-ULP cross-engine divergence
+    # in their cancellation-heavy sufficient-statistic ratios (native
+    # FMA contraction of a*b - c*d vs the JVM's strict evaluation);
+    # both now snap outputs onto the 1e-12 grid, rotating them.
+    # graph_bfs_depths REMOVED: the same sf0.1 replica blew DuckDB's
+    # temp disk because the oracle's chained CTEs re-evaluated
+    # ~2^depth times when inlined; every CTE is now MATERIALIZED,
+    # rotating it (oracle-text change, same values).
     "dedup_phash_pairs", "dq_k_anonymity", "events_holt_trend",
     "events_markov_attribution", "events_rolling_slope",
-    "fs_snapshot_drift_psi", "graph_bfs_depths", "graph_closeness_seeds",
+    "fs_snapshot_drift_psi", "graph_closeness_seeds",
     "graph_kcore_floor", "graph_label_propagation",
     "graph_link_prediction", "graph_modularity_lpa",
     "graph_pagerank_deep", "graph_pagerank_parts", "graph_ppr_seeds",
     "ml_conformal_coverage", "ml_group_influence",
-    "ml_isotonic_calibration", "ml_item_item_cf", "ml_learning_curve",
-    "ml_shapley_r2", "ml_woe_iv", "pipeline_curriculum_pack",
+    "ml_isotonic_calibration", "ml_item_item_cf",
+    "ml_woe_iv", "pipeline_curriculum_pack",
     "pipeline_dataset_card", "retrieval_mmr_rerank",
     "retrieval_ndcg_eval", "retrieval_prf_expansion",
     "stream_asof_twin", "stream_dedup_twin", "text_bpe_fertility",
@@ -449,6 +458,8 @@ _WINDOW_PRIORITY = [
     "pipeline_curate_v4",
     # the grid_distance_array factoring (shared with sim_quantizer_drift):
     "sim_ivf_list_skew",
+    # the sf0.1-replica FMA/temp-disk fixes (see the _R10 exclusions):
+    "ml_shapley_r2", "ml_learning_curve", "graph_bfs_depths",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

@@ -355,25 +355,31 @@ BFS_MAX_DEPTH = 6
 
 
 def _bfs_oracle(max_depth: int) -> str:
+    # every CTE is MATERIALIZED on purpose: e is referenced once per
+    # level and each k{i-1} TWICE per level (the NOT IN visited check
+    # plus the union), so an inlined plan re-evaluates the whole chain
+    # ~2^depth times — at sf0.1 that spilled >80 GB of DuckDB temp and
+    # failed the replica on disk (r13); materialized, each level is
+    # computed exactly once.
     parts = [
         """
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 ),
-k0 AS (SELECT MIN(s) AS node, CAST(0 AS BIGINT) AS depth FROM e),
-f0 AS (SELECT node FROM k0)"""
+k0 AS MATERIALIZED (SELECT MIN(s) AS node, CAST(0 AS BIGINT) AS depth FROM e),
+f0 AS MATERIALIZED (SELECT node FROM k0)"""
     ]
     for i in range(1, max_depth + 1):
         parts.append(
             f""",
-f{i} AS (
+f{i} AS MATERIALIZED (
   SELECT DISTINCT e.d AS node
   FROM e JOIN f{i - 1} ON e.s = f{i - 1}.node
   WHERE e.d NOT IN (SELECT node FROM k{i - 1})
 ),
-k{i} AS (
+k{i} AS MATERIALIZED (
   SELECT node, depth FROM k{i - 1}
   UNION ALL
   SELECT node, CAST({i} AS BIGINT) AS depth FROM f{i}

@@ -1069,12 +1069,18 @@ f AS (
           + ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * c2y) / cyy AS r2_12
   FROM c
 )
-SELECT 'quantity' AS feature, n, r2_1 AS r2_alone, r2_12 AS r2_full,
-       0.5 * r2_1 + 0.5 * (r2_12 - r2_2) AS shapley_phi
+SELECT 'quantity' AS feature, n,
+       CAST(ROUND(r2_1 * 1000000000000) AS BIGINT) / 1000000000000.0 AS r2_alone,
+       CAST(ROUND(r2_12 * 1000000000000) AS BIGINT) / 1000000000000.0 AS r2_full,
+       CAST(ROUND((0.5 * r2_1 + 0.5 * (r2_12 - r2_2)) * 1000000000000) AS BIGINT)
+         / 1000000000000.0 AS shapley_phi
 FROM f
 UNION ALL
-SELECT 'discount' AS feature, n, r2_2 AS r2_alone, r2_12 AS r2_full,
-       0.5 * r2_2 + 0.5 * (r2_12 - r2_1) AS shapley_phi
+SELECT 'discount' AS feature, n,
+       CAST(ROUND(r2_2 * 1000000000000) AS BIGINT) / 1000000000000.0 AS r2_alone,
+       CAST(ROUND(r2_12 * 1000000000000) AS BIGINT) / 1000000000000.0 AS r2_full,
+       CAST(ROUND((0.5 * r2_2 + 0.5 * (r2_12 - r2_1)) * 1000000000000) AS BIGINT)
+         / 1000000000000.0 AS shapley_phi
 FROM f
 """,
     description=(
@@ -1125,23 +1131,32 @@ def ml_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2_2.alias("r2_2"),
         r2_12.alias("r2_12"),
     )
+    # r13: snap every ratio output onto the 1e-12 grid — the unsnapped
+    # r2_12 diverged from DuckDB by one ULP at sf0.1 (native FMA
+    # contraction of a*b - c*d vs the JVM's strict evaluation; the
+    # ml_learning_curve comment has the full analysis). Phis snap
+    # INDEPENDENTLY, so the efficiency axiom holds to 3 grid units,
+    # not exactly (the test's tolerance reflects that).
+    snap = lambda c: F.round(c * F.lit(1e12)).cast("long") / F.lit(1e12)  # noqa: E731
     q = base.select(
         F.lit("quantity").alias("feature"),
         "n",
-        F.col("r2_1").alias("r2_alone"),
-        F.col("r2_12").alias("r2_full"),
-        (F.lit(0.5) * F.col("r2_1") + F.lit(0.5) * (F.col("r2_12") - F.col("r2_2"))).alias(
-            "shapley_phi"
-        ),
+        snap(F.col("r2_1")).alias("r2_alone"),
+        snap(F.col("r2_12")).alias("r2_full"),
+        snap(
+            F.lit(0.5) * F.col("r2_1")
+            + F.lit(0.5) * (F.col("r2_12") - F.col("r2_2"))
+        ).alias("shapley_phi"),
     )
     d = base.select(
         F.lit("discount").alias("feature"),
         "n",
-        F.col("r2_2").alias("r2_alone"),
-        F.col("r2_12").alias("r2_full"),
-        (F.lit(0.5) * F.col("r2_2") + F.lit(0.5) * (F.col("r2_12") - F.col("r2_1"))).alias(
-            "shapley_phi"
-        ),
+        snap(F.col("r2_2")).alias("r2_alone"),
+        snap(F.col("r2_12")).alias("r2_full"),
+        snap(
+            F.lit(0.5) * F.col("r2_2")
+            + F.lit(0.5) * (F.col("r2_12") - F.col("r2_1"))
+        ).alias("shapley_phi"),
     )
     return q.unionByName(d)
 
@@ -1170,12 +1185,14 @@ a AS (
 )
 SELECT CAST(num AS DOUBLE) / den AS train_frac,
        CAST(n AS BIGINT) AS n,
-       (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-         / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope,
-       ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       CAST(ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         * 1000000000000) AS BIGINT) / 1000000000000.0 AS slope,
+       CAST(ROUND(((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
         * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)))
          / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS r2
+            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+         * 1000000000000) AS BIGINT) / 1000000000000.0 AS r2
 FROM a
 """,
     description=(
@@ -1227,11 +1244,21 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     syyd = F.col("syy").cast("double")
     sxyd = F.col("sxy").cast("double")
     num = nd * sxyd - sxd * syd
+    # r13: snap the ratio outputs onto the 1e-12 grid. The unsnapped
+    # doubles diverged by one ULP from DuckDB at sf0.1 — native builds
+    # may contract a*b - c*d into an FMA while the JVM never does, so
+    # the "mirror the IEEE op tree" discipline alone is not sufficient
+    # for these cancellation-heavy sufficient-statistic ratios; the
+    # grid snap (the ml_woe_iv convention) absorbs the contraction.
+    snap = lambda c: F.round(c * F.lit(1e12)).cast("long") / F.lit(1e12)  # noqa: E731
     return a.select(
         (F.col("num").cast("double") / F.col("den")).alias("train_frac"),
         F.col("n").cast("long").alias("n"),
-        (num / (nd * sxxd - sxd * sxd)).alias("slope"),
-        ((num * num) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))).alias("r2"),
+        snap(num / (nd * sxxd - sxd * sxd)).alias("slope"),
+        snap(
+            (num * num)
+            / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        ).alias("r2"),
     )
 
 

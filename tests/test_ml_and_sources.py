@@ -581,7 +581,9 @@ def test_shapley_r2_efficiency_axiom(spark, sf_dir):
     assert len(rows) == 2
     phi_sum = sum(r["shapley_phi"] for r in rows)
     r2_full = rows[0]["r2_full"]
-    assert abs(phi_sum - r2_full) < 1e-12
+    # outputs snap independently onto the 1e-12 grid (r13 — the
+    # cross-engine FMA fix), so efficiency holds to 3 grid units
+    assert abs(phi_sum - r2_full) < 5e-12
     for r in rows:
         assert 0.0 <= r["r2_alone"] <= 1.0 + 1e-12
 
