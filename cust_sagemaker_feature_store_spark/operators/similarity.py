@@ -2248,3 +2248,61 @@ def grid_pq_codes(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return out.withColumn(codes_col, F.array(*blocks))
+
+
+def sq8_bounds(df: DataFrame, vec_col: str = "embedding") -> tuple[list[int], list[int]]:
+    """Per-dimension (min, range) of the grid-snapped corpus — the SQ8
+    trained parameters. One flat aggregation pass (2*dim aggregates,
+    map-side combined); only the dim-sized bound vectors reach the
+    driver. Exact int64 min/max on the 1e-6 grid, so the bounds — and
+    therefore every code — are bit-identical in any exact-int engine."""
+    gv = grid_vector(vec_col)
+    dim = len(df.select(gv.alias("g")).head()["g"])
+    row = df.select(gv.alias("g")).agg(
+        *[F.min(F.element_at("g", i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at("g", i + 1)).alias(f"mx{i}") for i in range(dim)],
+    ).head()
+    mins = [int(row[f"mn{i}"]) for i in range(dim)]
+    ranges = [int(row[f"mx{i}"]) - mins[i] for i in range(dim)]
+    return mins, ranges
+
+
+def sq8_scores(
+    df: DataFrame,
+    mins: list[int],
+    ranges: list[int],
+    query_grid: list[int],
+    vec_col: str = "embedding",
+    score_col: str = "sq8_score",
+) -> DataFrame:
+    """Asymmetric SQ8 scoring, exactly: each grid component quantizes
+    to an 8-bit code q = (x - mn) * 255 div rg, reconstructs to
+    xh = mn + (q * rg) div 255, and the approximate inner product
+    sums xh_i * query_i over the EXACT (unquantized) grid query —
+    the asymmetric-distance trick from the FAISS SQ family: only the
+    corpus is compressed 8x, the query stays full precision. All
+    integer (`div`), so scores are oracle-exact; |xh| <= ~1e7 grid
+    units and 64 dims keep the sum far under int64. Codes never
+    materialize — quantize+reconstruct fuses into one expression, so
+    the scan stays one narrow JVM-side pass (at serving scale the
+    codes ARE the stored column; reconstruction cost is unchanged)."""
+    mn = "array(" + ",".join(f"{m}L" for m in mins) + ")"
+    rg = "array(" + ",".join(f"{r}L" for r in ranges) + ")"
+    q = "array(" + ",".join(f"{x}L" for x in query_grid) + ")"
+    dot = (
+        "aggregate(zip_with(zip_with(zip_with(zip_with(__gv, "
+        + mn
+        + ", (x, m) -> x - m), "
+        + rg
+        + ", (d, r) -> CASE WHEN r = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE ((d * 255) div r) * r div 255 END), "
+        + mn
+        + ", (o, m) -> o + m), "
+        + q
+        + ", (a, qq) -> a * qq), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        df.withColumn("__gv", grid_vector(vec_col))
+        .withColumn(score_col, F.expr(dot))
+        .drop("__gv")
+    )

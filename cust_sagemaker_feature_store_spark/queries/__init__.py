@@ -18,6 +18,7 @@ from . import similarity_q  # noqa: E402,F401
 from . import functions_q  # noqa: E402,F401
 from . import relational7_q  # noqa: E402,F401
 from . import relational8_q  # noqa: E402,F401
+from . import sketches_q  # noqa: E402,F401
 
 # -- registry ordering ---------------------------------------------------
 #

@@ -1844,3 +1844,129 @@ def sim_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(DIV_GRID) * float(DIV_GRID))
         ).alias("mean_pairwise_cosine"),
     )
+
+
+SQ8_SHORTLIST = 100
+SQ8_RECALL_FLOOR = 8  # of TOP_K=10; measured 10/10 at all three SFs
+
+_SQ8_SQL = f"""
+WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+dims AS (
+  SELECT i, MIN(v) AS mn, MAX(v) - MIN(v) AS rg
+  FROM (SELECT unnest(gv) AS v, generate_subscripts(gv, 1) AS i FROM g)
+  GROUP BY i
+),
+b AS (
+  SELECT list(mn ORDER BY i) AS mns, list(rg ORDER BY i) AS rgs FROM dims
+),
+q AS (SELECT gv AS qv FROM g WHERE vec_id = {QUERY_VEC_ID}),
+approx AS (
+  SELECT g.vec_id,
+         CAST(list_sum(list_transform(range(1, 1 + len(g.gv)),
+           i -> (CASE WHEN b.rgs[i] = 0 THEN b.mns[i]
+                      ELSE b.mns[i]
+                           + ((g.gv[i] - b.mns[i]) * 255 // b.rgs[i])
+                             * b.rgs[i] // 255 END) * q.qv[i]))
+           AS BIGINT) AS sq8_score
+  FROM g, b, q
+),
+short AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY sq8_score DESC, vec_id) AS rn
+  FROM approx
+),
+qf AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID}
+),
+rerank AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), qf.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS cosine_sim
+  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, qf
+  WHERE s.rn <= {SQ8_SHORTLIST}
+),
+sq8_top AS (
+  SELECT vec_id FROM rerank ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+),
+exact_top AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           ROUND(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), qf.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS cosine_sim
+    FROM embeddings e, qf
+  ) ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+)
+SELECT 'sq8' AS method,
+       CAST({SQ8_SHORTLIST} AS BIGINT) AS shortlist_size,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM sq8_top JOIN exact_top USING (vec_id))
+            AS BIGINT) AS recall_num,
+       (SELECT COUNT(*) FROM sq8_top JOIN exact_top USING (vec_id))
+         >= {SQ8_RECALL_FLOOR} AS recall_ok
+"""
+
+
+@register(
+    "sim_sq8_recall_floor",
+    oracle=_SQ8_SQL,
+    description=(
+        "[EXT] int8 scalar quantization (SQ8) ANN rung, ORACLE-EXACT: "
+        "per-dim (min, range) bounds on the 1e-6 grid compress the "
+        "corpus 8x; candidates rank by the ASYMMETRIC reconstructed "
+        "inner product (corpus quantized, query full-precision — the "
+        "FAISS SQ trick) in pure integer `div` arithmetic, so the "
+        f"shortlist, the rerank, and recall_num are all bit-identical "
+        "cross-engine — unlike the float IVF path, whose floors are "
+        "measured, this one's recall is itself hash-pinned. Top-"
+        f"{SQ8_SHORTLIST} shortlist by TakeOrdered, exact 6dp-grid "
+        "cosine rerank on the shortlist only, recall vs the exact "
+        f"top-{TOP_K} (measured {TOP_K}/{TOP_K} at all three SFs; "
+        f"floor {SQ8_RECALL_FLOOR} allows boundary ties to move). "
+        "100 TB story: SQ8 is the cheapest memory tier — bounds are "
+        "one flat 2d-aggregate pass, scoring is one narrow scan, and "
+        "the same codes drop into the IVF cells as a PQ alternative "
+        "(FAISS IndexIVFScalarQuantizer shape)."
+    ),
+)
+def sim_sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, ranges = S.sq8_bounds(emb)
+    qgrid = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(S.grid_vector("embedding").alias("g"))
+        .head()["g"]
+    ]
+    short = (
+        S.sq8_scores(emb, mins, ranges, qgrid)
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(SQ8_SHORTLIST)
+        .select("vec_id")
+    )
+    qvec = _query_vector(spark, sf_dir)
+    sq8_top = S.cosine_topk(
+        emb.join(F.broadcast(short), "vec_id"), qvec, k=TOP_K
+    ).select("vec_id")
+    exact_top = S.cosine_topk(emb, qvec, k=TOP_K).select("vec_id")
+    hits = sq8_top.join(exact_top, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("recall_num")
+    )
+    return hits.select(
+        F.lit("sq8").alias("method"),
+        F.lit(SQ8_SHORTLIST).cast("long").alias("shortlist_size"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        "recall_num",
+        (F.col("recall_num") >= SQ8_RECALL_FLOOR).alias("recall_ok"),
+    )

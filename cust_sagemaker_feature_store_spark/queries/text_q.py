@@ -4057,3 +4057,108 @@ def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_grid"), "doc_id")
         .limit(DSIR_K)
     )
+
+
+KN_TOP_K = 100
+KN_GRID = 1_000_000_000  # probabilities on the 1e-9 grid, exact
+
+_KN_SQL = f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+bi AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM tok WHERE len(toks) >= 2
+  )
+  GROUP BY 1, 2
+),
+lft AS (
+  SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_left,
+         CAST(COUNT(*) AS BIGINT) AS n1_left
+  FROM bi GROUP BY w1
+),
+rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_right FROM bi GROUP BY w2),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bi)
+SELECT b.w1, b.w2, b.c_xy, l.c_left, l.n1_left, r.n1_right,
+       CAST(CAST({KN_GRID} AS HUGEINT)
+            * ((4 * b.c_xy - 3) * d.n_types + 3 * l.n1_left * r.n1_right)
+            // (4 * l.c_left * d.n_types) AS BIGINT) AS p_kn_grid
+FROM bi b JOIN lft l ON l.w1 = b.w1 JOIN rgt r ON r.w2 = b.w2 CROSS JOIN d
+ORDER BY b.c_xy DESC, b.w1, b.w2
+LIMIT {KN_TOP_K}
+"""
+
+
+@register(
+    "text_kneser_ney",
+    oracle=_KN_SQL,
+    description=(
+        "[EXT] interpolated Kneser-Ney bigram probabilities (Kneser & "
+        "Ney 1995; Chen & Goodman 1999), the LM-smoothing gold "
+        "standard next to text_bigram_lm's Laplace rung: P(w|v) = "
+        "(c(vw)-d)/c(v) + d*N1+(v.)/c(v) * N1+(.w)/N1+(..) with the "
+        "canonical d = 3/4 — the continuation-count backoff that "
+        "scores 'Francisco' low after anything but 'San'. The whole "
+        "formula folds into ONE exact rational [(4c_vw - 3)*D + "
+        "3*N1v*N1w] / (4*c_v*D), floored onto the 1e-9 grid in "
+        "decimal(38,0) `div` == HUGEINT `//` (exact integral "
+        "quotient), so every probability is bit-identical "
+        "cross-engine — no logs, no float accumulation. All stats are "
+        "bigram-TYPE-sized aggregates of one tokenize pass (map-side "
+        "combined); the three joins are type-table-sized, left to AQE "
+        "(vocabulary is power-law unbounded at corpus scale, same "
+        "policy as text_bigram_lm). Top-100 bigrams by count with "
+        "the full sufficient statistics alongside the probability."
+    ),
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _ensure_parallelism(docs).select(
+        "doc_id", T.tokens("text").alias("toks")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    bi = (
+        tok.filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split("bigram", " ")[0].alias("w1"),
+            F.split("bigram", " ")[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        # three downstream stats read this type table; unpinned each
+        # re-tokenizes the corpus (the text_bigram_lm lazy-pin idiom)
+        .localCheckpoint(eager=False)
+    )
+    lft = bi.groupBy("w1").agg(
+        F.sum("c_xy").cast("long").alias("c_left"),
+        F.count("*").cast("long").alias("n1_left"),
+    )
+    rgt = bi.groupBy("w2").agg(F.count("*").cast("long").alias("n1_right"))
+    d = bi.agg(F.count("*").cast("long").alias("n_types"))
+    p = F.expr(
+        f"CAST(CAST({KN_GRID} AS DECIMAL(38,0))"
+        " * ((4 * c_xy - 3) * n_types + 3 * n1_left * n1_right)"
+        " div (4 * c_left * n_types) AS BIGINT)"
+    )
+    return (
+        bi.join(lft, "w1")
+        .join(rgt, "w2")
+        .crossJoin(F.broadcast(d))
+        .select(
+            "w1", "w2", "c_xy", "c_left", "n1_left", "n1_right",
+            p.alias("p_kn_grid"),
+        )
+        .orderBy(F.desc("c_xy"), "w1", "w2")
+        .limit(KN_TOP_K)
+    )

@@ -149,3 +149,21 @@ def count_min_counters(
         .groupBy("i", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+
+
+def hll_register_counters(stream: DataFrame, key_col: str) -> DataFrame:
+    """HyperLogLog registers maintained ON THE STREAM: the register
+    table is a plain streaming MAX aggregation over (bucket, rho), so
+    state is exactly m = 64 cells on an unbounded stream — the
+    distinct-count companion to `count_min_counters`'s frequency
+    cells. Registers merge with batch/shard registers by MAX (the HLL
+    merge operator), and because the bucket/rho arithmetic is the
+    portable md5-derived hash48 (operators/sketches.hll_registers),
+    the cells are oracle-exact in DuckDB — Spark's built-in HLL++
+    state is engine-private and offers no such twin. Works identically
+    on batch frames (stream_hll_registers_twin pins the arithmetic);
+    stream == batch register equality is pinned by
+    tests/test_streaming.py."""
+    from ..operators.sketches import hll_registers
+
+    return hll_registers(stream, [], F.col(key_col))

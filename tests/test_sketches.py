@@ -1,0 +1,185 @@
+"""Mergeable cardinality sketches (operators/sketches.py).
+
+The oracle queries (agg_kmv_distinct, agg_hll_custom,
+stream_hll_registers_twin) pin the cross-engine arithmetic; these
+tests pin the SKETCH THEORY on controlled inputs — hash correctness
+against an independent Python md5 reference, the merge theorems on
+adversarial shardings, the exact-fallback branch, and estimate
+accuracy with the margins the query descriptions cite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from cust_sagemaker_feature_store_spark.operators import sketches as SK
+
+
+def _py_hash48(value, salt: str = "") -> int:
+    return int(hashlib.md5(f"{value}{salt}".encode()).hexdigest()[:12], 16)
+
+
+def test_hash48_matches_python_md5_reference(spark):
+    vals = [0, 1, 42, 10**12, -7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", SK.hash48("v").alias("hv")
+    )
+    got = {r["v"]: r["hv"] for r in df.collect()}
+    assert got == {v: _py_hash48(v) for v in vals}
+    assert all(0 <= h < SK.HASH_SPACE for h in got.values())
+
+
+def test_kmv_merge_theorem_on_adversarial_shards(spark):
+    """k smallest of the union of per-shard k-smallest sets == global
+    k smallest — including when one shard holds ALL the small hashes
+    (the case a sampled check could miss). 400 distinct values, k=16,
+    shard 0 = the 100 values with the smallest hashes."""
+    k = 16
+    vals = list(range(400))
+    by_hash = sorted(vals, key=_py_hash48)
+    shard_of = {v: 0 for v in by_hash[:100]}
+    shard_of.update({v: 1 + (v % 3) for v in by_hash[100:]})
+    df = spark.createDataFrame(
+        [(v, shard_of[v]) for v in vals], "v long, shard int"
+    )
+    direct = SK.kmv_minset(df, [], F.col("v"), k)
+    merged = SK.kmv_merge_minsets(
+        SK.kmv_minset(df, ["shard"], F.col("v"), k), [], k
+    )
+    got_direct = sorted(r["hv"] for r in direct.collect())
+    got_merged = sorted(r["hv"] for r in merged.collect())
+    want = sorted(_py_hash48(v) for v in vals)[:k]
+    assert got_direct == want
+    assert got_merged == want
+
+
+def test_kmv_exact_fallback_below_k(spark):
+    """Fewer than k distinct values => the sketch IS the exact count
+    (the branch sf0.001 exercises in agg_kmv_distinct)."""
+    df = spark.createDataFrame([(v % 10,) for v in range(100)], "v long")
+    est = SK.kmv_estimate(SK.kmv_minset(df, [], F.col("v"), 64), [], 64)
+    row = est.head()
+    assert row["sketch_size"] == 10
+    assert row["kmv_estimate"] == 10
+
+
+def test_kmv_estimate_accuracy_at_unit_scale(spark):
+    """k=128 over 5000 distinct keys: within the 25% ceiling
+    agg_kmv_distinct pins (measured across the three SFs: worst
+    11.5%; this synthetic draw is another independent check)."""
+    k = 128
+    df = spark.createDataFrame([(v,) for v in range(5000)], "v long")
+    est = SK.kmv_estimate(SK.kmv_minset(df, [], F.col("v"), k), [], k)
+    got = est.head()["kmv_estimate"]
+    assert abs(got - 5000) * 4 <= 5000
+
+
+def test_hll_registers_match_python_reference(spark):
+    """Register table vs an independent Python HLL on the same hash:
+    bucket split, leading-zero rho, and MAX-merge all agree."""
+    vals = list(range(1000))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        (r["bucket"], r["register"])
+        for r in SK.hll_registers(df, [], F.col("v")).collect()
+    }
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = _py_hash48(v)
+        bucket, rem = h >> 42, h & ((1 << 42) - 1)
+        rho = 43 if rem == 0 else 43 - rem.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    assert got == set(regs.items())
+
+
+def test_hll_register_max_merge_equals_direct(spark):
+    """Register-wise MAX over shard register tables == registers of
+    the union (the HLL merge operator the streaming maintainer and
+    map-side combine both rely on)."""
+    df = spark.createDataFrame(
+        [(v, v % 4) for v in range(2000)], "v long, shard int"
+    )
+    direct = {
+        (r["bucket"], r["register"])
+        for r in SK.hll_registers(df, [], F.col("v")).collect()
+    }
+    merged = {
+        (r["bucket"], r["register"])
+        for r in (
+            SK.hll_registers(df, ["shard"], F.col("v"))
+            .groupBy("bucket")
+            .agg(F.max("register").alias("register"))
+            .collect()
+        )
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_matches_python_reference_exactly(spark):
+    """The decimal-div estimate equals the exact integer formula
+    computed in unbounded Python ints — no quotient rounding."""
+    vals = list(range(3000))
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    est = SK.hll_estimate(SK.hll_registers(df, [], F.col("v")), []).head()
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = _py_hash48(v)
+        bucket, rem = h >> 42, h & ((1 << 42) - 1)
+        rho = 43 if rem == 0 else 43 - rem.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(1 << (43 - r) for r in regs.values())
+    s += (SK.HLL_M - len(regs)) * (1 << 43)
+    want = (SK.ALPHA_NUM * SK.HLL_M**2 * (1 << 43)) // (s * SK.ALPHA_DEN)
+    assert est["hll_estimate"] == want
+    assert est["zero_registers"] == SK.HLL_M - len(regs)
+    # and it is accurate at this scale (m=64, n=3000 is deep raw regime)
+    assert abs(est["hll_estimate"] - 3000) * 4 <= 3000
+
+
+@pytest.mark.parametrize("n", [1, 64])
+def test_hll_estimate_small_n_is_defined(spark, n):
+    """Tiny cardinalities: the raw estimate is still a well-defined
+    int64 (no div-by-zero, no overflow) and zero_registers exposes
+    the linear-counting signal the caller would switch on."""
+    df = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    est = SK.hll_estimate(SK.hll_registers(df, [], F.col("v")), []).head()
+    assert est["hll_estimate"] >= 1
+    assert 0 <= est["zero_registers"] < SK.HLL_M
+
+
+def test_sq8_scores_match_python_reference(spark):
+    """SQ8 quantize -> reconstruct -> asymmetric dot, vs unbounded
+    Python ints on a controlled corpus (includes a constant dimension
+    to hit the rg = 0 guard)."""
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+
+    vecs = {
+        1: [0.0, 1.0, -1.0, 0.5],
+        2: [1.0, 0.0, 1.0, 0.5],
+        3: [-1.0, -1.0, 0.25, 0.5],  # dim 4 constant => rg = 0
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    mins, ranges = S.sq8_bounds(df)
+    grid = {i: [round(x * 1_000_000) for x in v] for i, v in vecs.items()}
+    assert mins == [min(g[d] for g in grid.values()) for d in range(4)]
+    assert ranges[3] == 0
+    qg = grid[1]
+    got = {
+        r["vec_id"]: r["sq8_score"]
+        for r in S.sq8_scores(df, mins, ranges, qg).collect()
+    }
+    for i, g in grid.items():
+        want = 0
+        for d in range(4):
+            if ranges[d] == 0:
+                xh = mins[d]
+            else:
+                code = (g[d] - mins[d]) * 255 // ranges[d]
+                xh = mins[d] + code * ranges[d] // 255
+            want += xh * qg[d]
+        assert got[i] == want, (i, got[i], want)

@@ -1381,3 +1381,46 @@ def test_component_store_stream_equals_full(spark, sf_dir, tmp_path):
     assert stats["files_after"] == n_buckets_used <= stats["files_before"]
     assert not [e for e in os.listdir(os.path.dirname(store.store_dir))
                 if "__vacuum__" in e or ".__old__" in e]
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """HLL registers maintained as a streaming MAX aggregation equal
+    the batch registers over the same rows — delivered across two
+    micro-batches so cross-batch register folding (MAX, not
+    recompute) is what's verified. State is exactly m = 64 cells
+    regardless of row count."""
+    from cust_sagemaker_feature_store_spark.streaming.windows import (
+        hll_register_counters,
+    )
+
+    d = tmp_path / "hll_in"
+    d.mkdir()
+    rows = [(i, i * 37 % 211) for i in range(80)]
+    for bi, chunk in enumerate((rows[:40], rows[40:])):
+        (d / f"b{bi}.csv").write_text(
+            "event_id,user_id\n"
+            + "\n".join(f"{e},{u}" for e, u in chunk)
+            + "\n"
+        )
+    ev = spark.readStream.schema("event_id long, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).csv(str(d), header=True)
+    q = (
+        hll_register_counters(ev, "user_id")
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"], r["register"])
+        for r in spark.sql("SELECT * FROM hll_out").collect()
+    }
+    batch = spark.createDataFrame(rows, "event_id long, user_id long")
+    want = {
+        (r["bucket"], r["register"])
+        for r in hll_register_counters(batch, "user_id").collect()
+    }
+    assert got == want and len(got) > 0

@@ -1154,3 +1154,74 @@ def test_incremental_components_planted(spark):
         ).collect()
     }
     assert got2 == {1: 1, 2: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_kneser_ney_matches_fraction_reference_and_sums_to_one(spark, tmp_path):
+    """text_kneser_ney's 1e-9-grid probabilities vs unbounded Python
+    Fractions on a controlled corpus, plus the KN simplex theorem:
+    for every context v, sum_w P(w|v) == 1 EXACTLY (interpolated KN
+    is a proper conditional distribution) — checked in Fractions,
+    with the grid floors within one grid step of the exact values."""
+    from fractions import Fraction
+
+    from cust_sagemaker_feature_store_spark.queries.text_q import (
+        KN_GRID,
+        text_kneser_ney,
+    )
+
+    docs = [
+        (1, "san francisco is foggy", "en", "a", 22),
+        (2, "san francisco is windy", "en", "a", 22),
+        (3, "new york is loud", "en", "a", 16),
+        (4, "york is new", "en", "a", 11),
+    ]
+    d = tmp_path / "kn_docs"
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in text_kneser_ney(spark, str(d)).collect()
+    }
+
+    bi: dict[tuple[str, str], int] = {}
+    for _, text, *_ in docs:
+        t = text.split()
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    c_left: dict[str, int] = {}
+    n1_left: dict[str, int] = {}
+    n1_right: dict[str, int] = {}
+    for (a, b), c in bi.items():
+        c_left[a] = c_left.get(a, 0) + c
+        n1_left[a] = n1_left.get(a, 0) + 1
+        n1_right[b] = n1_right.get(b, 0) + 1
+    D = len(bi)
+    dsc = Fraction(3, 4)
+
+    def p_kn(a: str, b: str) -> Fraction:
+        cont = Fraction(n1_right[b], D)
+        return (
+            Fraction(bi.get((a, b), 0) * 4 - 3, 4 * c_left[a])
+            if (a, b) in bi
+            else Fraction(0)
+        ) + dsc * n1_left[a] / c_left[a] * cont
+
+    assert set(got) == set(bi)
+    for (a, b), r in got.items():
+        exact = p_kn(a, b)
+        assert r["p_kn_grid"] == (exact.numerator * KN_GRID) // exact.denominator
+    # simplex theorem: for each context, observed mass + backoff mass
+    # over the FULL continuation vocabulary sums to exactly 1
+    vocab_r = set(n1_right)
+    for a in c_left:
+        total = sum(
+            (
+                Fraction(bi[(a, b)] * 4 - 3, 4 * c_left[a])
+                if (a, b) in bi
+                else Fraction(0)
+            )
+            + dsc * n1_left[a] / c_left[a] * Fraction(n1_right[b], D)
+            for b in vocab_r
+        )
+        assert total == 1, (a, total)
