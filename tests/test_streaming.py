@@ -1424,3 +1424,81 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
         for r in hll_register_counters(batch, "user_id").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_kmv_store_restart_and_compaction(spark, tmp_path):
+    """The persisted KMV store must (1) equal the replay_kmv_epochs
+    batch twin and the DIRECT sketch after multi-batch ingest across
+    a checkpoint restart (the merge theorem, operationally), and
+    (2) serve identical results after compact_kmv_epochs folds the
+    per-epoch minsets (lossless compaction)."""
+    from cust_sagemaker_feature_store_spark.streaming.kmv_store import (
+        StreamingKmvStore,
+        compact_kmv_epochs,
+        replay_kmv_epochs,
+    )
+    from cust_sagemaker_feature_store_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_minset,
+    )
+
+    k = 8
+    rows = [(i, "click" if i % 3 else "view", i * 7 % 101) for i in range(90)]
+    batches = [rows[:30], rows[30:60], rows[60:]]
+    d = tmp_path / "kmv_in"
+    d.mkdir()
+    store = StreamingKmvStore(
+        spark, str(d), str(tmp_path / "kmv_store"), "event_type", "user_id", k
+    )
+    # batches 0+1 before the restart, batch 2 after
+    for phase, todo in ((0, (0, 1)), (1, (2,))):
+        for b in todo:
+            p = d / f"b{b}.csv"
+            p.write_text(
+                "event_id,event_type,user_id\n"
+                + "\n".join(f"{e},{t},{u}" for e, t, u in batches[b])
+                + "\n"
+            )
+            os.utime(p, (1_700_000_000 + b * 60,) * 2)
+        q = store.start()
+        q.awaitTermination(120)
+        q.stop()
+
+    def as_map(df):
+        return {
+            r["event_type"]: (r["kth_hash"], r["kmv_estimate"], r["sketch_size"])
+            for r in df.collect()
+        }
+
+    served = as_map(store.serve())
+    batch = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long"
+    )
+    twin = as_map(
+        replay_kmv_epochs(
+            batch, (F.col("event_id") / 30).cast("long"),
+            ["event_type"], F.col("user_id"), k,
+        )
+    )
+    direct = as_map(
+        kmv_estimate(
+            kmv_minset(batch, ["event_type"], F.col("user_id"), k),
+            ["event_type"], k,
+        )
+    )
+    assert served == twin == direct and set(served) == {"click", "view"}
+
+    # store grew one epoch per micro-batch; compaction folds them
+    ms = store.minsets()
+    assert ms.select("epoch").distinct().count() == 3
+    assert compact_kmv_epochs(spark, str(tmp_path / "kmv_store"),
+                              "event_type", k) == 2
+    assert store.minsets().select("epoch").distinct().count() == 1
+    assert as_map(store.serve()) == served  # lossless
+    # and the folded store is at most k rows per group
+    sizes = {
+        r["event_type"]: r["n"]
+        for r in store.minsets().groupBy("event_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= k for n in sizes.values())
