@@ -1970,3 +1970,177 @@ def sim_sq8_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_num",
         (F.col("recall_num") >= SQ8_RECALL_FLOOR).alias("recall_ok"),
     )
+
+
+IVFSQ_LISTS = 8
+IVFSQ_NPROBE = 3
+IVFSQ_RECALL_FLOOR = 6  # of TOP_K=10; measured 10/10 at all three SFs
+
+_IVFSQ_SQL = f"""
+WITH g AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, gv AS cv
+  FROM g WHERE vec_id < {IVFSQ_LISTS}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT g.vec_id, c.cell,
+           row_number() OVER (PARTITION BY g.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, 1 + len(g.gv)),
+               i -> (g.gv[i]-c.cv[i])*(g.gv[i]-c.cv[i]))) AS BIGINT),
+             c.cell) AS rn
+    FROM g CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT gv AS qv FROM g WHERE vec_id = {QUERY_VEC_ID}),
+probed AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (ORDER BY
+             CAST(list_sum(list_transform(range(1, 1 + len(q.qv)),
+               i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT),
+             c.cell) AS rn
+    FROM cent c, q
+  ) WHERE rn <= {IVFSQ_NPROBE}
+),
+dims AS (
+  SELECT i, MIN(v) AS mn, MAX(v) - MIN(v) AS rg
+  FROM (SELECT unnest(gv) AS v, generate_subscripts(gv, 1) AS i FROM g)
+  GROUP BY i
+),
+b AS (
+  SELECT list(mn ORDER BY i) AS mns, list(rg ORDER BY i) AS rgs FROM dims
+),
+cand AS (
+  SELECT g.vec_id, g.gv FROM g
+  JOIN assign a ON a.vec_id = g.vec_id
+  JOIN probed p ON p.cell = a.cell
+),
+approx AS (
+  SELECT cand.vec_id,
+         CAST(list_sum(list_transform(range(1, 1 + len(cand.gv)),
+           i -> (CASE WHEN b.rgs[i] = 0 THEN b.mns[i]
+                      ELSE b.mns[i]
+                           + ((cand.gv[i] - b.mns[i]) * 255 // b.rgs[i])
+                             * b.rgs[i] // 255 END) * q.qv[i]))
+           AS BIGINT) AS sq8_score
+  FROM cand, b, q
+),
+short AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY sq8_score DESC, vec_id) AS rn
+  FROM approx
+),
+qf AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {QUERY_VEC_ID}
+),
+rerank AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), qf.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS cosine_sim
+  FROM embeddings e JOIN short s ON s.vec_id = e.vec_id, qf
+  WHERE s.rn <= {SQ8_SHORTLIST}
+),
+ivfsq_top AS (
+  SELECT vec_id FROM rerank ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+),
+exact_top AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           ROUND(
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), qf.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS cosine_sim
+    FROM embeddings e, qf
+  ) ORDER BY cosine_sim DESC, vec_id LIMIT {TOP_K}
+)
+SELECT 'ivf_sq8' AS method,
+       CAST({IVFSQ_NPROBE} AS BIGINT) AS nprobe,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM ivfsq_top JOIN exact_top USING (vec_id))
+            AS BIGINT) AS recall_num,
+       (SELECT COUNT(*) FROM ivfsq_top JOIN exact_top USING (vec_id))
+         >= {IVFSQ_RECALL_FLOOR} AS recall_ok
+"""
+
+
+@register(
+    "sim_ivfsq_recall_floor",
+    oracle=_IVFSQ_SQL,
+    description=(
+        "[EXT] IVF + SQ8 composed ANN (the FAISS "
+        "IndexIVFScalarQuantizer shape), ORACLE-EXACT end to end: "
+        "vectors assign to frozen grid centroids (the "
+        "stream_ivf_index_twin quantizer contract), the query probes "
+        f"nprobe={IVFSQ_NPROBE} of {IVFSQ_LISTS} cells, candidates "
+        "in probed cells rank by the asymmetric SQ8 reconstructed "
+        "inner product (pure integer div), exact 6dp cosine rerank "
+        f"on the top-{SQ8_SHORTLIST} shortlist — assignment, probe "
+        "set, shortlist, and recall_num are ALL bit-identical "
+        "cross-engine, so unlike the float-IVF floors this "
+        f"composition's recall is itself hash-pinned (measured {TOP_K}"
+        f"/{TOP_K} at all three SFs; floor {IVFSQ_RECALL_FLOOR} allows "
+        "probe-set misses on other data). "
+        "100 TB story: the cell filter prunes the scan to nprobe "
+        "inverted lists BEFORE any scoring (with the stored index, "
+        "partition-pruned directory reads), and SQ8 cuts candidate "
+        "bytes 8x on top — probe cost ~ nprobe/n_lists * corpus/8."
+    ),
+)
+def sim_ivfsq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVFSQ_LISTS)
+        .select("vec_id", S.grid_vector("embedding").alias("gv"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = [[int(x) for x in r["gv"]] for r in cent_rows]
+    qgrid = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(S.grid_vector("embedding").alias("g"))
+        .head()["g"]
+    ]
+    # probe set: exact int64 distances, ties to the lowest cell —
+    # identical to the oracle's (d2, cell) ordering
+    d2 = sorted(
+        (sum((q - c) ** 2 for q, c in zip(qgrid, cv)), cell)
+        for cell, cv in enumerate(centroids)
+    )
+    probed = [cell for _, cell in d2[:IVFSQ_NPROBE]]
+    cand = S.grid_assign_cells(emb, centroids).filter(
+        F.col("cell").isin(probed)
+    )
+    mins, ranges = S.sq8_bounds(emb)
+    short = (
+        S.sq8_scores(cand, mins, ranges, qgrid)
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(SQ8_SHORTLIST)
+        .select("vec_id")
+    )
+    qvec = _query_vector(spark, sf_dir)
+    ivfsq_top = S.cosine_topk(
+        emb.join(F.broadcast(short), "vec_id"), qvec, k=TOP_K
+    ).select("vec_id")
+    exact_top = S.cosine_topk(emb, qvec, k=TOP_K).select("vec_id")
+    hits = ivfsq_top.join(exact_top, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("recall_num")
+    )
+    return hits.select(
+        F.lit("ivf_sq8").alias("method"),
+        F.lit(IVFSQ_NPROBE).cast("long").alias("nprobe"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        "recall_num",
+        (F.col("recall_num") >= IVFSQ_RECALL_FLOOR).alias("recall_ok"),
+    )
