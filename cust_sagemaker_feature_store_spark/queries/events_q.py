@@ -2068,3 +2068,109 @@ def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_window"),
         F.when(n >= 2, slope).alias("slope_7d"),
     )
+
+
+DECOMP_GRID = 1_000_000_000
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, day, x,
+         SUM(x) OVER w AS s7, COUNT(*) OVER w AS w_n,
+         (day - DATE '1970-01-01') % 7 AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_w AS (
+  SELECT event_type, day, dow, x, s7,
+         CAST({DECOMP_GRID} AS HUGEINT) * s7 // 7 AS trend_grid,
+         CAST({DECOMP_GRID} AS HUGEINT) * (7 * x - s7) // 7 AS detr_grid
+  FROM ma WHERE w_n = 7
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(CAST({DECOMP_GRID} AS HUGEINT) * SUM(7 * x - s7)
+              // (7 * COUNT(*)) AS BIGINT) AS seasonal_grid
+  FROM full_w GROUP BY 1, 2
+)
+SELECT f.event_type, strftime(f.day, '%Y-%m-%d') AS day, f.x AS n_events,
+       CAST(f.trend_grid AS BIGINT) AS trend_grid,
+       CAST(f.detr_grid AS BIGINT) AS detrended_grid,
+       s.seasonal_grid,
+       CAST(f.detr_grid AS BIGINT) - s.seasonal_grid AS remainder_grid
+FROM full_w f JOIN seas s ON s.event_type = f.event_type AND s.dow = f.dow
+""",
+    description=(
+        "[EXT] classical additive seasonal decomposition of the daily "
+        "event series (the moving-average method of Persons 1919 — "
+        "STL's ancestor and the standard first look at any metric): "
+        "trend = centered 7-day moving average (full windows only), "
+        "detrended = x - trend, seasonal index = per-day-of-week mean "
+        "of the detrended series, remainder = detrended - seasonal. "
+        "Every component is an exact rational snapped onto the 1e-9 "
+        "grid by HUGEINT/decimal(38,0) integral division — TRUNCATING "
+        "toward zero in both engines (probed: -7//2 = -3 = -7 div 2), "
+        "which matters here because detrended values go negative — so "
+        "the whole decomposition is bit-identical cross-engine with "
+        "no float summation anywhere. "
+        "One calendar-sized daily aggregate, one window pass, one "
+        "dow-sized join: nothing scales with raw event volume beyond "
+        "the first groupBy, the same shape as the EWMA/Holt/slope "
+        "rungs beside it. remainder_grid is defined as the grid "
+        "difference (truncation commutes with neither sum, documented)."
+    ),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum("x").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+    )
+    g = f"CAST({DECOMP_GRID} AS DECIMAL(38,0))"
+    full_w = ma.filter(F.col("w_n") == 7).select(
+        "event_type",
+        "day",
+        "dow",
+        "x",
+        "s7",
+        F.expr(f"CAST({g} * s7 div 7 AS BIGINT)").alias("trend_grid"),
+        F.expr(f"CAST({g} * (7 * x - s7) div 7 AS BIGINT)").alias(
+            "detrended_grid"
+        ),
+    )
+    seas = full_w.groupBy("event_type", "dow").agg(
+        F.expr(
+            f"CAST({g} * SUM(7 * x - s7) div (7 * COUNT(*)) AS BIGINT)"
+        ).alias("seasonal_grid")
+    )
+    return full_w.join(seas, ["event_type", "dow"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("n_events"),
+        "trend_grid",
+        "detrended_grid",
+        "seasonal_grid",
+        (F.col("detrended_grid") - F.col("seasonal_grid")).alias(
+            "remainder_grid"
+        ),
+    )

@@ -1490,3 +1490,173 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("rows_above_t"),
     )
+
+
+NEYMAN_N = 500  # total sample budget across strata
+NEYMAN_WGRID = 1_000_000  # stratum weights N_h * sd_h on the 1e-6 grid
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS sc,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)::HUGEINT
+             * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ssc
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT stratum, n_rows,
+         CAST(ROUND({NEYMAN_WGRID} * n_rows
+           * sqrt(CAST(n_rows * ssc - sc * sc AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE) / CAST(n_rows AS DOUBLE))
+           / 100.0) AS BIGINT) AS w_grid
+  FROM s
+),
+tot AS (SELECT SUM(w_grid) AS w_total FROM w),
+base AS (
+  SELECT w.stratum, w.n_rows, w.w_grid,
+         {NEYMAN_N} * w.w_grid // t.w_total AS n_base,
+         ({NEYMAN_N} * w.w_grid) % t.w_total AS rem
+  FROM w, tot t
+),
+extra AS (
+  SELECT SUM(n_base) AS base_total,
+         {NEYMAN_N} - SUM(n_base) AS n_extra
+  FROM base
+),
+alloc AS (
+  SELECT b.stratum, b.n_rows, b.w_grid,
+         b.n_base
+           + CASE WHEN row_number() OVER (ORDER BY b.rem DESC, b.stratum)
+                       <= e.n_extra THEN 1 ELSE 0 END AS n_alloc
+  FROM base b, extra e
+),
+ranked AS (
+  SELECT o_orderpriority AS stratum, o_orderkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey
+         ) AS rn
+  FROM orders
+),
+drawn AS (
+  SELECT r.stratum, CAST(COUNT(*) AS BIGINT) AS drawn_n,
+         CAST(SUM(r.o_orderkey) AS BIGINT) AS drawn_sum_orderkey
+  FROM ranked r JOIN alloc a ON a.stratum = r.stratum
+  WHERE r.rn <= a.n_alloc
+  GROUP BY 1
+)
+SELECT a.stratum, a.n_rows, a.w_grid, CAST(a.n_alloc AS BIGINT) AS n_alloc,
+       d.drawn_n, d.drawn_sum_orderkey,
+       (SELECT SUM(n_alloc) FROM alloc) = {NEYMAN_N} AS total_ok
+FROM alloc a JOIN drawn d ON d.stratum = a.stratum
+""",
+    description=(
+        "[EXT] Neyman-optimal stratified allocation (Neyman 1934): a "
+        f"total budget of n={NEYMAN_N} rows is split across order-"
+        "priority strata proportionally to N_h * sd_h (stratum size x "
+        "stddev of o_totalprice) — the allocation that minimizes the "
+        "variance of the stratified mean estimator, vs the equal or "
+        "proportional splits of sample_stratified_exact / "
+        "sample_group_quota. Determinism discipline: the per-stratum "
+        "sd comes from exact integer-cents sufficient statistics "
+        "(ss in HUGEINT/decimal(38,0)); ONE IEEE-exact sqrt/divide "
+        "chain produces the weight, which is immediately snapped to "
+        "the 1e-6 grid — every subsequent step (largest-remainder "
+        "apportionment via integral div/mod, remainder ranking with "
+        "stratum tie-break, the multiplicative-hash draw) is pure "
+        "int64, so allocations and the drawn sample hash-match "
+        "cross-engine, and sum(n_alloc) == n EXACTLY (pinned) — no "
+        "float quota rounding that over- or under-shoots the budget. "
+        "The draw itself is the WindowGroupLimit-shaped rank <= "
+        "n_alloc cut, reproducible across engines and reruns."
+    ),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).cast("decimal(38,0)").alias("sc"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("ssc"),
+    )
+    w = s.select(
+        "stratum",
+        "n_rows",
+        F.round(
+            NEYMAN_WGRID
+            * F.col("n_rows")
+            * F.sqrt(
+                (F.col("n_rows") * F.col("ssc") - F.col("sc") * F.col("sc"))
+                .cast("double")
+                / F.col("n_rows").cast("double")
+                / F.col("n_rows").cast("double")
+            )
+            / 100.0
+        )
+        .cast("long")
+        .alias("w_grid"),
+    )
+    tot = w.agg(F.sum("w_grid").alias("w_total"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "w_grid",
+        F.expr(f"{NEYMAN_N} * w_grid div w_total").alias("n_base"),
+        ((NEYMAN_N * F.col("w_grid")) % F.col("w_total")).alias("rem"),
+    )
+    extra = base.agg(
+        (NEYMAN_N - F.sum("n_base")).alias("n_extra")
+    )
+    rem_rank = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    alloc = (
+        base.crossJoin(F.broadcast(extra))
+        .withColumn("rr", F.row_number().over(rem_rank))
+        .select(
+            "stratum",
+            "n_rows",
+            "w_grid",
+            (
+                F.col("n_base")
+                + F.when(F.col("rr") <= F.col("n_extra"), 1).otherwise(0)
+            ).alias("n_alloc"),
+        )
+    )
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("stratum"),
+        "o_orderkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                (F.col("o_orderkey") * 2654435761) % 4294967296,
+                "o_orderkey",
+            )
+        )
+        .alias("rn"),
+    )
+    drawn = (
+        ranked.join(F.broadcast(alloc.select("stratum", "n_alloc")), "stratum")
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("drawn_n"),
+            F.sum("o_orderkey").cast("long").alias("drawn_sum_orderkey"),
+        )
+    )
+    total = alloc.agg(F.sum("n_alloc").alias("alloc_total"))
+    return (
+        alloc.join(drawn, "stratum")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_rows",
+            "w_grid",
+            F.col("n_alloc").cast("long").alias("n_alloc"),
+            "drawn_n",
+            "drawn_sum_orderkey",
+            (F.col("alloc_total") == NEYMAN_N).alias("total_ok"),
+        )
+    )

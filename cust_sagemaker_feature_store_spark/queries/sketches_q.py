@@ -534,3 +534,135 @@ def stream_kmv_store_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sketch_size") == F.col("size_d"))
         ).alias("equals_direct"),
     )
+
+
+BLOOM_M = 32768  # bits; sized so j*n/m stays << 1 through sf0.1
+BLOOM_SALTS = ("b0", "b1", "b2")
+# fp among non-matching probe rows: measured 0 / 0 / 0.20% across the
+# three SFs — the 2% ceiling is 10x the worst observed.
+BLOOM_FP_NUM, BLOOM_FP_DEN = 1, 50
+
+
+def _bloom_bit(expr: str, salt: str) -> str:
+    return f"{SK.sql_hash48(expr, salt)} % {BLOOM_M}"
+
+
+_BLOOM_SQL = f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+),
+bits AS (
+  SELECT DISTINCT b FROM (
+    SELECT {_bloom_bit('c_custkey', 'b0')} AS b FROM dim
+    UNION ALL SELECT {_bloom_bit('c_custkey', 'b1')} FROM dim
+    UNION ALL SELECT {_bloom_bit('c_custkey', 'b2')} FROM dim
+  )
+),
+probe AS (SELECT o_orderkey, o_custkey FROM orders),
+cand AS (
+  SELECT p.o_orderkey, p.o_custkey FROM probe p
+  WHERE {_bloom_bit('p.o_custkey', 'b0')} IN (SELECT b FROM bits)
+    AND {_bloom_bit('p.o_custkey', 'b1')} IN (SELECT b FROM bits)
+    AND {_bloom_bit('p.o_custkey', 'b2')} IN (SELECT b FROM bits)
+),
+tm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(COUNT(DISTINCT p.o_orderkey) AS BIGINT) AS n_true_keys
+  FROM probe p JOIN dim d ON d.c_custkey = p.o_custkey
+),
+missed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_missed
+  FROM probe p JOIN dim d ON d.c_custkey = p.o_custkey
+  WHERE p.o_orderkey NOT IN (SELECT o_orderkey FROM cand)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS n_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       tm.n_true,
+       missed.n_missed = 0 AS no_false_negatives,
+       ((SELECT COUNT(*) FROM cand) - tm.n_true) * {BLOOM_FP_DEN}
+         <= ((SELECT COUNT(*) FROM probe) - tm.n_true) * {BLOOM_FP_NUM}
+         AS fp_ok
+FROM tm, missed
+"""
+
+
+@register(
+    "join_bloom_prune",
+    oracle=_BLOOM_SQL,
+    description=(
+        "[EXT] EXPLICIT Bloom-filter join pruning with portable "
+        f"hashes (Bloom 1970): m = {BLOOM_M} bits, j = 3 salted "
+        "md5-hash48 positions per key, built from the selective dim "
+        "side (high-balance customers) and probed by the fact side "
+        "(orders) with all-bits-present conjunction — every bit "
+        "position is pure int64, so the filter, the candidate set, "
+        "and both booleans hash-match DuckDB exactly (Spark's own "
+        "runtime BloomFilter state is engine-private, same reason "
+        "the sketch family exists). no_false_negatives pins the "
+        "Bloom THEOREM (a member's bits are all set by "
+        "construction); fp_ok pins a 2% false-positive ceiling among "
+        "non-matching rows, 10x the worst observed across the three "
+        "SFs (0.20% at sf0.1). The complement to "
+        "operators/runtime_filter's semi-join reduction: at 100 TB "
+        "the bit table is KB-sized and broadcast, pruning the fact "
+        "scan BEFORE the join shuffle — 91% of probe rows dropped "
+        "here — and bits OR-merge across dim shards like every "
+        "sketch in this module."
+    ),
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+        .distinct()
+    )
+    bits = None
+    for salt in BLOOM_SALTS:
+        part = dim.select(
+            (SK.hash48("c_custkey", salt) % BLOOM_M).alias("b")
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+    probe = orders.select("o_orderkey", "o_custkey")
+    cand = probe
+    for salt in BLOOM_SALTS:
+        # m is bounded by construction (32768 rows max), so the
+        # broadcast is always safe — unlike a key-set semi-join,
+        # which needs the _FILTER_BROADCAST_MAX_IDS gate
+        cand = cand.join(
+            F.broadcast(bits),
+            SK.hash48("o_custkey", salt) % BLOOM_M == F.col("b"),
+            "semi",
+        )
+    true_m = probe.join(
+        dim, probe["o_custkey"] == dim["c_custkey"], "semi"
+    )
+    missed = true_m.join(
+        cand.select("o_orderkey"), "o_orderkey", "anti"
+    ).agg(F.count(F.lit(1)).alias("n_missed"))
+    stats = (
+        dim.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .crossJoin(bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set")))
+        .crossJoin(probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe")))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        .crossJoin(true_m.agg(F.count(F.lit(1)).cast("long").alias("n_true")))
+        .crossJoin(missed)
+    )
+    return stats.select(
+        "n_keys",
+        "bits_set",
+        "n_probe",
+        "n_candidates",
+        "n_true",
+        (F.col("n_missed") == 0).alias("no_false_negatives"),
+        (
+            (F.col("n_candidates") - F.col("n_true")) * BLOOM_FP_DEN
+            <= (F.col("n_probe") - F.col("n_true")) * BLOOM_FP_NUM
+        ).alias("fp_ok"),
+    )
