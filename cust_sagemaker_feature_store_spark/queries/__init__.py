@@ -19,6 +19,7 @@ from . import functions_q  # noqa: E402,F401
 from . import relational7_q  # noqa: E402,F401
 from . import relational8_q  # noqa: E402,F401
 from . import sketches_q  # noqa: E402,F401
+from . import gbt_q  # noqa: E402,F401
 
 # -- registry ordering ---------------------------------------------------
 #

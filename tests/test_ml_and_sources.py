@@ -599,3 +599,57 @@ def test_markov_attribution_sanity(spark, sf_dir):
         assert r["base_conv"] > 0
         assert -1e-12 <= r["removal_effect"] <= 1.0 + 1e-12, r
         assert r["removed_conv"] <= r["base_conv"] + 1e-12
+
+
+def test_gbt_stumps_matches_python_reference(spark, tmp_path):
+    """ml_gbt_stumps vs an unbounded-int Python reference on a
+    controlled table: same splits, leaves, gains, MSEs at every
+    round, and the non-increasing-MSE theorem (truncated leaves:
+    SSE delta = m'*n*(m' - 2m) <= 0 for either sign of m)."""
+    from cust_sagemaker_feature_store_spark.queries.gbt_q import (
+        GBT_ROUNDS,
+        ml_gbt_stumps,
+    )
+
+    rows = [(q, 100.0 * q + (13 * q * q) % 7) for q in range(1, 11)] * 5
+    rows += [(q, 40.0 * q) for q in range(1, 11)] * 3
+    d = tmp_path / "gbt"
+    spark.createDataFrame(
+        [(float(q), y) for q, y in rows],
+        "l_quantity double, l_extendedprice double",
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    got = {r["boost_round"]: r.asDict() for r in ml_gbt_stumps(spark, str(d)).collect()}
+
+    data = [(q, round(y)) for q, y in rows]
+    n = len(data)
+    pred0 = sum(y for _, y in data) // n
+
+    def trunc_div(a: int, b: int) -> int:
+        q0 = abs(a) // abs(b)
+        return q0 if (a >= 0) == (b >= 0) else -q0
+
+    res = {i: y - pred0 for i, (_, y) in enumerate(data)}
+    prev_mse = trunc_div(sum(r * r for r in res.values()), n)
+    for rnd in range(1, GBT_ROUNDS + 1):
+        qs = sorted({q for q, _ in data})
+        best = None
+        for t in qs[:-1]:
+            sl = sum(res[i] for i, (q, _) in enumerate(data) if q <= t)
+            nl = sum(1 for q, _ in data if q <= t)
+            st = sum(res.values())
+            nr = n - nl
+            sr = st - sl
+            gain = trunc_div(sl * sl * nr + sr * sr * nl, nl * nr)
+            if best is None or gain > best[0]:
+                best = (gain, t, nl, nr, trunc_div(sl, nl), trunc_div(sr, nr))
+        gain, t, nl, nr, lv, rv = best
+        for i, (q, _) in enumerate(data):
+            res[i] -= lv if q <= t else rv
+        mse = trunc_div(sum(r * r for r in res.values()), n)
+        g = got[rnd]
+        assert (g["split_qty"], g["n_left"], g["n_right"]) == (t, nl, nr)
+        assert (g["left_value"], g["right_value"], g["gain"]) == (lv, rv, gain)
+        assert g["mse_after"] == mse
+        assert g["improved"] and mse <= prev_mse
+        prev_mse = mse
