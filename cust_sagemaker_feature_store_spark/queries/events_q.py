@@ -2174,3 +2174,132 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remainder_grid"
         ),
     )
+
+
+HW_PERIOD = 7
+
+
+def _hw_snap_sql(x: str) -> str:
+    return f"floor(({x}) * {HOLT_GRID} + 0.5) / {HOLT_GRID}.0"
+
+
+def _hw_oracle() -> str:
+    pos = f"((o.rn - 1) % {HW_PERIOD}) + 1"
+    lv = _hw_snap_sql(
+        f"0.5 * (o.y - h.s[{pos}]) + 0.5 * (h.level + h.trend)"
+    )
+    tr = _hw_snap_sql(f"0.25 * (({lv}) - h.level) + 0.75 * h.trend")
+    snew = _hw_snap_sql(f"0.5 * (o.y - ({lv})) + 0.5 * h.s[{pos}]")
+    m1 = f"SUM(CASE WHEN rn <= {HW_PERIOD} THEN y END) / {HW_PERIOD}.0"
+    m2 = (
+        f"SUM(CASE WHEN rn BETWEEN {HW_PERIOD + 1} AND {2 * HW_PERIOD} "
+        f"THEN y END) / {HW_PERIOD}.0"
+    )
+    return f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+o AS MATERIALIZED (
+  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d
+),
+init AS MATERIALIZED (
+  SELECT {_hw_snap_sql(m1)} AS lv0,
+         {_hw_snap_sql(f"(({m2}) - ({m1})) / {HW_PERIOD}.0")} AS tr0
+  FROM o WHERE rn <= {2 * HW_PERIOD}
+),
+ys AS (SELECT list(y ORDER BY rn) AS yl FROM o WHERE rn <= {HW_PERIOD}),
+h(rn, day, y, level, trend, snow, s) AS (
+  SELECT CAST({HW_PERIOD} AS BIGINT), o.day, o.y, i.lv0, i.tr0,
+         {_hw_snap_sql(f"ys.yl[{HW_PERIOD}] - i.lv0")},
+         list_transform(range(1, {HW_PERIOD + 1}),
+                        i2 -> {_hw_snap_sql("ys.yl[i2] - i.lv0")})
+  FROM o, init i, ys WHERE o.rn = {HW_PERIOD}
+  UNION ALL
+  SELECT o.rn, o.day, o.y,
+         {lv}, {tr}, {snew},
+         list_transform(range(1, {HW_PERIOD + 1}),
+           i2 -> CASE WHEN i2 = {pos} THEN {snew} ELSE h.s[i2] END)
+  FROM h JOIN o ON o.rn = h.rn + 1
+)
+SELECT CAST(rn AS BIGINT) AS rn, CAST(day AS VARCHAR) AS day, y,
+       level, trend, snow AS seasonal
+FROM h WHERE rn > {HW_PERIOD}
+"""
+
+
+@register(
+    "events_holt_winters",
+    oracle=_hw_oracle(),
+    description=(
+        "[EXT] Holt-Winters ADDITIVE seasonal smoothing over the daily "
+        "event series (period m=7; dyadic alpha=1/2, beta=1/4, "
+        "gamma=1/2, so each step is exact IEEE arithmetic; every state "
+        "— level, trend, and all m seasonal indices — snaps to the "
+        "1e-6 grid via floor(x*1e6+0.5) on BOTH engines, the "
+        "events_holt_trend discipline): level_t = a(y_t - s_{t-m}) + "
+        "(1-a)(level+trend), trend_t = b(dlevel) + (1-b)trend, "
+        "s_t = g(y_t - level_t) + (1-g)s_{t-m}. Init: level = mean of "
+        "week 1, trend = (mean week 2 - mean week 1)/m, seasonals = "
+        "week-1 deviations. The recurrence is inherently sequential, "
+        "so it runs in ONE applyInPandas over the DAILY AGGREGATE "
+        "(calendar-bounded, never the corpus); the oracle walks the "
+        "identical recurrence as a recursive CTE carrying the m "
+        "seasonal states as a LIST column. Completes the forecasting "
+        "shelf: EWMA -> Holt -> Holt-Winters, the first rung that "
+        "models the weekday cycle the seasonal-anomaly/decomposition "
+        "queries only measure."
+    ),
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    m = HW_PERIOD
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < 2 * m:
+            raise ValueError("Holt-Winters needs at least 2 full periods")
+
+        def snap(x: float) -> float:
+            return math.floor(x * HOLT_GRID + 0.5) / HOLT_GRID
+
+        ys = [float(v) for v in pdf["y"]]
+        m1 = sum(ys[:m]) / float(m)
+        m2 = sum(ys[m : 2 * m]) / float(m)
+        lv = snap(m1)
+        tr = snap((m2 - m1) / float(m))
+        s = [snap(ys[i] - lv) for i in range(m)]
+        out = []
+        for t in range(m, len(ys)):
+            pos = t % m
+            s_lag = s[pos]
+            lv_new = snap(0.5 * (ys[t] - s_lag) + 0.5 * (lv + tr))
+            tr = snap(0.25 * (lv_new - lv) + 0.75 * tr)
+            s[pos] = snap(0.5 * (ys[t] - lv_new) + 0.5 * s_lag)
+            lv = lv_new
+            out.append(
+                (
+                    t + 1,
+                    pdf["day"][t].isoformat(),
+                    int(pdf["y"][t]),
+                    lv,
+                    tr,
+                    s[pos],
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["rn", "day", "y", "level", "trend", "seasonal"]
+        )
+
+    return daily.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        hw,
+        schema="rn long, day string, y long, level double, "
+        "trend double, seasonal double",
+    )
