@@ -666,3 +666,150 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= (F.col("n_probe") - F.col("n_true")) * BLOOM_FP_NUM
         ).alias("fp_ok"),
     )
+
+
+HIST_BIN_CENTS = 1_000_000  # $10k bins over o_totalprice cents
+HIST_QUANTILES = ((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"))
+
+_HIST_Q_ROWS = " UNION ALL ".join(
+    f"SELECT {num} AS qn, {den} AS qd, '{lbl}' AS q"
+    for num, den, lbl in HIST_QUANTILES
+)
+
+_HIST_SQL = f"""
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+bins AS (
+  SELECT grp, cents // {HIST_BIN_CENTS} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum_to,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM bins
+),
+qs AS ({_HIST_Q_ROWS}),
+hit AS (
+  SELECT cum.grp, qs.q, cum.bin, cum.cnt, cum.n,
+         (qs.qn * cum.n + qs.qd - 1) // qs.qd AS k,
+         cum.cum_to - cum.cnt AS cum_before
+  FROM cum, qs
+  WHERE cum.cum_to - cum.cnt < (qs.qn * cum.n + qs.qd - 1) // qs.qd
+    AND (qs.qn * cum.n + qs.qd - 1) // qs.qd <= cum.cum_to
+),
+est AS (
+  SELECT grp, q, n, k, bin,
+         CAST(bin * {HIST_BIN_CENTS}
+              + (k - cum_before) * {HIST_BIN_CENTS} // cnt
+              AS BIGINT) AS est_cents
+  FROM hit
+),
+ranked AS (
+  SELECT grp, cents,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rn
+  FROM c
+),
+exact AS (
+  SELECT e.grp, e.q, r.cents AS exact_cents
+  FROM est e JOIN ranked r ON r.grp = e.grp AND r.rn = e.k
+)
+SELECT e.grp AS o_orderpriority, e.q, CAST(e.n AS BIGINT) AS n,
+       CAST(e.k AS BIGINT) AS k, CAST(e.bin AS BIGINT) AS bin,
+       e.est_cents, x.exact_cents,
+       abs(e.est_cents - x.exact_cents) <= {HIST_BIN_CENTS} AS bound_ok
+FROM est e JOIN exact x ON x.grp = e.grp AND x.q = e.q
+"""
+
+
+@register(
+    "agg_histogram_quantiles",
+    oracle=_HIST_SQL,
+    description=(
+        "[EXT] mergeable fixed-bin histogram quantile sketch, "
+        "oracle-exact: per order priority the o_totalprice cents "
+        "distribution folds into $10k bins (counters mergeable by "
+        "ADDITION across partitions/shards/streams — the property "
+        "Spark's engine-private KLL percentile_approx state lacks a "
+        "DuckDB twin for), and p25/p50/p75 read off the cumulative "
+        "bin counts with integral linear interpolation inside the "
+        "hit bin — bin choice (ceil-rank), interpolation, and the "
+        "estimate are all pure int64 and hash-match cross-engine. "
+        "bound_ok pins the STRUCTURAL error bound: the ceil-rank "
+        "order statistic lives in the hit bin, and the interpolated "
+        "estimate stays inside that bin's closure, so "
+        "|est - exact| <= bin width ALWAYS — a theorem of the "
+        "construction, checked against the exact windowed order "
+        "statistic. 100 TB story: state is O(value range / bin "
+        "width) counters per group, one map-side-combined pass, vs "
+        "a full sort for the exact quantile; the exact-rank branch "
+        "here exists only to prove the bound."
+    ),
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bins = c.groupBy(
+        "grp", F.expr(f"cents div {HIST_BIN_CENTS}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = bins.select(
+        "grp",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(W.partitionBy("grp").orderBy("bin")).alias("cum_to"),
+        F.sum("cnt").over(W.partitionBy("grp")).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(num, den, lbl) for num, den, lbl in HIST_QUANTILES],
+        "qn long, qd long, q string",
+    )
+    k = F.expr("(qn * n + qd - 1) div qd")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("k", k)
+        .filter(
+            (F.col("cum_to") - F.col("cnt") < F.col("k"))
+            & (F.col("k") <= F.col("cum_to"))
+        )
+        .withColumn("cum_before", F.col("cum_to") - F.col("cnt"))
+    )
+    est = hit.select(
+        "grp",
+        "q",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("bin").cast("long").alias("bin"),
+        F.expr(
+            f"CAST(bin * {HIST_BIN_CENTS}"
+            f" + (k - cum_before) * {HIST_BIN_CENTS} div cnt AS BIGINT)"
+        ).alias("est_cents"),
+    )
+    ranked = c.withColumn(
+        "rn", F.row_number().over(W.partitionBy("grp").orderBy("cents"))
+    )
+    exact = est.join(
+        ranked,
+        (ranked["grp"] == est["grp"]) & (ranked["rn"] == est["k"]),
+    ).select(est["grp"], est["q"], F.col("cents").alias("exact_cents"))
+    return est.join(exact, ["grp", "q"]).select(
+        F.col("grp").alias("o_orderpriority"),
+        "q",
+        "n",
+        "k",
+        "bin",
+        "est_cents",
+        "exact_cents",
+        (
+            F.abs(F.col("est_cents") - F.col("exact_cents"))
+            <= HIST_BIN_CENTS
+        ).alias("bound_ok"),
+    )

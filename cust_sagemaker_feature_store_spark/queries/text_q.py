@@ -4162,3 +4162,95 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_xy"), "w1", "w2")
         .limit(KN_TOP_K)
     )
+
+
+GT_MAX_R = 10
+GT_GRID = 1_000_000_000
+
+
+@register(
+    "text_good_turing",
+    oracle=f"""
+WITH tok AS (SELECT unnest({SQL_TOKS}) AS t FROM documents),
+uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+cofc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM uni GROUP BY 1),
+p0 AS (
+  SELECT CAST({GT_GRID} AS HUGEINT) * c.n_r // t.n AS p0_grid
+  FROM cofc c, tot t WHERE c.r = 1
+)
+SELECT c.r, c.n_r, COALESCE(c2.n_r, 0) AS n_r_next,
+       CAST(CASE WHEN c2.n_r IS NULL THEN NULL
+            ELSE CAST({GT_GRID} AS HUGEINT) * (c.r + 1) * c2.n_r // c.n_r
+            END AS BIGINT) AS r_star_grid,
+       CAST(CASE WHEN c2.n_r IS NULL THEN NULL
+            ELSE CAST({GT_GRID} AS HUGEINT) * (c.r + 1) * c2.n_r
+                 // (c.n_r * t.n)
+            END AS BIGINT) AS p_item_grid,
+       CAST(p0.p0_grid AS BIGINT) AS p0_grid
+FROM cofc c LEFT JOIN cofc c2 ON c2.r = c.r + 1, tot t, p0
+WHERE c.r <= {GT_MAX_R}
+ORDER BY c.r
+""",
+    description=(
+        "[EXT] simple Good-Turing frequency re-estimation (Good 1953) "
+        "over the token unigram distribution — the third smoothing "
+        "rung next to Laplace (text_bigram_lm) and Kneser-Ney: "
+        "adjusted count r* = (r+1) N_{{r+1}}/N_r from the "
+        "counts-of-counts table, per-item probability r*/N, and the "
+        "unseen-event mass P0 = N_1/N that a corpus LM must reserve "
+        "for out-of-vocabulary tokens (the quantity contamination / "
+        "novelty audits implicitly lean on). Everything is an exact "
+        "rational on the 1e-9 grid via HUGEINT/decimal(38,0) integral "
+        "division — counts-of-counts is two grouped aggregations of "
+        "one tokenize pass, vocabulary-sized then O(max count) — and "
+        "rows where N_{{r+1}} = 0 surface as NULL r* (the regime "
+        "where full SGT switches to its log-log regression, "
+        "documented honestly rather than smoothed over)."
+    ),
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _ensure_parallelism(docs).select(
+        F.explode(T.tokens("text")).alias("t")
+    )
+    tok = tok.localCheckpoint(eager=False)  # uni + tot both read it
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cofc = uni.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    ).localCheckpoint(eager=False)  # self-join + p0 read it
+    c2 = cofc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    p0 = cofc.filter(F.col("r") == 1).crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            f"CAST(CAST({GT_GRID} AS DECIMAL(38,0)) * n_r div n AS BIGINT)"
+        ).alias("p0_grid")
+    )
+    g = f"CAST({GT_GRID} AS DECIMAL(38,0))"
+    return (
+        cofc.filter(F.col("r") <= GT_MAX_R)
+        .join(c2, "r", "left")
+        .na.fill({"n_r_next": 0})
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(p0))
+        .select(
+            "r",
+            "n_r",
+            "n_r_next",
+            F.expr(
+                f"CAST(CASE WHEN n_r_next = 0 THEN NULL"
+                f" ELSE {g} * (r + 1) * n_r_next div n_r END AS BIGINT)"
+            ).alias("r_star_grid"),
+            F.expr(
+                f"CAST(CASE WHEN n_r_next = 0 THEN NULL"
+                f" ELSE {g} * (r + 1) * n_r_next div (n_r * n) END"
+                f" AS BIGINT)"
+            ).alias("p_item_grid"),
+            "p0_grid",
+        )
+        .orderBy("r")
+    )
