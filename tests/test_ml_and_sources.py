@@ -603,9 +603,11 @@ def test_markov_attribution_sanity(spark, sf_dir):
 
 def test_gbt_stumps_matches_python_reference(spark, tmp_path):
     """ml_gbt_stumps vs an unbounded-int Python reference on a
-    controlled table: same splits, leaves, gains, MSEs at every
-    round, and the non-increasing-MSE theorem (truncated leaves:
-    SSE delta = m'*n*(m' - 2m) <= 0 for either sign of m)."""
+    controlled table (constant discount, so feature 1 must win every
+    round and the feature-2 candidate set is empty): same feature,
+    splits, leaves, gains, MSEs at every round, and the
+    non-increasing-MSE theorem (truncated leaves: SSE delta =
+    m'*n*(m' - 2m) <= 0 for either sign of m)."""
     from cust_sagemaker_feature_store_spark.queries.gbt_q import (
         GBT_ROUNDS,
         ml_gbt_stumps,
@@ -615,11 +617,14 @@ def test_gbt_stumps_matches_python_reference(spark, tmp_path):
     rows += [(q, 40.0 * q) for q in range(1, 11)] * 3
     d = tmp_path / "gbt"
     spark.createDataFrame(
-        [(float(q), y) for q, y in rows],
-        "l_quantity double, l_extendedprice double",
+        [(float(q), 0.05, y) for q, y in rows],
+        "l_quantity double, l_discount double, l_extendedprice double",
     ).write.parquet(str(d / "lineitem.parquet"))
 
-    got = {r["boost_round"]: r.asDict() for r in ml_gbt_stumps(spark, str(d)).collect()}
+    got = {
+        r["boost_round"]: r.asDict()
+        for r in ml_gbt_stumps(spark, str(d)).collect()
+    }
 
     data = [(q, round(y)) for q, y in rows]
     n = len(data)
@@ -648,7 +653,8 @@ def test_gbt_stumps_matches_python_reference(spark, tmp_path):
             res[i] -= lv if q <= t else rv
         mse = trunc_div(sum(r * r for r in res.values()), n)
         g = got[rnd]
-        assert (g["split_qty"], g["n_left"], g["n_right"]) == (t, nl, nr)
+        assert g["feature"] == 1
+        assert (g["split_at"], g["n_left"], g["n_right"]) == (t, nl, nr)
         assert (g["left_value"], g["right_value"], g["gain"]) == (lv, rv, gain)
         assert g["mse_after"] == mse
         assert g["improved"] and mse <= prev_mse
