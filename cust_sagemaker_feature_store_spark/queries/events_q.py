@@ -2303,3 +2303,58 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="rn long, day string, y long, level double, "
         "trend double, seasonal double",
     )
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+w7 AS (
+  SELECT event_type, day, x,
+         list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+  FROM daily
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+       win[4] AS med7
+FROM w7 WHERE len(win) = 7
+""",
+    description=(
+        "[EXT] exact 7-day rolling MEDIAN of the daily event series — "
+        "the robust companion to events_rolling_agg's mean windows "
+        "(one stuck-pipeline spike moves a rolling mean for a week "
+        "but the median not at all). Spark refuses a window frame on "
+        "median(), so both engines take the same route that stays "
+        "exact: collect the 7-row frame as an array, sort, take the "
+        "middle element — pure integer selection, no interpolation, "
+        "bit-identical cross-engine (only full windows emit). The "
+        "frame is the CALENDAR-sized daily aggregate, so the "
+        "array-per-row costs 7 ints per day, not per event; the "
+        "corpus-sized stage is the one groupBy(day)."
+    ),
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "x",
+            F.array_sort(F.collect_list("x").over(w)).alias("win"),
+        )
+        .filter(F.size("win") == 7)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("n_events"),
+            F.element_at("win", 4).alias("med7"),
+        )
+    )
