@@ -158,9 +158,90 @@ def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             r = r - F.when(F.col(fcol) <= t, F.lit(lv)).otherwise(F.lit(rv))
         return r
 
-    def mse_of(res) -> int:
-        return int(
-            li.select(res.alias("r"))
+    def round_stats(splits) -> dict[int, list[tuple[int, int, int, int]]]:
+        """ONE corpus pass per round: both features' per-value
+        (sum res, count, sum res^2) via an exploded (f, v) stack.
+        The <= |values(q1)| + |values(q2)| result rows come back to
+        the driver, where the prefix scan / argmax runs in exact
+        unbounded Python ints — value-identical to the oracle's
+        HUGEINT prefix CTEs, minus two Spark jobs per round."""
+        res = res_col(splits)
+        stacked = li.select(
+            res.alias("res"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("f"), F.col("q1").alias("v")
+                    ),
+                    F.struct(
+                        F.lit(2).alias("f"), F.col("q2").alias("v")
+                    ),
+                )
+            ).alias("fv"),
+        ).select("fv.f", "fv.v", "res")
+        got = (
+            stacked.groupBy("f", "v")
+            .agg(
+                F.sum("res").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum(
+                    F.col("res").cast("decimal(38,0)") * F.col("res")
+                ).alias("ss"),
+            )
+            .collect()
+        )
+        out: dict[int, list[tuple[int, int, int, int]]] = {1: [], 2: []}
+        for r in got:
+            out[r["f"]].append((int(r["v"]), int(r["s"]), int(r["c"]), int(r["ss"])))
+        for f in out:
+            out[f].sort()
+        return out
+
+    def trunc_div(a: int, b: int) -> int:
+        q0 = abs(a) // abs(b)
+        return q0 if (a >= 0) == (b >= 0) else -q0
+
+    def best_split(stats):
+        best = None
+        for f in (1, 2):
+            st = sum(s for _, s, _, _ in stats[f])
+            nt = sum(c for _, _, c, _ in stats[f])
+            sl = nl = 0
+            for v, s, c, _ in stats[f]:
+                sl += s
+                nl += c
+                if nl <= 0 or nl >= nt:
+                    continue
+                sr, nr = st - sl, nt - nl
+                gain = (sl * sl * nr + sr * sr * nl) // (nl * nr)
+                key = (-gain, f, v)
+                if best is None or key < best[0]:
+                    best = (
+                        key,
+                        (f, v, nl, nr, trunc_div(sl, nl), trunc_div(sr, nr), gain),
+                    )
+        return best[1]
+
+    def mse_from(stats) -> int:
+        # a round's stats carry sum(res^2) per value, so the PREVIOUS
+        # round's post-split MSE reads off feature 1's rows for free
+        n = sum(c for _, _, c, _ in stats[1])
+        return trunc_div(sum(ss for _, _, _, ss in stats[1]), n)
+
+    splits: list[tuple[int, int, int, int]] = []
+    rows = []
+    mses = []  # mse AFTER round r lands at mses[r]; mses[0] = baseline
+    for rnd in range(1, GBT_ROUNDS + 1):
+        stats = round_stats(splits)
+        mses.append(mse_from(stats))  # residuals BEFORE this round
+        f, t, nl, nr, lv, rv, gain = best_split(stats)
+        splits.append((f, t, lv, rv))
+        rows.append((rnd, f, t, nl, nr, lv, rv, gain))
+    # only the FINAL round's post-split MSE needs its own corpus pass;
+    # total passes: pred0 + T stats + this = T + 2
+    mses.append(
+        int(
+            li.select(res_col(splits).alias("r"))
             .agg(
                 F.expr(
                     "CAST(SUM(CAST(r AS DECIMAL(38,0)) * r)"
@@ -169,76 +250,13 @@ def ml_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .head()[0]
         )
-
-    cum_w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    splits: list[tuple[int, int, int, int]] = []
-    rows = []
-    prev_mse = mse_of(F.col("y") - F.lit(pred0))
-    for rnd in range(1, GBT_ROUNDS + 1):
-        res = res_col(splits)
-        cand = None
-        for fi, fcol in enumerate(_FEATURES, start=1):
-            stats = (
-                li.select(F.col(fcol).alias("v"), res.alias("res"))
-                .groupBy("v")
-                .agg(
-                    F.sum("res").cast("long").alias("s"),
-                    F.count(F.lit(1)).cast("long").alias("c"),
-                )
-            )
-            tot = stats.agg(F.sum("s").alias("st"), F.sum("c").alias("nt"))
-            cum = stats.select(
-                "v",
-                F.sum("s").over(cum_w).alias("sl"),
-                F.sum("c").over(cum_w).alias("nl"),
-            ).crossJoin(F.broadcast(tot))
-            part = cum.filter(
-                (F.col("nl") > 0) & (F.col("nl") < F.col("nt"))
-            ).select(
-                F.lit(fi).alias("f"),
-                F.col("v").alias("t"),
-                F.col("nl").alias("n_left"),
-                (F.col("nt") - F.col("nl")).alias("n_right"),
-                F.expr(
-                    "CAST((CAST(sl AS DECIMAL(38,0)) * sl * (nt - nl)"
-                    " + CAST(st - sl AS DECIMAL(38,0)) * (st - sl) * nl)"
-                    " div (nl * (nt - nl)) AS BIGINT)"
-                ).alias("gain"),
-                F.expr(
-                    "CAST(CAST(sl AS DECIMAL(38,0)) div nl AS BIGINT)"
-                ).alias("lv"),
-                F.expr(
-                    "CAST(CAST(st - sl AS DECIMAL(38,0)) div (nt - nl)"
-                    " AS BIGINT)"
-                ).alias("rv"),
-            )
-            cand = part if cand is None else cand.unionByName(part)
-        best = (
-            cand.orderBy(F.desc("gain"), F.asc("f"), F.asc("t"))
-            .limit(1)
-            .head()
-        )
-        splits.append(
-            (int(best["f"]), int(best["t"]), int(best["lv"]), int(best["rv"]))
-        )
-        mse = mse_of(res_col(splits))
-        rows.append(
-            (
-                rnd,
-                int(best["f"]),
-                int(best["t"]),
-                int(best["n_left"]),
-                int(best["n_right"]),
-                int(best["lv"]),
-                int(best["rv"]),
-                int(best["gain"]),
-                mse,
-                mse <= prev_mse,
-            )
-        )
-        prev_mse = mse
+    )
+    out_rows = [
+        row + (mses[r + 1], mses[r + 1] <= mses[r])
+        for r, row in enumerate(rows)
+    ]
     return spark.createDataFrame(
-        rows,
+        out_rows,
         "boost_round int, feature int, split_at long, n_left long, "
         "n_right long, left_value long, right_value long, gain long, "
         "mse_after long, improved boolean",
