@@ -2306,3 +2306,130 @@ def sq8_scores(
         .withColumn(score_col, F.expr(dot))
         .drop("__gv")
     )
+
+
+def build_sq8_index(
+    embeddings: DataFrame,
+    index_root: str,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], list[int], list[int]]:
+    """Materialize the SQ8 tier sim_ivfsq_recall_floor builds inline —
+    grid centroids, per-dim (min, range) bounds, and the int8 CODES
+    partitioned by (epoch, cell) — the FAISS IndexIVFScalarQuantizer
+    serving artifact as Spark tables. Unlike the IVF/IVFADC stores
+    (which keep raw vectors), the codes table IS the corpus here at
+    1/8 the bytes: a probe never touches a float.
+
+    Layout under ``index_root``:
+      - ``centroids/``: (cell int, centroid array<long>) — the GRID
+        centroids (exact int64 1e-6 components), KBs.
+      - ``codebooks/``: reused for the SQ8 bounds: (dim int, mn long,
+        rg long) — 2 ints per dimension.
+      - ``codes/``: (id, codes array<int>, epoch, cell) — dynamic
+        partition overwrite, same exactly-once seam as the IVF tier
+        (bulk build writes epoch = -1).
+
+    Everything is integer-exact, so `probe_sq8_index` is bit-identical
+    to the inline path (pinned by tests/test_text_dedup_similarity.py
+    ::test_sq8_index_probe_matches_inline)."""
+    paths = _index_paths(index_root)
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.filter(F.col(id_col) < n_lists)
+        .select(id_col, grid_vector(vec_col).alias("gv"))
+        .orderBy(id_col)
+        .collect()
+    )
+    centroids = [[int(x) for x in r["gv"]] for r in cent_rows]
+    spark.createDataFrame(
+        [(i, centroids[i]) for i in range(len(centroids))],
+        "cell int, centroid array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(paths["centroids"])
+    mins, ranges = sq8_bounds(embeddings, vec_col)
+    spark.createDataFrame(
+        [(d, mins[d], ranges[d]) for d in range(len(mins))],
+        "dim int, mn long, rg long",
+    ).coalesce(1).write.mode("overwrite").parquet(paths["codebooks"])
+    mn = "array(" + ",".join(f"{m}L" for m in mins) + ")"
+    rg = "array(" + ",".join(f"{r}L" for r in ranges) + ")"
+    codes = (
+        "zip_with(zip_with(__gv, "
+        + mn
+        + ", (x, m) -> x - m), "
+        + rg
+        + ", (d, r) -> CAST(CASE WHEN r = 0 THEN 0"
+        " ELSE (d * 255) div r END AS INT))"
+    )
+    (
+        grid_assign_cells(embeddings, centroids, vec_col, "cell")
+        .withColumn("__gv", grid_vector(vec_col))
+        .select(
+            F.col(id_col),
+            F.expr(codes).alias("codes"),
+            F.lit(IVF_BASE_EPOCH).cast("long").alias("epoch"),
+            "cell",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cell")
+        .parquet(paths["codes"], compression="snappy")
+    )
+    return centroids, mins, ranges
+
+
+def probe_sq8_index(
+    spark,
+    index_root: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+):
+    """Top-k by asymmetric SQ8 score against the STORED codes: the
+    query snaps to the grid, probes its nprobe nearest stored
+    centroids (exact int64 distances, ties to the lowest cell), and
+    only those cells' code partitions are READ (partition pruning =
+    the inverted lists) — reconstruction happens inside the scan from
+    the stored (mn, rg) bounds, so a probe moves nprobe/n_lists of
+    the corpus at 1/8 float bytes and never touches a vector.
+    Bit-identical to scoring the same cells inline (integer-exact end
+    to end). Returns (id, sq8_score) by (score desc, id)."""
+    paths = _index_paths(index_root)
+    qgrid = [
+        int(round(float(x) * GRID_CELL_SCALE)) for x in query_vec
+    ]
+    cent = {
+        int(r["cell"]): [int(x) for x in r["centroid"]]
+        for r in spark.read.parquet(paths["centroids"]).collect()
+    }
+    d2 = sorted(
+        (sum((q - c) ** 2 for q, c in zip(qgrid, cv)), cell)
+        for cell, cv in cent.items()
+    )
+    probed = [cell for _, cell in d2[:nprobe]]
+    bounds = spark.read.parquet(paths["codebooks"]).orderBy("dim").collect()
+    mins = [int(r["mn"]) for r in bounds]
+    ranges = [int(r["rg"]) for r in bounds]
+    mn = "array(" + ",".join(f"{m}L" for m in mins) + ")"
+    rg = "array(" + ",".join(f"{r}L" for r in ranges) + ")"
+    q = "array(" + ",".join(f"{x}L" for x in qgrid) + ")"
+    dot = (
+        "aggregate(zip_with(zip_with(zip_with(CAST(codes AS ARRAY<BIGINT>), "
+        + rg
+        + ", (cd, r) -> cd * r div 255), "
+        + mn
+        + ", (o, m) -> o + m), "
+        + q
+        + ", (a, qq) -> a * qq), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    codes = spark.read.parquet(paths["codes"]).filter(
+        F.col("cell").isin(probed)
+    )
+    return (
+        codes.withColumn("sq8_score", F.expr(dot))
+        .select(id_col, "sq8_score")
+        .orderBy(F.desc("sq8_score"), F.asc(id_col))
+        .limit(k)
+    )

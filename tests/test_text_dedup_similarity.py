@@ -1225,3 +1225,50 @@ def test_kneser_ney_matches_fraction_reference_and_sums_to_one(spark, tmp_path):
             for b in vocab_r
         )
         assert total == 1, (a, total)
+
+
+def test_sq8_index_probe_matches_inline(spark, sf_dir, tmp_path):
+    """probe-from-stored-SQ8-index must be BIT-identical to scoring
+    the same probed cells inline (same grid centroids, same bounds,
+    same integer quantize/reconstruct/score) — the build-once/
+    probe-many contract of build_sq8_index, where the codes table is
+    the corpus at 1/8 float bytes and a probe reads only its nprobe
+    cell partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    root = str(tmp_path / "sq8_idx")
+    centroids, mins, ranges = S.build_sq8_index(emb, root, n_lists=8)
+    qgrid = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(S.grid_vector("embedding").alias("g"))
+        .head()["g"]
+    ]
+    for nprobe in (2, 4):
+        d2 = sorted(
+            (sum((a - c) ** 2 for a, c in zip(qgrid, cv)), cell)
+            for cell, cv in enumerate(centroids)
+        )
+        cells = [cell for _, cell in d2[:nprobe]]
+        inline = (
+            S.sq8_scores(
+                S.grid_assign_cells(emb, centroids).filter(
+                    F.col("cell").isin(cells)
+                ),
+                mins, ranges, qgrid,
+            )
+            .select("vec_id", "sq8_score")
+            .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+            .limit(10)
+            .collect()
+        )
+        stored = S.probe_sq8_index(
+            spark, root, q, k=10, nprobe=nprobe
+        ).collect()
+        assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+    # the probe is partition-pruned: its plan reads only nprobe cell
+    # directories, visible as a partition filter on `cell`
+    plan = S.probe_sq8_index(
+        spark, root, q, k=10, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
