@@ -2308,6 +2308,27 @@ def sq8_scores(
     )
 
 
+def sq8_codes_expr(mins: list[int], ranges: list[int]) -> str:
+    """The canonical SQ8 encode expression over a `__gv` grid-vector
+    column: code_i = clamp((x_i - mn_i) * 255 div rg_i, 0, 255). The
+    clamp is a no-op for vectors inside the trained bounds (the bulk
+    build, whose bounds come from its own corpus) and saturates
+    out-of-range components of NEW vectors encoded under FROZEN
+    bounds (the streaming maintainer) — the standard SQ behavior.
+    Shared by build_sq8_index and StreamingSq8Index so stream and
+    bulk encode through one integer-exact path."""
+    mn = "array(" + ",".join(f"{m}L" for m in mins) + ")"
+    rg = "array(" + ",".join(f"{r}L" for r in ranges) + ")"
+    return (
+        "zip_with(zip_with(__gv, "
+        + mn
+        + ", (x, m) -> x - m), "
+        + rg
+        + ", (d, r) -> CAST(CASE WHEN r = 0 THEN 0"
+        " ELSE least(greatest((d * 255) div r, 0L), 255L) END AS INT))"
+    )
+
+
 def build_sq8_index(
     embeddings: DataFrame,
     index_root: str,
@@ -2352,16 +2373,7 @@ def build_sq8_index(
         [(d, mins[d], ranges[d]) for d in range(len(mins))],
         "dim int, mn long, rg long",
     ).coalesce(1).write.mode("overwrite").parquet(paths["codebooks"])
-    mn = "array(" + ",".join(f"{m}L" for m in mins) + ")"
-    rg = "array(" + ",".join(f"{r}L" for r in ranges) + ")"
-    codes = (
-        "zip_with(zip_with(__gv, "
-        + mn
-        + ", (x, m) -> x - m), "
-        + rg
-        + ", (d, r) -> CAST(CASE WHEN r = 0 THEN 0"
-        " ELSE (d * 255) div r END AS INT))"
-    )
+    codes = sq8_codes_expr(mins, ranges)
     (
         grid_assign_cells(embeddings, centroids, vec_col, "cell")
         .withColumn("__gv", grid_vector(vec_col))

@@ -418,3 +418,94 @@ def retrain_ivfpq_index(
                 ("centroids", "codebooks", "codes", "vectors")]
     )
     return cent, books
+
+
+class StreamingSq8Index:
+    """File-source streaming maintainer for a persisted SQ8 index
+    whose bulk build (`operators/similarity.build_sq8_index`) already
+    populated ``index_root`` — new vectors stream in as parquet files
+    of (id_col, vec_col) rows and are ENCODED under the FROZEN stored
+    quantizer state (grid centroids + per-dim (min, range) bounds —
+    the same serving contract as the IVFADC tier: codes accumulate,
+    bounds/centroids retrain offline). Each micro-batch appends its
+    int8 codes under (epoch=batch_id, cell) by dynamic partition
+    overwrite, so a checkpoint replay rewrites the identical
+    partitions (the StreamingIvfIndex exactly-once seam) — and
+    because assignment, quantization, and scoring are integer-exact,
+    a `probe_sq8_index` after N streamed batches is bit-identical to
+    encoding the union corpus in one bulk build under the same
+    frozen state (tests/test_streaming.py::
+    test_sq8_index_stream_probe_matches_bulk). Out-of-bounds
+    components of NEW vectors clamp into [0, 255] (the standard SQ
+    saturation; documented rather than silently re-trained)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        index_root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.index_root = index_root
+        self.id_col = id_col
+        self.vec_col = vec_col
+        paths = _index_paths(index_root)
+        self.codes_dir = paths["codes"]
+        self.checkpoint_dir = os.path.join(index_root, "_checkpoint")
+        cent = (
+            spark.read.parquet(paths["centroids"]).orderBy("cell").collect()
+        )
+        self.centroids = [[int(x) for x in r["centroid"]] for r in cent]
+        bounds = (
+            spark.read.parquet(paths["codebooks"]).orderBy("dim").collect()
+        )
+        self.mins = [int(r["mn"]) for r in bounds]
+        self.ranges = [int(r["rg"]) for r in bounds]
+
+    # -- micro-batch sink ---------------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import (
+            grid_assign_cells,
+            grid_vector,
+            sq8_codes_expr,
+        )
+
+        if not batch.take(1):
+            return
+        codes = sq8_codes_expr(self.mins, self.ranges)
+        (
+            grid_assign_cells(batch, self.centroids, self.vec_col, "cell")
+            .withColumn("__gv", grid_vector(self.vec_col))
+            .select(
+                F.col(self.id_col),
+                F.expr(codes).alias("codes"),
+                F.lit(batch_id).cast("long").alias("epoch"),
+                "cell",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch", "cell")
+            .parquet(self.codes_dir, compression="snappy")
+        )
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start(self, schema: str):
+        src = (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.input_dir)
+        )
+        return (
+            src.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(self.codes_dir)

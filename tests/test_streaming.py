@@ -1502,3 +1502,102 @@ def test_stream_kmv_store_restart_and_compaction(spark, tmp_path):
         .agg(F.count("*").alias("n")).collect()
     }
     assert all(n <= k for n in sizes.values())
+
+
+def test_sq8_index_stream_encode_twin_and_restart(spark, tmp_path, sf_dir):
+    """The streaming SQ8-codes maintainer must (1) encode micro-batches
+    under the FROZEN stored bounds exactly as the shared batch encode
+    expression does, across a checkpoint restart, (2) be
+    replay-idempotent (epoch-stamped dynamic overwrite: exactly one
+    codes row per streamed id), and (3) leave the stored probe
+    returning bit-identical scores over the accumulated epochs as the
+    same integer scoring run inline over the union."""
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators import similarity as S
+    from cust_sagemaker_feature_store_spark.streaming.ivf_index import (
+        StreamingSq8Index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bulk = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "sq8_idx")
+    centroids, mins, ranges = S.build_sq8_index(bulk, root, n_lists=8)
+
+    d = tmp_path / "sq8_in"
+    d.mkdir()
+    parts = [
+        rest.filter(F.col("vec_id") % 4 == 1),
+        rest.filter(F.col("vec_id") % 4 == 3),
+    ]
+    # batch 0 before the restart, batch 1 after
+    for phase, todo in ((0, (0,)), (1, (1,))):
+        for b in todo:
+            parts[b].coalesce(1).write.mode("overwrite").parquet(
+                str(d / f"b{b}")
+            )
+            for f in (d / f"b{b}").glob("*.parquet"):
+                f.rename(d / f"batch{b}.parquet")
+        idx = StreamingSq8Index(spark, str(d), root)
+        q = idx.start(schema="vec_id long, embedding array<float>, label int")
+        q.awaitTermination(120)
+        q.stop()
+
+    codes = StreamingSq8Index(spark, str(d), root).codes()
+    # exactly once per id: bulk evens + streamed odds
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+
+    # encode twin: streamed rows' codes == batch encode of the same
+    # rows under the same frozen state
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in S.grid_assign_cells(rest, centroids, "embedding", "cell")
+        .withColumn("__gv", S.grid_vector("embedding"))
+        .select("vec_id", F.expr(S.sq8_codes_expr(mins, ranges)).alias("codes"))
+        .collect()
+    }
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in codes.filter(F.col("epoch") >= 0).collect()
+    }
+    assert got == want
+
+    # stored probe over all epochs == inline integer scoring over the
+    # union under the frozen state
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    qgrid = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(S.grid_vector("embedding").alias("g"))
+        .head()["g"]
+    ]
+    d2 = sorted(
+        (sum((a - c) ** 2 for a, c in zip(qgrid, cv)), cell)
+        for cell, cv in enumerate(centroids)
+    )
+    cells = [cell for _, cell in d2[:3]]
+    mn = "array(" + ",".join(f"{m}L" for m in mins) + ")"
+    rg = "array(" + ",".join(f"{r}L" for r in ranges) + ")"
+    qarr = "array(" + ",".join(f"{x}L" for x in qgrid) + ")"
+    rec = (
+        "aggregate(zip_with(zip_with(zip_with(CAST(codes AS ARRAY<BIGINT>), "
+        + rg + ", (cd, r) -> cd * r div 255), "
+        + mn + ", (o, m) -> o + m), "
+        + qarr + ", (a, qq) -> a * qq), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    inline = (
+        S.grid_assign_cells(emb, centroids, "embedding", "cell")
+        .filter(F.col("cell").isin(cells))
+        .withColumn("__gv", S.grid_vector("embedding"))
+        .select("vec_id", F.expr(S.sq8_codes_expr(mins, ranges)).alias("codes"))
+        .withColumn("sq8_score", F.expr(rec))
+        .select("vec_id", "sq8_score")
+        .orderBy(F.desc("sq8_score"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    stored = S.probe_sq8_index(spark, root, qvec, k=10, nprobe=3).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
