@@ -1833,3 +1833,187 @@ def events_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(med))
         .select("n_days", F.col("np").alias("n_pairs"), "median_slope")
     )
+
+
+PERM_COEF_GRID = 1_000_000_000  # coefficients on the 1e-9 grid
+
+
+@register(
+    "ml_permutation_importance",
+    oracle=f"""
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x1) AS HUGEINT) AS sx1, CAST(SUM(x2) AS HUGEINT) AS sx2,
+         CAST(SUM(x1*x1) AS HUGEINT) AS sx1x1,
+         CAST(SUM(x2*x2) AS HUGEINT) AS sx2x2,
+         CAST(SUM(x1*x2) AS HUGEINT) AS sx1x2,
+         CAST(SUM(x1*y) AS HUGEINT) AS sx1y,
+         CAST(SUM(x2*y) AS HUGEINT) AS sx2y
+  FROM base
+),
+m AS (
+  SELECT n, sy, sx1, sx2,
+         n*sx1x1 - sx1*sx1 AS m11, n*sx2x2 - sx2*sx2 AS m22,
+         n*sx1x2 - sx1*sx2 AS m12,
+         n*sx1y - sx1*sy AS v1, n*sx2y - sx2*sy AS v2
+  FROM s
+),
+coef AS (
+  SELECT n, sy, sx1, sx2,
+         CAST(ROUND({PERM_COEF_GRID} * CAST(m22*v1 - m12*v2 AS DOUBLE)
+                    / CAST(m11*m22 - m12*m12 AS DOUBLE)) AS BIGINT) AS b1n,
+         CAST(ROUND({PERM_COEF_GRID} * CAST(m11*v2 - m12*v1 AS DOUBLE)
+                    / CAST(m11*m22 - m12*m12 AS DOUBLE)) AS BIGINT) AS b2n
+  FROM m
+),
+coef2 AS (
+  SELECT b1n, b2n,
+         CAST((sy * {PERM_COEF_GRID} - b1n * sx1 - b2n * sx2) // n
+              AS BIGINT) AS an
+  FROM coef
+),
+perm AS (
+  SELECT x1, x2, y,
+         COALESCE(lead(x1) OVER w, first_value(x1) OVER w) AS x1p,
+         COALESCE(lead(x2) OVER w, first_value(x2) OVER w) AS x2p
+  FROM base
+  WINDOW w AS (ORDER BY {{h}}, rid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+scored AS (
+  SELECT
+    (y * {PERM_COEF_GRID} - an - b1n * x1 - b2n * x2)
+      // {PERM_COEF_GRID} AS r0,
+    (y * {PERM_COEF_GRID} - an - b1n * x1p - b2n * x2)
+      // {PERM_COEF_GRID} AS r1,
+    (y * {PERM_COEF_GRID} - an - b1n * x1 - b2n * x2p)
+      // {PERM_COEF_GRID} AS r2
+  FROM perm, coef2
+),
+mses AS (
+  SELECT
+    CAST(SUM(CAST(r0 AS HUGEINT)*r0) // COUNT(*) AS BIGINT) AS mse_base,
+    CAST(SUM(CAST(r1 AS HUGEINT)*r1) // COUNT(*) AS BIGINT) AS mse_p1,
+    CAST(SUM(CAST(r2 AS HUGEINT)*r2) // COUNT(*) AS BIGINT) AS mse_p2
+  FROM scored
+)
+SELECT 1 AS feature, c.b1n AS coef_nano, m.mse_base,
+       m.mse_p1 AS mse_permuted, m.mse_p1 - m.mse_base AS importance
+FROM mses m, coef2 c
+UNION ALL
+SELECT 2 AS feature, c.b2n, m.mse_base, m.mse_p2, m.mse_p2 - m.mse_base
+FROM mses m, coef2 c
+ORDER BY feature
+""".replace("{h}", "CAST('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 12) AS BIGINT)"),
+    description=(
+        "[EXT] permutation feature importance (Breiman 2001) on the "
+        "exact closed-form 2-feature OLS (y = price from quantity + "
+        "discount): each feature column is permuted by a DETERMINISTIC "
+        "cyclic shift in md5-hash order (no RNG — the same permutation "
+        "on any engine, any partitioning, any rerun) and the MSE "
+        "increase is the importance. Exactness discipline: normal-"
+        "equation stats are exact integer sums, the 2x2 Cramer solve "
+        "computes each numerator/determinant EXACTLY in "
+        "HUGEINT/decimal(38,0) and rounds ONCE through double "
+        "division onto the 1e-9 coefficient grid (two IEEE ops, no "
+        "FMA-ambiguous chain), the intercept and residuals are then "
+        "pure integral arithmetic, and MSEs are truncated integral "
+        "cents^2 — so coefficients, all three MSEs, and both "
+        "importances hash-match cross-engine. One stats pass + one "
+        "window pass + one scoring pass. 100 TB note: the hash-order "
+        "shift is a global sort here; at scale shift WITHIN "
+        "partitions — any fixed derangement is a valid permutation "
+        "test — keeping it sort-free."
+    ),
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hash48
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    li = li.localCheckpoint(eager=False)  # stats + window passes
+    D = "DECIMAL(38,0)"
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    ).head()
+    n, sy = int(s["n"]), int(s["sy"])
+    sx1, sx2 = int(s["sx1"]), int(s["sx2"])
+    m11 = n * int(s["sx1x1"]) - sx1 * sx1
+    m22 = n * int(s["sx2x2"]) - sx2 * sx2
+    m12 = n * int(s["sx1x2"]) - sx1 * sx2
+    v1 = n * int(s["sx1y"]) - sx1 * sy
+    v2 = n * int(s["sx2y"]) - sx2 * sy
+    det = m11 * m22 - m12 * m12
+    # exact integer numerators, ONE double division each, half-up
+    # round onto the 1e-9 grid — mirrors the oracle's ROUND(CAST/CAST)
+    import math
+
+    def snap(num: int) -> int:
+        val = PERM_COEF_GRID * float(num) / float(det)
+        return int(math.floor(val + 0.5)) if val >= 0 else -int(
+            math.floor(-val + 0.5)
+        )
+
+    b1n = snap(m22 * v1 - m12 * v2)
+    b2n = snap(m11 * v2 - m12 * v1)
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    an = tdiv(sy * PERM_COEF_GRID - b1n * sx1 - b2n * sx2, n)
+    w = Window.orderBy(hash48("rid"), "rid")
+    wf = Window.orderBy(hash48("rid"), "rid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    perm = li.select(
+        "x1",
+        "x2",
+        "y",
+        F.coalesce(F.lead("x1").over(w), F.first("x1").over(wf)).alias("x1p"),
+        F.coalesce(F.lead("x2").over(w), F.first("x2").over(wf)).alias("x2p"),
+    )
+
+    def resid(x1c: str, x2c: str):
+        return F.expr(
+            f"(y * {PERM_COEF_GRID} - ({an}L) - ({b1n}L) * {x1c}"
+            f" - ({b2n}L) * {x2c}) div {PERM_COEF_GRID}"
+        )
+
+    mses = perm.select(
+        resid("x1", "x2").alias("r0"),
+        resid("x1p", "x2").alias("r1"),
+        resid("x1", "x2p").alias("r2"),
+    ).agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CAST({c} AS {D}) * {c}) div COUNT(*) AS BIGINT)"
+            ).alias(f"mse_{c}")
+            for c in ("r0", "r1", "r2")
+        ]
+    ).head()
+    mb, m1, m2 = int(mses["mse_r0"]), int(mses["mse_r1"]), int(mses["mse_r2"])
+    return spark.createDataFrame(
+        [(1, b1n, mb, m1, m1 - mb), (2, b2n, mb, m2, m2 - mb)],
+        "feature int, coef_nano long, mse_base long, mse_permuted long, "
+        "importance long",
+    )
