@@ -4254,3 +4254,76 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+ESS_GRID = 1_000_000
+ESS_CLIP = 10_000  # chars; the heavy-tail cap for the clipped variant
+
+
+@register(
+    "sample_importance_ess",
+    oracle=f"""
+WITH w AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS w,
+         CAST(LEAST(n_chars, {ESS_CLIP}) AS BIGINT) AS wc
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(w) AS HUGEINT) AS sw,
+         SUM(CAST(w AS HUGEINT) * w) AS sww,
+         CAST(SUM(wc) AS HUGEINT) AS swc,
+         SUM(CAST(wc AS HUGEINT) * wc) AS swcwc
+  FROM w GROUP BY 1
+)
+SELECT source, n,
+       CAST({ESS_GRID} * sw * sw // (sww * n) AS BIGINT) AS ess_frac_grid,
+       CAST({ESS_GRID} * swc * swc // (swcwc * n) AS BIGINT)
+         AS ess_clipped_frac_grid,
+       CAST({ESS_GRID} * swc * swc // (swcwc * n) AS BIGINT)
+         >= CAST({ESS_GRID} * sw * sw // (sww * n) AS BIGINT)
+         AS clipping_helped
+FROM s ORDER BY source
+""",
+    description=(
+        "[EXT] effective-sample-size diagnostic for importance-"
+        "weighted draws (Kong 1992): per source, ESS/n = "
+        "(sum w)^2 / (n sum w^2) with document length as the weight — "
+        "the standard 'how many equivalent unweighted samples is this "
+        "weighted set worth' check a DSIR-style pipeline "
+        "(sample_dsir_resample) runs before trusting its draw — plus "
+        f"the clipped variant (weights capped at {ESS_CLIP}), the "
+        "textbook heavy-tail mitigation. Pure integer rationals on "
+        "the 1e-6 grid (HUGEINT/decimal(38,0) integral division), "
+        "hash-exact. clipping_helped pins a THEOREM: capping weights "
+        "can only reduce the squared coefficient of variation, so "
+        "clipped ESS/n >= raw ESS/n always — on the exact rationals; "
+        "on the 1e-6 grid both sides truncate through the SAME "
+        "division so the comparison survives snapping. One grouped "
+        "pass, source-count-sized output."
+    ),
+)
+def sample_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    D = "DECIMAL(38,0)"
+    w = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("w"),
+        F.least(F.col("n_chars"), F.lit(ESS_CLIP)).cast("long").alias("wc"),
+    )
+    s = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("w").cast(D).alias("sw"),
+        F.sum(F.col("w").cast(D) * F.col("w")).alias("sww"),
+        F.sum("wc").cast(D).alias("swc"),
+        F.sum(F.col("wc").cast(D) * F.col("wc")).alias("swcwc"),
+    )
+    raw = f"CAST({ESS_GRID} * sw * sw div (sww * n) AS BIGINT)"
+    cl = f"CAST({ESS_GRID} * swc * swc div (swcwc * n) AS BIGINT)"
+    return s.select(
+        "source",
+        "n",
+        F.expr(raw).alias("ess_frac_grid"),
+        F.expr(cl).alias("ess_clipped_frac_grid"),
+        (F.expr(cl) >= F.expr(raw)).alias("clipping_helped"),
+    ).orderBy("source")
