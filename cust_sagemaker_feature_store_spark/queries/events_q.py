@@ -2358,3 +2358,113 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("win", 4).alias("med7"),
         )
     )
+
+
+PATH_LEN = 3
+PATH_TOP_K = 25
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM gaps
+), ordered AS (
+  SELECT user_id, session_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS rn
+  FROM sessions
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path,
+         CAST(COUNT(*) AS BIGINT) AS path_len
+  FROM ordered WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, session_id
+)
+SELECT path, path_len,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path, path_len
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+""",
+    description=(
+        "[EXT] top session-opening paths — the user-journey mining "
+        "rung next to funnel/Markov attribution: sessions (same "
+        "30-min-gap contract as events_sessionize) reduce to their "
+        f"first {PATH_LEN} event types joined as an ordered path "
+        "string, then paths rank by session count with user reach "
+        "alongside. Deterministic everywhere a float could hide: the "
+        "within-session order ties on (ts, event_id), the path "
+        "string is an ORDER-qualified aggregation in both engines "
+        "(collect_list over the ranked window in Spark, "
+        "string_agg ORDER BY in DuckDB), and the top-k carries the "
+        "path itself as the tie-break. Scale shape: two window "
+        "passes + one truncated per-session aggregation — state per "
+        f"session is <= {PATH_LEN} types, the path table is "
+        "path-vocabulary-sized, and the final top-k is "
+        "TakeOrderedAndProject."
+    ),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.col("ts").cast("long") * 1_000_000 - F.lag(
+        F.col("ts").cast("long") * 1_000_000
+    ).over(w)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap_us > SESSION_GAP_US, 1).otherwise(0).alias("new_session"),
+    ).select(
+        "*",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    ranked = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("long").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
