@@ -211,3 +211,44 @@ def sql_hll_rho(rem_expr: str) -> str:
         f"CASE WHEN ({rem_expr}) = 0 THEN {r} "
         f"ELSE {r} - length(bin({rem_expr})) END"
     )
+
+
+def hll_estimate_corrected(
+    registers: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """The production HLL estimator: Flajolet et al.'s small-range
+    correction on top of the raw harmonic mean — when the raw
+    estimate is <= 2.5m and empty registers remain, switch to LINEAR
+    COUNTING est = m * ln(m / V) (the occupancy estimator), which is
+    where the raw formula biases high. The ln is the one float op:
+    computed as a double in both engines and rounded ONCE to an
+    integer (the DSIR ln discipline — a 1-ulp libm divergence flips
+    the result only within ~1e-14 of a half-integer; the three-SF
+    sweep guards it). The raw branch and V stay oracle-exact ints.
+    Returns (groups, hll_estimate, zero_registers, used_linear)."""
+    base = hll_estimate(registers, group_cols)
+    lc = F.round(
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("zero_registers").cast("double"))
+    ).cast("long")
+    small = (F.col("zero_registers") > 0) & (
+        F.col("hll_estimate") * 2 <= 5 * HLL_M
+    )
+    return base.select(
+        *group_cols,
+        F.when(small, lc).otherwise(F.col("hll_estimate")).alias(
+            "hll_estimate"
+        ),
+        "zero_registers",
+        small.alias("used_linear"),
+    )
+
+
+def sql_hll_corrected(raw_est: str, zeros: str) -> str:
+    """DuckDB twin of the small-range correction CASE."""
+    lc = f"CAST(ROUND({HLL_M}.0 * ln({HLL_M}.0 / CAST({zeros} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"CASE WHEN {zeros} > 0 AND {raw_est} * 2 <= {5 * HLL_M}"
+        f" THEN {lc} ELSE {raw_est} END"
+    )

@@ -813,3 +813,278 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= HIST_BIN_CENTS
         ).alias("bound_ok"),
     )
+
+
+# -- the sketched dataset card -------------------------------------------
+
+CARD_KMV_K = 128
+CARD_HIST_BIN = 64  # token-count bins; the median bound is one bin
+# ceilings measured across the three SFs (see the query description):
+# KMV unique-docs worst 10.8%, HLL vocab worst 9.7% (after the
+# small-range correction — per-source vocab is ~31 tokens, deep in
+# the linear-counting regime where the raw estimate reads ~2x high)
+# -> both pinned 25%
+CARD_TOL_NUM, CARD_TOL_DEN = 1, 4
+
+_CARD_TOKS = r"string_split_regex(trim(text), '\s+')"
+_CH = "md5(lower(trim(text)))"
+
+_CARD_SQL = f"""
+WITH per_doc AS (
+  SELECT source, {_CH} AS content_hash,
+         len({_CARD_TOKS}) AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+),
+kh AS (
+  SELECT DISTINCT source,
+         {SK.sql_hash48('content_hash')} AS hv
+  FROM per_doc
+),
+kr AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM kh
+),
+kmv AS (
+  SELECT source,
+         CASE WHEN COUNT(*) < {CARD_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+              ELSE {(CARD_KMV_K - 1) * SK.HASH_SPACE} // MAX(hv)
+         END AS kmv_unique_est
+  FROM kr WHERE rn <= {CARD_KMV_K} GROUP BY source
+),
+tok AS (
+  SELECT source, unnest({_CARD_TOKS}) AS t FROM documents
+),
+th AS (
+  SELECT source, {SK.sql_hash48('t')} AS hv FROM tok
+),
+regs AS (
+  SELECT source, hv >> {SK.HASH_BITS - SK.HLL_P} AS bucket,
+         MAX({SK.sql_hll_rho(f'hv & {_REM_MASK}')}) AS register
+  FROM th GROUP BY 1, 2
+),
+hll_raw AS (
+  SELECT source,
+         CAST(CAST({_HLL_NUMERATOR} AS HUGEINT)
+              // (CAST(SUM(1::BIGINT << ({SK.HASH_BITS - SK.HLL_P + 1} - register))
+                       + ({SK.HLL_M} - COUNT(*)) * {_TWO_POW_43} AS BIGINT)
+                  * {SK.ALPHA_DEN}) AS BIGINT) AS raw_est,
+         CAST({SK.HLL_M} - COUNT(*) AS BIGINT) AS zeros
+  FROM regs GROUP BY source
+),
+hll AS (
+  SELECT source,
+         {SK.sql_hll_corrected('raw_est', 'zeros')} AS hll_vocab_est
+  FROM hll_raw
+),
+bins AS (
+  SELECT source, n_tokens // {CARD_HIST_BIN} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM per_doc GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum_to,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM bins
+),
+hist AS (
+  SELECT source,
+         CAST(bin * {CARD_HIST_BIN}
+              + ((n + 1) // 2 - (cum_to - cnt)) * {CARD_HIST_BIN} // cnt
+              AS BIGINT) AS hist_median_est
+  FROM cum
+  WHERE cum_to - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum_to
+),
+ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM per_doc
+),
+exact AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_unique_exact
+  FROM per_doc GROUP BY source
+),
+vex AS (
+  SELECT source, CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_exact
+  FROM tok GROUP BY source
+),
+medx AS (
+  SELECT source, CAST(n_tokens AS BIGINT) AS median_tokens_exact
+  FROM ranked WHERE rn = (n + 1) // 2
+),
+ess AS (
+  SELECT source,
+         CAST(1000000 * CAST(SUM(n_chars) AS HUGEINT)
+              * CAST(SUM(n_chars) AS HUGEINT)
+              // (SUM(CAST(n_chars AS HUGEINT) * n_chars) * COUNT(*))
+              AS BIGINT) AS ess_frac_grid
+  FROM per_doc GROUP BY source
+)
+SELECT e.source, e.n_docs, e.n_unique_exact, k.kmv_unique_est,
+       abs(k.kmv_unique_est - e.n_unique_exact) * {CARD_TOL_DEN}
+         <= {CARD_TOL_NUM} * e.n_unique_exact AS dup_tol_ok,
+       v.vocab_exact, h.hll_vocab_est,
+       abs(h.hll_vocab_est - v.vocab_exact) * {CARD_TOL_DEN}
+         <= {CARD_TOL_NUM} * v.vocab_exact AS vocab_tol_ok,
+       m.median_tokens_exact, g.hist_median_est,
+       abs(g.hist_median_est - m.median_tokens_exact) <= {CARD_HIST_BIN}
+         AS median_bound_ok,
+       s.ess_frac_grid
+FROM exact e
+JOIN kmv k ON k.source = e.source
+JOIN hll h ON h.source = e.source
+JOIN vex v ON v.source = e.source
+JOIN hist g ON g.source = e.source
+JOIN medx m ON m.source = e.source
+JOIN ess s ON s.source = e.source
+ORDER BY e.source
+"""
+
+
+@register(
+    "pipeline_dataset_card_sketch",
+    oracle=_CARD_SQL,
+    description=(
+        "[EXT] the SKETCHED dataset card — pipeline_dataset_card's "
+        "one-page per-source manifest rebuilt from bounded-memory "
+        "synopses, the way a 100 TB release would actually compute "
+        "it: unique-document count from a KMV minset (k=128 hashes "
+        "per source, not a distinct shuffle of every content hash), "
+        "vocabulary size from HLL registers (64 cells per source, "
+        "not a token-universe distinct — through the SMALL-RANGE "
+        "corrected estimator hll_estimate_corrected, since per-source "
+        "vocab sits in the linear-counting regime), median document "
+        "length from "
+        "the fixed-bin histogram (ceil-rank + integral "
+        "interpolation), and the length-weight ESS fraction — every "
+        "sketch mergeable (min-set re-cut / register MAX / counter "
+        "ADD), every estimate pure int64/HUGEINT and hash-exact. "
+        "Each sketch carries its own audit column against the exact "
+        "value computed alongside: KMV within 25% (worst 10.8% "
+        "across the three SFs), HLL within 25% (worst 9.7%), the "
+        "histogram median inside its one-bin STRUCTURAL bound — so "
+        "the card certifies its own synopses. The exact branches "
+        "exist only for the audit; the sketch branches are the "
+        "product."
+    ),
+)
+def pipeline_dataset_card_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.md5(F.lower(F.trim(F.col("text"))).cast("binary")).alias(
+            "content_hash"
+        ),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).localCheckpoint(eager=False)  # five per-source summaries read it
+    grp = ["source"]
+    kmv = SK.kmv_estimate(
+        SK.kmv_minset(per_doc, grp, F.col("content_hash"), CARD_KMV_K),
+        grp,
+        CARD_KMV_K,
+    ).select("source", F.col("kmv_estimate").alias("kmv_unique_est"))
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("t")
+    ).localCheckpoint(eager=False)  # HLL + exact-vocab both read it
+    hll = SK.hll_estimate_corrected(
+        SK.hll_registers(tok, grp, F.col("t")), grp
+    ).select("source", F.col("hll_estimate").alias("hll_vocab_est"))
+    bins = per_doc.groupBy(
+        "source", F.expr(f"n_tokens div {CARD_HIST_BIN}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = bins.select(
+        "source",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(W.partitionBy("source").orderBy("bin")).alias(
+            "cum_to"
+        ),
+        F.sum("cnt").over(W.partitionBy("source")).alias("n"),
+    )
+    k = F.expr("(n + 1) div 2")
+    hist = (
+        cum.withColumn("k", k)
+        .filter(
+            (F.col("cum_to") - F.col("cnt") < F.col("k"))
+            & (F.col("k") <= F.col("cum_to"))
+        )
+        .select(
+            "source",
+            F.expr(
+                f"CAST(bin * {CARD_HIST_BIN}"
+                f" + (k - (cum_to - cnt)) * {CARD_HIST_BIN} div cnt"
+                f" AS BIGINT)"
+            ).alias("hist_median_est"),
+        )
+    )
+    exact = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("content_hash").cast("long").alias("n_unique_exact"),
+    )
+    vex = tok.groupBy("source").agg(
+        F.countDistinct("t").cast("long").alias("vocab_exact")
+    )
+    ranked = per_doc.select(
+        "source",
+        "n_tokens",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_tokens"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    medx = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "source", F.col("n_tokens").alias("median_tokens_exact")
+    )
+    D = "DECIMAL(38,0)"
+    ess = per_doc.groupBy("source").agg(
+        F.expr(
+            f"CAST(1000000 * CAST(SUM(n_chars) AS {D})"
+            f" * CAST(SUM(n_chars) AS {D})"
+            f" div (SUM(CAST(n_chars AS {D}) * n_chars) * COUNT(*))"
+            f" AS BIGINT)"
+        ).alias("ess_frac_grid")
+    )
+    return (
+        exact.join(kmv, "source")
+        .join(hll, "source")
+        .join(vex, "source")
+        .join(hist, "source")
+        .join(medx, "source")
+        .join(ess, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_exact",
+            "kmv_unique_est",
+            (
+                F.abs(F.col("kmv_unique_est") - F.col("n_unique_exact"))
+                * CARD_TOL_DEN
+                <= CARD_TOL_NUM * F.col("n_unique_exact")
+            ).alias("dup_tol_ok"),
+            "vocab_exact",
+            "hll_vocab_est",
+            (
+                F.abs(F.col("hll_vocab_est") - F.col("vocab_exact"))
+                * CARD_TOL_DEN
+                <= CARD_TOL_NUM * F.col("vocab_exact")
+            ).alias("vocab_tol_ok"),
+            "median_tokens_exact",
+            "hist_median_est",
+            (
+                F.abs(F.col("hist_median_est") - F.col("median_tokens_exact"))
+                <= CARD_HIST_BIN
+            ).alias("median_bound_ok"),
+            "ess_frac_grid",
+        )
+        .orderBy("source")
+    )

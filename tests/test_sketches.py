@@ -241,3 +241,33 @@ def test_theta_intersection_matches_python_reference(spark):
     # RSE ~ 25% — factor-2 bounds are ~4 sigma (the oracle query pins
     # the production-k accuracy; this pins the construction)
     assert true_inter // 2 <= est <= true_inter * 2
+
+
+def test_hll_small_range_correction_matches_python(spark):
+    """hll_estimate_corrected: small cardinalities route through
+    linear counting est = round(m * ln(m / V)) and land near the
+    truth, while large cardinalities keep the raw branch (matching
+    hll_estimate exactly)."""
+    import math
+
+    # small: 30 distinct values over 64 registers => linear counting
+    small = spark.createDataFrame([(v,) for v in range(30)], "v long")
+    est = SK.hll_estimate_corrected(
+        SK.hll_registers(small, [], F.col("v")), []
+    ).head()
+    assert est["used_linear"]
+    regs = set()
+    for v in range(30):
+        regs.add(_py_hash48(v) >> 42)
+    V = SK.HLL_M - len(regs)
+    want = round(SK.HLL_M * math.log(SK.HLL_M / V))
+    assert est["hll_estimate"] == want
+    assert abs(est["hll_estimate"] - 30) * 4 <= 30
+    # large: raw branch, equal to the uncorrected estimator
+    big = spark.createDataFrame([(v,) for v in range(5000)], "v long")
+    raw = SK.hll_estimate(SK.hll_registers(big, [], F.col("v")), []).head()
+    cor = SK.hll_estimate_corrected(
+        SK.hll_registers(big, [], F.col("v")), []
+    ).head()
+    assert not cor["used_linear"]
+    assert cor["hll_estimate"] == raw["hll_estimate"]
