@@ -1088,3 +1088,36 @@ def pipeline_dataset_card_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+STREAM_HIST_BIN = 200  # cents per bin over events.value
+
+
+@register(
+    "stream_histogram_twin",
+    oracle=f"""
+SELECT CAST(ROUND(value * 100) AS BIGINT) // {STREAM_HIST_BIN} AS bin,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM events GROUP BY 1
+""",
+    description=(
+        "[EXT] batch twin of the STREAMING fixed-bin histogram "
+        "(streaming/windows.histogram_bin_counters over events.value "
+        "cents): quantile-serving state capped at range/width "
+        "counters on an unbounded stream, maintained as a plain "
+        "streaming COUNT aggregation, mergeable with batch shards by "
+        "ADDITION — the third streaming sketch next to the Count-Min "
+        "and HLL counter tables, and the live feed for "
+        "agg_histogram_quantiles' read-side interpolation. This twin "
+        "runs the streaming operator's own function on the batch "
+        "frame so the oracle pins the bin arithmetic (exact cents, "
+        "truncating integral division); streaming execution and "
+        "stream == batch equality are pinned by "
+        "tests/test_streaming.py."
+    ),
+)
+def stream_histogram_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import histogram_bin_counters
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_bin_counters(ev, "value", STREAM_HIST_BIN)

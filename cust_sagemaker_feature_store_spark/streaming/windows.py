@@ -167,3 +167,29 @@ def hll_register_counters(stream: DataFrame, key_col: str) -> DataFrame:
     from ..operators.sketches import hll_registers
 
     return hll_registers(stream, [], F.col(key_col))
+
+
+def histogram_bin_counters(
+    stream: DataFrame, value_col: str, bin_width: int
+) -> DataFrame:
+    """Fixed-bin histogram counters maintained ON THE STREAM: one
+    grouped COUNT per value bin, state = O(value range / bin width)
+    cells on an unbounded stream — the quantile companion to
+    `count_min_counters` (frequency) and `hll_register_counters`
+    (cardinality). Counters merge with batch/shard histograms by
+    ADDITION, and quantiles read off the cumulative counts with the
+    agg_histogram_quantiles interpolation, so a serving layer can
+    answer p50/p95 from the live counter table at any moment. Works
+    identically on batch frames (stream_histogram_twin pins the bin
+    arithmetic); stream == batch counter equality is pinned by
+    tests/test_streaming.py."""
+    return (
+        stream.select(
+            F.expr(
+                f"CAST(ROUND({value_col} * 100) AS BIGINT)"
+                f" div {bin_width} "
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )

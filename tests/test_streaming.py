@@ -1601,3 +1601,45 @@ def test_sq8_index_stream_encode_twin_and_restart(spark, tmp_path, sf_dir):
     )
     stored = S.probe_sq8_index(spark, root, qvec, k=10, nprobe=3).collect()
     assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+
+
+def test_streaming_histogram_counters_equal_batch(spark, tmp_path):
+    """Histogram bin counters maintained as a streaming aggregation
+    equal the batch counters over the same rows across two
+    micro-batches — cross-batch counter ADDITION, state bounded by
+    the value range over the bin width."""
+    from cust_sagemaker_feature_store_spark.streaming.windows import (
+        histogram_bin_counters,
+    )
+
+    d = tmp_path / "hist_in"
+    d.mkdir()
+    rows = [(i, (i * 37 % 211) / 7.0) for i in range(90)]
+    for bi, chunk in enumerate((rows[:45], rows[45:])):
+        (d / f"b{bi}.csv").write_text(
+            "event_id,value\n"
+            + "\n".join(f"{e},{v}" for e, v in chunk)
+            + "\n"
+        )
+    ev = spark.readStream.schema("event_id long, value double").option(
+        "maxFilesPerTrigger", 1
+    ).csv(str(d), header=True)
+    q = (
+        histogram_bin_counters(ev, "value", 200)
+        .writeStream.format("memory")
+        .queryName("hist_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bin"], r["c"])
+        for r in spark.sql("SELECT * FROM hist_out").collect()
+    }
+    batch = spark.createDataFrame(rows, "event_id long, value double")
+    want = {
+        (r["bin"], r["c"])
+        for r in histogram_bin_counters(batch, "value", 200).collect()
+    }
+    assert got == want and len(got) > 1
