@@ -1571,8 +1571,11 @@ FROM alloc a JOIN drawn d ON d.stratum = a.stratum
         "int64, so allocations and the drawn sample hash-match "
         "cross-engine, and sum(n_alloc) == n EXACTLY (pinned) — no "
         "float quota rounding that over- or under-shoots the budget. "
-        "The draw itself is the WindowGroupLimit-shaped rank <= "
-        "n_alloc cut, reproducible across engines and reruns."
+        "The draw is a per-stratum hash rank cut against the "
+        "BROADCAST strata-sized allocation table (rank <= n_alloc; a "
+        "column limit cannot compile to WindowGroupLimit the way a "
+        "literal k does, so the broadcast is the scale property), "
+        "reproducible across engines and reruns."
     ),
 )
 def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

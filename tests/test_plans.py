@@ -587,3 +587,35 @@ def test_drift_psi_partial_aggregates_scan(spark, sf_dir):
     count — it must combine map-side before its exchange."""
     df = REGISTRY["fs_feature_drift_psi"].fn(spark, sf_dir)
     assert has_partial_aggregate(df)
+
+
+def test_sq8_shortlist_is_take_ordered_and_broadcast_rerank(spark, sf_dir):
+    """The SQ8 rungs' scale-critical shapes: the integer-score
+    shortlist compiles to TakeOrderedAndProject (k rows per partition,
+    no corpus shuffle), and the rerank joins the shortlist back by
+    BROADCAST — the corpus is never shuffled for a probe."""
+    q = REGISTRY["sim_sq8_recall_floor"].fn(spark, sf_dir)
+    assert uses_take_ordered(q)
+    assert uses_broadcast_join(q)
+
+
+def test_kmv_minset_partial_aggregation(spark, sf_dir):
+    """The KMV sketch's distinct-then-rank pipeline keeps map-side
+    combine on the distinct (the shuffle carries hashes, deduped per
+    partition first) and the per-group rank<=k compiles to
+    WindowGroupLimit — each task keeps k hashes per group before the
+    exchange."""
+    q = REGISTRY["agg_kmv_distinct"].fn(spark, sf_dir)
+    assert has_partial_aggregate(q)
+    assert has_window_group_limit(q)
+
+
+def test_neyman_draw_broadcasts_allocations(spark, sf_dir):
+    """The Neyman allocation's per-stratum draw joins the
+    strata-sized allocation table by BROADCAST before the rank
+    filter — the fact table is never shuffled for the cut. (The
+    rank <= n_alloc limit is a COLUMN, so it cannot compile to
+    WindowGroupLimit the way a literal k does — the broadcast is
+    the property that matters at scale.)"""
+    q = REGISTRY["sample_neyman_allocation"].fn(spark, sf_dir)
+    assert uses_broadcast_join(q)
