@@ -17,6 +17,7 @@ from datetime import datetime, timezone
 from decimal import Decimal
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from cust_sagemaker_feature_store_spark.operators.latest import (
@@ -675,3 +676,91 @@ def test_grid_pq_codes_matches_bruteforce(spark, vecs):
             bd = [sum((a - b) * (a - b) for a, b in zip(rb, c)) for c in book]
             codes.append(bd.index(min(bd)))
         assert got[i] == (cell, tuple(codes)), (v, g, cell, codes, got[i])
+
+
+# -- spark: sketch merge theorems under arbitrary shardings -------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=120,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=2**16),
+    k=st.sampled_from([4, 16]),
+)
+def test_kmv_merge_equals_direct_under_any_sharding(spark, vals, seed, k):
+    """KMV merge theorem as a PROPERTY: for any value set and any
+    random sharding, the k smallest of the per-shard k-smallest
+    distinct-hash sets equals the direct minset (which
+    tests/test_sketches.py separately pins against the Python md5
+    reference). This is the exact invariant the streaming store's
+    serve() and compaction rely on."""
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators import sketches as SK
+
+    rng = random.Random(seed)
+    df = spark.createDataFrame(
+        [(v, rng.randrange(4)) for v in vals], "v long, shard int"
+    )
+    direct = sorted(
+        r["hv"] for r in SK.kmv_minset(df, [], F.col("v"), k).collect()
+    )
+    merged = sorted(
+        r["hv"]
+        for r in SK.kmv_merge_minsets(
+            SK.kmv_minset(df, ["shard"], F.col("v"), k), [], k
+        ).collect()
+    )
+    assert merged == direct
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=150,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_hll_register_merge_equals_direct_under_any_sharding(
+    spark, vals, seed
+):
+    """HLL merge theorem as a PROPERTY: register-wise MAX over any
+    random sharding's register tables equals the direct register
+    table — the invariant behind map-side combine, shard folds, and
+    the streaming MAX aggregation."""
+    import random
+
+    from cust_sagemaker_feature_store_spark.operators import sketches as SK
+
+    rng = random.Random(seed)
+    df = spark.createDataFrame(
+        [(v, rng.randrange(3)) for v in vals], "v long, shard int"
+    )
+    direct = {
+        (r["bucket"], r["register"])
+        for r in SK.hll_registers(df, [], F.col("v")).collect()
+    }
+    merged = {
+        (r["bucket"], r["register"])
+        for r in SK.hll_registers(df, ["shard"], F.col("v"))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .collect()
+    }
+    assert merged == direct
