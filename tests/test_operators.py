@@ -1052,3 +1052,61 @@ def test_skyline_2d_duplicates_and_single_point(spark):
 
     one = spark.createDataFrame([(0, 5, 5)], "id long, x long, y long")
     assert skyline_2d(one, "x", "y").count() == 1
+
+
+def test_er_gold_banded_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
+    """r13 verdict nit: the er_blocking_quality gold standard's supplier
+    broadcast is now gated on a measured row count. Above the gate the
+    FastSS deletion-neighborhood banded join must produce the IDENTICAL
+    exact gold set — the pigeonhole is a theorem (substitution at i
+    makes both i-deletions equal; an insertion's deletion recovers the
+    shorter string), so zero tolerance."""
+    from pyspark.sql import functions as F
+
+    from cust_sagemaker_feature_store_spark.catalog import load_table
+    from cust_sagemaker_feature_store_spark.operators.sketches import hash48
+    from cust_sagemaker_feature_store_spark.queries import relational7_q as R
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("substr(c_name, 10)").alias("cd")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr("substr(s_name, 10)").alias("sd")
+    )
+    cs = cust.filter(hash48("c_custkey", "er") % 10 == 0)
+
+    via_broadcast = sorted(
+        (r["c_custkey"], r["s_suppkey"])
+        for r in R._er_gold_pairs(cs, supp).collect()
+    )
+    monkeypatch.setattr(R, "_ER_GOLD_BROADCAST_MAX_ROWS", 0)
+    via_banded = sorted(
+        (r["c_custkey"], r["s_suppkey"])
+        for r in R._er_gold_pairs(cs, supp).collect()
+    )
+    assert via_banded == via_broadcast
+    assert via_broadcast  # non-vacuous: the sample does hit true pairs
+
+
+def test_er_gold_banded_catches_insertion_and_deletion_pairs(spark, monkeypatch):
+    """The registry ids are fixed-length (substitutions only); prove the
+    deletion-neighborhood fallback on variable-length inputs too, where
+    distance-1 pairs arise by insertion/deletion."""
+    from cust_sagemaker_feature_store_spark.queries import relational7_q as R
+
+    left = spark.createDataFrame(
+        [(1, "abc"), (2, "abcd"), (3, "xyz"), (4, "q")],
+        "c_custkey long, cd string",
+    )
+    right = spark.createDataFrame(
+        [(10, "abc"), (11, "ab"), (12, "xxyz"), (13, "zzz"), (14, "qq")],
+        "s_suppkey long, sd string",
+    )
+    monkeypatch.setattr(R, "_ER_GOLD_BROADCAST_MAX_ROWS", 0)
+    got = sorted(
+        (r["c_custkey"], r["s_suppkey"])
+        for r in R._er_gold_pairs(left, right).collect()
+    )
+    # lev(abc,abc)=0; lev(abc,ab)=1 (deletion); lev(abcd,abc)=1;
+    # lev(xyz,xxyz)=1 (insertion); lev(q,qq)=1; nothing matches zzz
+    assert got == [(1, 10), (1, 11), (2, 10), (3, 12), (4, 14)]
