@@ -479,16 +479,43 @@ def main() -> None:
     try:
         fs_inc, inc_root = setup_incremental_store(spark, sf_dir)
         try:
+            # Serving path (r13 verdict next-round #3): the bucket-pruned
+            # point lookup was plan-asserted but never timed. COLD = the
+            # very first lookup after materialization (sidecar read +
+            # file listing uncached), recorded as a single pass by
+            # construction; the plain entry is the steady warm min-of-2
+            # the serving tier actually sees. The freshness guard makes
+            # the measurement honest — a stale snapshot would silently
+            # fall back to the derived latest view and time the wrong
+            # path.
+            if not fs_inc._snapshot_is_fresh("BenchEventsInc"):
+                raise RuntimeError(
+                    "snapshot stale: point lookup would measure the "
+                    "derived-view fallback, not the pruned serving path"
+                )
+            t0 = time.time()
+            fs_inc.get_record("BenchEventsInc", 12345)
+            timings["online_point_lookup_cold"] = round(time.time() - t0, 3)
+            timed(
+                "online_point_lookup",
+                lambda: fs_inc.get_record("BenchEventsInc", 12345),
+            )
+            timed(
+                "online_batch_get_100",
+                lambda: fs_inc.batch_get_record(
+                    "BenchEventsInc", [v * 97 for v in range(100)]
+                ),
+            )
             timed(
                 "online_incremental_upsert",
                 lambda: run_upsert(spark, fs_inc, sf_dir),
             )
         finally:
             shutil.rmtree(inc_root, ignore_errors=True)
-    except Exception as exc:  # noqa: BLE001 — untimed setup can fail too
-        errors["online_incremental_upsert"] = _err_msg(exc)
+    except Exception as exc:  # noqa: BLE001 — untimed setup/guard can fail too
+        errors["online_serving_and_upsert"] = _err_msg(exc)
         print(
-            f"BENCH ERROR online_incremental_upsert: {errors['online_incremental_upsert']}",
+            f"BENCH ERROR online_serving_and_upsert: {errors['online_serving_and_upsert']}",
             file=sys.stderr,
         )
 
