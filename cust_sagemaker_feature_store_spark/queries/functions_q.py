@@ -412,6 +412,123 @@ def udf_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_WAV_FEATURES_SCHEMA)
 
 
+_JPEG_FEATURES_SCHEMA = (
+    "media_id long, width long, height long, sum_gray long, "
+    "sum_rgb long, grad_err_le_8 boolean"
+)
+
+
+@register(
+    "udf_multimodal_jpeg",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 3) - doc_id % 5 AS BIGINT) AS width,
+         CAST(8 * (1 + doc_id % 2) - doc_id % 3 AS BIGINT) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, x.x AS x, y.y AS y
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+)
+SELECT media_id, width, height,
+       CAST(SUM((media_id + 7 * (x // 8) + 13 * (y // 8)) % 256)
+            AS BIGINT) AS sum_gray,
+       CAST(3 * SUM((3 * media_id + 11 * (x // 8) + 5 * (y // 8)) % 256)
+            AS BIGINT) AS sum_rgb,
+       TRUE AS grad_err_le_8
+FROM px GROUP BY 1, 2, 3
+""",
+    description=(
+        "[EXT] REAL baseline JPEG decode path, oracle-pinned (r13 "
+        "verdict next-round #2 — the codec ladder's largest real-"
+        "corpus image rung, after BMP/PNG/WAV). Three fixtures per "
+        "document, all decoded by the pure-numpy decode_jpeg inside "
+        "mapInPandas: (1) a GRAYSCALE 8x8-block-constant raster "
+        "(block value (id + 7*bx + 13*by) % 256, cropped to a non-"
+        "multiple-of-8 width/height) whose decode is EXACT under "
+        "all-ones quant tables — constant blocks carry only a DC "
+        "coefficient, an exact multiple of 8 — so sum_gray hashes "
+        "the Huffman walk, DC prediction chain, dequant, IDCT DC "
+        "path and crop bit-for-bit; (2) a COLOR 4:4:4 fixture with "
+        "Cb=Cr=128 and block-constant Y, encoded with restart "
+        "markers every 2 MCUs, whose decoded RGB equals Y exactly "
+        "(the chroma terms vanish), so sum_rgb = 3*sum_Y hashes the "
+        "interleaved-MCU, RSTn and color-transform paths; (3) a "
+        "full-gradient raster whose reconstruction error is bounded "
+        "by the all-ones-quant THEOREM (each orthonormal-DCT "
+        "coefficient rounds by <= 1/2, so per-pixel error < 8), "
+        "floored as grad_err_le_8. The oracle never sees JPEG bytes: "
+        "it recomputes the sums from the pixel rules. Narrow per-row "
+        "transform, no shuffle; progressive/subsampled JPEG stays "
+        "env-gated."
+    ),
+)
+def udf_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 8 * (1 + mid % 3) - mid % 5
+                h = 8 * (1 + mid % 2) - mid % 3
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                bx = np.arange(bw, dtype=np.int64)[None, :]
+                by = np.arange(bh, dtype=np.int64)[:, None]
+
+                gray_blocks = (mid + 7 * bx + 13 * by) % 256
+                gray = (
+                    np.repeat(np.repeat(gray_blocks, 8, 0), 8, 1)[:h, :w]
+                ).astype(np.uint8)
+                dec_g = decode_jpeg(encode_jpeg(gray))  # REAL decode
+                sum_gray = int(dec_g.astype(np.int64).sum())
+
+                y_blocks = (3 * mid + 11 * bx + 5 * by) % 256
+                y = (
+                    np.repeat(np.repeat(y_blocks, 8, 0), 8, 1)[:h, :w]
+                ).astype(np.uint8)
+                color = np.stack(
+                    [y, np.full_like(y, 128), np.full_like(y, 128)], axis=2
+                )
+                dec_c = decode_jpeg(
+                    encode_jpeg(color, colorspace="ycbcr", restart_interval=2)
+                )
+                sum_rgb = int(dec_c.astype(np.int64).sum())
+
+                x = np.arange(w, dtype=np.int64)[None, :]
+                yy = np.arange(h, dtype=np.int64)[:, None]
+                grad = ((mid + 5 * x + 2 * yy) % 256).astype(np.uint8)
+                dec_grad = decode_jpeg(encode_jpeg(grad))
+                err = int(
+                    np.abs(
+                        dec_grad.astype(np.int64) - grad.astype(np.int64)
+                    ).max()
+                )
+                rows.append(
+                    (mid, dec_g.shape[1], dec_g.shape[0],
+                     sum_gray, sum_rgb, err <= 8)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "sum_gray", "sum_rgb", "grad_err_le_8",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_JPEG_FEATURES_SCHEMA)
+
+
 @register(
     "agg_approx_distinct",
     oracle=None,  # HLL estimate is engine-specific; exactness checked in tests

@@ -482,6 +482,136 @@ def test_wav_decoder_gates_and_errors():
         decode_media(b"\xff\xfbmp3 frame", "audio", strict=True)
 
 
+def test_jpeg_codec_exact_on_block_constant_rasters():
+    """encode_jpeg/decode_jpeg: EXACT round trip for 8x8-block-constant
+    images under all-ones quant tables — such blocks carry only a DC
+    coefficient (DC = sum/8 is an exact multiple of 8 for constant
+    blocks, so coefficient rounding loses nothing), which pins the
+    marker walk, DC Huffman + prediction chain, dequant and the IDCT's
+    DC path bit-for-bit, including the non-multiple-of-8 crop."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(6):
+        w, h = int(rng.randint(3, 30)), int(rng.randint(3, 20))
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        vals = rng.randint(0, 256, (bh, bw))
+        px = np.repeat(np.repeat(vals, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px))
+        assert dec.shape == (h, w)
+        assert np.array_equal(dec, px)
+
+
+def test_jpeg_codec_error_bound_and_restarts_on_noise():
+    """All-ones quant tables round each of the 64 orthonormal-DCT
+    coefficients by <= 1/2, so reconstruction error per pixel is
+    bounded by (1/2) * sum of basis amplitudes = (1/2) * (1/(2*sqrt 2)
+    + 7/2)^2 < 8 for ANY image — asserted on random noise, the
+    worst case for AC run-length coding. Restart markers (DRI/RSTn)
+    must not change a single pixel."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    for _ in range(4):
+        w, h = int(rng.randint(3, 41)), int(rng.randint(3, 31))
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px))
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 8
+    px = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(px))
+    restarted = decode_jpeg(encode_jpeg(px, restart_interval=3))
+    assert np.array_equal(plain, restarted)
+
+
+def test_jpeg_codec_color_paths():
+    """3-component 4:4:4: (a) ycbcr fixtures with Cb=Cr=128 decode to
+    RGB == Y exactly (the chroma terms vanish, so the interleaved-MCU
+    and color-transform paths are pinned bit-for-bit); (b) an RGB
+    round trip through the JFIF forward transform stays within the
+    DCT bound + conversion rounding; (c) a real (non-ones) quant
+    table decodes to the right shape and a plausible raster."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(13)
+    yv = rng.randint(0, 256, (2, 2))
+    y = np.repeat(np.repeat(yv, 8, 0), 8, 1)[:11, :13].astype(np.uint8)
+    img = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], axis=2)
+    dec = decode_jpeg(encode_jpeg(img, colorspace="ycbcr"))
+    assert dec.shape == (11, 13, 3)
+    assert np.array_equal(dec[:, :, 0], y)
+    assert np.array_equal(dec, np.repeat(dec[:, :, :1], 3, axis=2))
+
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 16
+
+    q = np.clip(np.arange(64).reshape(8, 8) + 10, 1, 255)
+    gray = rng.randint(0, 256, (9, 10)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, quant=(q, q)))
+    assert dec.shape == gray.shape
+
+
+def test_jpeg_decoder_gates_and_errors():
+    """Progressive/subsampled/12-bit JPEG hit the documented
+    NotImplementedError gate (not a wrong decode); corrupt/truncated
+    streams raise ValueError; decode_media dispatches \\xff\\xd8 for
+    real, grayscale repeated into the three channel means."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_media,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(17)
+    gray = rng.randint(0, 256, (8, 8)).astype(np.uint8)
+    blob = encode_jpeg(gray)
+
+    prog = bytearray(blob)
+    i = bytes(prog).find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+    sub = bytearray(encode_jpeg(np.repeat(gray[:, :, None], 3, 2)))
+    i = bytes(sub).find(b"\xff\xc0")
+    sub[i + 11] = 0x22  # first component sampling factors 2x2
+    with pytest.raises(NotImplementedError, match="subsampl"):
+        decode_jpeg(bytes(sub))
+
+    deep = bytearray(blob)
+    i = bytes(deep).find(b"\xff\xc0")
+    deep[i + 4] = 12  # precision byte
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(deep))
+
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:40])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+    v = np.full((4, 6), 77, dtype=np.uint8)  # block-constant: exact means
+    feats = decode_media(encode_jpeg(v), "image", strict=True)
+    assert feats == [6.0, 4.0, 77.0, 77.0, 77.0]
+
+
 def test_conformal_coverage_guarantee(spark, sf_dir):
     # split-conformal marginal coverage: >= 1 - alpha in expectation;
     # allow finite-sample slack below and sanity-bound above
