@@ -1852,6 +1852,28 @@ def _index_paths(index_root: str) -> dict[str, str]:
     }
 
 
+def _resolved(spark, path: str) -> str:
+    """Epoch-pointer resolution for a stored-index table (r13 verdict
+    next-round #4; see streaming/_fsutil): after a compaction or
+    quantizer retrain publishes a new version via the marker swap,
+    every reader must address the CURRENT version directory, not the
+    retired legacy path. Function-level import keeps `operators` free
+    of an import-time dependency on the streaming package."""
+    from ..streaming._fsutil import resolve
+
+    return resolve(spark, path)
+
+
+def _reset_index_tables(spark, paths: dict[str, str]) -> None:
+    """Retire any epoch-pointer state before a from-scratch bulk
+    (re)build writes the legacy layout — a stale pointer from an
+    earlier retrain would otherwise shadow the rebuild."""
+    from ..streaming._fsutil import reset_store
+
+    for p in paths.values():
+        reset_store(spark, p)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_root: str,
@@ -1890,6 +1912,7 @@ def build_ivf_index(
     """
     paths = _index_paths(index_root)
     spark = embeddings.sparkSession
+    _reset_index_tables(spark, paths)
     cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
     spark.createDataFrame(
         [(int(i), [float(x) for x in cent[i]]) for i in range(len(cent))],
@@ -1921,7 +1944,9 @@ def load_ivf_centroids(spark, index_root: str):
     import numpy as np
 
     rows = (
-        spark.read.parquet(_index_paths(index_root)["centroids"])
+        spark.read.parquet(
+            _resolved(spark, _index_paths(index_root)["centroids"])
+        )
         .orderBy("cell")
         .collect()
     )
@@ -1939,7 +1964,9 @@ def load_pq_codebooks(spark, index_root: str):
     import numpy as np
 
     cb_rows = (
-        spark.read.parquet(_index_paths(index_root)["codebooks"])
+        spark.read.parquet(
+            _resolved(spark, _index_paths(index_root)["codebooks"])
+        )
         .orderBy("block", "code")
         .collect()
     )
@@ -1975,9 +2002,9 @@ def probe_ivf_index(
     corpus to measure it)."""
     cent = load_ivf_centroids(spark, index_root)
     probe_cells = _probe_order(cent, query_vec)[:nprobe]
-    cand = spark.read.parquet(_index_paths(index_root)["vectors"]).filter(
-        F.col("cell").isin(probe_cells)
-    )
+    cand = spark.read.parquet(
+        _resolved(spark, _index_paths(index_root)["vectors"])
+    ).filter(F.col("cell").isin(probe_cells))
     if predicate is not None:
         cand = cand.filter(predicate)
     return _score_cosine_topk(cand, query_vec, k, id_col, vec_col)
@@ -2012,6 +2039,7 @@ def build_ivfpq_index(
 
     paths = _index_paths(index_root)
     spark = embeddings.sparkSession
+    _reset_index_tables(spark, paths)
     if cent is None:
         cent = _seed_vectors(embeddings, n_lists, id_col, vec_col)
     else:
@@ -2094,11 +2122,11 @@ def probe_ivfpq_index(
     codebooks = load_pq_codebooks(spark, index_root)
     q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     index = (
-        spark.read.parquet(paths["codes"])
+        spark.read.parquet(_resolved(spark, paths["codes"]))
         .withColumnRenamed("codes", "__codes")
         .withColumnRenamed("cell", "__cell")
     )
-    vectors = spark.read.parquet(paths["vectors"])
+    vectors = spark.read.parquet(_resolved(spark, paths["vectors"]))
     if predicate is None:
         q_cells = np.argsort(
             ((cent - q[None, :]) ** 2).sum(axis=1), kind="stable"
@@ -2357,6 +2385,7 @@ def build_sq8_index(
     ::test_sq8_index_probe_matches_inline)."""
     paths = _index_paths(index_root)
     spark = embeddings.sparkSession
+    _reset_index_tables(spark, paths)
     cent_rows = (
         embeddings.filter(F.col(id_col) < n_lists)
         .select(id_col, grid_vector(vec_col).alias("gv"))
@@ -2414,14 +2443,20 @@ def probe_sq8_index(
     ]
     cent = {
         int(r["cell"]): [int(x) for x in r["centroid"]]
-        for r in spark.read.parquet(paths["centroids"]).collect()
+        for r in spark.read.parquet(
+            _resolved(spark, paths["centroids"])
+        ).collect()
     }
     d2 = sorted(
         (sum((q - c) ** 2 for q, c in zip(qgrid, cv)), cell)
         for cell, cv in cent.items()
     )
     probed = [cell for _, cell in d2[:nprobe]]
-    bounds = spark.read.parquet(paths["codebooks"]).orderBy("dim").collect()
+    bounds = (
+        spark.read.parquet(_resolved(spark, paths["codebooks"]))
+        .orderBy("dim")
+        .collect()
+    )
     mins = [int(r["mn"]) for r in bounds]
     ranges = [int(r["rg"]) for r in bounds]
     mn = "array(" + ",".join(f"{m}L" for m in mins) + ")"
@@ -2436,7 +2471,7 @@ def probe_sq8_index(
         + q
         + ", (a, qq) -> a * qq), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    codes = spark.read.parquet(paths["codes"]).filter(
+    codes = spark.read.parquet(_resolved(spark, paths["codes"])).filter(
         F.col("cell").isin(probed)
     )
     return (

@@ -1,10 +1,39 @@
 """Hadoop-FileSystem helpers shared by the streaming index maintainers
-(dedup_index, ivf_index, components).
+(dedup_index, ivf_index, kmv_store, components, reservoir) and the
+stored-index probes in operators/similarity.
 
 os.rename / shutil.rmtree only operate on a local POSIX filesystem;
 index roots on HDFS/S3/ABFS need the Hadoop FileSystem API — the same
 API the existence probes already use (r11 advice moved probes there;
-r12 advice moves the compaction swaps too, ADVICE r12 #3).
+r12 advice moved the compaction swaps; r13 verdict next-round #4
+replaces the swap's two-rename absent-window with the epoch-pointer
+publish below).
+
+Epoch-pointer store layout
+--------------------------
+A LOGICAL store path ``live`` resolves to one of two physical layouts:
+
+* legacy: the data sits at ``live`` itself (bulk builds and stream
+  bootstraps write here — no indirection until the first swap);
+* published: ``live.__ptr__/`` holds empty MARKER files named by
+  integer epoch, and epoch N's data sits at ``live.__vN__``. The
+  current version is the largest marker whose data directory exists.
+
+``staged_swap`` publishes a staged rewrite by (1) renaming it to the
+next version directory — invisible to readers, markerless — and then
+(2) CREATING the marker file, a single atomic object create. There is
+no window where the store is absent or torn: a reader resolving before
+the marker create sees the old version in full; after it, the new one.
+A crash anywhere leaves a fully consistent store (at worst plus an
+invisible orphan directory, retired by the next swap). Cleanup of old
+versions happens after publish and is itself crash-tolerant: ``resolve``
+skips markers whose data directory is already gone.
+
+The price is one extra listing per resolve (the read hop the r12
+docstring priced in) — and, unchanged from the rename era, maintenance
+swaps still require the stream-stopped single-writer window before
+DELETING old versions, because an in-flight reader that resolved the
+old version loses its files when cleanup runs.
 """
 
 from __future__ import annotations
@@ -18,9 +47,63 @@ def _fs_and_path(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
 
 
+def _ptr_dir(live: str) -> str:
+    return live + ".__ptr__"
+
+
+def _version_path(live: str, n: int) -> str:
+    return f"{live}.__v{n}__"
+
+
+def _list_versions(spark: SparkSession, live: str) -> list[int]:
+    """Published epochs for a logical path, DESCENDING (newest first):
+    the integer-named marker files under ``live.__ptr__/``."""
+    fs, _, jvm = _fs_and_path(spark, live)
+    jptr = jvm.org.apache.hadoop.fs.Path(_ptr_dir(live))
+    if not fs.exists(jptr):
+        return []
+    versions = []
+    for st in fs.listStatus(jptr):
+        name = st.getPath().getName()
+        if name.isdigit():
+            versions.append(int(name))
+    return sorted(versions, reverse=True)
+
+
+def resolve(spark: SparkSession, live: str) -> str:
+    """The current PHYSICAL data directory for a logical store path:
+    the newest published version whose data directory exists, else the
+    legacy path itself. Every reader and every in-place appender of a
+    swap-managed store must address it through this."""
+    for n in _list_versions(spark, live):
+        p = _version_path(live, n)
+        if fs_exists(spark, p):
+            return p
+    return live
+
+
+def store_exists(spark: SparkSession, live: str) -> bool:
+    """Existence probe for a logical store path under either layout."""
+    return fs_exists(spark, resolve(spark, live))
+
+
+def reset_store(spark: SparkSession, live: str) -> None:
+    """Retire all pointer state for a logical path: delete the marker
+    directory and every version directory (published or orphan),
+    leaving ``live`` as the sole layout. Bulk builds call this before
+    a from-scratch overwrite of ``live`` so a stale pointer from an
+    earlier swap cannot shadow the rebuild."""
+    fs, _, jvm = _fs_and_path(spark, live)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.delete(P(_ptr_dir(live)), True)
+    for st in fs.globStatus(P(live + ".__v*__")) or []:
+        fs.delete(st.getPath(), True)
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through the Hadoop FileSystem API — correct on
-    HDFS/S3/ABFS where an os.path probe is always-False."""
+    HDFS/S3/ABFS where an os.path probe is always-False. Physical:
+    does not resolve the pointer (see store_exists)."""
     fs, jpath, _ = _fs_and_path(spark, path)
     return bool(fs.exists(jpath))
 
@@ -35,10 +118,13 @@ def fs_delete(spark: SparkSession, path: str) -> bool:
 
 
 def data_file_count(spark: SparkSession, path: str) -> int:
-    """Number of data files under a table path (recursive), excluding
-    hidden/metadata entries — the before/after metric the physical
-    compaction passes report."""
-    fs, jpath, _ = _fs_and_path(spark, path)
+    """Number of data files under a LOGICAL table path (recursive,
+    pointer-resolved), excluding hidden/metadata entries — the
+    before/after metric the physical compaction passes report."""
+    fs, _, jvm = _fs_and_path(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(resolve(spark, path))
+    if not fs.exists(jpath):
+        return 0
     it = fs.listFiles(jpath, True)
     n = 0
     while it.hasNext():
@@ -51,76 +137,120 @@ def data_file_count(spark: SparkSession, path: str) -> int:
 def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a parquet table that may not exist yet (first micro-batch
     of a fresh index), returning an empty frame of the declared schema
-    when absent. The probe goes through the Hadoop FileSystem API so
-    the check is correct on object stores, not just local disk."""
-    if fs_exists(spark, path):
-        return spark.read.schema(schema).parquet(path)
+    when absent. Resolves the epoch pointer first, so a compacted
+    store reads its current version; the existence probe goes through
+    the Hadoop FileSystem API so the check is correct on object
+    stores, not just local disk."""
+    p = resolve(spark, path)
+    if fs_exists(spark, p):
+        return spark.read.schema(schema).parquet(p)
     return spark.createDataFrame([], schema)
 
 
-def staged_swap(spark: SparkSession, live: str, staged: str) -> None:
-    """Swap a staged rewrite into the live path via Hadoop fs.rename /
-    fs.delete: live -> live.__old__, staged -> live, delete __old__.
+def _create_marker(spark: SparkSession, live: str, n: int) -> None:
+    """Publish version ``n``: one atomic empty-file create. Split out
+    so the kill-mid-swap test can crash exactly here."""
+    fs, _, jvm = _fs_and_path(spark, live)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(P(_ptr_dir(live)))
+    out = fs.create(P(_ptr_dir(live) + "/" + str(n)), True)
+    out.close()
 
-    There IS a brief window between the two renames where the live
-    path is absent — a reader racing the swap must retry, which the
-    single-writer / stream-stopped window the compaction docstrings
-    require already rules out for the maintainers themselves. A crash
-    inside the window leaves the old data intact under `.__old__`
-    (recover by renaming it back); a pointer/manifest indirection
-    would close the window entirely at the cost of an extra read hop
-    on every probe. On failure of the second rename the first is
-    rolled back, so the live path never stays absent on a clean error
-    path.
 
-    Note HDFS/local rename is atomic per call; S3A "rename" is a
-    copy+delete — on S3 prefer a manifest pointer for large indexes.
-    """
+def _retire_old_versions(
+    spark: SparkSession, live: str, keep: int
+) -> None:
+    """Delete every version older than ``keep`` plus the legacy data
+    directory. Runs after publish; a crash mid-retire only leaves
+    extra old data, never an unreadable store (resolve picks the
+    newest existing version first)."""
     fs, jlive, jvm = _fs_and_path(spark, live)
-    jstaged = jvm.org.apache.hadoop.fs.Path(staged)
-    jold = jvm.org.apache.hadoop.fs.Path(live + ".__old__")
-    if fs.exists(jold):  # leftover from an interrupted earlier swap
-        fs.delete(jold, True)
-    if not fs.rename(jlive, jold):
-        raise IOError(f"staged_swap: rename {live} -> {live}.__old__ failed")
-    if not fs.rename(jstaged, jlive):
-        fs.rename(jold, jlive)  # roll back: live must not stay absent
-        raise IOError(f"staged_swap: rename {staged} -> {live} failed")
-    fs.delete(jold, True)
+    P = jvm.org.apache.hadoop.fs.Path
+    for m in _list_versions(spark, live):
+        if m < keep:
+            fs.delete(P(_ptr_dir(live) + "/" + str(m)), False)
+            fs.delete(P(_version_path(live, m)), True)
+    if fs.exists(jlive):
+        fs.delete(jlive, True)
+
+
+def staged_swap(spark: SparkSession, live: str, staged: str) -> None:
+    """Publish ``staged`` as the new contents of logical path ``live``
+    via the epoch pointer (r13 verdict next-round #4; see the module
+    docstring for the layout):
+
+    1. rename ``staged`` -> ``live.__v{N}__`` (N = newest published
+       epoch + 1) — markerless, invisible to every reader;
+    2. create the marker file ``live.__ptr__/N`` — one atomic object
+       create; readers resolve the new version from this instant;
+    3. retire older versions and the legacy directory.
+
+    A crash before step 2 leaves the old store fully readable plus an
+    orphan directory (deleted by the next swap's step 1); a crash
+    after step 2 leaves the NEW store fully readable plus stale old
+    versions (retired by the next swap's step 3). At no point is the
+    live data absent — the two-rename window this replaces is gone.
+    Old-version DELETION (step 3) still requires the maintainers'
+    stream-stopped single-writer window, since an in-flight reader
+    pinned to the old version would lose files under it."""
+    fs, _, jvm = _fs_and_path(spark, live)
+    P = jvm.org.apache.hadoop.fs.Path
+    versions = _list_versions(spark, live)
+    n = versions[0] + 1 if versions else 1
+    target = _version_path(live, n)
+    if fs.exists(P(target)):  # markerless orphan from an interrupted swap
+        fs.delete(P(target), True)
+    if not fs.rename(P(staged), P(target)):
+        raise IOError(f"staged_swap: rename {staged} -> {target} failed")
+    _create_marker(spark, live, n)
+    _retire_old_versions(spark, live, n)
 
 
 def staged_swap_many(spark: SparkSession, pairs: list[tuple[str, str]]) -> None:
-    """Swap SEVERAL staged rewrites into their live paths as one
-    all-or-nothing group: every live path is parked under `.__old__`
-    and every staged path renamed in, and only after ALL renames
-    succeed are the `.__old__` backups deleted. On any failure the
-    completed swaps are rolled back, so the group never ends half
-    swapped on a clean error path — the consistency a multi-table
-    index rebuild needs (new centroids probed against old codes is a
-    WRONG index, not a stale one). A hard crash mid-group can still
-    leave a mix; every `.__old__` survivor is the recovery copy, and
-    the callers' stopped-stream/no-reader window is what makes the
-    group window safe operationally."""
+    """Publish SEVERAL staged rewrites as one group (the multi-table
+    index rebuild: new centroids probed against old codes is a WRONG
+    index, not a stale one). All data moves happen first — every
+    staged path renamed to its next, still-markerless version
+    directory — and only then are the markers created, one atomic
+    empty-file create per table. A clean error anywhere rolls the
+    whole group back (markerless directories are invisible; created
+    markers are deleted newest-first), leaving the old group intact.
+
+    The crash window is the marker-create sequence itself: a kill
+    between two creates leaves tables published at mixed epochs.
+    That window shrank from N full directory renames (the old layout)
+    to N empty-file creates with zero data movement, and recovery is
+    mechanical — delete the newest marker from each table that has
+    one more than its peers — but it is NOT zero: group publishes
+    keep the stopped-stream/no-reader requirement their callers
+    document. Every old version survives until the final retire
+    phase, so no crash point loses data."""
     if not pairs:
         return
     fs, _, jvm = _fs_and_path(spark, pairs[0][0])
     P = jvm.org.apache.hadoop.fs.Path
-    done: list[tuple[str, str]] = []
+    plan: list[tuple[str, str, int]] = []
+    marked: list[tuple[str, int]] = []
     try:
         for live, staged in pairs:
-            jold = P(live + ".__old__")
-            if fs.exists(jold):
-                fs.delete(jold, True)
-            if not fs.rename(P(live), jold):
-                raise IOError(f"staged_swap_many: park {live} failed")
-            if not fs.rename(P(staged), P(live)):
-                fs.rename(jold, P(live))
-                raise IOError(f"staged_swap_many: swap-in {staged} failed")
-            done.append((live, staged))
+            versions = _list_versions(spark, live)
+            n = versions[0] + 1 if versions else 1
+            target = _version_path(live, n)
+            if fs.exists(P(target)):  # orphan from an interrupted swap
+                fs.delete(P(target), True)
+            if not fs.rename(P(staged), P(target)):
+                raise IOError(
+                    f"staged_swap_many: rename {staged} -> {target} failed"
+                )
+            plan.append((live, staged, n))
+        for live, _, n in plan:
+            _create_marker(spark, live, n)
+            marked.append((live, n))
     except Exception:
-        for live, staged in reversed(done):  # roll back completed swaps
-            fs.rename(P(live), P(staged))
-            fs.rename(P(live + ".__old__"), P(live))
+        for live, n in reversed(marked):  # unpublish
+            fs.delete(P(_ptr_dir(live) + "/" + str(n)), False)
+        for live, staged, n in reversed(plan):  # hand the rewrite back
+            fs.rename(P(_version_path(live, n)), P(staged))
         raise
-    for live, _ in pairs:
-        fs.delete(P(live + ".__old__"), True)
+    for live, _, n in plan:
+        _retire_old_versions(spark, live, n)

@@ -37,11 +37,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dup_clusters, incremental_components
-from ._fsutil import data_file_count, fs_delete, fs_exists, staged_swap
+from ._fsutil import (
+    data_file_count,
+    fs_delete,
+    resolve,
+    staged_swap,
+    store_exists,
+)
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
-    return fs_exists(spark, path)
+    # pointer-resolved: a store whose legacy dir was retired by a
+    # vacuum publish still exists at its current version
+    return store_exists(spark, path)
 
 
 class StreamingComponentStore:
@@ -80,7 +88,7 @@ class StreamingComponentStore:
                     "bucket"
                 ).mode("overwrite").parquet(self.store_dir, compression="snappy")
                 return
-            old = self.spark.read.parquet(self.store_dir)
+            old = self.spark.read.parquet(resolve(self.spark, self.store_dir))
             updated = incremental_components(
                 old.select("node", "label"), edges
             ).localCheckpoint(eager=True)  # feeds the diff AND the rewrite
@@ -109,11 +117,14 @@ class StreamingComponentStore:
                 scratch, compression="snappy"
             )
             (
+                # resolve: after a vacuum publishes an epoch-pointer
+                # version, dirty-bucket rewrites land in the current
+                # version directory, not the retired legacy path
                 self.spark.read.parquet(scratch)
                 .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .mode("overwrite")
-                .parquet(self.store_dir, compression="snappy")
+                .parquet(resolve(self.spark, self.store_dir), compression="snappy")
             )
         finally:
             edges.unpersist()
@@ -134,7 +145,10 @@ class StreamingComponentStore:
         )
 
     def labels(self) -> DataFrame:
-        return self.spark.read.parquet(self.store_dir).select("node", "label")
+        return (
+            self.spark.read.parquet(resolve(self.spark, self.store_dir))
+            .select("node", "label")
+        )
 
 
 def vacuum_component_store(spark: SparkSession, store_dir: str) -> dict[str, int]:
@@ -150,15 +164,17 @@ def vacuum_component_store(spark: SparkSession, store_dir: str) -> dict[str, int
     files per rewritten bucket. This pass deletes the scratch sibling
     and rewrites the store at one file per bucket (repartition on the
     bucket column — each bucket hashes to exactly one writer task),
-    swapped in through the Hadoop FileSystem API staged-swap
-    discipline. Requires the single-writer, no-concurrent-reader
-    window (stream stopped), like every maintenance op here. Returns
+    published through the epoch-pointer swap (_fsutil.staged_swap:
+    readers keep the old version until the one atomic marker create;
+    a crash at any point leaves a consistent store). Requires the
+    single-writer, no-concurrent-reader window (stream stopped) for
+    the retire phase, like every maintenance op here. Returns
     {"files_before", "files_after"} for the store's data files."""
     fs_delete(spark, store_dir + "__merge_scratch")
     before = data_file_count(spark, store_dir)
     staged = store_dir + ".__vacuum__"
     (
-        spark.read.parquet(store_dir)
+        spark.read.parquet(resolve(spark, store_dir))
         .repartition("bucket")
         .write.partitionBy("bucket")
         .mode("overwrite")

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_dedup_status, minhash_bands
-from ._fsutil import read_or_empty, staged_swap
+from ._fsutil import read_or_empty, resolve, staged_swap
 
 _HASH_SCHEMA = "h string, epoch long"
 _BAND_SCHEMA = "band int, bucket string, epoch long"
@@ -109,10 +109,13 @@ class StreamingDedupIndex:
                 (new_bands, self.bands_dir),
             ):
                 (
+                    # resolve: after a compaction publishes an epoch-
+                    # pointer version, appends must land in the CURRENT
+                    # version directory, not the retired legacy path
                     frame.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("epoch")
-                    .parquet(path, compression="snappy")
+                    .parquet(resolve(spark, path), compression="snappy")
                 )
         finally:
             batch.unpersist()
@@ -136,7 +139,7 @@ class StreamingDedupIndex:
         )
 
     def statuses(self) -> DataFrame:
-        return self.spark.read.parquet(self.status_dir)
+        return self.spark.read.parquet(resolve(self.spark, self.status_dir))
 
 
 def replay_epochs(
@@ -218,15 +221,16 @@ def compact_dedup_epochs(spark: SparkSession, index_root: str) -> int:
     and misclassify its documents as duplicates of themselves — the
     exact hazard the epoch stamp exists to prevent.
 
-    Stage-and-rename per table through the Hadoop FileSystem API
-    (ADVICE r12 #3 — os.rename/shutil.rmtree only work on local POSIX
-    paths, inconsistent with _read_or_empty's object-store-correct
-    probes). The swap is two renames, so there is a BRIEF window where
-    the table path is absent; the stream-stopped single-writer window
-    above already excludes concurrent readers of the maintainer's own
-    tables, and a crash inside the window leaves the old table intact
-    under `.__old__` (see _fsutil.staged_swap). Returns the number of
-    folded epochs beyond the first (0 = already compact)."""
+    Stage-and-publish per table through the Hadoop FileSystem API's
+    epoch pointer (ADVICE r12 #3 moved the swap off os.rename; r13
+    verdict next-round #4 replaced the two-rename absent-window with
+    the marker publish — see _fsutil.staged_swap): readers resolve
+    the old version in full until the one atomic marker create, and a
+    crash at ANY point leaves a consistent, readable store. The
+    stream-stopped single-writer window above is still required for
+    the retire phase (an in-flight reader pinned to the old version
+    would lose files under it). Returns the number of folded epochs
+    beyond the first (0 = already compact)."""
     folded = 0
     for sub, schema, cols in (
         ("hashes", _HASH_SCHEMA, ["h"]),

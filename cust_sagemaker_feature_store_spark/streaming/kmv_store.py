@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import kmv_estimate, kmv_merge_minsets, kmv_minset
-from ._fsutil import read_or_empty, staged_swap
+from ._fsutil import read_or_empty, resolve, staged_swap
 
 
 class StreamingKmvStore:
@@ -74,7 +74,9 @@ class StreamingKmvStore:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
-            .parquet(self.minsets_dir, compression="snappy")
+            # resolve: appends land in the current epoch-pointer
+            # version after a compaction, not the retired legacy path
+            .parquet(resolve(self.spark, self.minsets_dir), compression="snappy")
         )
 
     # -- stream wiring ------------------------------------------------------
@@ -142,11 +144,12 @@ def compact_kmv_epochs(
     each group to its k smallest hashes — LOSSLESS for every future
     serve() by the merge theorem, and it keeps the store at <= k rows
     per group under a long-running stream. Same single-writer window
-    and Hadoop-FS staged-swap discipline as compact_dedup_epochs /
-    compact_ivf_epochs (MUST run only while the stream is stopped with
-    no pending replay; a crash inside the two-rename window leaves the
-    old table under `.__old__`). Returns folded epochs beyond the
-    first (0 = already compact)."""
+    and Hadoop-FS epoch-pointer publish discipline as
+    compact_dedup_epochs / compact_ivf_epochs (MUST run only while the
+    stream is stopped with no pending replay; the marker publish makes
+    a crash at any point leave a consistent readable store — see
+    _fsutil.staged_swap). Returns folded epochs beyond the first
+    (0 = already compact)."""
     path = os.path.join(store_root, "minsets")
     schema = f"{group_col} string, hv bigint, epoch bigint"
     df = read_or_empty(spark, path, schema)

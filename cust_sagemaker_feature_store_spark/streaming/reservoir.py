@@ -17,8 +17,10 @@ by tests/test_streaming.py::test_streaming_reservoir_equals_batch.
 
 Per micro-batch the work is one key computation over the batch plus a
 WindowGroupLimit top-k over (stored sample ∪ batch) — O(batch +
-sources*k), never O(corpus). The store rewrite goes through the
-Hadoop-FS staged swap so a crash never leaves a torn sample.
+sources*k), never O(corpus). The store rewrite publishes through the
+Hadoop-FS epoch-pointer swap (_fsutil.staged_swap) so a crash never
+leaves a torn OR absent sample — readers resolve the previous version
+until the one atomic marker create.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._fsutil import _fs_and_path, fs_exists, staged_swap
+from ._fsutil import _fs_and_path, resolve, staged_swap, store_exists
 
 _WS_MOD = 1_000_000  # the batch query's hash-uniform grid (text_q.py)
 
@@ -78,10 +80,10 @@ class StreamingWeightedReservoir:
         rows = batch.select("source", "doc_id", "n_chars")
         if not rows.take(1):
             return
-        if fs_exists(self.spark, self.store_dir):
-            cur = self.spark.read.parquet(self.store_dir).select(
-                "source", "doc_id", "n_chars"
-            )
+        if store_exists(self.spark, self.store_dir):
+            cur = self.spark.read.parquet(
+                resolve(self.spark, self.store_dir)
+            ).select("source", "doc_id", "n_chars")
             rows = cur.unionByName(rows).dropDuplicates(
                 ["source", "doc_id"]
             )
@@ -92,9 +94,9 @@ class StreamingWeightedReservoir:
             .write.mode("overwrite")
             .parquet(staged, compression="snappy")
         )
-        if fs_exists(self.spark, self.store_dir):
+        if store_exists(self.spark, self.store_dir):
             staged_swap(self.spark, self.store_dir, staged)
-        else:  # bootstrap: no live store to park, one rename suffices
+        else:  # bootstrap: no live store to publish over, one rename suffices
             fs, jp, jvm = _fs_and_path(self.spark, self.store_dir)
             fs.rename(jvm.org.apache.hadoop.fs.Path(staged), jp)
 
@@ -114,4 +116,4 @@ class StreamingWeightedReservoir:
         )
 
     def sample(self) -> DataFrame:
-        return self.spark.read.parquet(self.store_dir)
+        return self.spark.read.parquet(resolve(self.spark, self.store_dir))

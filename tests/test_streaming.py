@@ -1166,10 +1166,21 @@ def test_retrain_ivfpq_index(spark, sf_dir, tmp_path):
     d_new = S.pq_distortion(emb, cent, books)
     d_old = S.pq_distortion(emb, cent0, books0)
     assert d_new <= d_old + max(1, d_old // 10**9)
-    # no staged/backup leftovers after a clean swap
+    # clean publish: version dirs + markers are the LAYOUT now, but no
+    # staged (.__retrain__) or legacy-era (.__old__) leftovers, no
+    # retired legacy table dirs, and every table resolves to a
+    # published version
     import os
 
-    assert not [e for e in os.listdir(root) if "__" in e and e != "_checkpoint"]
+    from cust_sagemaker_feature_store_spark.streaming._fsutil import resolve
+
+    entries = [e for e in os.listdir(root) if e != "_checkpoint"]
+    assert not [e for e in entries if "__retrain__" in e or "__old__" in e]
+    paths = S._index_paths(root)
+    for p in paths.values():
+        assert os.path.basename(p) not in entries  # legacy dirs retired
+        cur = resolve(spark, p)
+        assert cur != p and "__v" in cur and os.path.isdir(cur)
 
 
 def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
@@ -1209,8 +1220,10 @@ def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
     q.stop()
 
     def classify_future(batch_id=99):
-        hashes = spark.read.parquet(os.path.join(root, "hashes"))
-        bands = spark.read.parquet(os.path.join(root, "bands"))
+        # logical -> physical through the epoch pointer: after the
+        # compaction publishes, the legacy dirs are retired
+        hashes = spark.read.parquet(resolve(spark, os.path.join(root, "hashes")))
+        bands = spark.read.parquet(resolve(spark, os.path.join(root, "bands")))
         probe = spark.createDataFrame(
             [(100, base), (101, "never seen before text entirely new")],
             "doc_id long, text string",
@@ -1225,14 +1238,20 @@ def test_dedup_index_compaction_preserves_classification(spark, tmp_path):
             ).collect()
         )
 
+    from cust_sagemaker_feature_store_spark.streaming._fsutil import resolve
+
     before = classify_future()
-    n_hashes_before = spark.read.parquet(os.path.join(root, "hashes")).count()
+    n_hashes_before = spark.read.parquet(
+        resolve(spark, os.path.join(root, "hashes"))
+    ).count()
     assert compact_dedup_epochs(spark, root) == 2
     after = classify_future()
     assert after == before
-    n_hashes_after = spark.read.parquet(os.path.join(root, "hashes")).count()
+    n_hashes_after = spark.read.parquet(
+        resolve(spark, os.path.join(root, "hashes"))
+    ).count()
     assert n_hashes_after < n_hashes_before  # the repeated text collapsed
-    hashes = spark.read.parquet(os.path.join(root, "hashes"))
+    hashes = spark.read.parquet(resolve(spark, os.path.join(root, "hashes")))
     assert [r["epoch"] for r in hashes.select("epoch").distinct().collect()] == [0]
     assert compact_dedup_epochs(spark, root) == 0
 
@@ -1375,12 +1394,22 @@ def test_component_store_stream_equals_full(spark, sf_dir, tmp_path):
     stats = vacuum_component_store(spark, store.store_dir)
     assert not os.path.exists(scratch)
     assert sorted(map(tuple, store.labels().collect())) == before
+    from cust_sagemaker_feature_store_spark.streaming._fsutil import resolve
+
     n_buckets_used = (
-        spark.read.parquet(store.store_dir).select("bucket").distinct().count()
+        spark.read.parquet(resolve(spark, store.store_dir))
+        .select("bucket").distinct().count()
     )
     assert stats["files_after"] == n_buckets_used <= stats["files_before"]
     assert not [e for e in os.listdir(os.path.dirname(store.store_dir))
                 if "__vacuum__" in e or ".__old__" in e]
+    # post-vacuum stream writes must land in the published version:
+    # replaying an applied batch is still a no-op, and a NEW edge batch
+    # merges into the pointer-resolved store
+    store.process_batch(
+        spark.read.parquet(str(d / "b0.parquet")), batch_id=200
+    )
+    assert sorted(map(tuple, store.labels().collect())) == before
 
 
 def test_streaming_hll_registers_equal_batch(spark, tmp_path):
@@ -1643,3 +1672,126 @@ def test_streaming_histogram_counters_equal_batch(spark, tmp_path):
         for r in histogram_bin_counters(batch, "value", 200).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_staged_swap_kill_before_publish_keeps_old_epoch_readable(
+    spark, tmp_path, monkeypatch
+):
+    """The epoch-pointer swap's crash contract (r13 verdict next-round
+    #4): a kill at ANY point before the marker create leaves readers
+    on the OLD version in full — no absent window, no torn store —
+    and simply re-running the swap publishes the rewrite."""
+    from cust_sagemaker_feature_store_spark.streaming import _fsutil as FS
+
+    live = str(tmp_path / "store")
+    spark.range(5).selectExpr("id", "id * 10 AS v").write.parquet(live)
+
+    def stage(mult):
+        staged = live + ".__stage__"
+        spark.range(5).selectExpr("id", f"id * {mult} AS v").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        return staged
+
+    old = sorted(map(tuple, spark.read.parquet(FS.resolve(spark, live)).collect()))
+
+    # crash exactly at the publish instant: data renamed, marker never born
+    def boom(*a, **k):
+        raise RuntimeError("kill -9 here")
+
+    monkeypatch.setattr(FS, "_create_marker", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        FS.staged_swap(spark, live, stage(100))
+    # reader sees the old store, whole and current
+    assert sorted(
+        map(tuple, spark.read.parquet(FS.resolve(spark, live)).collect())
+    ) == old
+    assert FS.store_exists(spark, live)
+
+    # recovery = run the swap again (the orphan version dir is retired)
+    monkeypatch.undo()
+    FS.staged_swap(spark, live, stage(100))
+    cur = FS.resolve(spark, live)
+    assert cur != live  # published layout now
+    got = sorted(map(tuple, spark.read.parquet(cur).collect()))
+    assert got == [(i, i * 100) for i in range(5)]
+    import os
+
+    assert not os.path.exists(live)  # legacy dir retired after publish
+
+    # a second swap over the published layout bumps the epoch and
+    # retires the previous version
+    FS.staged_swap(spark, live, stage(7))
+    cur2 = FS.resolve(spark, live)
+    assert cur2 != cur
+    assert sorted(
+        map(tuple, spark.read.parquet(cur2).collect())
+    ) == [(i, i * 7) for i in range(5)]
+    assert not os.path.exists(cur)
+
+    # kill-mid-swap on the PUBLISHED layout: still reads the old epoch
+    monkeypatch.setattr(FS, "_create_marker", boom)
+    with _pytest.raises(RuntimeError):
+        FS.staged_swap(spark, live, stage(9))
+    assert FS.resolve(spark, live) == cur2
+    assert sorted(
+        map(tuple, spark.read.parquet(FS.resolve(spark, live)).collect())
+    ) == [(i, i * 7) for i in range(5)]
+
+
+def test_staged_swap_many_partial_publish_rolls_back_cleanly(
+    spark, tmp_path, monkeypatch
+):
+    """Group publish: a clean error after SOME markers are created
+    must unpublish them and hand every staged rewrite back — both
+    tables keep serving the OLD group (new centroids probed against
+    old codes is a WRONG index, so the group must never end half
+    swapped on a clean error path)."""
+    from cust_sagemaker_feature_store_spark.streaming import _fsutil as FS
+
+    lives, stages = [], []
+    for name, mult in (("a", 1), ("b", 2)):
+        live = str(tmp_path / name)
+        spark.range(3).selectExpr("id", f"id * {mult} AS v").write.parquet(live)
+        staged = live + ".__stage__"
+        spark.range(3).selectExpr("id", f"id * {mult * 100} AS v").write.parquet(
+            staged
+        )
+        lives.append(live)
+        stages.append(staged)
+
+    real = FS._create_marker
+    calls = {"n": 0}
+
+    def fail_second(spark_, live_, n_):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("kill between marker creates")
+        return real(spark_, live_, n_)
+
+    monkeypatch.setattr(FS, "_create_marker", fail_second)
+    import os
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        FS.staged_swap_many(spark, list(zip(lives, stages)))
+    monkeypatch.undo()
+    for live, mult in zip(lives, (1, 2)):
+        assert FS.resolve(spark, live) == live  # old group, unpublished
+        assert sorted(
+            map(tuple, spark.read.parquet(live).collect())
+        ) == [(i, i * mult) for i in range(3)]
+    for staged in stages:
+        assert os.path.exists(staged)  # the rewrite was handed back
+
+    # retry succeeds and publishes both tables atomically-for-readers
+    FS.staged_swap_many(spark, list(zip(lives, stages)))
+    for live, mult in zip(lives, (100, 200)):
+        cur = FS.resolve(spark, live)
+        assert cur != live
+        assert sorted(
+            map(tuple, spark.read.parquet(cur).collect())
+        ) == [(i, i * mult) for i in range(3)]
