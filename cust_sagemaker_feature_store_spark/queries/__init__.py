@@ -445,23 +445,65 @@ _R12_DRIVER_GREEN = [
     # already listed in the earlier lists and are omitted here.
 ]
 
-# ROUND-14 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r13.json's green rows into an _R13_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r14 changes), then
-# retarget _WINDOW_PRIORITY at whatever r14 invalidates.
-_WINDOW_PRIORITY = [
-    # Queries whose implementations r13 touches (the ADVICE r12 fixes
-    # — see the exclusion notes in _R12_DRIVER_GREEN): re-prove them
-    # before anything else. r13's brand-new queries follow
-    # automatically as non-green exact-oracle entries.
-    "sim_ivfpq_filtered_recall_floor", "dedup_allpairs_prefix",
-    "stream_dedup_index_twin", "stream_ivf_index_twin",
-    # the _curate_v4_bins factoring (shared with the new stream twin):
-    "pipeline_curate_v4",
-    # the grid_distance_array factoring (shared with sim_quantizer_drift):
-    "sim_ivf_list_skew",
-    # the sf0.1-replica FMA/temp-disk fixes (see the _R10 exclusions):
+_R13_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r13.json (50/50 green, 0 errors)
+    # earned by code unchanged in r14. Excluded on purpose (r14
+    # changes their implementation or their paired maintainer module,
+    # invalidating the r13 evidence per the policy above):
+    #   er_blocking_quality — r14 gates the gold standard's supplier
+    #     broadcast on a measured row count with an exact FastSS
+    #     deletion-neighborhood fallback (r13 verdict nit; the query
+    #     body now routes through _er_gold_pairs);
+    #   stream_dedup_index_twin / stream_ivf_index_twin /
+    #   stream_ivfpq_index_twin / stream_kmv_store_twin /
+    #   pipeline_curate_stream_twin — r14 replaces the maintainers'
+    #     staged swaps with the epoch-pointer publish and routes every
+    #     store read/append through _fsutil.resolve (r13 verdict
+    #     next-round #4); the twins' own data paths are exact-math
+    #     ports, but the maintainer-module-change discipline rotates
+    #     them (the r13 precedent for the r12 Hadoop-FS move);
+    #   sim_ivfpq_retrained_floor — the paired store-side retrain
+    #     (streaming/ivf_index.retrain_ivfpq_index) now publishes its
+    #     four-table group through pointer markers, rotating the floor
+    #     that certifies the retrain recipe;
+    #   udf_multimodal_wav — r14 adds the baseline JPEG codec and the
+    #     FFD8 decode_media dispatch to operators/multimodal.py (the
+    #     module-change rotation; decode_wav itself is untouched).
+    "dedup_allpairs_prefix", "pipeline_curate_v4", "sim_ivf_list_skew",
     "ml_shapley_r2", "ml_learning_curve", "graph_bfs_depths",
+    "sample_neyman_allocation", "events_seasonal_decompose",
+    "events_holt_winters", "events_rolling_median", "events_top_paths",
+    "text_kneser_ney", "text_good_turing", "sample_importance_ess",
+    "sim_quantizer_drift", "sim_batch_topk", "sim_silhouette_cells",
+    "sim_sq8_recall_floor", "sim_ivfsq_recall_floor",
+    "sim_ivfpq_filtered_recall_floor",
+    "ml_permutation_importance", "agg_kmv_distinct", "agg_hll_custom",
+    "stream_hll_registers_twin", "agg_theta_intersection",
+    "join_bloom_prune", "agg_histogram_quantiles",
+    "pipeline_dataset_card_sketch", "stream_histogram_twin",
+    "ml_gbt_stumps", "fs_time_range", "fs_latest_snapshot",
+    "fs_snapshot_asof", "fs_snapshot_diff", "fs_scd2_history",
+    "fs_tombstone_snapshot", "fs_point_lookup", "fs_asof_join",
+    "fs_asof_join_tolerance", "fs_asof_join_forward",
+    "fs_asof_join_nearest", "fs_latest_snapshot_maxby",
+]
+
+# ROUND-15 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r14.json's green rows into an _R14_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r15 changes), then
+# retarget _WINDOW_PRIORITY at whatever r15 invalidates.
+_WINDOW_PRIORITY = [
+    # Queries whose implementations (or paired maintainer modules)
+    # r14 touches — see the exclusion notes in _R13_DRIVER_GREEN:
+    # re-prove them before anything else. r14's brand-new queries
+    # (udf_multimodal_jpeg) follow automatically as non-green
+    # exact-oracle entries.
+    "er_blocking_quality",
+    "stream_dedup_index_twin", "stream_ivf_index_twin",
+    "stream_ivfpq_index_twin", "stream_kmv_store_twin",
+    "pipeline_curate_stream_twin",
+    "sim_ivfpq_retrained_floor",
+    "udf_multimodal_wav",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
@@ -482,6 +524,7 @@ def _reorder_registry() -> None:
         | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
         | set(_R9_DRIVER_GREEN) | set(_R10_DRIVER_GREEN)
         | set(_R11_DRIVER_GREEN) | set(_R12_DRIVER_GREEN)
+        | set(_R13_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
