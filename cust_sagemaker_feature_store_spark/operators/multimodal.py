@@ -10,12 +10,14 @@ padding, both row orders), 8-bit truecolor PNG
 filters), baseline-sequential JPEG (`encode_jpeg`/`decode_jpeg`, r14
 — DQT/DHT/SOF0/DRI marker walk, canonical Huffman reconstruction,
 DC-prediction + run-length entropy decode, dequant + inverse zigzag +
-float64 IDCT, JFIF YCbCr->RGB; grayscale and 4:4:4), and 16-bit PCM
-RIFF/WAVE audio (`encode_wav`/`decode_wav`, r13 — chunk walk with
-odd-length padding, zero-copy PCM reinterpret); `decode_media`
-dispatches on the BM / \\x89PNG / \\xff\\xd8 / RIFF magics. Remaining
-compressed formats (progressive/subsampled JPEG, compressed audio,
-video) still need PIL/libsndfile/ffmpeg, absent in this container:
+float64 IDCT, JFIF YCbCr->RGB; grayscale and 4:4:4), and RIFF/WAVE audio
+(`encode_wav`/`decode_wav`, r13/r14 — chunk walk with odd-length
+padding; 16-bit PCM zero-copy, 32-bit IEEE float, and the exact
+CCITT G.711 mu-law/A-law expansions); `decode_media` dispatches on
+the BM / \\x89PNG / \\xff\\xd8 / RIFF magics. Remaining compressed
+formats (progressive/subsampled JPEG, ADPCM and true compressed
+audio, video) still need PIL/libsndfile/ffmpeg, absent in this
+container:
 for those, `decode_media(..., strict=True)` raises
 NotImplementedError at the exact hook point, and strict=False falls
 back to a clearly-marked deterministic fake.
@@ -327,15 +329,108 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     )
 
 
+# -- G.711 companded telephony audio (ITU-T G.711, public spec) ----------
+
+WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_IEEE_FLOAT = 3
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
+
+_G711_BIAS = 0x84  # mu-law bias (CCITT G.711 Table 2a)
+
+
+def mulaw_expand(codes):
+    """G.711 mu-law byte -> linear int16 (the CCITT ulaw2linear
+    recipe): complement, split sign/segment/quantization, rebuild the
+    biased magnitude, un-bias. Vectorized numpy over uint8; known
+    pinned values 0x00 -> -32124, 0xFF/0x7F -> 0 are asserted in
+    tests along with the full-table compress(expand(b)) == b
+    involution."""
+    import numpy as np
+
+    u = ~np.asarray(codes, dtype=np.uint8)
+    t = (((u & 0x0F).astype(np.int32) << 3) + _G711_BIAS) << (
+        (u & 0x70).astype(np.int32) >> 4
+    )
+    return np.where(u & 0x80, _G711_BIAS - t, t - _G711_BIAS).astype(np.int16)
+
+
+def mulaw_compress(samples):
+    """Linear int16 -> G.711 mu-law byte (CCITT linear2ulaw): bias the
+    magnitude, find the segment (the position of the leading bit),
+    pack sign/segment/quantization, complement."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s < 0, 0x80, 0x00).astype(np.int32)
+    mag = np.minimum(np.abs(s), 32635) + _G711_BIAS
+    seg = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    quant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | quant) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(codes):
+    """G.711 A-law byte -> linear int16 (CCITT alaw2linear): XOR 0x55,
+    split sign/segment/quantization, rebuild (segment 0 is linear, the
+    rest shift). Known pinned values 0x55 -> -8, 0xD5 -> 8."""
+    import numpy as np
+
+    a = np.asarray(codes, dtype=np.uint8) ^ 0x55
+    quant = (a & 0x0F).astype(np.int32) << 4
+    seg = (a & 0x70).astype(np.int32) >> 4
+    mag = np.where(
+        seg == 0, quant + 8, (quant + 0x108) << np.maximum(seg - 1, 0)
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+def alaw_compress(samples):
+    """Linear int16 -> G.711 A-law byte (CCITT linear2alaw)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int32)
+    sign = np.where(s >= 0, 0x80, 0x00).astype(np.int32)
+    mag = np.minimum(np.where(s >= 0, s, -s), 32767)
+    seg = (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7).clip(0, 7)
+    quant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return ((sign | (seg << 4) | quant) ^ 0x55).astype(np.uint8)
+
+
+def encode_wav_raw(
+    payload: bytes, fmt_tag: int, channels: int, sample_rate: int,
+    bits: int,
+) -> bytes:
+    """RIFF/WAVE container around an arbitrary already-encoded data
+    payload — the fixture generator for the non-PCM format tags
+    (G.711 mu-law/A-law bytes, IEEE float frames)."""
+    import struct
+
+    block = (bits // 8) * channels
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, sample_rate,
+        sample_rate * block, block, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+
+
 def decode_wav(content: bytes):
-    """Real pure-stdlib RIFF/WAVE decoder for 16-bit integer PCM
-    (format tag 1): chunk walk honoring RIFF's odd-length padding
-    byte and skipping unknown chunks (LIST, fact, ...), then one
-    zero-copy reinterpret of the data payload. Returns
-    (samples as (N, C) int16 numpy, sample_rate). Raises ValueError
-    on non-WAV/corrupt bytes and NotImplementedError on non-PCM
-    encodings (IEEE float, ADPCM, mu-law) or bit depths != 16 — the
-    gate that remains for formats needing a real codec library."""
+    """Real pure-stdlib RIFF/WAVE decoder: chunk walk honoring RIFF's
+    odd-length padding byte and skipping unknown chunks (LIST, fact,
+    ...), then format-tag dispatch — 16-bit integer PCM (tag 1,
+    zero-copy reinterpret), 32-bit IEEE float (tag 3, converted to
+    int16 by the standard round(x * 32768) with clamp), and the G.711
+    telephony codecs (tag 7 mu-law / tag 6 A-law, r14 — exact CCITT
+    expansion, pure integer table math). Returns (samples as (N, C)
+    int16 numpy, sample_rate). Raises ValueError on non-WAV/corrupt
+    bytes and NotImplementedError on the remaining encodings (ADPCM,
+    24-bit PCM, ...) — the gate left for formats needing a real codec
+    library."""
     import struct
 
     import numpy as np
@@ -359,14 +454,28 @@ def decode_wav(content: bytes):
     if len(fmt) < 16:
         raise ValueError("fmt chunk too short")
     fmt_tag, ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if fmt_tag != 1 or bits != 16:
+    decoders = {
+        (WAVE_FORMAT_PCM, 16): lambda d: np.frombuffer(d, dtype="<i2"),
+        (WAVE_FORMAT_IEEE_FLOAT, 32): lambda d: np.clip(
+            np.round(np.frombuffer(d, dtype="<f4").astype(np.float64) * 32768.0),
+            -32768, 32767,
+        ).astype(np.int16),
+        (WAVE_FORMAT_MULAW, 8): lambda d: mulaw_expand(
+            np.frombuffer(d, dtype=np.uint8)
+        ),
+        (WAVE_FORMAT_ALAW, 8): lambda d: alaw_expand(
+            np.frombuffer(d, dtype=np.uint8)
+        ),
+    }
+    if (fmt_tag, bits) not in decoders:
         raise NotImplementedError(
             f"WAV format tag {fmt_tag} / {bits}-bit needs a real codec "
-            "library; only 16-bit integer PCM decodes here"
+            "library; 16-bit PCM, 32-bit IEEE float, and G.711 "
+            "mu-law/A-law decode here"
         )
-    if ch < 1 or block != 2 * ch or len(data) % block:
+    if ch < 1 or block != (bits // 8) * ch or len(data) % block:
         raise ValueError("inconsistent WAV block alignment")
-    return np.frombuffer(data, dtype="<i2").reshape(-1, ch), int(rate)
+    return decoders[(fmt_tag, bits)](data).reshape(-1, ch), int(rate)
 
 
 # -- baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) ---------------
@@ -909,9 +1018,9 @@ def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]
     if strict:
         raise NotImplementedError(
             "real media decoding beyond uncompressed BMP, 8-bit "
-            "truecolor PNG, baseline-sequential JPEG, and 16-bit PCM "
-            "WAV requires PIL/libsndfile/ffmpeg, not present in this "
-            "environment; wire the codec here"
+            "truecolor PNG, baseline-sequential JPEG, and PCM/float/"
+            "G.711 WAV requires PIL/libsndfile/ffmpeg, not present in "
+            "this environment; wire the codec here"
         )
     return fake_decode_features(content)
 

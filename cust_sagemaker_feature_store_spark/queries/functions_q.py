@@ -529,6 +529,120 @@ def udf_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_JPEG_FEATURES_SCHEMA)
 
 
+_G711_FEATURES_SCHEMA = (
+    "media_id long, n_frames long, sum_abs_mulaw long, "
+    "sum_abs_alaw long, zero_crossings_mulaw long"
+)
+
+
+@register(
+    "udf_multimodal_g711",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id AS media_id, CAST(12 + doc_id % 13 AS BIGINT) AS n_frames
+  FROM documents
+),
+b AS (
+  SELECT media_id, n_frames, i.i AS i,
+         (media_id * 31 + i.i * 7) % 256 AS code
+  FROM frames, unnest(generate_series(0, n_frames - 1)) AS i(i)
+),
+mu AS (
+  SELECT media_id, n_frames, i,
+         ((u % 16) * 8 + 132) * (1 << ((u % 128) // 16)) AS t, u
+  FROM (SELECT media_id, n_frames, i, 255 - code AS u FROM b)
+),
+mu_lin AS (
+  SELECT media_id, n_frames, i,
+         CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS s
+  FROM mu
+),
+al AS (
+  SELECT media_id, i,
+         CASE WHEN (x % 128) // 16 = 0 THEN (x % 16) * 16 + 8
+              ELSE ((x % 16) * 16 + 264) * (1 << ((x % 128) // 16 - 1))
+         END AS mag, x
+  FROM (SELECT media_id, i, xor(code, 85) AS x FROM b)
+),
+al_lin AS (
+  SELECT media_id, i,
+         CASE WHEN x >= 128 THEN mag ELSE -mag END AS s
+  FROM al
+),
+mu_x AS (
+  SELECT media_id, n_frames, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+  FROM mu_lin
+)
+SELECT m.media_id, m.n_frames,
+       CAST(SUM(ABS(m.s)) AS BIGINT) AS sum_abs_mulaw,
+       (SELECT CAST(SUM(ABS(a.s)) AS BIGINT) FROM al_lin a
+        WHERE a.media_id = m.media_id) AS sum_abs_alaw,
+       CAST(SUM(CASE WHEN m.prev IS NOT NULL AND m.prev * m.s < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings_mulaw
+FROM mu_x m GROUP BY 1, 2
+""",
+    description=(
+        "[EXT] REAL G.711 companded-audio decode path, oracle-pinned "
+        "(r14 — de-gating the telephony rungs of the compressed-audio "
+        "gate next to the PCM/float tags): per document a "
+        "deterministic byte stream ((id*31 + i*7) % 256, n = 12 + "
+        "id%13 frames) is wrapped as BOTH a mu-law (format tag 7) and "
+        "an A-law (tag 6) RIFF/WAVE file and decoded back by "
+        "decode_wav's exact CCITT expansions inside mapInPandas. "
+        "Features are exact integers: |sample| sums for both codecs "
+        "and strict sign-change zero crossings on the mu-law channel. "
+        "The oracle never sees WAV bytes OR the numpy tables: it "
+        "recomputes both expansions from the published G.711 bit "
+        "formulas (complement/XOR-0x55, segment shift, bias), so any "
+        "table or chunk-walk bug breaks the hash. Narrow per-row "
+        "transform, no shuffle; ADPCM and true compressed audio stay "
+        "env-gated."
+    ),
+)
+def udf_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_wav, encode_wav_raw
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 12 + mid % 13
+                i = np.arange(n, dtype=np.int64)
+                codes = ((mid * 31 + i * 7) % 256).astype(np.uint8)
+                mu, _ = decode_wav(
+                    encode_wav_raw(codes.tobytes(), 7, 1, 8000, 8)
+                )
+                al, _ = decode_wav(
+                    encode_wav_raw(codes.tobytes(), 6, 1, 8000, 8)
+                )
+                c0 = mu[:, 0].astype(np.int64)
+                rows.append(
+                    (
+                        mid, n,
+                        int(np.abs(c0).sum()),
+                        int(np.abs(al[:, 0].astype(np.int64)).sum()),
+                        int(((c0[:-1] * c0[1:]) < 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "sum_abs_mulaw",
+                    "sum_abs_alaw", "zero_crossings_mulaw",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_G711_FEATURES_SCHEMA)
+
+
 @register(
     "agg_approx_distinct",
     oracle=None,  # HLL estimate is engine-specific; exactness checked in tests

@@ -789,3 +789,87 @@ def test_gbt_stumps_matches_python_reference(spark, tmp_path):
         assert g["mse_after"] == mse
         assert g["improved"] and mse <= prev_mse
         prev_mse = mse
+
+
+def test_g711_expand_pinned_values_and_involution():
+    """G.711 mu-law/A-law expansion against the published table values
+    (mu: 0x00 -> -32124, 0xFF and 0x7F -> the two zeros; A: 0x55 -> -8,
+    0xD5 -> +8, 0x2A -> -688) and the full-table involution
+    compress(expand(b)) == b for all 256 bytes of BOTH codecs — the
+    expansion values are exactly the quantization representatives, so
+    re-compression must be the identity."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        alaw_compress,
+        alaw_expand,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    allb = np.arange(256, dtype=np.uint8)
+    mu = mulaw_expand(allb)
+    assert int(mu[0x00]) == -32124
+    assert int(mu[0xFF]) == 0 and int(mu[0x7F]) == 0
+    assert int(mu[0x80]) == 32124  # sign mirror of 0x00
+    a = alaw_expand(allb)
+    assert int(a[0x55]) == -8 and int(a[0xD5]) == 8
+    # 0x2A/0xAA are the maximum-magnitude codes: seg 7, quant 0xF ->
+    # (0xF0 + 0x108) << 6 = 32256, the documented A-law peak
+    assert int(a[0x2A]) == -32256 and int(a[0xAA]) == 32256
+    # mu-law has TWO zero codes (0x7F = -0, 0xFF = +0) that collapse to
+    # linear 0; re-compression canonicalizes to +0's code 0xFF — the
+    # single inherent exception to the involution
+    back = mulaw_compress(mu)
+    assert back[0x7F] == 0xFF
+    keep = allb != 0x7F
+    assert np.array_equal(back[keep], allb[keep])
+    assert np.array_equal(alaw_compress(a), allb)
+    # expansion is odd-symmetric up to the two signed zero codes
+    assert np.array_equal(mu[:128], -mu[128:])
+    assert np.array_equal(a[:128], -a[128:])
+
+
+def test_wav_decoder_g711_and_float_formats():
+    """decode_wav's r14 de-gated format tags: mu-law (7) and A-law (6)
+    payloads expand to the exact G.711 linear values; IEEE float (3)
+    converts by round(x * 32768) with clamp; the remaining tags still
+    hit the documented gate; decode_media serves all of them through
+    the RIFF dispatch with exact integer features."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        alaw_expand,
+        decode_media,
+        decode_wav,
+        encode_wav_raw,
+        mulaw_expand,
+    )
+
+    codes = np.array([0x00, 0x7F, 0xFF, 0x2A, 0xD5, 0x80], dtype=np.uint8)
+    wav = encode_wav_raw(codes.tobytes(), 7, 1, 8000, 8)
+    s, rate = decode_wav(wav)
+    assert rate == 8000 and s.shape == (6, 1)
+    assert np.array_equal(s[:, 0], mulaw_expand(codes))
+
+    wav_a = encode_wav_raw(codes.tobytes(), 6, 2, 16000, 8)  # stereo
+    s, rate = decode_wav(wav_a)
+    assert rate == 16000 and s.shape == (3, 2)
+    assert np.array_equal(s.reshape(-1), alaw_expand(codes))
+
+    k = np.array([0, 1, -1, 512, -1024, 1024], dtype=np.int64)
+    floats = (k / 1024.0).astype("<f4")  # exact dyadic rationals
+    wav_f = encode_wav_raw(floats.tobytes(), 3, 1, 44100, 32)
+    s, rate = decode_wav(wav_f)
+    # round(k/1024 * 32768) = 32k exactly; +1024 clamps 32768 -> 32767
+    want = np.clip(k * 32, -32768, 32767)
+    assert np.array_equal(s[:, 0].astype(np.int64), want)
+
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_wav(encode_wav_raw(b"\x00\x00\x00\x00", 2, 1, 8000, 4))  # ADPCM
+
+    feats = decode_media(wav, "audio", strict=True)
+    assert feats[0] == 8000.0 and feats[2] == 6.0
+    exp = mulaw_expand(codes).astype(np.int64)
+    assert feats[3] == float(np.abs(exp).sum()) / 6.0
