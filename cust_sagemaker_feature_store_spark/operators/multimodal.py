@@ -10,11 +10,14 @@ padding, both row orders), 8-bit truecolor PNG
 filters), baseline-sequential JPEG (`encode_jpeg`/`decode_jpeg`, r14
 — DQT/DHT/SOF0/DRI marker walk, canonical Huffman reconstruction,
 DC-prediction + run-length entropy decode, dequant + inverse zigzag +
-float64 IDCT, JFIF YCbCr->RGB; grayscale and 4:4:4), and RIFF/WAVE audio
+float64 IDCT, JFIF YCbCr->RGB; grayscale and 4:4:4), lossless GIF
+(`encode_gif`/`decode_gif`, r14 — variable-width LZW per the GIF89a
+appendix, sub-block reassembly, four-pass interlace, extension skip
+— the palette-image rung the PNG path gates), and RIFF/WAVE audio
 (`encode_wav`/`decode_wav`, r13/r14 — chunk walk with odd-length
 padding; 16-bit PCM zero-copy, 32-bit IEEE float, and the exact
 CCITT G.711 mu-law/A-law expansions); `decode_media` dispatches on
-the BM / \\x89PNG / \\xff\\xd8 / RIFF magics. Remaining compressed
+the BM / \\x89PNG / \\xff\\xd8 / GIF8 / RIFF magics. Remaining compressed
 formats (progressive/subsampled JPEG, ADPCM and true compressed
 audio, video) still need PIL/libsndfile/ffmpeg, absent in this
 container:
@@ -327,6 +330,256 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+# -- GIF (GIF87a/89a, public spec; LZW per the GIF89a appendix) ----------
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def _lzw_encode_gif(indices, mcs: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at mcs+1, CLEAR /
+    EOI codes, LSB-first bit packing, 12-bit cap with a static table
+    afterwards (the spec's deferred-clear behavior). The width-bump
+    condition mirrors the decoder's exactly: the decoder grows its
+    table one code BEHIND the encoder, so the encoder bumps at
+    next_code == (1 << width) + 1 where the decoder bumps at
+    next == (1 << width) — the classic early/late-change pairing."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int, n_expected: int) -> list[int]:
+    """Inverse of _lzw_encode_gif (the GIF89a appendix algorithm):
+    stops after EOI or once n_expected pixels are produced."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = mcs + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out: list[int] = []
+    prev: tuple | None = None
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream exhausted")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW first code not a literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise ValueError("GIF pixel data ended early")
+    return out[:n_expected]
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer from an (H, W) palette-index array and a
+    (P, 3) uint8 palette — fixture generator for the real decode path
+    (the format is public: GIF89a spec + its LZW appendix). Global
+    color table only; optional interlacing exercises the four-pass
+    row order."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("encode_gif expects (H, W) indices and (P, 3) palette")
+    h, w = idx.shape
+    n = len(pal)
+    if n < 2 or n > 256 or int(idx.max(initial=0)) >= n:
+        raise ValueError("palette must hold 2..256 entries covering all indices")
+    depth = max((n - 1).bit_length(), 1)  # color-table size exponent
+    full = np.zeros((1 << depth, 3), dtype=np.uint8)
+    full[:n] = pal
+    mcs = max(2, depth)
+    rows = idx[_gif_interlace_order(h)] if interlace else idx
+    lzw = _lzw_encode_gif(rows.reshape(-1).tolist(), mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+        + full.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        + bytes([mcs])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(content: bytes):
+    """Real pure-python GIF decoder (r14 — the palette-image rung the
+    PNG path gates): header + logical screen descriptor, global/local
+    color tables, extension-block skipping (GCE/comment/application),
+    sub-block reassembly, the full variable-width LZW of the GIF89a
+    appendix (CLEAR/EOI, 12-bit cap, deferred clear), and the
+    four-pass interlace order. Decodes the FIRST image descriptor to
+    an (H, W, 3) uint8 RGB array (animation's later frames are the
+    video rung's business). Raises ValueError on corrupt/truncated
+    streams and NotImplementedError when the first frame has no color
+    table at all — the gate that remains."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 13 or content[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF stream")
+    sw, sh, flags, _, _ = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 7)
+        gct = np.frombuffer(
+            content, dtype=np.uint8, count=3 * size, offset=pos
+        ).reshape(size, 3)
+        pos += 3 * size
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(content):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = content[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    while pos < len(content):
+        introducer = content[pos]
+        pos += 1
+        if introducer == 0x3B:  # trailer
+            break
+        if introducer == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 1)
+            continue
+        if introducer != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{introducer:02x}")
+        if pos + 9 > len(content):
+            raise ValueError("truncated GIF image descriptor")
+        _, _, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:  # local color table
+            size = 2 << (iflags & 7)
+            pal = np.frombuffer(
+                content, dtype=np.uint8, count=3 * size, offset=pos
+            ).reshape(size, 3)
+            pos += 3 * size
+        if pal is None:
+            raise NotImplementedError(
+                "GIF frame without any color table needs an out-of-band "
+                "palette; wire it here"
+            )
+        if pos >= len(content):
+            raise ValueError("truncated GIF before LZW data")
+        mcs = content[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"invalid GIF LZW minimum code size {mcs}")
+        data = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = content[pos]
+            pos += 1
+            if ln == 0:
+                break
+            data.extend(content[pos : pos + ln])
+            pos += ln
+        flat = _lzw_decode_gif(bytes(data), mcs, w * h)
+        idx = np.asarray(flat, dtype=np.int32).reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
+        if iflags & 0x40:  # interlaced: invert the four-pass order
+            rows = np.empty(h, dtype=np.int64)
+            rows[_gif_interlace_order(h)] = np.arange(h)
+            idx = idx[rows]
+        return pal[idx]
+    raise ValueError("GIF contains no image descriptor")
 
 
 # -- G.711 companded telephony audio (ITU-T G.711, public spec) ----------
@@ -1001,6 +1254,8 @@ def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]
             px = decode_jpeg(content)
             if px.ndim == 2:  # grayscale: equal channel means
                 px = px[:, :, None].repeat(3, axis=2)
+        elif content[:6] in GIF_SIGNATURES:
+            px = decode_gif(content)
     if px is not None:
         h, w = px.shape[:2]
         sums = px[:, :, :3].reshape(-1, 3).sum(axis=0, dtype="int64")

@@ -529,6 +529,96 @@ def udf_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_JPEG_FEATURES_SCHEMA)
 
 
+_GIF_FEATURES_SCHEMA = (
+    "media_id long, width long, height long, n_colors long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+@register(
+    "udf_multimodal_gif",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + doc_id % 9 AS BIGINT) AS width,
+         CAST(1 + doc_id % 6 AS BIGINT) AS height,
+         CAST(2 + doc_id % 7 AS BIGINT) AS n_colors
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, n_colors,
+         (media_id + 3 * x.x + 2 * y.y) % n_colors AS c
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+)
+SELECT media_id, width, height, n_colors,
+       CAST(SUM((media_id + 3 * c) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * media_id + 5 * c) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((media_id + 7 * c) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1, 2, 3, 4
+""",
+    description=(
+        "[EXT] REAL GIF decode path, oracle-pinned (r14 — the "
+        "palette-image rung the PNG codec gates, and GIF is lossless "
+        "so the decode is EXACT, not a floor). Per document a "
+        "deterministic palette (2 + id%7 colors, channels closed-form "
+        "in (id, c)) and index raster (c = (id + 3x + 2y) % P) are "
+        "ENCODED as a GIF89a file — INTERLACED for odd ids, so the "
+        "four-pass row order is on the hot path — and decoded back by "
+        "decode_gif inside mapInPandas: sub-block reassembly, "
+        "variable-width LZW with CLEAR/EOI, palette lookup, "
+        "de-interlace. The oracle never sees GIF bytes: it recomputes "
+        "the channel sums from the palette and index rules, so any "
+        "LZW/bit-packing/interlace bug breaks the hash. Narrow "
+        "per-row transform, no shuffle."
+    ),
+)
+def udf_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_gif, encode_gif
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, p = 2 + mid % 9, 1 + mid % 6, 2 + mid % 7
+                c = np.arange(p, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (mid + 3 * c) % 256,
+                        (2 * mid + 5 * c) % 256,
+                        (mid + 7 * c) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                idx = (mid + 3 * x + 2 * y) % p
+                blob = encode_gif(idx, pal, interlace=bool(mid % 2))
+                dec = decode_gif(blob)  # the REAL decode under test
+                sums = dec.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows.append(
+                    (mid, dec.shape[1], dec.shape[0], p,
+                     int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_colors",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_GIF_FEATURES_SCHEMA)
+
+
 _G711_FEATURES_SCHEMA = (
     "media_id long, n_frames long, sum_abs_mulaw long, "
     "sum_abs_alaw long, zero_crossings_mulaw long"

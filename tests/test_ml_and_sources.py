@@ -873,3 +873,73 @@ def test_wav_decoder_g711_and_float_formats():
     assert feats[0] == 8000.0 and feats[2] == 6.0
     exp = mulaw_expand(codes).astype(np.int64)
     assert feats[3] == float(np.abs(exp).sum()) / 6.0
+
+
+def test_gif_codec_round_trips_lzw_and_interlace():
+    """encode_gif/decode_gif: exact round trip over random palettes
+    (2..256 colors), both row orders (sequential + four-pass
+    interlace), repetitive streams that grow the LZW table to the
+    12-bit cap, and sub-block splitting — GIF is lossless, so any
+    divergence is a codec bug, not quantization."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    for _ in range(8):
+        h, w = int(rng.randint(1, 25)), int(rng.randint(1, 25))
+        p = int(rng.randint(2, 257))
+        pal = rng.randint(0, 256, (p, 3)).astype(np.uint8)
+        idx = rng.randint(0, p, (h, w))
+        for inter in (False, True):
+            dec = decode_gif(encode_gif(idx, pal, interlace=inter))
+            assert dec.shape == (h, w, 3)
+            assert np.array_equal(dec, pal[idx])
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    idx = np.zeros((200, 300), dtype=np.int64)
+    idx[:, ::7] = 1  # repetitive: the table hits the 12-bit cap
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def test_gif_decoder_skips_extensions_and_gates():
+    """Extension blocks (GCE et al.) are skipped to the first image
+    descriptor; corrupt/truncated streams raise ValueError; a frame
+    with no color table hits the documented gate; decode_media
+    dispatches the GIF8 magic for real."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_gif,
+        decode_media,
+        encode_gif,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.array([[0, 1, 1], [1, 0, 0]])
+    blob = encode_gif(idx, pal)
+    # splice a graphic-control extension between the header+GCT (13+6
+    # bytes... header 6 + LSD 7 + GCT 2*3) and the image descriptor
+    cut = 6 + 7 + 6
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = blob[:cut] + gce + blob[cut:]
+    assert np.array_equal(decode_gif(with_ext), pal[idx])
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a truncated")
+    with pytest.raises(ValueError):
+        decode_gif(blob[:-8])  # cut mid sub-block
+    # clear the global-color-table flag and drop the table: gated
+    noct = bytearray(blob[:cut] + blob[cut:])
+    noct[10] &= 0x7F
+    del noct[13 : 13 + 6]
+    with pytest.raises(NotImplementedError, match="color table"):
+        decode_gif(bytes(noct))
+
+    feats = decode_media(blob, "image", strict=True)
+    sums = pal[idx].reshape(-1, 3).sum(axis=0)
+    assert feats[:2] == [3.0, 2.0]
+    assert feats[2:] == [s / 6.0 for s in sums.tolist()]
