@@ -150,21 +150,43 @@ def decode_bmp(content: bytes):
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(pixels, row_filters=None) -> bytes:
-    """Minimal truecolor 8-bit PNG writer from an (H, W, 3) or
-    (H, W, 4) uint8 array — pure stdlib zlib + struct + numpy; the
-    format is public (RFC 2083). `row_filters` optionally assigns a
-    PNG filter type (0=None 1=Sub 2=Up 3=Average 4=Paeth) to each
-    scanline so fixtures can exercise every de-filter path; default is
-    filter 0 everywhere."""
+def encode_png(pixels, row_filters=None, palette=None) -> bytes:
+    """Minimal 8-bit PNG writer — pure stdlib zlib + struct + numpy;
+    the format is public (RFC 2083). Input shapes: (H, W, 3) truecolor
+    (color type 2), (H, W, 4) truecolor+alpha (6), (H, W) grayscale
+    (0), or, with `palette` = a (P, 3) uint8 array, (H, W) palette
+    INDICES (color type 3, PLTE chunk). `row_filters` optionally
+    assigns a PNG filter type (0=None 1=Sub 2=Up 3=Average 4=Paeth)
+    to each scanline so fixtures can exercise every de-filter path;
+    default is filter 0 everywhere."""
     import struct
     import zlib
 
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 3 or px.shape[2] not in (3, 4):
-        raise ValueError("encode_png expects an (H, W, 3|4) uint8 array")
+    plte = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if px.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+            raise ValueError(
+                "palette PNGs take (H, W) indices and a (P, 3) palette"
+            )
+        if len(pal) < 1 or len(pal) > 256 or int(px.max(initial=0)) >= len(pal):
+            raise ValueError("palette must hold 1..256 entries covering all indices")
+        color_type = 3
+        plte = pal.tobytes()
+        px = px[:, :, None]
+    elif px.ndim == 2:
+        color_type = 0  # grayscale
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] in (3, 4):
+        color_type = 2 if px.shape[2] == 3 else 6
+    else:
+        raise ValueError(
+            "encode_png expects an (H, W, 3|4), (H, W) gray, or "
+            "(H, W)+palette array"
+        )
     h, w, ch = px.shape
     if row_filters is None:
         row_filters = [0] * h
@@ -207,24 +229,27 @@ def encode_png(pixels, row_filters=None) -> bytes:
         scanlines.append(f)
         scanlines.extend((filt % 256).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         PNG_SIGNATURE
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if plte else b"")
         + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
         + chunk(b"IEND", b"")
     )
 
 
 def decode_png(content: bytes):
-    """Real pure-stdlib PNG decoder for truecolor 8-bit images (color
-    type 2 = RGB, 6 = RGBA), non-interlaced: chunk walk, zlib inflate,
+    """Real pure-stdlib PNG decoder for 8-bit images — truecolor
+    (color type 2 = RGB, 6 = RGBA), grayscale (0, r14), and palette
+    (3, r14, PLTE lookup) — non-interlaced: chunk walk, zlib inflate,
     and all five scanline de-filters (None/Sub/Up/Average/Paeth, RFC
     2083 §6) reconstructed row-by-row in numpy with the sequential
-    Sub/Average/Paeth carry done per pixel. Returns an (H, W, 3|4)
-    uint8 array. Raises ValueError on non-PNG/corrupt bytes and
-    NotImplementedError on palette/gray/16-bit/interlaced PNGs — the
-    gate that remains for formats needing a real codec library."""
+    Sub/Average/Paeth carry done per pixel. Returns (H, W, 3|4) uint8
+    for color types 2/6/3 and (H, W) for grayscale. Raises ValueError
+    on non-PNG/corrupt bytes and NotImplementedError on 16-bit /
+    interlaced / gray+alpha PNGs — the gate that remains for formats
+    needing a real codec library."""
     import struct
     import zlib
 
@@ -232,7 +257,7 @@ def decode_png(content: bytes):
 
     if len(content) < 8 or content[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG stream")
-    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    pos, ihdr, idat, plte, seen_end = 8, None, bytearray(), None, False
     while pos + 8 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
         tag = content[pos + 4 : pos + 8]
@@ -241,6 +266,10 @@ def decode_png(content: bytes):
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -252,13 +281,16 @@ def decode_png(content: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if depth != 8 or color not in (2, 6) or interlace != 0:
+    if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG depth {depth} / color type {color} / interlace "
             f"{interlace} needs a real codec library; only 8-bit "
-            "truecolor (2, 6) non-interlaced decodes here"
+            "gray (0), truecolor (2, 6), and palette (3) "
+            "non-interlaced decode here"
         )
-    ch = 3 if color == 2 else 4
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing its PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * ch
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (1 + stride):
@@ -300,6 +332,13 @@ def decode_png(content: bytes):
             raise ValueError(f"invalid PNG filter byte {f}")
         out[y] = rec.astype(np.uint8)
         prev = rec
+    if color == 3:
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG pixel index outside the PLTE table")
+        return plte[idx]
+    if color == 0:
+        return out[:, :, 0]
     return out
 
 
@@ -1252,10 +1291,10 @@ def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]
             px = decode_png(content)
         elif content[:2] == JPEG_SOI:
             px = decode_jpeg(content)
-            if px.ndim == 2:  # grayscale: equal channel means
-                px = px[:, :, None].repeat(3, axis=2)
         elif content[:6] in GIF_SIGNATURES:
             px = decode_gif(content)
+        if px is not None and px.ndim == 2:  # grayscale: equal channel means
+            px = px[:, :, None].repeat(3, axis=2)
     if px is not None:
         h, w = px.shape[:2]
         sums = px[:, :, :3].reshape(-1, 3).sum(axis=0, dtype="int64")

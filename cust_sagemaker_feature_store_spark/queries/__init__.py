@@ -504,6 +504,9 @@ _WINDOW_PRIORITY = [
     "pipeline_curate_stream_twin",
     "sim_ivfpq_retrained_floor",
     "udf_multimodal_wav",
+    # decode_png gained gray/palette color types in r14 wave 2,
+    # rotating its callers (phash feeds dedup_phash_pairs):
+    "udf_multimodal_png", "udf_multimodal_phash", "dedup_phash_pairs",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

@@ -529,6 +529,107 @@ def udf_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_JPEG_FEATURES_SCHEMA)
 
 
+_PNG2_FEATURES_SCHEMA = (
+    "media_id long, width long, height long, n_colors long, "
+    "sum_gray long, sum_rgb_palette long"
+)
+
+
+@register(
+    "udf_multimodal_png_palette",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 8 AS BIGINT) AS width,
+         CAST(1 + doc_id % 5 AS BIGINT) AS height,
+         CAST(2 + doc_id % 6 AS BIGINT) AS n_colors
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, n_colors, x.x AS x, y.y AS y,
+         (media_id + x.x + 2 * y.y) % n_colors AS c
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+)
+SELECT media_id, width, height, n_colors,
+       CAST(SUM((7 * media_id + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_gray,
+       CAST(SUM((5 * media_id + 2 * c) % 256
+                + (media_id + 9 * c) % 256
+                + (3 * media_id + 4 * c) % 256) AS BIGINT)
+         AS sum_rgb_palette
+FROM px GROUP BY 1, 2, 3, 4
+""",
+    description=(
+        "[EXT] REAL PNG decode for the r14-de-gated color types: per "
+        "document a GRAYSCALE raster (color type 0, value (7id + 3x + "
+        "5y) % 256, scanline filter (id + y) % 5 so all five "
+        "de-filter paths run single-channel) and a PALETTE raster "
+        "(color type 3, PLTE chunk of 2 + id%6 closed-form colors, "
+        "indices (id + x + 2y) % P, filter (2id + y) % 5) are encoded "
+        "and decoded back by the stdlib-zlib decode_png inside "
+        "mapInPandas. Both types are lossless, so the oracle "
+        "recomputes the exact channel sums from the pixel/palette "
+        "rules without ever seeing PNG bytes. Narrow per-row "
+        "transform, no shuffle; 16-bit/interlaced PNG stays gated."
+    ),
+)
+def udf_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, p = 1 + mid % 8, 1 + mid % 5, 2 + mid % 6
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                gray = ((7 * mid + 3 * x + 5 * y) % 256).astype(np.uint8)
+                dec_g = decode_png(
+                    encode_png(gray, row_filters=[(mid + yy) % 5 for yy in range(h)])
+                )
+                c = np.arange(p, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (5 * mid + 2 * c) % 256,
+                        (mid + 9 * c) % 256,
+                        (3 * mid + 4 * c) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = (mid + x + 2 * y) % p
+                dec_p = decode_png(
+                    encode_png(
+                        idx,
+                        row_filters=[(2 * mid + yy) % 5 for yy in range(h)],
+                        palette=pal,
+                    )
+                )
+                rows.append(
+                    (
+                        mid, w, h, p,
+                        int(dec_g.astype(np.int64).sum()),
+                        int(dec_p.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_colors",
+                    "sum_gray", "sum_rgb_palette",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_PNG2_FEATURES_SCHEMA)
+
+
 _GIF_FEATURES_SCHEMA = (
     "media_id long, width long, height long, n_colors long, "
     "sum_r long, sum_g long, sum_b long"

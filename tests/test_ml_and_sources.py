@@ -374,8 +374,8 @@ def test_png_codec_round_trips_every_filter():
 
 
 def test_png_decoder_gates_unsupported_color_types():
-    """Palette/gray/16-bit/interlaced PNGs hit the documented
-    NotImplementedError gate, not a wrong decode."""
+    """16-bit/interlaced PNGs hit the documented NotImplementedError
+    gate, not a wrong decode (palette and gray de-gated in r14)."""
     import struct
 
     import numpy as np
@@ -388,10 +388,42 @@ def test_png_decoder_gates_unsupported_color_types():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     blob = bytearray(encode_png(px))
-    # IHDR payload starts at offset 16; color type is its 10th byte
-    struct.pack_into("B", blob, 16 + 9, 3)  # palette
+    # IHDR payload starts at offset 16; bit depth is its 9th byte
+    struct.pack_into("B", blob, 16 + 8, 16)  # 16-bit
     with pytest.raises(NotImplementedError, match="codec library"):
         decode_png(bytes(blob))
+    blob = bytearray(encode_png(px))
+    struct.pack_into("B", blob, 16 + 9, 3)  # palette claimed, no PLTE
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(blob))
+
+
+def test_png_gray_and_palette_round_trips():
+    """r14 de-gates PNG color types 0 (grayscale) and 3 (palette):
+    bit-exact round trips across all five scanline filters, palette
+    sizes 2..256, and the decode_media gray dispatch."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    for filters in [None] + [[f] * 9 for f in range(5)]:
+        g = rng.randint(0, 256, (9, 5)).astype(np.uint8)
+        dec = decode_png(encode_png(g, row_filters=filters))
+        assert dec.shape == (9, 5) and np.array_equal(dec, g)
+    for filters in [None] + [[f] * 7 for f in range(5)]:
+        p = int(rng.randint(2, 257))
+        pal = rng.randint(0, 256, (p, 3)).astype(np.uint8)
+        idx = rng.randint(0, p, (7, 11))
+        dec = decode_png(encode_png(idx, row_filters=filters, palette=pal))
+        assert dec.shape == (7, 11, 3) and np.array_equal(dec, pal[idx])
+    v = np.full((3, 5), 42, np.uint8)
+    feats = decode_media(encode_png(v), "image", strict=True)
+    assert feats == [5.0, 3.0, 42.0, 42.0, 42.0]
 
 
 def test_decode_media_dispatches_png_for_real():
