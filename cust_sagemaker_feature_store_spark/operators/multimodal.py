@@ -775,11 +775,16 @@ def decode_wav(content: bytes):
 JPEG_SOI = b"\xff\xd8"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _jpeg_zigzag() -> list[int]:
     """Row-major indices of the 8x8 block in zigzag scan order, derived
     from the anti-diagonal rule (T.81 Figure 5) rather than a hardcoded
     table: diagonal s = r + c is walked bottom-left -> top-right when s
-    is even, top-right -> bottom-left when odd."""
+    is even, top-right -> bottom-left when odd. Cached: recomputation
+    per encode/decode call dominated profile at corpus scale."""
     order = []
     for s in range(15):
         rng = range(min(s, 7), max(s - 7, 0) - 1, -1)  # r descending
@@ -788,9 +793,11 @@ def _jpeg_zigzag() -> list[int]:
     return order
 
 
+@functools.lru_cache(maxsize=1)
 def _jpeg_dct_matrix():
     """Orthonormal 8-point DCT-II matrix M: coefficients = M @ block @
-    M.T and block = M.T @ coef @ M (T.81 A.3.3, in float64)."""
+    M.T and block = M.T @ coef @ M (T.81 A.3.3, in float64). Cached
+    (callers must not mutate)."""
     import numpy as np
 
     x = np.arange(8, dtype=np.float64)
@@ -813,10 +820,16 @@ _JPEG_AC_SYMBOLS = [0x00, 0xF0] + [  # EOB, ZRL, then (run, size) pairs
 ]  # 162 symbols, 9-bit codes
 
 
-def _jpeg_huffman_codes(bits: list[int], values: list[int]) -> dict:
+def _jpeg_huffman_codes(bits, values) -> dict:
     """(length, code) -> symbol map from a DHT spec, via the canonical
     code construction of T.81 Annex C (Generate_size_table /
-    Generate_code_table)."""
+    Generate_code_table). Memoized on the (bits, values) tuples —
+    files in a batch overwhelmingly share their DHT specs."""
+    return _jpeg_huffman_codes_cached(tuple(bits), tuple(values))
+
+
+@functools.lru_cache(maxsize=64)
+def _jpeg_huffman_codes_cached(bits: tuple, values: tuple) -> dict:
     table, code = {}, 0
     k = 0
     for length in range(1, 17):
@@ -844,15 +857,17 @@ class _JpegBitWriter:
         self.n = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                if self.acc == 0xFF:
-                    self.buf.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # multi-bit accumulator (not per-bit: the bit IO dominated the
+        # whole encode at bench scale)
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
 
     def align(self) -> None:
         if self.n:
@@ -967,7 +982,8 @@ def encode_jpeg(
                 put(enc_dc, size)
                 put_value(diff, size)
                 run = 0
-                last_nz = max((k for k in range(1, 64) if seq[k]), default=0)
+                nz = np.nonzero(seq[1:])[0]
+                last_nz = int(nz[-1]) + 1 if len(nz) else 0
                 for k in range(1, last_nz + 1):
                     v = int(seq[k])
                     if v == 0:
@@ -1042,24 +1058,31 @@ class _JpegBitReader:
         self.n = 0
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            if self.n == 0:
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG entropy segment exhausted")
-                self.acc = self.data[self.pos]
-                self.pos += 1
-                self.n = 8
-            self.n -= 1
-            v = (v << 1) | ((self.acc >> self.n) & 1)
+        # multi-bit accumulator; Huffman decode still walks bit-by-bit
+        # (code length is unknown until a match), but value bits and
+        # refills batch up
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy segment exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
-    def decode(self, table: dict) -> int:
-        length, code = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read(1)
-            length += 1
-            sym = table.get((length, code))
+    def decode(self, table) -> int:
+        # (codes, lengths) pair: a canonical prefix code can only
+        # complete at a length the DHT declared, so the bit-by-bit
+        # walk collapses to one multi-bit peek per PRESENT length —
+        # for typical tables that is one or two reads per symbol
+        codes, lengths = table
+        code, length = 0, 0
+        for want in lengths:
+            code = (code << (want - length)) | self.read(want - length)
+            length = want
+            sym = codes.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
@@ -1132,7 +1155,8 @@ def decode_jpeg(content: bytes):
                 bits = list(payload[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(payload[off + 17 : off + 17 + n])
-                huff[(tc, th)] = _jpeg_huffman_codes(bits, vals)
+                codes = _jpeg_huffman_codes(bits, vals)
+                huff[(tc, th)] = (codes, sorted({ln for ln, _ in codes}))
                 off += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, h, w, n_comp = struct.unpack_from(">BHHB", payload, 0)

@@ -467,8 +467,16 @@ FROM px GROUP BY 1, 2, 3
     ),
 )
 def udf_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        # the test corpus arrives as ONE parquet file -> one scan
+        # partition, which would serialize this CPU-bound transform
+        # (3 encodes + 3 decodes per row, the heaviest codec fixture).
+        # One narrow shuffle of the 8-byte ids buys every core; at
+        # corpus scale the scan already has >= this many partitions
+        # and the repartition is a cheap rebalance.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
