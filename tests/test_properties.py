@@ -764,3 +764,128 @@ def test_hll_register_merge_equals_direct_under_any_sharding(
         .collect()
     }
     assert merged == direct
+
+
+# -- 4. codec round trips are identities / bounded, for ARBITRARY inputs --
+# (the fixture-rule tests pin specific rasters; hypothesis hunts the
+# edge geometry — 1-pixel images, single-color palettes, max-entropy
+# noise, every filter/interlace combination)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_gif_roundtrip_is_identity_on_arbitrary_rasters(data):
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    h = data.draw(st.integers(1, 24), label="h")
+    w = data.draw(st.integers(1, 24), label="w")
+    p = data.draw(st.integers(2, 256), label="palette_size")
+    interlace = data.draw(st.booleans(), label="interlace")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (p, 3)).astype(np.uint8)
+    idx = rng.randint(0, p, (h, w))
+    dec = decode_gif(encode_gif(idx, pal, interlace=interlace))
+    assert dec.shape == (h, w, 3)
+    assert np.array_equal(dec, pal[idx])
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_png_roundtrip_is_identity_across_color_types(data):
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    h = data.draw(st.integers(1, 16), label="h")
+    w = data.draw(st.integers(1, 16), label="w")
+    kind = data.draw(
+        st.sampled_from(["gray", "rgb", "rgba", "palette"]), label="kind"
+    )
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    rng = np.random.RandomState(seed)
+    if kind == "palette":
+        p = data.draw(st.integers(1, 256), label="palette_size")
+        pal = rng.randint(0, 256, (p, 3)).astype(np.uint8)
+        idx = rng.randint(0, p, (h, w))
+        dec = decode_png(encode_png(idx, row_filters=filters, palette=pal))
+        assert np.array_equal(dec, pal[idx])
+    elif kind == "gray":
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_png(encode_png(px, row_filters=filters))
+        assert np.array_equal(dec, px)
+    else:
+        ch = 3 if kind == "rgb" else 4
+        px = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        dec = decode_png(encode_png(px, row_filters=filters))
+        assert np.array_equal(dec, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_jpeg_error_bound_theorem_on_arbitrary_images(data):
+    """All-ones quant tables round each orthonormal-DCT coefficient by
+    <= 1/2, so |decode - source| < 8 for EVERY image — a theorem, so
+    hypothesis gets to pick the raster, dims, color mode, and restart
+    interval."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h = data.draw(st.integers(1, 20), label="h")
+    w = data.draw(st.integers(1, 20), label="w")
+    gray = data.draw(st.booleans(), label="gray")
+    restart = data.draw(st.sampled_from([0, 1, 2, 5]), label="restart")
+    seed = data.draw(st.integers(0, 2**31 - 1), label="seed")
+    rng = np.random.RandomState(seed)
+    if gray:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(px, restart_interval=restart))
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 8
+    else:
+        # ycbcr verbatim: the error bound applies per channel before
+        # the color transform, so test through Cb=Cr=128 exactness
+        y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        img = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], 2)
+        dec = decode_jpeg(
+            encode_jpeg(img, colorspace="ycbcr", restart_interval=restart)
+        )
+        assert np.abs(dec[:, :, 0].astype(int) - y.astype(int)).max() <= 8
+        assert np.array_equal(dec, np.repeat(dec[:, :, :1], 3, axis=2))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64))
+def test_g711_requantization_is_idempotent(samples):
+    """compress is a quantizer: expand(compress(x)) lands on a level
+    that re-compresses to the SAME byte (quantize twice = quantize
+    once), for both codecs, on arbitrary int16 input."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        alaw_compress,
+        alaw_expand,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    s = np.asarray(samples, dtype=np.int16)
+    for comp, exp in ((mulaw_compress, mulaw_expand), (alaw_compress, alaw_expand)):
+        b = comp(s)
+        level = exp(b)
+        assert np.array_equal(comp(level), b)
