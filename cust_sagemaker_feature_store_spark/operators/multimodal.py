@@ -13,11 +13,14 @@ DC-prediction + run-length entropy decode, dequant + inverse zigzag +
 float64 IDCT, JFIF YCbCr->RGB; grayscale and 4:4:4), lossless GIF
 (`encode_gif`/`decode_gif`, r14 — variable-width LZW per the GIF89a
 appendix, sub-block reassembly, four-pass interlace, extension skip
-— the palette-image rung the PNG path gates), and RIFF/WAVE audio
+— the palette-image rung the PNG path gates), uncompressed
+strip-based TIFF (`encode_tiff`/`decode_tiff`, r14 — both byte
+orders, IFD walk, MinIsWhite inversion), and RIFF/WAVE audio
 (`encode_wav`/`decode_wav`, r13/r14 — chunk walk with odd-length
 padding; 16-bit PCM zero-copy, 32-bit IEEE float, and the exact
 CCITT G.711 mu-law/A-law expansions); `decode_media` dispatches on
-the BM / \\x89PNG / \\xff\\xd8 / GIF8 / RIFF magics. Remaining compressed
+the BM / \\x89PNG / \\xff\\xd8 / GIF8 / II*,MM* / RIFF magics. Remaining
+compressed
 formats (progressive/subsampled JPEG, ADPCM and true compressed
 audio, video) still need PIL/libsndfile/ffmpeg, absent in this
 container:
@@ -619,6 +622,183 @@ def decode_gif(content: bytes):
             idx = idx[rows]
         return pal[idx]
     raise ValueError("GIF contains no image descriptor")
+
+
+# -- TIFF (TIFF 6.0, public spec) -----------------------------------------
+
+TIFF_SIGNATURES = (b"II\x2a\x00", b"MM\x00\x2a")
+
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we emit/need
+
+
+def encode_tiff(pixels, big_endian: bool = False, rows_per_strip: int = 4) -> bytes:
+    """Minimal TIFF 6.0 writer for 8-bit grayscale (H, W) or RGB
+    (H, W, 3) rasters, uncompressed, strip-based, in EITHER byte
+    order — the fixture generator for the real decode path (the
+    format is public: the TIFF 6.0 specification). Multiple strips
+    per image so the strip walk is on the hot path."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        spp = 1
+    elif px.ndim == 3 and px.shape[2] == 3:
+        spp = 3
+    else:
+        raise ValueError("encode_tiff expects an (H, W) or (H, W, 3) array")
+    h, w = px.shape[:2]
+    e = ">" if big_endian else "<"
+    rps = max(1, min(rows_per_strip, h))
+    strips = [
+        px[y : y + rps].tobytes() for y in range(0, h, rps)
+    ]
+    n_strips = len(strips)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # value fits inline when size <= 4 (left-justified per spec:
+        # for integers that means plain packing in the byte order)
+        if _TIFF_TYPE_SIZES[typ] * count <= 4:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            inline = struct.pack(e + fmt * count, *(
+                value if isinstance(value, (list, tuple)) else [value]
+            ))
+            return struct.pack(e + "HHI", tag, typ, count) + inline.ljust(4, b"\0")
+        return struct.pack(e + "HHII", tag, typ, count, value)
+
+    # layout: header(8) | strip data | [offset/count arrays] | IFD
+    data_start = 8
+    offsets, pos = [], data_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    counts = [len(s) for s in strips]
+    extra = b""
+    if n_strips > 1:
+        strip_off_ptr = pos
+        extra += struct.pack(e + "I" * n_strips, *offsets)
+        pos += 4 * n_strips
+        strip_cnt_ptr = pos
+        extra += struct.pack(e + "I" * n_strips, *counts)
+        pos += 4 * n_strips
+    if spp == 3:
+        bps_ptr = pos
+        extra += struct.pack(e + "HHH", 8, 8, 8)
+        pos += 6
+    ifd_ptr = pos
+    entries = [
+        entry(256, 4, 1, w),                      # ImageWidth
+        entry(257, 4, 1, h),                      # ImageLength
+        (entry(258, 3, 1, 8) if spp == 1
+         else entry(258, 3, 3, bps_ptr)),         # BitsPerSample
+        entry(259, 3, 1, 1),                      # Compression: none
+        entry(262, 3, 1, 1 if spp == 1 else 2),   # Photometric
+        (entry(273, 4, 1, offsets[0]) if n_strips == 1
+         else entry(273, 4, n_strips, strip_off_ptr)),  # StripOffsets
+        entry(277, 3, 1, spp),                    # SamplesPerPixel
+        entry(278, 4, 1, rps),                    # RowsPerStrip
+        (entry(279, 4, 1, counts[0]) if n_strips == 1
+         else entry(279, 4, n_strips, strip_cnt_ptr)),  # StripByteCounts
+        entry(284, 3, 1, 1),                      # PlanarConfig: chunky
+    ]
+    ifd = (
+        struct.pack(e + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)  # no next IFD
+    )
+    header = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 0x2A, ifd_ptr)
+    return header + b"".join(strips) + extra + ifd
+
+
+def decode_tiff(content: bytes):
+    """Real pure-python TIFF decoder for the uncompressed baseline
+    profile (r14): both byte orders (II little / MM big), IFD entry
+    walk with inline-vs-pointed values, strip reassembly via
+    StripOffsets/StripByteCounts/RowsPerStrip, 8-bit grayscale
+    (photometric 0/1, MinIsBlack honored, MinIsWhite inverted) and
+    8-bit chunky RGB. Returns (H, W) or (H, W, 3) uint8. Raises
+    ValueError on corrupt/truncated streams and NotImplementedError
+    on compressed (LZW/PackBits/JPEG-in-TIFF), planar, tiled, or
+    non-8-bit TIFFs — the gate that remains."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 8 or content[:4] not in TIFF_SIGNATURES:
+        raise ValueError("not a TIFF stream")
+    e = ">" if content[:2] == b"MM" else "<"
+    (ifd_ptr,) = struct.unpack_from(e + "I", content, 4)
+    if ifd_ptr + 2 > len(content):
+        raise ValueError("truncated TIFF IFD pointer")
+    (n_entries,) = struct.unpack_from(e + "H", content, ifd_ptr)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_ptr + 2 + 12 * i
+        if off + 12 > len(content):
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, count = struct.unpack_from(e + "HHI", content, off)
+        if typ not in _TIFF_TYPE_SIZES:
+            continue  # RATIONAL/ASCII metadata — irrelevant here
+        size = _TIFF_TYPE_SIZES[typ] * count
+        if size <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(e + "I", content, off + 8)
+            if voff + size > len(content):
+                raise ValueError("TIFF value pointer past EOF")
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(e + fmt * count, content, voff))
+
+    def one(tag: int, default=None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    planar = one(284, 1)
+    bps = tags.get(258, [8])
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} needs a real codec library; "
+            "only uncompressed (1) decodes here"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF needs a real codec library")
+    if planar != 1:
+        raise NotImplementedError("planar TIFF needs a real codec library")
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF bits {bps} x {spp} samples needs a real codec library; "
+            "only 8-bit gray/RGB decodes here"
+        )
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} (palette/CMYK/YCbCr) needs "
+            "a real codec library"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(content):
+            raise ValueError("TIFF strip past EOF")
+        data.extend(content[o : o + c])
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError("TIFF strip data shorter than the raster")
+    px = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
+    px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+    if photometric == 0 and spp == 1:  # MinIsWhite: invert to MinIsBlack
+        px = 255 - px
+    return px.copy()
 
 
 # -- G.711 companded telephony audio (ITU-T G.711, public spec) ----------
@@ -1317,6 +1497,8 @@ def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]
             px = decode_jpeg(content)
         elif content[:6] in GIF_SIGNATURES:
             px = decode_gif(content)
+        elif content[:4] in TIFF_SIGNATURES:
+            px = decode_tiff(content)
         if px is not None and px.ndim == 2:  # grayscale: equal channel means
             px = px[:, :, None].repeat(3, axis=2)
     if px is not None:
@@ -1335,8 +1517,8 @@ def decode_media(content: bytes, kind: str, strict: bool = False) -> list[float]
         return [float(rate), float(ch), float(n), mean_abs, float(zc)]
     if strict:
         raise NotImplementedError(
-            "real media decoding beyond uncompressed BMP, 8-bit "
-            "truecolor PNG, baseline-sequential JPEG, and PCM/float/"
+            "real media decoding beyond uncompressed BMP/TIFF, 8-bit "
+            "PNG, GIF, baseline-sequential JPEG, and PCM/float/"
             "G.711 WAV requires PIL/libsndfile/ffmpeg, not present in "
             "this environment; wire the codec here"
         )

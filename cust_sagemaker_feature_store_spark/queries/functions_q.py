@@ -537,6 +537,101 @@ def udf_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_JPEG_FEATURES_SCHEMA)
 
 
+_TIFF_FEATURES_SCHEMA = (
+    "media_id long, width long, height long, n_strips long, "
+    "sum_gray long, sum_rgb long"
+)
+
+
+@register(
+    "udf_multimodal_tiff",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(2 + doc_id % 9 AS BIGINT) AS width,
+         CAST(1 + doc_id % 7 AS BIGINT) AS height,
+         CAST(1 + doc_id % 4 AS BIGINT) AS rps
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, rps, x.x AS x, y.y AS y
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+)
+SELECT media_id, width, height,
+       (height + rps - 1) // rps AS n_strips,
+       CAST(SUM((9 * media_id + 4 * x + 3 * y) % 256) AS BIGINT) AS sum_gray,
+       CAST(SUM((media_id + 2 * x + 7 * y) % 256
+                + (4 * media_id + 6 * x + y) % 256
+                + (2 * media_id + x + 5 * y) % 256) AS BIGINT) AS sum_rgb
+FROM px GROUP BY 1, 2, 3, 4
+""",
+    description=(
+        "[EXT] REAL TIFF decode path, oracle-pinned (r14 — the scan/"
+        "scientific-corpus rung of the codec ladder, and the only one "
+        "that exercises BOTH byte orders: odd ids encode big-endian "
+        "MM, even ids little-endian II). Per document a grayscale and "
+        "an RGB raster (channels closed-form in (id, x, y)) are "
+        "encoded as uncompressed strip-based TIFF 6.0 with "
+        "RowsPerStrip = 1 + id%4 (multi-strip reassembly hot) and "
+        "decoded back by decode_tiff inside mapInPandas — IFD walk, "
+        "inline-vs-pointed values, StripOffsets/ByteCounts. TIFF is "
+        "lossless, so the oracle recomputes exact channel sums from "
+        "the pixel rules; compressed/planar/tiled TIFF stays gated."
+    ),
+)
+def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_tiff, encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, rps = 2 + mid % 9, 1 + mid % 7, 1 + mid % 4
+                be = bool(mid % 2)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                gray = ((9 * mid + 4 * x + 3 * y) % 256).astype(np.uint8)
+                dec_g = decode_tiff(
+                    encode_tiff(gray, big_endian=be, rows_per_strip=rps)
+                )
+                rgb = np.stack(
+                    [
+                        (mid + 2 * x + 7 * y) % 256,
+                        (4 * mid + 6 * x + y) % 256,
+                        (2 * mid + x + 5 * y) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                dec_c = decode_tiff(
+                    encode_tiff(rgb, big_endian=be, rows_per_strip=rps)
+                )
+                rows.append(
+                    (
+                        mid, w, h, (h + rps - 1) // rps,
+                        int(dec_g.astype(np.int64).sum()),
+                        int(dec_c.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_strips",
+                    "sum_gray", "sum_rgb",
+                ],
+            )
+
+    return docs.mapInPandas(run, schema=_TIFF_FEATURES_SCHEMA)
+
+
 _PNG2_FEATURES_SCHEMA = (
     "media_id long, width long, height long, n_colors long, "
     "sum_gray long, sum_rgb_palette long"

@@ -975,3 +975,76 @@ def test_gif_decoder_skips_extensions_and_gates():
     sums = pal[idx].reshape(-1, 3).sum(axis=0)
     assert feats[:2] == [3.0, 2.0]
     assert feats[2:] == [s / 6.0 for s in sums.tolist()]
+
+
+def test_tiff_codec_round_trips_both_byte_orders():
+    """encode_tiff/decode_tiff: exact round trip for 8-bit gray and
+    RGB in BOTH byte orders with varying strip heights (multi-strip
+    reassembly on the hot path) — TIFF is lossless here, so any
+    divergence is an IFD/strip-walk bug."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(9)
+    for _ in range(10):
+        h, w = int(rng.randint(1, 30)), int(rng.randint(1, 30))
+        be, rps = bool(rng.randint(2)), int(rng.randint(1, 9))
+        px = (
+            rng.randint(0, 256, (h, w)).astype(np.uint8)
+            if rng.randint(2)
+            else rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        )
+        dec = decode_tiff(encode_tiff(px, big_endian=be, rows_per_strip=rps))
+        assert dec.shape == px.shape and np.array_equal(dec, px)
+
+
+def test_tiff_decoder_gates_photometrics_and_errors():
+    """Compressed/planar/tiled/non-8-bit TIFFs hit the documented
+    NotImplementedError gate; corrupt streams raise ValueError;
+    photometric 0 (MinIsWhite) inverts; decode_media dispatches the
+    II*/MM* magics for real."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_media,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    blob = encode_tiff(px)
+
+    def patch_tag(raw: bytes, tag: int, value: int) -> bytes:
+        b = bytearray(raw)
+        (ifd,) = struct.unpack_from("<I", raw, 4)
+        (n,) = struct.unpack_from("<H", raw, ifd)
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            t, typ, cnt = struct.unpack_from("<HHI", raw, off)
+            if t == tag:
+                struct.pack_into("<H", b, off + 8, value)
+        return bytes(b)
+
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(patch_tag(blob, 259, 5))  # LZW
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(patch_tag(blob, 284, 2))
+    with pytest.raises(NotImplementedError, match="photometric"):
+        decode_tiff(patch_tag(blob, 262, 3))  # palette TIFF
+    with pytest.raises(ValueError):
+        decode_tiff(b"II\x2a\x00\xff\xff\xff\xff")
+    with pytest.raises(ValueError):
+        decode_tiff(b"not tiff")
+
+    assert np.array_equal(decode_tiff(patch_tag(blob, 262, 0)), 255 - px)
+
+    v = np.full((2, 6), 9, dtype=np.uint8)
+    feats = decode_media(encode_tiff(v, big_endian=True), "image", strict=True)
+    assert feats == [6.0, 2.0, 9.0, 9.0, 9.0]
