@@ -631,12 +631,18 @@ TIFF_SIGNATURES = (b"II\x2a\x00", b"MM\x00\x2a")
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we emit/need
 
 
-def encode_tiff(pixels, big_endian: bool = False, rows_per_strip: int = 4) -> bytes:
+def encode_tiff(
+    pixels,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+    packbits: bool = False,
+) -> bytes:
     """Minimal TIFF 6.0 writer for 8-bit grayscale (H, W) or RGB
-    (H, W, 3) rasters, uncompressed, strip-based, in EITHER byte
-    order — the fixture generator for the real decode path (the
-    format is public: the TIFF 6.0 specification). Multiple strips
-    per image so the strip walk is on the hot path."""
+    (H, W, 3) rasters, strip-based, in EITHER byte order, optionally
+    PackBits-compressed per strip — the fixture generator for the
+    real decode path (the format is public: the TIFF 6.0
+    specification). Multiple strips per image so the strip walk is on
+    the hot path."""
     import struct
 
     import numpy as np
@@ -654,6 +660,8 @@ def encode_tiff(pixels, big_endian: bool = False, rows_per_strip: int = 4) -> by
     strips = [
         px[y : y + rps].tobytes() for y in range(0, h, rps)
     ]
+    if packbits:
+        strips = [packbits_encode(s) for s in strips]
     n_strips = len(strips)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -692,7 +700,7 @@ def encode_tiff(pixels, big_endian: bool = False, rows_per_strip: int = 4) -> by
         entry(257, 4, 1, h),                      # ImageLength
         (entry(258, 3, 1, 8) if spp == 1
          else entry(258, 3, 3, bps_ptr)),         # BitsPerSample
-        entry(259, 3, 1, 1),                      # Compression: none
+        entry(259, 3, 1, 32773 if packbits else 1),  # Compression
         entry(262, 3, 1, 1 if spp == 1 else 2),   # Photometric
         (entry(273, 4, 1, offsets[0]) if n_strips == 1
          else entry(273, 4, n_strips, strip_off_ptr)),  # StripOffsets
@@ -711,16 +719,70 @@ def encode_tiff(pixels, big_endian: bool = False, rows_per_strip: int = 4) -> by
     return header + b"".join(strips) + extra + ifd
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): runs of >= 3 equal bytes
+    become (257 - n, byte); literals become (n - 1, bytes). Fixture
+    generator for the compressed-strip decode path."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - start - 1)
+        out.extend(data[start:i])
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of packbits_encode, honoring the 0x80 no-op code; stops
+    once `expected` bytes are produced (strips pad independently)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n == 128:  # no-op
+            continue
+        if n < 128:  # literal run of n + 1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal past end of strip")
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        else:  # repeat next byte 257 - n times
+            if i >= len(data):
+                raise ValueError("PackBits repeat past end of strip")
+            out.extend(data[i : i + 1] * (257 - n))
+            i += 1
+    if len(out) < expected:
+        raise ValueError("PackBits strip shorter than the raster rows")
+    return bytes(out[:expected])
+
+
 def decode_tiff(content: bytes):
-    """Real pure-python TIFF decoder for the uncompressed baseline
-    profile (r14): both byte orders (II little / MM big), IFD entry
-    walk with inline-vs-pointed values, strip reassembly via
-    StripOffsets/StripByteCounts/RowsPerStrip, 8-bit grayscale
-    (photometric 0/1, MinIsBlack honored, MinIsWhite inverted) and
-    8-bit chunky RGB. Returns (H, W) or (H, W, 3) uint8. Raises
-    ValueError on corrupt/truncated streams and NotImplementedError
-    on compressed (LZW/PackBits/JPEG-in-TIFF), planar, tiled, or
-    non-8-bit TIFFs — the gate that remains."""
+    """Real pure-python TIFF decoder for the baseline profile (r14):
+    both byte orders (II little / MM big), IFD entry walk with
+    inline-vs-pointed values, strip reassembly via StripOffsets/
+    StripByteCounts/RowsPerStrip, uncompressed (1) or PackBits
+    (32773) strips, 8-bit grayscale (photometric 0/1, MinIsBlack
+    honored, MinIsWhite inverted) and 8-bit chunky RGB. Returns
+    (H, W) or (H, W, 3) uint8. Raises ValueError on corrupt/truncated
+    streams and NotImplementedError on LZW/JPEG-in-TIFF compression,
+    planar, tiled, or non-8-bit TIFFs — the gate that remains."""
     import struct
 
     import numpy as np
@@ -763,10 +825,10 @@ def decode_tiff(content: bytes):
     spp = one(277, 1)
     planar = one(284, 1)
     bps = tags.get(258, [8])
-    if compression != 1:
+    if compression not in (1, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a real codec library; "
-            "only uncompressed (1) decodes here"
+            "only uncompressed (1) and PackBits (32773) decode here"
         )
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF needs a real codec library")
@@ -786,11 +848,16 @@ def decode_tiff(content: bytes):
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip offsets/byte counts")
+    rps = one(278, h)
     data = bytearray()
-    for o, c in zip(offsets, counts):
+    for si, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(content):
             raise ValueError("TIFF strip past EOF")
-        data.extend(content[o : o + c])
+        raw = content[o : o + c]
+        if compression == 32773:
+            rows_here = min(rps, h - si * rps)
+            raw = packbits_decode(raw, rows_here * w * spp)
+        data.extend(raw)
     need = w * h * spp
     if len(data) < need:
         raise ValueError("TIFF strip data shorter than the raster")

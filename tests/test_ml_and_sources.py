@@ -1048,3 +1048,41 @@ def test_tiff_decoder_gates_photometrics_and_errors():
     v = np.full((2, 6), 9, dtype=np.uint8)
     feats = decode_media(encode_tiff(v, big_endian=True), "image", strict=True)
     assert feats == [6.0, 2.0, 9.0, 9.0, 9.0]
+
+
+def test_tiff_packbits_strips_round_trip():
+    """PackBits (TIFF compression 32773, TIFF 6.0 §9): encoder/decoder
+    round-trip on run-heavy and noisy payloads, the 0x80 no-op code
+    honored, and compressed multi-strip TIFFs decode bit-exact in both
+    byte orders. LZW/JPEG-in-TIFF stay gated."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    # spec-shaped cases: literal, short run (kept literal), long run
+    assert packbits_decode(packbits_encode(b"abc"), 3) == b"abc"
+    assert packbits_decode(packbits_encode(b"aab"), 3) == b"aab"
+    assert packbits_decode(packbits_encode(b"a" * 200), 200) == b"a" * 200
+    assert packbits_decode(b"\x80\xfea", 3) == b"aaa"  # no-op skipped
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x05ab", 6)  # literal past end
+
+    rng = np.random.RandomState(11)
+    for _ in range(6):
+        h, w = int(rng.randint(1, 30)), int(rng.randint(1, 30))
+        be, rps = bool(rng.randint(2)), int(rng.randint(1, 9))
+        px = (
+            rng.randint(0, 4, (h, w, 3)) * 80  # run-heavy
+            if rng.randint(2)
+            else rng.randint(0, 256, (h, w))
+        ).astype(np.uint8)
+        dec = decode_tiff(
+            encode_tiff(px, big_endian=be, rows_per_strip=rps, packbits=True)
+        )
+        assert dec.shape == px.shape and np.array_equal(dec, px)
