@@ -108,8 +108,36 @@ ORDER BY boost_round
 """
 
 
+def _gbt_audit_frames(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: round 1's per-value residual-stats aggregate —
+    the ONE corpus pass each boosting round repeats (exploded (f, v)
+    stack + map-side-combined groupBy), lazy, with a placeholder base
+    prediction (the plan shape is split-independent)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("q2"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    stacked = li.select(
+        (F.col("y") - F.lit(0)).alias("res"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("f"), F.col("q1").alias("v")),
+                F.struct(F.lit(2).alias("f"), F.col("q2").alias("v")),
+            )
+        ).alias("fv"),
+    ).select("fv.f", "fv.v", "res")
+    round_stats = stacked.groupBy("f", "v").agg(
+        F.sum("res").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.col("res").cast("decimal(38,0)") * F.col("res")).alias("ss"),
+    )
+    return {"round_stats": round_stats}
+
+
 @register(
     "ml_gbt_stumps",
+    audit_frames=_gbt_audit_frames,
     oracle=_gbt_oracle(),
     description=(
         "[EXT] gradient-boosted regression stumps (Friedman 2001, L2 "

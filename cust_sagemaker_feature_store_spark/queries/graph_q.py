@@ -303,6 +303,21 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_floor_audit(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the co-purchase edge build plus ONE lazy peel
+    round (degree aggregate + two semi joins — the exact per-round
+    shape operators/graph.kcore runs under its eager batched-probe
+    loop, with a placeholder k)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    keep = deg.filter(F.col("deg") >= 2).select("src")
+    peeled = e.join(keep, "src", "left_semi").join(
+        keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+    )
+    return {"edges": e, "peel_round": peeled}
+
+
 @register(
     "graph_kcore_floor",
     oracle="""
@@ -328,6 +343,7 @@ SELECT 'core_nonempty' AS check_name, TRUE AS guarantee_ok
         "bounded by peeling depth, lineage truncated every 3 rounds "
         "with the deep-PageRank pinning rule."
     ),
+    audit_frames=_kcore_floor_audit,
 )
 def graph_kcore_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -392,6 +408,22 @@ SELECT node AS part_key, depth FROM k{max_depth}"""
     return "".join(parts)
 
 
+def _bfs_depths_audit(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: edge build plus ONE lazy BFS level (frontier-
+    edge join + distinct + visited anti join — the per-level shape
+    operators/graph.bfs_depths pins eagerly each round)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    frontier = e.agg(F.min("src").alias("node"))
+    level = (
+        frontier.join(e, frontier["node"] == e["src"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(frontier.select("node"), "node", "left_anti")
+    )
+    return {"edges": e, "bfs_level": level}
+
+
 @register(
     "graph_bfs_depths",
     oracle=_bfs_oracle(BFS_MAX_DEPTH),
@@ -409,6 +441,7 @@ SELECT node AS part_key, depth FROM k{max_depth}"""
         "deterministic because level-synchronous BFS assigns each node "
         "its unique minimum depth."
     ),
+    audit_frames=_bfs_depths_audit,
 )
 def graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -459,6 +492,40 @@ SELECT node AS part_key, dist FROM d{rounds}"""
     return "".join(parts)
 
 
+def _sssp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Popularity-inverse weighted co-purchase edges (shared by the
+    query and its plan-audit hook)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "src", "dst", (F.lit(1) + F.expr("1000 div c")).alias("w")
+        )
+    )
+
+
+def _sssp_audit(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the edge build plus ONE Bellman-Ford relax
+    round, fully lazy (checkpoint_every=2 never fires at rounds=1, so
+    the hook exposes the real join+min-agg round plan instead of an
+    ExistingRDD leaf)."""
+    edges = _sssp_edges(spark, sf_dir)
+    sources = edges.agg(F.min("src").alias("node"))
+    relax = G.sssp_weighted(edges, sources, rounds=1, checkpoint_every=2)
+    return {"edges": edges, "relax_round": relax}
+
+
 @register(
     "graph_sssp_weighted",
     oracle=_sssp_oracle(SSSP_ROUNDS),
@@ -475,26 +542,10 @@ SELECT node AS part_key, dist FROM d{rounds}"""
         "path sums and MINs are exact and order-independent — every "
         "distance pins bit-for-bit."
     ),
+    audit_frames=_sssp_audit,
 )
 def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .select(
-            "src", "dst", (F.lit(1) + F.expr("1000 div c")).alias("w")
-        )
-    )
+    edges = _sssp_edges(spark, sf_dir)
     sources = edges.agg(F.min("src").alias("node"))
     dist = G.sssp_weighted(edges, sources, rounds=SSSP_ROUNDS)
     return dist.select(F.col("node").alias("part_key"), "dist")

@@ -30,18 +30,46 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None => driver runs a rows-only check
     description: str = ""
+    # Eager "finisher" queries (iterative ML / graph loops, floor
+    # checks) execute their heavy passes inside fn() and return a
+    # driver-built createDataFrame result, so the result's physical
+    # plan is just `Scan ExistingRDD` — vacuous for the plan audit
+    # (r14 verdict: that blind spot hid a corpus-scale single-
+    # partition window). Such queries MUST expose their heavy
+    # intermediate frames here: a callable (spark, sf_dir) ->
+    # dict[label, DataFrame] returning LAZY frames (no execution,
+    # placeholder scalars where a pass needs results of a prior
+    # pass — plan SHAPE is what's audited). tools/plan_audit.py
+    # walks these as sub-rows; tests/test_plans.py fails any
+    # ExistingRDD-rooted registry query that lacks the hook.
+    audit_frames: (
+        Callable[[SparkSession, str], dict[str, DataFrame]] | None
+    ) = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, description: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    description: str = "",
+    audit_frames: (
+        Callable[[SparkSession, str], dict[str, DataFrame]] | None
+    ) = None,
+):
     """Decorator: add a query to the engine's declared surface."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, description=description)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            description=description,
+            audit_frames=audit_frames,
+        )
         return fn
 
     return deco

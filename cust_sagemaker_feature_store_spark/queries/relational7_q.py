@@ -955,8 +955,49 @@ LOGREG_ITERS = 3
 LOGREG_GRAD_TOL = 1e-6  # measured final |g|/n ~ 7e-10 — 1000x margin
 
 
+def _logreg_audit_frames(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the standardization stats aggregate and one
+    Newton epoch aggregate (the pass repeated LOGREG_ITERS+1 times),
+    lazy, with placeholder mean/std/coefficients — the epoch plan
+    shape is coefficient-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("double")).alias("ss"),
+    )
+    d = base.select(
+        ((F.col("cents") - F.lit(0.0)) / F.lit(1.0)).alias("x"), "y"
+    )
+    z = F.lit(0.0) + F.lit(0.0) * F.col("x")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    epoch = d.select(
+        (p - F.col("y")).alias("g0t"),
+        ((p - F.col("y")) * F.col("x")).alias("g1t"),
+        (p * (1 - p)).alias("h00t"),
+        (p * (1 - p) * F.col("x")).alias("h01t"),
+        (p * (1 - p) * F.col("x") * F.col("x")).alias("h11t"),
+        (F.log(F.lit(1.0) + F.exp(-z)) + (F.lit(1.0) - F.col("y")) * z).alias(
+            "losst"
+        ),
+    ).agg(
+        F.sum("g0t").alias("g0"),
+        F.sum("g1t").alias("g1"),
+        F.sum("h00t").alias("h00"),
+        F.sum("h01t").alias("h01"),
+        F.sum("h11t").alias("h11"),
+        F.sum("losst").alias("loss"),
+    )
+    return {"stats": stats, "newton_epoch": epoch}
+
+
 @register(
     "ml_logreg_newton",
+    audit_frames=_logreg_audit_frames,
     oracle="""
 SELECT 'loss_below_null_model' AS check_name, TRUE AS guarantee_ok
 UNION ALL
@@ -1837,6 +1878,139 @@ def events_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERM_COEF_GRID = 1_000_000_000  # coefficients on the 1e-9 grid
 
+# Hash-range buckets for the boundary-stitched cyclic shift. Any B
+# yields the SAME permutation (stitching reconstructs the exact global
+# successor), so B only sets the shuffle parallelism ceiling: 1024
+# keeps every window task at n/1024 rows even at 100 TB.
+_PERM_SHIFT_BUCKETS = 1024
+
+
+def _perm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integer-grid projection both heavy passes share."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+
+
+def _perm_stats_frame(li: DataFrame) -> DataFrame:
+    """Pass 1: the nine exact integer normal-equation sums."""
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+
+
+def _perm_cyclic_shift(li: DataFrame) -> DataFrame:
+    """Deterministic cyclic shift in global (hash48(rid), rid) order,
+    WITHOUT a global sort (r14 verdict item #1: the old
+    ``Window.orderBy(hash48, rid)`` was the registry's one corpus-scale
+    single-partition window).
+
+    Boundary-stitched per-partition scheme: bucket rows by the TOP
+    bits of the 48-bit hash (``b = h div 2^48/B``) so buckets tile the
+    hash range in order — the global (h, rid) order is exactly
+    (b, h, rid). ``lead()`` inside a ``partitionBy(b)`` window finds
+    every successor except each bucket's last row; those are stitched
+    from a B-row heads frame (first row per non-empty bucket, via an
+    exact ``min(struct(h, rid, ...))`` aggregate): the last row of
+    bucket b takes the head of the NEXT non-empty bucket (lead over
+    the heads frame ordered by b), and the global last row wraps to
+    the global first (first_value over the same frame). Identical
+    pairs to the global-sort form — same oracle hash — while the only
+    single-partition window runs over <= B aggregate rows, never over
+    row-cardinality data."""
+    from ..operators.sketches import hash48
+
+    span = (1 << 48) // _PERM_SHIFT_BUCKETS
+    keyed = li.select(
+        "rid", "x1", "x2", "y", hash48("rid").alias("h")
+    ).withColumn("b", F.expr(f"h div {span}"))
+    # rid (orderkey*10+linenumber) is NOT unique in the synthetic
+    # testdata, so the key extends to the value columns: remaining
+    # ties are then FULLY IDENTICAL rows, whose relative order cannot
+    # change the pair multiset — the permutation is deterministic in
+    # both engines (the old (h, rid)-only order left distinct-valued
+    # tied rows to engine-arbitrary placement).
+    wb = Window.partitionBy("b").orderBy("h", "rid", "x1", "x2", "y")
+    led = keyed.select(
+        "b",
+        "x1",
+        "x2",
+        "y",
+        F.lead("x1").over(wb).alias("x1n"),
+        F.lead("x2").over(wb).alias("x2n"),
+    )
+    heads = keyed.groupBy("b").agg(
+        F.min(F.struct("h", "rid", "x1", "x2", "y")).alias("hd")
+    )
+    wh = Window.orderBy("b")
+    whf = wh.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    nxt = heads.select(
+        "b",
+        F.coalesce(F.lead("hd").over(wh), F.first("hd").over(whf)).alias(
+            "nh"
+        ),
+    ).select(
+        "b", F.col("nh.x1").alias("nx1"), F.col("nh.x2").alias("nx2")
+    )
+    return led.join(F.broadcast(nxt), "b").select(
+        "x1",
+        "x2",
+        "y",
+        F.coalesce("x1n", "nx1").alias("x1p"),
+        F.coalesce("x2n", "nx2").alias("x2p"),
+    )
+
+
+def _perm_mse_frame(
+    perm: DataFrame, an: int, b1n: int, b2n: int
+) -> DataFrame:
+    """Pass 2: exact integral residual MSEs (base + both permutations)."""
+    D = "DECIMAL(38,0)"
+
+    def resid(x1c: str, x2c: str):
+        return F.expr(
+            f"(y * {PERM_COEF_GRID} - ({an}L) - ({b1n}L) * {x1c}"
+            f" - ({b2n}L) * {x2c}) div {PERM_COEF_GRID}"
+        )
+
+    return perm.select(
+        resid("x1", "x2").alias("r0"),
+        resid("x1p", "x2").alias("r1"),
+        resid("x1", "x2p").alias("r2"),
+    ).agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CAST({c} AS {D}) * {c}) div COUNT(*) AS BIGINT)"
+            ).alias(f"mse_{c}")
+            for c in ("r0", "r1", "r2")
+        ]
+    )
+
+
+def _perm_audit_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Plan-audit hook: the two heavy passes, lazy, with placeholder
+    coefficients (pass 2's plan SHAPE is coefficient-independent)."""
+    li = _perm_base(spark, sf_dir)
+    return {
+        "stats": _perm_stats_frame(li),
+        "permute_mse": _perm_mse_frame(_perm_cyclic_shift(li), 0, 1, 1),
+    }
+
 
 @register(
     "ml_permutation_importance",
@@ -1885,7 +2059,11 @@ perm AS (
          COALESCE(lead(x1) OVER w, first_value(x1) OVER w) AS x1p,
          COALESCE(lead(x2) OVER w, first_value(x2) OVER w) AS x2p
   FROM base
-  WINDOW w AS (ORDER BY {{h}}, rid
+  -- rid is not unique in the synthetic testdata; extending the key to
+  -- the value columns makes remaining ties fully identical rows, so
+  -- the cyclic shift is deterministic in any engine (matches the
+  -- Spark side's (h, rid, x1, x2, y) key).
+  WINDOW w AS (ORDER BY {{h}}, rid, x1, x2, y
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ),
 scored AS (
@@ -1928,34 +2106,19 @@ ORDER BY feature
         "pure integral arithmetic, and MSEs are truncated integral "
         "cents^2 — so coefficients, all three MSEs, and both "
         "importances hash-match cross-engine. One stats pass + one "
-        "window pass + one scoring pass. 100 TB note: the hash-order "
-        "shift is a global sort here; at scale shift WITHIN "
-        "partitions — any fixed derangement is a valid permutation "
-        "test — keeping it sort-free."
+        "window pass + one scoring pass. 100 TB story: the shift is "
+        "computed by the boundary-stitched per-partition scheme in "
+        "_perm_cyclic_shift — hash-range buckets + partitioned "
+        "lead() + a <=1024-row broadcast heads frame — identical "
+        "pairs to a global sort with no single-partition stage over "
+        "row-cardinality data (r14 verdict item #1)."
     ),
+    audit_frames=_perm_audit_frames,
 )
 def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import hash48
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
-        F.col("l_quantity").cast("long").alias("x1"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-    )
+    li = _perm_base(spark, sf_dir)
     li = li.localCheckpoint(eager=False)  # stats + window passes
-    D = "DECIMAL(38,0)"
-    s = li.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum("x1").cast("long").alias("sx1"),
-        F.sum("x2").cast("long").alias("sx2"),
-        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
-        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
-        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
-        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
-    ).head()
+    s = _perm_stats_frame(li).head()
     n, sy = int(s["n"]), int(s["sy"])
     sx1, sx2 = int(s["sx1"]), int(s["sx2"])
     m11 = n * int(s["sx1x1"]) - sx1 * sx1
@@ -1981,36 +2144,7 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return q if (a >= 0) == (b >= 0) else -q
 
     an = tdiv(sy * PERM_COEF_GRID - b1n * sx1 - b2n * sx2, n)
-    w = Window.orderBy(hash48("rid"), "rid")
-    wf = Window.orderBy(hash48("rid"), "rid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    perm = li.select(
-        "x1",
-        "x2",
-        "y",
-        F.coalesce(F.lead("x1").over(w), F.first("x1").over(wf)).alias("x1p"),
-        F.coalesce(F.lead("x2").over(w), F.first("x2").over(wf)).alias("x2p"),
-    )
-
-    def resid(x1c: str, x2c: str):
-        return F.expr(
-            f"(y * {PERM_COEF_GRID} - ({an}L) - ({b1n}L) * {x1c}"
-            f" - ({b2n}L) * {x2c}) div {PERM_COEF_GRID}"
-        )
-
-    mses = perm.select(
-        resid("x1", "x2").alias("r0"),
-        resid("x1p", "x2").alias("r1"),
-        resid("x1", "x2p").alias("r2"),
-    ).agg(
-        *[
-            F.expr(
-                f"CAST(SUM(CAST({c} AS {D}) * {c}) div COUNT(*) AS BIGINT)"
-            ).alias(f"mse_{c}")
-            for c in ("r0", "r1", "r2")
-        ]
-    ).head()
+    mses = _perm_mse_frame(_perm_cyclic_shift(li), an, b1n, b2n).head()
     mb, m1, m2 = int(mses["mse_r0"]), int(mses["mse_r1"]), int(mses["mse_r2"])
     return spark.createDataFrame(
         [(1, b1n, mb, m1, m1 - mb), (2, b2n, mb, m2, m2 - mb)],

@@ -668,3 +668,79 @@ def test_point_lookup_prunes_bucket_partitions(spark, tmp_path):
     assert pf2 and "bucket" in pf2[0].lower()
     rec = {f["FeatureName"]: f["ValueAsString"] for f in fs.get_record("LookupPlan", 7)}
     assert rec["v"] == "7.0"
+
+
+# -- eager-finisher audit hooks (r14 verdict items #1 and #2) ------------
+
+# Queries whose result plan is VACUOUS (driver-built createDataFrame:
+# no parquet scan, zero exchanges) — each MUST register an audit_frames
+# hook so tools/plan_audit.py grades its real heavy-pass plans.
+VACUOUS_EAGER = (
+    "agg_freq_items_floor",
+    "agg_hll_merge_floor",
+    "graph_bfs_depths",
+    "graph_kcore_floor",
+    "graph_sssp_weighted",
+    "ml_gbt_stumps",
+    "ml_logreg_newton",
+    "ml_permutation_importance",
+    "sim_ivf_nprobe_sweep",
+    "sim_pca_power_floor",
+)
+
+
+def test_vacuous_eager_queries_have_audit_hooks():
+    missing = [n for n in VACUOUS_EAGER if REGISTRY[n].audit_frames is None]
+    assert not missing, f"eager queries without audit_frames: {missing}"
+
+
+def test_audit_hook_frames_are_not_vacuous(spark, sf_dir):
+    # a hook returning another ExistingRDD-only frame would defeat the
+    # audit; every exposed frame must reach a real parquet scan
+    from cust_sagemaker_feature_store_spark.plans import plan_string
+
+    for name in VACUOUS_EAGER:
+        for label, frame in REGISTRY[name].audit_frames(spark, sf_dir).items():
+            plan = plan_string(frame)
+            assert "Scan parquet" in plan, f"{name}#{label} has no parquet scan"
+
+
+def test_plans_md_has_no_unhooked_eager_rows():
+    # plan_audit renders a vacuous result plan WITHOUT a hook as
+    # 'EAGER!' — the committed artifact must never carry one (this is
+    # how the next ml_permutation_importance-style blind spot fails
+    # the suite instead of hiding)
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path) as f:
+        rows = [ln for ln in f if ln.startswith("| `")]
+    assert rows, "PLANS.md has no audit rows"
+    bad = [ln for ln in rows if "EAGER!" in ln]
+    assert not bad, f"unhooked vacuous eager rows: {bad}"
+
+
+def test_perm_importance_shift_has_no_global_window(spark, sf_dir):
+    # r14 verdict item #1: the cyclic shift must never run a
+    # single-partition window over row-cardinality data. The lead()
+    # window is partitioned by the hash-range bucket, and every
+    # Exchange SinglePartition in the plan feeds a scalar/bounded
+    # HashAggregate (the MSE rollup and the <=1024-row heads frame).
+    from cust_sagemaker_feature_store_spark.plans import plan_string
+    from cust_sagemaker_feature_store_spark.queries.relational7_q import (
+        _perm_audit_frames,
+    )
+
+    frames = _perm_audit_frames(spark, sf_dir)
+    plan = plan_string(frames["permute_mse"])
+    # the row-cardinality lead() window carries a partition spec: its
+    # windowspecdefinition starts with the bucket column, not an order
+    import re
+
+    lead_specs = re.findall(r"lead\(x1#\d+L.*?windowspecdefinition\((\w+)#", plan)
+    assert lead_specs and all(c == "b" for c in lead_specs), plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            nxt = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in nxt, f"unbounded single-partition exchange:\n{line}\n{nxt}"
