@@ -97,7 +97,13 @@ def reset_store(spark: SparkSession, live: str) -> None:
     P = jvm.org.apache.hadoop.fs.Path
     fs.delete(P(_ptr_dir(live)), True)
     for st in fs.globStatus(P(live + ".__v*__")) or []:
-        fs.delete(st.getPath(), True)
+        # the glob also matches non-version siblings (e.g. a leftover
+        # 'store.__vacuum__' staging dir — r14 advice); only delete
+        # entries whose captured suffix is all digits
+        name = st.getPath().getName()
+        suffix = name[name.rindex(".__v") + 4 : -2]
+        if suffix.isdigit():
+            fs.delete(st.getPath(), True)
 
 
 def fs_exists(spark: SparkSession, path: str) -> bool:
@@ -160,21 +166,24 @@ def _create_marker(spark: SparkSession, live: str, n: int) -> None:
 def _retire_old_versions(
     spark: SparkSession, live: str, keep: int
 ) -> None:
-    """Delete every version older than ``keep`` plus the legacy data
-    directory. Runs after publish; a crash mid-retire only leaves
-    extra old data, never an unreadable store (resolve picks the
-    newest existing version first)."""
+    """Delete every version older than ``keep`` plus — once ``keep``
+    has moved past it (keep >= 1) — the legacy data directory, which
+    retires like an implicit version 0. Runs after publish; a crash
+    mid-retire only leaves extra old data, never an unreadable store
+    (resolve picks the newest existing version first)."""
     fs, jlive, jvm = _fs_and_path(spark, live)
     P = jvm.org.apache.hadoop.fs.Path
     for m in _list_versions(spark, live):
         if m < keep:
             fs.delete(P(_ptr_dir(live) + "/" + str(m)), False)
             fs.delete(P(_version_path(live, m)), True)
-    if fs.exists(jlive):
+    if keep >= 1 and fs.exists(jlive):
         fs.delete(jlive, True)
 
 
-def staged_swap(spark: SparkSession, live: str, staged: str) -> None:
+def staged_swap(
+    spark: SparkSession, live: str, staged: str, keep_old: int = 0
+) -> None:
     """Publish ``staged`` as the new contents of logical path ``live``
     via the epoch pointer (r13 verdict next-round #4; see the module
     docstring for the layout):
@@ -183,16 +192,25 @@ def staged_swap(spark: SparkSession, live: str, staged: str) -> None:
        epoch + 1) — markerless, invisible to every reader;
     2. create the marker file ``live.__ptr__/N`` — one atomic object
        create; readers resolve the new version from this instant;
-    3. retire older versions and the legacy directory.
+    3. retire versions older than N - ``keep_old`` (and the legacy
+       directory once it falls behind that line).
 
     A crash before step 2 leaves the old store fully readable plus an
     orphan directory (deleted by the next swap's step 1); a crash
     after step 2 leaves the NEW store fully readable plus stale old
     versions (retired by the next swap's step 3). At no point is the
     live data absent — the two-rename window this replaces is gone.
-    Old-version DELETION (step 3) still requires the maintainers'
-    stream-stopped single-writer window, since an in-flight reader
-    pinned to the old version would lose files under it."""
+
+    ``keep_old=0`` (default) retires the previous version immediately,
+    which is only safe inside the maintainers' stream-stopped
+    single-writer window — an in-flight reader pinned to the old
+    version would lose files under it. Swaps that run on EVERY
+    micro-batch while readers may be live (r14 advice: the reservoir
+    fold) pass ``keep_old=1``: the previous version survives the swap
+    that replaces it and retires one swap later, so a reader that
+    resolved immediately before a publish has the whole next
+    micro-batch interval to finish its scan. Steady-state disk cost is
+    ``keep_old`` extra copies of the (bounded) store."""
     fs, _, jvm = _fs_and_path(spark, live)
     P = jvm.org.apache.hadoop.fs.Path
     versions = _list_versions(spark, live)
@@ -203,7 +221,7 @@ def staged_swap(spark: SparkSession, live: str, staged: str) -> None:
     if not fs.rename(P(staged), P(target)):
         raise IOError(f"staged_swap: rename {staged} -> {target} failed")
     _create_marker(spark, live, n)
-    _retire_old_versions(spark, live, n)
+    _retire_old_versions(spark, live, n - max(0, keep_old))
 
 
 def staged_swap_many(spark: SparkSession, pairs: list[tuple[str, str]]) -> None:

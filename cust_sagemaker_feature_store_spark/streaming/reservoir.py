@@ -20,7 +20,12 @@ WindowGroupLimit top-k over (stored sample ∪ batch) — O(batch +
 sources*k), never O(corpus). The store rewrite publishes through the
 Hadoop-FS epoch-pointer swap (_fsutil.staged_swap) so a crash never
 leaves a torn OR absent sample — readers resolve the previous version
-until the one atomic marker create.
+until the one atomic marker create. Because this swap runs on EVERY
+micro-batch while sample() readers may be live, it defers retirement
+(keep_old=1, r14 advice): the version a reader resolved survives the
+very next publish and is deleted only one swap later, so a concurrent
+scan has a full micro-batch interval to finish — the bounded
+(sources x k)-row store makes the extra copy's disk cost negligible.
 """
 
 from __future__ import annotations
@@ -95,7 +100,9 @@ class StreamingWeightedReservoir:
             .parquet(staged, compression="snappy")
         )
         if store_exists(self.spark, self.store_dir):
-            staged_swap(self.spark, self.store_dir, staged)
+            # per-batch swap with possibly-live sample() readers:
+            # defer retirement one swap (module docstring, r14 advice)
+            staged_swap(self.spark, self.store_dir, staged, keep_old=1)
         else:  # bootstrap: no live store to publish over, one rename suffices
             fs, jp, jvm = _fs_and_path(self.spark, self.store_dir)
             fs.rename(jvm.org.apache.hadoop.fs.Path(staged), jp)

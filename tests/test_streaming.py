@@ -1795,3 +1795,60 @@ def test_staged_swap_many_partial_publish_rolls_back_cleanly(
         assert sorted(
             map(tuple, spark.read.parquet(cur).collect())
         ) == [(i, i * mult) for i in range(3)]
+
+
+def test_staged_swap_keep_old_defers_retirement(spark, tmp_path):
+    """r14 advice: per-micro-batch swaps (the reservoir fold) pass
+    keep_old=1 so a reader pinned to the version current at publish
+    time keeps its files until the NEXT swap — no mid-scan deletion
+    under a live sample()."""
+    import os
+
+    from cust_sagemaker_feature_store_spark.streaming import _fsutil as FS
+
+    live = str(tmp_path / "store")
+    spark.range(3).selectExpr("id", "id AS v").write.parquet(live)
+
+    def stage(mult):
+        staged = live + ".__stage__"
+        spark.range(3).selectExpr("id", f"id * {mult} AS v").write.mode(
+            "overwrite"
+        ).parquet(staged)
+        return staged
+
+    # swap 1: legacy layout is the previous version — it must survive
+    FS.staged_swap(spark, live, stage(10), keep_old=1)
+    v1 = FS.resolve(spark, live)
+    assert v1 != live
+    assert os.path.exists(live)  # a reader mid-scan on legacy is safe
+    # swap 2: v1 is previous — survives; legacy (two behind) retires
+    FS.staged_swap(spark, live, stage(20), keep_old=1)
+    v2 = FS.resolve(spark, live)
+    assert os.path.exists(v1) and not os.path.exists(live)
+    # swap 3: v2 survives, v1 retires — exactly one old version kept
+    FS.staged_swap(spark, live, stage(30), keep_old=1)
+    assert os.path.exists(v2) and not os.path.exists(v1)
+    got = sorted(
+        map(tuple, spark.read.parquet(FS.resolve(spark, live)).collect())
+    )
+    assert got == [(i, i * 30) for i in range(3)]
+
+
+def test_reset_store_spares_non_version_siblings(spark, tmp_path):
+    """r14 advice: reset_store's version glob also matches sibling
+    dirs like 'store.__vacuum__'; only all-digit version suffixes may
+    be deleted."""
+    import os
+
+    from cust_sagemaker_feature_store_spark.streaming import _fsutil as FS
+
+    live = str(tmp_path / "store")
+    spark.range(3).write.parquet(live)
+    FS.staged_swap(spark, live, live)  # publish live itself as v1
+    vacuum = live + ".__vacuum__"
+    spark.range(2).write.parquet(vacuum)  # non-version sibling
+
+    FS.reset_store(spark, live)
+    assert os.path.exists(vacuum)  # spared: suffix is not digits
+    assert not os.path.exists(FS._ptr_dir(live))
+    assert not os.path.exists(FS._version_path(live, 1))
