@@ -568,17 +568,22 @@ SELECT media_id, width, height,
 FROM px GROUP BY 1, 2, 3, 4
 """,
     description=(
-        "[EXT] REAL TIFF decode path, oracle-pinned (r14 — the scan/"
-        "scientific-corpus rung of the codec ladder, and the only one "
-        "that exercises BOTH byte orders: odd ids encode big-endian "
-        "MM, even ids little-endian II). Per document a grayscale and "
-        "an RGB raster (channels closed-form in (id, x, y)) are "
-        "encoded as uncompressed strip-based TIFF 6.0 with "
-        "RowsPerStrip = 1 + id%4 (multi-strip reassembly hot) and "
-        "decoded back by decode_tiff inside mapInPandas — IFD walk, "
-        "inline-vs-pointed values, StripOffsets/ByteCounts. TIFF is "
-        "lossless, so the oracle recomputes exact channel sums from "
-        "the pixel rules; compressed/planar/tiled TIFF stays gated."
+        "[EXT] REAL TIFF decode path, oracle-pinned (r14; LZW r15 — "
+        "the scan/scientific-corpus rung of the codec ladder, and the "
+        "only one that exercises BOTH byte orders: odd ids encode "
+        "big-endian MM, even ids little-endian II). Per document a "
+        "grayscale and an RGB raster (channels closed-form in "
+        "(id, x, y)) are encoded as strip-based TIFF 6.0 with "
+        "RowsPerStrip = 1 + id%4 (multi-strip reassembly hot) and the "
+        "compression rotating by id%3 — uncompressed / PackBits "
+        "32773 / LZW 5 (r14 verdict next-round #4: variable-width "
+        "MSB-first codes, EarlyChange bump, per-strip streams) — then "
+        "decoded back by decode_tiff inside mapInPandas: IFD walk, "
+        "inline-vs-pointed values, StripOffsets/ByteCounts, per-strip "
+        "decompression dispatch. Every rung is lossless, so ONE "
+        "oracle recomputes exact channel sums from the pixel rules "
+        "for all three compressions without seeing TIFF bytes; "
+        "predictor-2 LZW/planar/tiled TIFF stays gated."
     ),
 )
 def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,11 +602,18 @@ def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mid = int(mid)
                 w, h, rps = 2 + mid % 9, 1 + mid % 7, 1 + mid % 4
                 be = bool(mid % 2)
+                comp = {  # id%3 rotates the per-strip compression
+                    0: {},
+                    1: {"packbits": True},
+                    2: {"lzw": True},
+                }[mid % 3]
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
                 gray = ((9 * mid + 4 * x + 3 * y) % 256).astype(np.uint8)
                 dec_g = decode_tiff(
-                    encode_tiff(gray, big_endian=be, rows_per_strip=rps)
+                    encode_tiff(
+                        gray, big_endian=be, rows_per_strip=rps, **comp
+                    )
                 )
                 rgb = np.stack(
                     [
@@ -612,7 +624,9 @@ def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     axis=2,
                 ).astype(np.uint8)
                 dec_c = decode_tiff(
-                    encode_tiff(rgb, big_endian=be, rows_per_strip=rps)
+                    encode_tiff(
+                        rgb, big_endian=be, rows_per_strip=rps, **comp
+                    )
                 )
                 rows.append(
                     (
@@ -1022,6 +1036,29 @@ def agg_approx_percentile_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 FREQ_SUPPORT = 0.03  # top-of-vocabulary tokens sit at ~3.5% frequency
 
 
+def _freq_items_floor_audit(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook (registry.QuerySpec.audit_frames): the two
+    corpus-scale passes the eager floor runs — the exact heavy-hitter
+    aggregate (threshold is a placeholder literal; the real one is a
+    scalar computed from toks.count()) and the distributed CMS
+    aggregate."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    heavy = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    cms = toks.agg(
+        F.count_min_sketch(
+            "token", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("s")
+    )
+    return {"heavy_hitters": heavy, "cms_agg": cms}
+
+
 @register(
     "agg_freq_items_floor",
     oracle="""
@@ -1044,6 +1081,7 @@ SELECT 'freq_items' AS method, TRUE AS guarantee_ok
         "bounded by 1/support and the sketch dimensions — "
         "corpus-size-independent."
     ),
+    audit_frames=_freq_items_floor_audit,
 )
 def agg_freq_items_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
@@ -1279,6 +1317,27 @@ HLL_SPLIT = "2024-01-16 00:00:00"
 HLL_MERGE_REL_TOL = 0.05  # lgConfigK=12 gives ~1.6% standard error
 
 
+def _hll_merge_floor_audit(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the three corpus passes behind the eager
+    mergeability floor — per-half sketch build + union-merge estimate,
+    direct one-pass sketch estimate, and the exact distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.withColumn(
+        "half",
+        (F.col("ts") < F.lit(HLL_SPLIT).cast("timestamp")).cast("int"),
+    )
+    merged = (
+        halves.groupBy("half")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("n"))
+    return {"union_merge": merged, "direct": direct, "exact": exact}
+
+
 @register(
     "agg_hll_merge_floor",
     oracle="""
@@ -1307,6 +1366,7 @@ SELECT 'direct_within_tol' AS check_name, TRUE AS guarantee_ok
         "Complements agg_approx_distinct_floor, which checks accuracy "
         "only, not re-aggregation."
     ),
+    audit_frames=_hll_merge_floor_audit,
 )
 def agg_hll_merge_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

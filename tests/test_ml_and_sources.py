@@ -374,8 +374,9 @@ def test_png_codec_round_trips_every_filter():
 
 
 def test_png_decoder_gates_unsupported_color_types():
-    """16-bit/interlaced PNGs hit the documented NotImplementedError
-    gate, not a wrong decode (palette and gray de-gated in r14)."""
+    """Sub-byte/interlaced/gray+alpha PNGs hit the documented
+    NotImplementedError gate, not a wrong decode (palette and gray
+    de-gated in r14; 16-bit gray/truecolor in r15)."""
     import struct
 
     import numpy as np
@@ -389,7 +390,15 @@ def test_png_decoder_gates_unsupported_color_types():
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     blob = bytearray(encode_png(px))
     # IHDR payload starts at offset 16; bit depth is its 9th byte
-    struct.pack_into("B", blob, 16 + 8, 16)  # 16-bit
+    struct.pack_into("B", blob, 16 + 8, 4)  # sub-byte depth: gated
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_png(bytes(blob))
+    blob = bytearray(encode_png(px))
+    struct.pack_into("B", blob, 16 + 9, 4)  # gray+alpha: gated
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_png(bytes(blob))
+    blob = bytearray(encode_png(px))
+    struct.pack_into("B", blob, 16 + 12, 1)  # interlaced: gated
     with pytest.raises(NotImplementedError, match="codec library"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(px))
@@ -1033,11 +1042,30 @@ def test_tiff_decoder_gates_photometrics_and_errors():
         return bytes(b)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        decode_tiff(patch_tag(blob, 259, 5))  # LZW
+        decode_tiff(patch_tag(blob, 259, 6))  # old-style JPEG-in-TIFF
+    # LZW (5) is de-gated in r15 but its horizontal predictor is not:
+    # rewrite the (here inert) PlanarConfig entry into Predictor=2
+    def retag(raw: bytes, old_tag: int, new_tag: int, value: int) -> bytes:
+        b = bytearray(raw)
+        (ifd,) = struct.unpack_from("<I", raw, 4)
+        (n,) = struct.unpack_from("<H", raw, ifd)
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            (t,) = struct.unpack_from("<H", raw, off)
+            if t == old_tag:
+                struct.pack_into("<H", b, off, new_tag)
+                struct.pack_into("<H", b, off + 8, value)
+        return bytes(b)
+
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff(retag(encode_tiff(px, lzw=True), 284, 317, 2))
     with pytest.raises(NotImplementedError, match="planar"):
         decode_tiff(patch_tag(blob, 284, 2))
     with pytest.raises(NotImplementedError, match="photometric"):
-        decode_tiff(patch_tag(blob, 262, 3))  # palette TIFF
+        decode_tiff(patch_tag(blob, 262, 6))  # YCbCr TIFF
+    # palette (3) decodes in r15 — but a missing ColorMap is corrupt
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(patch_tag(blob, 262, 3))
     with pytest.raises(ValueError):
         decode_tiff(b"II\x2a\x00\xff\xff\xff\xff")
     with pytest.raises(ValueError):
@@ -1054,7 +1082,7 @@ def test_tiff_packbits_strips_round_trip():
     """PackBits (TIFF compression 32773, TIFF 6.0 §9): encoder/decoder
     round-trip on run-heavy and noisy payloads, the 0x80 no-op code
     honored, and compressed multi-strip TIFFs decode bit-exact in both
-    byte orders. LZW/JPEG-in-TIFF stay gated."""
+    byte orders. JPEG-in-TIFF stays gated (LZW de-gated in r15)."""
     import numpy as np
     import pytest
 
@@ -1086,3 +1114,368 @@ def test_tiff_packbits_strips_round_trip():
             encode_tiff(px, big_endian=be, rows_per_strip=rps, packbits=True)
         )
         assert dec.shape == px.shape and np.array_equal(dec, px)
+
+
+def test_jpeg_decoder_value_errors_on_fill_byte_and_truncated_tails():
+    """r14 advice: a stream ending in 0xFF fill bytes or cut inside a
+    segment header must raise the documented ValueError, never a raw
+    IndexError/struct.error out of mapInPandas."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    blob = encode_jpeg(np.full((8, 8), 77, np.uint8))
+    # ends in fill bytes: the fill-skip loop runs off the end
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff\xff\xff")
+    # cut mid segment-header (length field half present)
+    i = blob.find(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: i + 3])
+    # arbitrary truncation points never leak non-ValueError
+    for cut in range(2, min(len(blob), 64)):
+        try:
+            decode_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_encode_wav_raw_pads_odd_payloads():
+    """r14 advice: odd-length data payloads (8-bit G.711) carry the
+    RIFF zero pad byte, counted in the RIFF size but not the chunk
+    size — and still round-trip through decode_wav."""
+    import numpy as np
+    import struct
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_raw,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    samples = np.array([0, 1000, -1000, 32000, -32000], np.int16)  # odd N
+    payload = mulaw_compress(samples).tobytes()
+    assert len(payload) % 2 == 1
+    blob = encode_wav_raw(payload, 7, 1, 8000, 8)
+    # total size = 8 + RIFF size; RIFF size includes the pad byte
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    assert len(blob) == 8 + riff_size and len(blob) % 2 == 0
+    assert blob[-1] == 0  # the pad byte
+    # chunk size states the unpadded payload length
+    i = blob.find(b"data")
+    (chunk_size,) = struct.unpack_from("<I", blob, i + 4)
+    assert chunk_size == len(payload)
+    got, rate = decode_wav(blob)
+    assert rate == 8000 and got.shape == (5, 1)
+    assert np.array_equal(
+        got[:, 0], mulaw_expand(np.frombuffer(payload, np.uint8))
+    )
+
+    # even payloads stay pad-free
+    blob2 = encode_wav_raw(b"\x00\x01", 7, 1, 8000, 8)
+    (riff2,) = struct.unpack_from("<I", blob2, 4)
+    assert len(blob2) == 8 + riff2 and blob2[-2:] == b"\x00\x01"
+
+
+def test_tiff_lzw_wire_format_matches_hand_computed_spec_vector():
+    """TIFF 6.0 §13 LZW (r14 verdict next-round #4): the 9-bit wire
+    format is pinned by a BY-HAND encoding of the spec walk for input
+    7,7,7,8,8,7,7,6,6 — codes Clear(256), 7, 258, 8, 8, 258, 6, 6,
+    EOI(257), MSB-first-packed = 80 01 E0 40 80 44 08 0C 06 80 80.
+    This pins MSB bit order, code numbering from 258, and the
+    Clear/EOI framing against the spec itself, independent of the
+    decoder."""
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    src = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    want = bytes.fromhex("8001e040804408 0c068080".replace(" ", ""))
+    assert _lzw_encode_tiff(src) == want
+    assert _lzw_decode_tiff(want, len(src)) == src
+
+
+def test_tiff_lzw_round_trips_across_width_bumps_and_reset():
+    """Encoder/decoder consistency across the EarlyChange width bumps
+    (9->10 at entry 510, 10->11 at 1022, 11->12 at 2046) and the
+    4094-entry table reset: random and adversarial payloads long
+    enough to cross every boundary, plus the KwKwK self-reference
+    case, plus compressed multi-strip TIFFs in both byte orders."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(23)
+    cases = [
+        b"",
+        b"\x00",
+        b"ab" * 3,
+        b"aaaaaa",  # KwKwK chain
+        bytes(rng.randint(0, 256, 5000)),      # crosses 9->10->11
+        bytes(rng.randint(0, 4, 40000)),       # slow growth, long entries
+        bytes(rng.randint(0, 256, 60000)),     # crosses the 4094 reset
+        bytes(np.arange(256, dtype=np.uint8).repeat(20)),
+    ]
+    for payload in cases:
+        enc = _lzw_encode_tiff(payload)
+        assert _lzw_decode_tiff(enc, len(payload)) == payload
+    with pytest.raises(ValueError):
+        _lzw_decode_tiff(b"", 1)
+    with pytest.raises(ValueError):  # stream shorter than promised
+        _lzw_decode_tiff(_lzw_encode_tiff(b"abc"), 4)
+
+    for _ in range(6):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        be, rps = bool(rng.randint(2)), int(rng.randint(1, 9))
+        px = (
+            rng.randint(0, 3, (h, w, 3)) * 100
+            if rng.randint(2)
+            else rng.randint(0, 256, (h, w))
+        ).astype(np.uint8)
+        dec = decode_tiff(
+            encode_tiff(px, big_endian=be, rows_per_strip=rps, lzw=True)
+        )
+        assert dec.shape == px.shape and np.array_equal(dec, px)
+
+
+def test_tiff_lzw_interops_with_jdk_imageio(spark):
+    """INDEPENDENT-implementation check (the evidence the other codec
+    rungs could not get in-container): the JDK's javax.imageio TIFF
+    plugin (Java 9+, derived from JAI) reads our LZW-compressed TIFFs.
+    This pins the EarlyChange width-bump convention and MSB packing
+    against a codec we did not write. Gray and RGB, both byte orders,
+    multi-strip, sizes crossing the 9->10 bit boundary."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        encode_tiff,
+    )
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_decode(blob: bytes, h: int, w: int, bands: int):
+        # raw Raster samples — getRGB would push grayscale through a
+        # linear-gray -> sRGB ColorModel conversion and corrupt values
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO has no TIFF reader in this JVM")
+        raster = img.getRaster()
+        assert raster.getNumBands() == bands
+        out = np.zeros((h, w, bands), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                for b in range(bands):
+                    out[yy, xx, b] = raster.getSample(xx, yy, b)
+        return out
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (13, 31)).astype(np.uint8)  # > 403 px
+    for be in (False, True):
+        got = jdk_decode(encode_tiff(gray, big_endian=be, lzw=True), 13, 31, 1)
+        assert np.array_equal(got[:, :, 0], gray), f"be={be}"
+    rgb = rng.randint(0, 256, (9, 40, 3)).astype(np.uint8)  # 1080 samples
+    for be in (False, True):
+        got = jdk_decode(
+            encode_tiff(rgb, big_endian=be, rows_per_strip=2, lzw=True), 9, 40, 3
+        )
+        assert np.array_equal(got, rgb.astype(np.int64)), f"rgb be={be}"
+    # ONE strip big enough to cross the 9->10-bit EarlyChange bump
+    # (random bytes add ~1 entry/byte, so >600 px guarantees entry
+    # 511 exists) — this is the case that catches a bump-point
+    # off-by-one, which per-4-row strips never reach
+    big = rng.randint(0, 256, (20, 64)).astype(np.uint8)
+    got = jdk_decode(
+        encode_tiff(big, rows_per_strip=20, lzw=True), 20, 64, 1
+    )
+    assert np.array_equal(got[:, :, 0], big)
+
+
+def test_tiff_palette_round_trip_and_colormap_scaling():
+    """Palette TIFF (photometric 3, r15): indices + (P,3) uint8
+    palette round-trip through the 16-bit ColorMap (v*257 up, >>8
+    down — lossless by construction), in both byte orders, under all
+    three strip compressions, and via the JDK reader below."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(31)
+    for comp in ({}, {"packbits": True}, {"lzw": True}):
+        p = int(rng.randint(2, 200))
+        pal = rng.randint(0, 256, (p, 3)).astype(np.uint8)
+        idx = rng.randint(0, p, (11, 7)).astype(np.uint8)
+        for be in (False, True):
+            got = decode_tiff(
+                encode_tiff(
+                    idx, big_endian=be, rows_per_strip=3, palette=pal,
+                    **comp,
+                )
+            )
+            assert got.shape == (11, 7, 3)
+            assert np.array_equal(got, pal[idx]), (comp, be)
+    with pytest.raises(ValueError, match="palette"):
+        encode_tiff(np.zeros((2, 2, 3), np.uint8), palette=pal)
+    with pytest.raises(ValueError, match="covering"):
+        encode_tiff(np.full((2, 2), 5, np.uint8), palette=pal[:3])
+
+
+def test_png_16bit_round_trips_all_filters():
+    """16-bit PNG (r15): uint16 gray and RGB rasters round-trip
+    through every scanline filter; byte-level filtering means the
+    same de-filter code serves both depths (RFC 2083 §6.2)."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 65536, (9, 13)).astype(np.uint16)
+    filters = [(y * 3 + 1) % 5 for y in range(9)]  # hits 0..4
+    dec = decode_png(encode_png(gray, row_filters=filters, depth=16))
+    assert dec.dtype == np.uint16 and np.array_equal(dec, gray)
+
+    rgb = rng.randint(0, 65536, (6, 8, 3)).astype(np.uint16)
+    dec3 = decode_png(encode_png(rgb, row_filters=[4] * 6, depth=16))
+    assert dec3.dtype == np.uint16 and np.array_equal(dec3, rgb)
+
+    rgba = rng.randint(0, 65536, (4, 5, 4)).astype(np.uint16)
+    dec4 = decode_png(encode_png(rgba, depth=16))
+    assert np.array_equal(dec4, rgba)
+
+    # 8-bit paths are untouched
+    g8 = rng.randint(0, 256, (5, 5)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(g8)), g8)
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_png(np.zeros((2, 2), np.uint16), palette=np.zeros((2, 3), np.uint8), depth=16)
+
+
+def test_tiff_palette_and_png16_interop_with_jdk_imageio(spark):
+    """Independent-implementation pin for the two new r15 rungs: the
+    JDK's ImageIO reads our palette TIFF (ColorMap scaling) and our
+    16-bit PNG (big-endian samples; getRGB downsamples to 8-bit =
+    the high byte)."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        encode_png,
+        encode_tiff,
+    )
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_read(blob: bytes):
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO cannot read this format here")
+        return img
+
+    def rgb_pixels(img, h: int, w: int):
+        # palette image: getRGB resolves the IndexColorModel (sRGB
+        # table lookup, no transfer-curve math for indexed color)
+        out = np.zeros((h, w, 3), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                v = img.getRGB(xx, yy)
+                out[yy, xx] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+        return out
+
+    def raster_samples(img, h: int, w: int, bands: int):
+        raster = img.getRaster()
+        assert raster.getNumBands() == bands
+        out = np.zeros((h, w, bands), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                for b in range(bands):
+                    out[yy, xx, b] = raster.getSample(xx, yy, b)
+        return out
+
+    rng = np.random.RandomState(41)
+    pal = rng.randint(0, 256, (17, 3)).astype(np.uint8)
+    idx = rng.randint(0, 17, (6, 9)).astype(np.uint8)
+    for be in (False, True):
+        got = rgb_pixels(jdk_read(encode_tiff(idx, big_endian=be, palette=pal)), 6, 9)
+        assert np.array_equal(got, pal[idx].astype(np.int64)), f"be={be}"
+
+    # 16-bit PNG: raw raster samples are the full-width values
+    rgb16 = rng.randint(0, 65536, (7, 11, 3)).astype(np.uint16)
+    got = raster_samples(jdk_read(encode_png(rgb16, depth=16)), 7, 11, 3)
+    assert np.array_equal(got, rgb16.astype(np.int64))
+
+
+def test_tiff_lzw_decodes_jdk_written_streams(spark):
+    """The reverse interop direction: the JDK's TIFF WRITER produces
+    LZW-compressed streams (its own encoder, its own EarlyChange
+    arithmetic) and OUR decode_tiff must reproduce the raster — this
+    pins the decoder's width-bump reading against an independent
+    encoder, not just against our own."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_tiff,
+    )
+
+    jvm = spark._jvm
+
+    def jdk_encode_lzw(gray: "np.ndarray") -> bytes:
+        h, w = gray.shape
+        img = jvm.java.awt.image.BufferedImage(
+            w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        )
+        raster = img.getRaster()
+        for yy in range(h):
+            for xx in range(w):
+                raster.setSample(xx, yy, 0, int(gray[yy, xx]))
+        writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("TIFF")
+        if not writers.hasNext():
+            pytest.skip("JDK has no TIFF writer here")
+        writer = writers.next()
+        param = writer.getDefaultWriteParam()
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+        )
+        param.setCompressionType("LZW")
+        bos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(
+            None, jvm.javax.imageio.IIOImage(img, None, None), param
+        )
+        ios.flush()
+        writer.dispose()
+        return bytes(bos.toByteArray())
+
+    rng = np.random.RandomState(13)
+    # big enough that the JDK's encoder crosses the 9->10 bit bump
+    gray = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    blob = jdk_encode_lzw(gray)
+    try:
+        got = decode_tiff(blob)
+    except NotImplementedError as e:
+        # the JDK writer may emit predictor-2 LZW; that rung is gated
+        assert "predictor" in str(e)
+        pytest.skip(f"JDK writer used a gated variant: {e}")
+    assert got.shape == gray.shape and np.array_equal(got, gray)
