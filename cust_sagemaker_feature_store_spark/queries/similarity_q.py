@@ -298,7 +298,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-method recall floors, chosen with margin under the measured
 # deterministic recalls (fixed seeds, so stable per sf):
 # lsh 1.0/0.9/1.0 and ivf 0.8/0.6/0.8 at sf0.001/0.01/0.1.
-ANN_RECALL_FLOORS = {"lsh": 0.7, "ivf": 0.5}
+# r15 re-pin (r14 verdict next-round #6): ivf floor 0.5 sat at
+# exactly 1.20x its worst measured recall (6/10 at sf0.01) — one
+# testdata refresh from red. 0.4 keeps >= 1.5x slack at every SF.
+ANN_RECALL_FLOORS = {"lsh": 0.7, "ivf": 0.4}
 
 
 @register(
@@ -351,7 +354,10 @@ def sim_ann_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
-IVFPQ_RECALL_FLOOR = 0.6  # measured 0.8/0.8/0.7 at sf0.001/0.01/0.1
+# measured 0.8/0.8/0.7 at sf0.001/0.01/0.1; re-pinned 0.6 -> 0.5 in
+# r15 (r14 verdict next-round #6): 7/6 slack at sf0.1 was under the
+# 20% margin bar, 7/5 = 1.4 clears it
+IVFPQ_RECALL_FLOOR = 0.5
 
 
 @register(
@@ -666,6 +672,14 @@ def sim_kmeans_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_refine(emb, iterations=KMEANS_ITERATIONS)
 
 
+def _pca_floor_audit(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the distributed Gram reduction — the only
+    corpus-sized work behind the eager floor (power iteration runs
+    driver-side on d x d cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {"gram": S.gram_matrix(emb)}
+
+
 @register(
     "sim_pca_power_floor",
     oracle="""
@@ -685,6 +699,7 @@ SELECT 'rayleigh_bounds' AS check_name, TRUE AS guarantee_ok
         "the corpus-sized work is the gram reduction; the driver only "
         "ever sees d(d+1)/2 cells."
     ),
+    audit_frames=_pca_floor_audit,
 )
 def sim_pca_power_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -913,7 +928,24 @@ def sim_ivf_kmeanspar_recall_floor(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 IVF_SWEEP_PROBES = (1, 2, 4)
-IVF_SWEEP_FLOOR = 0.5  # at the widest probe; narrower probes pin monotonicity
+# at the widest probe; narrower probes pin monotonicity. Re-pinned
+# 0.5 -> 0.4 in r15: the sf0.01 measured 0.6 sat at exactly 1.20x
+IVF_SWEEP_FLOOR = 0.4
+
+
+def _ivf_sweep_audit(spark: SparkSession, sf_dir: str):
+    """Plan-audit hook: the exact top-k baseline and the widest-probe
+    IVF query — the two frame shapes the eager sweep collects per
+    probe step (ivf_topk's bounded seed sample executes; the corpus
+    passes stay lazy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return {
+        "exact_topk": S.cosine_topk(emb, qv, k=TOP_K),
+        "ivf_widest_probe": S.ivf_topk(
+            emb, qv, k=TOP_K, n_lists=8, nprobe=IVF_SWEEP_PROBES[-1]
+        ),
+    }
 
 
 @register(
@@ -943,6 +975,7 @@ SELECT CAST(4 AS BIGINT) AS nprobe, TRUE AS monotone_ok, TRUE AS floor_ok
         "vectors; the sweep quantifies the recall a deployment buys "
         "per additional cell scanned."
     ),
+    audit_frames=_ivf_sweep_audit,
 )
 def sim_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
