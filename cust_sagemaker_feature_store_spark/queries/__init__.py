@@ -488,25 +488,66 @@ _R13_DRIVER_GREEN = [
     "fs_asof_join_nearest", "fs_latest_snapshot_maxby",
 ]
 
-# ROUND-15 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r14.json's green rows into an _R14_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r15 changes), then
-# retarget _WINDOW_PRIORITY at whatever r15 invalidates.
+_R14_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r14.json (50/50 green) earned by
+    # code unchanged in r15. Excluded on purpose (r15 changes their
+    # implementation or a paired module, invalidating the evidence):
+    #   ml_permutation_importance — r15 replaces the corpus-scale
+    #     single-partition window with the boundary-stitched
+    #     per-partition cyclic shift AND extends the permutation key
+    #     to (h, rid, x1, x2, y) on both engines (rid is not unique
+    #     in the testdata — r14 verdict item #1);
+    #   udf_multimodal_{jpeg,tiff,gif,png,png_palette,wav,g711,phash}
+    #   + dedup_phash_pairs — operators/multimodal.py changes in r15
+    #     (TIFF LZW compression 5, decode_jpeg ValueError contract
+    #     wrapper, encode_wav_raw RIFF pad byte) — the module-change
+    #     rotation precedent from r14's udf_multimodal_wav note;
+    #   stream_{dedup,ivf,ivfpq,kmv}_store/index twins,
+    #   pipeline_curate_stream_twin, sim_ivfpq_retrained_floor — r15
+    #     touches streaming/_fsutil.py (deferred retirement keep_old,
+    #     reset_store version-suffix guard) — the maintainer-module
+    #     rotation precedent from r13->r14.
+    "er_blocking_quality", "fs_time_range", "fs_latest_snapshot",
+    "fs_snapshot_asof", "fs_snapshot_diff", "fs_scd2_history",
+    "fs_tombstone_snapshot", "fs_point_lookup", "fs_asof_join",
+    "fs_asof_join_tolerance", "fs_asof_join_forward",
+    "fs_asof_join_nearest", "fs_latest_snapshot_maxby",
+    "fs_asof_join_agg", "fs_asof_join_union",
+    "fs_asof_join_strategy_auto", "fs_resample_ffill_6h",
+    "fs_incremental_agg", "fs_incremental_join", "fs_multi_group_asof",
+    "fs_training_set_multi", "fs_ttl_snapshot", "fs_feature_drift_psi",
+    "fs_rollup_reaggregation", "fs_bitemporal_asof",
+    "fs_feature_vector_pivot", "fs_asof_join_composite",
+    "fs_snapshot_drift_psi", "fs_late_data_impact",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_orders", "agg_orders_by_status",
+]
+
+# ROUND-16 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r15.json's green rows into an _R15_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r16 changes), then
+# retarget _WINDOW_PRIORITY at whatever r16 invalidates.
 _WINDOW_PRIORITY = [
-    # Queries whose implementations (or paired maintainer modules)
-    # r14 touches — see the exclusion notes in _R13_DRIVER_GREEN:
-    # re-prove them before anything else. r14's brand-new queries
-    # (udf_multimodal_jpeg) follow automatically as non-green
-    # exact-oracle entries.
-    "er_blocking_quality",
+    # Queries r15 invalidates — see the exclusion notes in
+    # _R14_DRIVER_GREEN: re-prove them before anything else.
+    "ml_permutation_importance",
+    "udf_multimodal_tiff",  # LZW strips join the fixture rotation
+    "udf_multimodal_jpeg", "udf_multimodal_wav", "udf_multimodal_g711",
+    "udf_multimodal_gif", "udf_multimodal_png",
+    "udf_multimodal_png_palette", "udf_multimodal_phash",
+    "dedup_phash_pairs",
+    "graph_sssp_weighted",  # edge build refactored into _sssp_edges
     "stream_dedup_index_twin", "stream_ivf_index_twin",
     "stream_ivfpq_index_twin", "stream_kmv_store_twin",
     "pipeline_curate_stream_twin",
     "sim_ivfpq_retrained_floor",
-    "udf_multimodal_wav",
-    # decode_png gained gray/palette color types in r14 wave 2,
-    # rotating its callers (phash feeds dedup_phash_pairs):
-    "udf_multimodal_png", "udf_multimodal_phash", "dedup_phash_pairs",
+    # r15 floor re-pins (r14 verdict next-round #6: the <= 1.20-slack
+    # floors get real margin) rotate every query that compares
+    # against IVFPQ_RECALL_FLOOR / ANN_RECALL_FLOORS / IVF_SWEEP_FLOOR:
+    "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
+    "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
+    "sim_ivfpq_trained_codebook_floor", "sim_ivf_kmeanspar_recall_floor",
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
