@@ -153,7 +153,10 @@ def decode_bmp(content: bytes):
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(pixels, row_filters=None, palette=None, depth: int = 8) -> bytes:
+def encode_png(
+    pixels, row_filters=None, palette=None, depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
     """Minimal PNG writer — pure stdlib zlib + struct + numpy;
     the format is public (RFC 2083). Input shapes: (H, W, 3) truecolor
     (color type 2), (H, W, 4) truecolor+alpha (6), (H, W) grayscale
@@ -180,18 +183,19 @@ def encode_png(pixels, row_filters=None, palette=None, depth: int = 8) -> bytes:
         px16 = np.asarray(pixels, dtype=np.uint16)
         if px16.ndim == 2:
             px16 = px16[:, :, None]
-        if px16.ndim != 3 or px16.shape[2] not in (1, 3, 4):
+        if px16.ndim != 3 or px16.shape[2] not in (1, 2, 3, 4):
             raise ValueError(
-                "16-bit encode_png expects (H, W[, 1|3|4]) uint16"
+                "16-bit encode_png expects (H, W[, 1|2|3|4]) uint16"
             )
-        color_16 = {1: 0, 3: 2, 4: 6}[px16.shape[2]]
+        color_16 = {1: 0, 2: 4, 3: 2, 4: 6}[px16.shape[2]]
         # big-endian sample bytes as 2*ch byte-planes (see docstring)
         px = (
             px16.astype(">u2")
             .view(np.uint8)
             .reshape(px16.shape[0], px16.shape[1], 2 * px16.shape[2])
         )
-        return _encode_png_bytes(px, row_filters, b"", color_16, 16)
+        return _encode_png_bytes(px, row_filters, b"", color_16, 16,
+                                 interlace=interlace)
     px = np.asarray(pixels, dtype=np.uint8)
     plte = b""
     if palette is not None:
@@ -208,39 +212,32 @@ def encode_png(pixels, row_filters=None, palette=None, depth: int = 8) -> bytes:
     elif px.ndim == 2:
         color_type = 0  # grayscale
         px = px[:, :, None]
-    elif px.ndim == 3 and px.shape[2] in (3, 4):
-        color_type = 2 if px.shape[2] == 3 else 6
+    elif px.ndim == 3 and px.shape[2] in (2, 3, 4):
+        color_type = {2: 4, 3: 2, 4: 6}[px.shape[2]]  # 4 = gray+alpha
     else:
         raise ValueError(
-            "encode_png expects an (H, W, 3|4), (H, W) gray, or "
+            "encode_png expects an (H, W, 2|3|4), (H, W) gray, or "
             "(H, W)+palette array"
         )
-    return _encode_png_bytes(px, row_filters, plte, color_type, 8)
+    return _encode_png_bytes(px, row_filters, plte, color_type, 8,
+                             interlace=interlace)
 
 
-def _encode_png_bytes(px, row_filters, plte: bytes, color_type: int, depth: int) -> bytes:
-    """Shared PNG tail: byte-plane filtering + chunk assembly. ``px``
-    is (H, W, bytes-per-pixel) uint8 — one byte-plane per channel at
-    depth 8, two per channel at depth 16 (filters are byte-defined)."""
-    import struct
-    import zlib
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §2, r15
+# wave 2 — the progressive-transmission order every interlaced PNG uses)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_filter_rows(px, row_filters) -> bytearray:
+    """Filter one (sub-)image's scanlines: ``px`` is (H, W, byte-planes)
+    uint8; row_filters has one entry per scanline (each pass of an
+    interlaced image restarts with prev = 0, per spec)."""
     import numpy as np
 
     h, w, ch = px.shape
-    if row_filters is None:
-        row_filters = [0] * h
-    if len(row_filters) != h:
-        raise ValueError("row_filters must have one entry per scanline")
-
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-        )
-
     raw = px.astype(np.int16)
     prev = np.zeros((w, ch), dtype=np.int16)
     scanlines = bytearray()
@@ -269,88 +266,26 @@ def _encode_png_bytes(px, row_filters, plte: bytes, color_type: int, depth: int)
         scanlines.append(f)
         scanlines.extend((filt % 256).astype(np.uint8).tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
-    return (
-        PNG_SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + (chunk(b"PLTE", plte) if plte else b"")
-        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
-        + chunk(b"IEND", b"")
-    )
+    return scanlines
 
 
-def decode_png(content: bytes):
-    """Real pure-stdlib PNG decoder — truecolor (color type 2 = RGB,
-    6 = RGBA), grayscale (0, r14), palette (3, r14, PLTE lookup), and
-    16-BIT gray/truecolor (r15: filters de-applied on the 2*channels
-    byte-planes exactly as RFC 2083 §6.2 defines, then big-endian
-    sample reassembly) — non-interlaced: chunk walk, zlib inflate,
-    and all five scanline de-filters (None/Sub/Up/Average/Paeth)
-    reconstructed row-by-row in numpy with the sequential
-    Sub/Average/Paeth carry done per pixel. Returns (H, W, 3|4) uint8
-    for 8-bit color types 2/6/3, (H, W) uint8 for 8-bit grayscale,
-    and uint16 arrays of the same shapes at depth 16. Raises
-    ValueError on non-PNG/corrupt bytes and NotImplementedError on
-    interlaced / gray+alpha PNGs — the gate that remains for formats
-    needing a real codec library."""
-    import struct
-    import zlib
-
+def _png_defilter_rows(raw: bytes, offset: int, h: int, w: int, ch: int):
+    """Reconstruct one (sub-)image: returns ((h, w, ch) uint8 array,
+    bytes consumed). The sequential Sub/Average/Paeth carry runs per
+    pixel; prev starts at 0 (each interlace pass is independent)."""
     import numpy as np
 
-    if len(content) < 8 or content[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG stream")
-    pos, ihdr, idat, plte, seen_end = 8, None, bytearray(), None, False
-    while pos + 8 <= len(content):
-        (length,) = struct.unpack_from(">I", content, pos)
-        tag = content[pos + 4 : pos + 8]
-        payload = content[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
-            raise ValueError("truncated PNG chunk")
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", payload)
-        elif tag == b"PLTE":
-            if length % 3:
-                raise ValueError("PNG PLTE length not a multiple of 3")
-            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.extend(payload)
-        elif tag == b"IEND":
-            seen_end = True
-            break
-        pos += 12 + length  # length + tag + payload + crc
-    if ihdr is None or not seen_end or not idat:
-        raise ValueError("missing IHDR/IDAT/IEND")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if comp != 0 or filt != 0:
-        raise ValueError("unsupported PNG compression/filter method")
-    ok = (depth == 8 and color in (0, 2, 3, 6)) or (
-        depth == 16 and color in (0, 2, 6)  # r15: 16-bit gray/RGB(A)
-    )
-    if not ok or interlace != 0:
-        raise NotImplementedError(
-            f"PNG depth {depth} / color type {color} / interlace "
-            f"{interlace} needs a real codec library; only 8-bit "
-            "gray (0), truecolor (2, 6), palette (3) and 16-bit "
-            "gray/truecolor non-interlaced decode here"
-        )
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG missing its PLTE chunk")
-    n_ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    # filters are byte-defined (RFC 2083 §6.2): at depth 16 de-filter
-    # 2*channels byte-planes with the same per-"pixel" math, then
-    # reassemble big-endian uint16 samples at the end
-    ch = n_ch * (depth // 8)
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
+    need = h * (1 + stride)
+    if offset + need > len(raw):
         raise ValueError("PNG scanline payload size mismatch")
     out = np.zeros((h, w, ch), dtype=np.uint8)
     prev = np.zeros((w, ch), dtype=np.int32)
     for y in range(h):
-        f = raw[y * (1 + stride)]
+        base = offset + y * (1 + stride)
+        f = raw[base]
         row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).reshape(w, ch).astype(np.int32)
         if f == 0:
             rec = row
@@ -382,6 +317,143 @@ def decode_png(content: bytes):
             raise ValueError(f"invalid PNG filter byte {f}")
         out[y] = rec.astype(np.uint8)
         prev = rec
+    return out, need
+
+
+def _encode_png_bytes(
+    px, row_filters, plte: bytes, color_type: int, depth: int,
+    interlace: bool = False,
+) -> bytes:
+    """Shared PNG tail: byte-plane filtering + chunk assembly. ``px``
+    is (H, W, bytes-per-pixel) uint8 — one byte-plane per channel at
+    depth 8, two per channel at depth 16 (filters are byte-defined).
+    ``interlace`` writes the seven Adam7 passes, each independently
+    filtered (row_filters applies per emitted scanline, cyclically)."""
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: F401 (helpers above)
+
+    h, w, ch = px.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    if interlace:
+        base = [0] * h if row_filters is None else list(row_filters)
+        scanlines = bytearray()
+        emitted = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no scanlines (spec)
+            fl = [base[(emitted + i) % len(base)] for i in range(sub.shape[0])]
+            scanlines.extend(_png_filter_rows(sub, fl))
+            emitted += sub.shape[0]
+    else:
+        if row_filters is None:
+            row_filters = [0] * h
+        if len(row_filters) != h:
+            raise ValueError("row_filters must have one entry per scanline")
+        scanlines = _png_filter_rows(px, row_filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if plte else b"")
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes):
+    """Real pure-stdlib PNG decoder — truecolor (color type 2 = RGB,
+    6 = RGBA), grayscale (0, r14), palette (3, r14, PLTE lookup),
+    gray+alpha (4, r15 wave 2), and 16-BIT variants of the non-palette
+    types (r15: filters de-applied on the 2*channels byte-planes
+    exactly as RFC 2083 §6.2 defines, then big-endian
+    sample reassembly) — non-interlaced: chunk walk, zlib inflate,
+    and all five scanline de-filters (None/Sub/Up/Average/Paeth)
+    reconstructed row-by-row in numpy with the sequential
+    Sub/Average/Paeth carry done per pixel. Returns (H, W, 3|4) uint8
+    for 8-bit color types 2/6/3, (H, W) uint8 for 8-bit grayscale,
+    (H, W, 2) for gray+alpha, and uint16 arrays of the same shapes at
+    depth 16. Raises ValueError on non-PNG/corrupt bytes and
+    NotImplementedError on interlaced / sub-byte-depth PNGs — the gate
+    that remains for formats needing a real codec library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(content) < 8 or content[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat, plte, seen_end = 8, None, bytearray(), None, False
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length  # length + tag + payload + crc
+    if ihdr is None or not seen_end or not idat:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    ok = (depth == 8 and color in (0, 2, 3, 4, 6)) or (
+        depth == 16 and color in (0, 2, 4, 6)  # r15: 16-bit rungs
+    )
+    if not ok or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG depth {depth} / color type {color} / interlace "
+            f"{interlace} needs a real codec library; sub-byte depths "
+            "are the gate that remains"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing its PLTE chunk")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    # filters are byte-defined (RFC 2083 §6.2): at depth 16 de-filter
+    # 2*channels byte-planes with the same per-"pixel" math, then
+    # reassemble big-endian uint16 samples at the end
+    ch = n_ch * (depth // 8)
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        if len(raw) != h * (1 + stride):
+            raise ValueError("PNG scanline payload size mismatch")
+        out, _ = _png_defilter_rows(raw, 0, h, w, ch)
+    else:  # Adam7 (r15 wave 2): seven independent sub-images
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            hp = (h - y0 + dy - 1) // dy
+            wp = (w - x0 + dx - 1) // dx
+            if hp <= 0 or wp <= 0:
+                continue
+            sub, used = _png_defilter_rows(raw, pos, hp, wp, ch)
+            out[y0::dy, x0::dx] = sub
+            pos += used
+        if pos != len(raw):
+            raise ValueError("PNG interlaced payload size mismatch")
     if depth == 16:
         wide = (
             out.reshape(h, w, n_ch, 2).astype(np.uint16)
@@ -684,6 +756,25 @@ TIFF_SIGNATURES = (b"II\x2a\x00", b"MM\x00\x2a")
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we emit/need
 
 
+def _tiff_predictor2_encode(strip: bytes, w: int, spp: int) -> bytes:
+    """Horizontal differencing (TIFF tag 317 = 2): each sample becomes
+    its delta to the previous pixel's same channel, mod 256 — the
+    transform that makes LZW/Deflate bite on smooth rasters."""
+    import numpy as np
+
+    a = np.frombuffer(strip, np.uint8).reshape(-1, w, spp).astype(np.int16)
+    d = a.copy()
+    d[:, 1:, :] -= a[:, :-1, :]
+    return (d % 256).astype(np.uint8).tobytes()
+
+
+def _tiff_predictor2_decode(strip: bytes, w: int, spp: int) -> bytes:
+    import numpy as np
+
+    a = np.frombuffer(strip, np.uint8).reshape(-1, w, spp).astype(np.int64)
+    return (np.cumsum(a, axis=1) % 256).astype(np.uint8).tobytes()
+
+
 def encode_tiff(
     pixels,
     big_endian: bool = False,
@@ -691,12 +782,16 @@ def encode_tiff(
     packbits: bool = False,
     lzw: bool = False,
     palette=None,
+    deflate: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Minimal TIFF 6.0 writer for 8-bit grayscale (H, W), RGB
     (H, W, 3), or — with ``palette`` = a (P, 3) uint8 array — palette
     (photometric 3, ColorMap tag, r15) rasters of (H, W) INDICES,
     strip-based, in EITHER byte order, optionally
-    PackBits- (32773) or LZW- (5, r15) compressed per strip — the
+    PackBits- (32773), LZW- (5, r15) or Deflate- (8, r15 wave 2)
+    compressed per strip, with the optional horizontal-differencing
+    predictor (tag 317 = 2) ahead of lzw/deflate — the
     fixture generator for the
     real decode path (the format is public: the TIFF 6.0
     specification). Multiple strips per image so the strip walk is on
@@ -728,15 +823,27 @@ def encode_tiff(
     h, w = px.shape[:2]
     e = ">" if big_endian else "<"
     rps = max(1, min(rows_per_strip, h))
-    if packbits and lzw:
-        raise ValueError("encode_tiff: pick ONE of packbits/lzw")
+    if packbits + lzw + deflate > 1:
+        raise ValueError("encode_tiff: pick ONE of packbits/lzw/deflate")
+    if predictor not in (1, 2):
+        raise ValueError("encode_tiff: predictor must be 1 or 2")
+    if predictor == 2 and not (lzw or deflate):
+        raise ValueError(
+            "encode_tiff: predictor 2 pairs with lzw/deflate strips"
+        )
     strips = [
         px[y : y + rps].tobytes() for y in range(0, h, rps)
     ]
+    if predictor == 2:
+        strips = [_tiff_predictor2_encode(s, w, spp) for s in strips]
     if packbits:
         strips = [packbits_encode(s) for s in strips]
     elif lzw:
         strips = [_lzw_encode_tiff(s) for s in strips]
+    elif deflate:
+        import zlib
+
+        strips = [zlib.compress(s, 9) for s in strips]
     n_strips = len(strips)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -784,7 +891,9 @@ def encode_tiff(
         entry(257, 4, 1, h),                      # ImageLength
         (entry(258, 3, 1, 8) if spp == 1
          else entry(258, 3, 3, bps_ptr)),         # BitsPerSample
-        entry(259, 3, 1, 32773 if packbits else (5 if lzw else 1)),  # Compression
+        entry(259, 3, 1,
+              32773 if packbits
+              else (5 if lzw else (8 if deflate else 1))),  # Compression
         entry(262, 3, 1,
               3 if pal is not None
               else (1 if spp == 1 else 2)),       # Photometric
@@ -796,6 +905,8 @@ def encode_tiff(
          else entry(279, 4, n_strips, strip_cnt_ptr)),  # StripByteCounts
         entry(284, 3, 1, 1),                      # PlanarConfig: chunky
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))           # Predictor
     if pal is not None:
         entries.append(entry(320, 3, 768, cmap_ptr))  # ColorMap
     ifd = (
@@ -983,16 +1094,16 @@ def decode_tiff(content: bytes):
     """Real pure-python TIFF decoder for the baseline profile (r14):
     both byte orders (II little / MM big), IFD entry walk with
     inline-vs-pointed values, strip reassembly via StripOffsets/
-    StripByteCounts/RowsPerStrip, uncompressed (1), PackBits (32773)
-    or LZW (5, r15 — horizontal predictor 1 only) strips, 8-bit
-    grayscale (photometric 0/1, MinIsBlack honored, MinIsWhite
+    StripByteCounts/RowsPerStrip, uncompressed (1), LZW (5, r15),
+    Deflate (8/32946, r15 wave 2) or PackBits (32773) strips, the
+    horizontal-differencing predictor (tag 317 = 2, r15 wave 2),
+    8-bit grayscale (photometric 0/1, MinIsBlack honored, MinIsWhite
     inverted), 8-bit chunky RGB, and palette (photometric 3, r15:
     16-bit ColorMap planes downshifted to uint8 RGB). Returns (H, W)
     or (H, W, 3) uint8. Raises ValueError on corrupt/truncated
-    streams and
-    NotImplementedError on JPEG-in-TIFF/Deflate compression, the
-    LZW horizontal-differencing predictor (tag 317 = 2), planar,
-    tiled, or non-8-bit TIFFs — the gate that remains."""
+    streams and NotImplementedError on JPEG-in-TIFF compression, the
+    floating-point predictor (3), planar, tiled, or non-8-bit TIFFs —
+    the gate that remains."""
     import struct
 
     import numpy as np
@@ -1035,16 +1146,17 @@ def decode_tiff(content: bytes):
     spp = one(277, 1)
     planar = one(284, 1)
     bps = tags.get(258, [8])
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a real codec library; "
-            "only uncompressed (1), LZW (5) and PackBits (32773) decode "
-            "here"
+            "only uncompressed (1), LZW (5), Deflate (8/32946) and "
+            "PackBits (32773) decode here"
         )
-    if compression == 5 and one(317, 1) != 1:
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
         raise NotImplementedError(
-            "TIFF LZW with a horizontal-differencing predictor (tag "
-            "317 = 2) is the next rung; only predictor 1 decodes here"
+            f"TIFF predictor {predictor} (floating-point differencing) "
+            "needs a real codec library"
         )
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF needs a real codec library")
@@ -1083,12 +1195,20 @@ def decode_tiff(content: bytes):
         if o + c > len(content):
             raise ValueError("TIFF strip past EOF")
         raw = content[o : o + c]
+        rows_here = min(rps, h - si * rps)
         if compression == 32773:
-            rows_here = min(rps, h - si * rps)
             raw = packbits_decode(raw, rows_here * w * spp)
         elif compression == 5:
-            rows_here = min(rps, h - si * rps)
             raw = _lzw_decode_tiff(raw, rows_here * w * spp)
+        elif compression in (8, 32946):
+            import zlib
+
+            raw = zlib.decompress(raw)
+            if len(raw) < rows_here * w * spp:
+                raise ValueError("TIFF deflate strip shorter than raster")
+            raw = raw[: rows_here * w * spp]
+        if predictor == 2:
+            raw = _tiff_predictor2_decode(raw, w, spp)
         data.extend(raw)
     need = w * h * spp
     if len(data) < need:

@@ -575,15 +575,16 @@ FROM px GROUP BY 1, 2, 3, 4
         "grayscale and an RGB raster (channels closed-form in "
         "(id, x, y)) are encoded as strip-based TIFF 6.0 with "
         "RowsPerStrip = 1 + id%4 (multi-strip reassembly hot) and the "
-        "compression rotating by id%3 — uncompressed / PackBits "
+        "compression rotating by id%5 — uncompressed / PackBits "
         "32773 / LZW 5 (r14 verdict next-round #4: variable-width "
-        "MSB-first codes, EarlyChange bump, per-strip streams) — then "
+        "MSB-first codes, EarlyChange bump, per-strip streams) / "
+        "Deflate 8 / LZW+horizontal-predictor-2 (r15 wave 2) — then "
         "decoded back by decode_tiff inside mapInPandas: IFD walk, "
         "inline-vs-pointed values, StripOffsets/ByteCounts, per-strip "
         "decompression dispatch. Every rung is lossless, so ONE "
         "oracle recomputes exact channel sums from the pixel rules "
-        "for all three compressions without seeing TIFF bytes; "
-        "predictor-2 LZW/planar/tiled TIFF stays gated."
+        "for all five compression variants without seeing TIFF bytes; "
+        "planar/tiled/JPEG-in-TIFF stays gated."
     ),
 )
 def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,11 +603,13 @@ def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mid = int(mid)
                 w, h, rps = 2 + mid % 9, 1 + mid % 7, 1 + mid % 4
                 be = bool(mid % 2)
-                comp = {  # id%3 rotates the per-strip compression
+                comp = {  # id%5 rotates the per-strip compression
                     0: {},
                     1: {"packbits": True},
                     2: {"lzw": True},
-                }[mid % 3]
+                    3: {"deflate": True},
+                    4: {"lzw": True, "predictor": 2},
+                }[mid % 5]
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
                 gray = ((9 * mid + 4 * x + 3 * y) % 256).astype(np.uint8)
@@ -2141,4 +2144,97 @@ def dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 2)
         .select("media_a", "media_b", "hamming")
+    )
+
+
+AVRO_SCAN_N = 2000
+_AVRO_SCAN_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "source", "type": "string"},
+        {"name": "n_chars", "type": "long"},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ],
+}
+
+
+@register(
+    "source_avro_scan",
+    oracle=f"""
+WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, {AVRO_SCAN_N}) t(i)),
+rows AS (
+  SELECT i AS doc_id,
+         'src' || CAST(i % 5 AS VARCHAR) AS source,
+         (i * i) % 997 AS n_chars,
+         CASE WHEN i % 11 = 0 THEN NULL
+              ELSE 'n' || CAST(i AS VARCHAR) END AS note,
+         i % 3 AS n_tags
+  FROM r
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_notes,
+       CAST(SUM(n_tags) AS BIGINT) AS sum_tags
+FROM rows
+GROUP BY source
+""",
+    description=(
+        "[EXT] REAL Avro scan path WITHOUT the spark-avro connector "
+        "(r15 — the env gate the Avro row carried since r1, closed "
+        "for reads): a four-file Avro object container of closed-form "
+        "rows (deflate codec, nullable union column, array column) is "
+        "written by the spec-conformant pure-python encoder and read "
+        "back through sources.read_avro, which falls back to the "
+        "binaryFile + mapInPandas distributed decoder "
+        "(sources/avro_py.py) — schema derived from one driver-side "
+        "header read, blocks decoded executor-side, file-granular "
+        "parallelism. The oracle recomputes the per-source aggregate "
+        "from the same closed-form row rules via range(), so a decode "
+        "regression (zigzag, union branch, block framing, codec) "
+        "hash-mismatches. Codec interop is pinned both directions "
+        "against the in-container org.apache.avro reference jars in "
+        "the suite."
+    ),
+)
+def source_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.avro_py import encode_container
+    from ..sources.readers import read_avro
+
+    rows = [
+        {
+            "doc_id": i,
+            "source": f"src{i % 5}",
+            "n_chars": (i * i) % 997,
+            "note": None if i % 11 == 0 else f"n{i}",
+            "tags": [f"t{j}" for j in range(i % 3)],
+        }
+        for i in range(AVRO_SCAN_N)
+    ]
+    d = tempfile.mkdtemp(prefix="avro_scan_")
+    for part in range(4):
+        with open(os.path.join(d, f"part-{part}.avro"), "wb") as f:
+            f.write(
+                encode_container(
+                    rows[part::4], _AVRO_SCAN_SCHEMA, codec="deflate"
+                )
+            )
+    return (
+        read_avro(spark, d)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.when(F.col("note").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_notes"),
+            F.sum(F.size("tags")).cast("long").alias("sum_tags"),
+        )
     )

@@ -57,16 +57,20 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """[EXT] Avro scan; the spark-avro package is an optional jar, so
-    raise a clear error where it is absent rather than a JVM stack.
-    Gate re-probed 2026-08-14 (round 7): pyspark 4.1.2 here bundles
-    avro-core but NOT the spark-avro connector module, and no network
-    installs are permitted — write/read through format('avro') fails
-    with 'Failed to find data source: avro'."""
+    """[EXT] Avro scan. Prefers the spark-avro connector when its jar
+    is on the classpath (block-split reads, pushdown into the datum
+    reader); where it is absent — this environment bundles avro-core
+    but NOT the connector (gate re-probed r7-r15) — falls back to the
+    r15 pure-python DISTRIBUTED reader (sources/avro_py.py):
+    binaryFile listing + mapInPandas block decode, file-granular
+    parallelism, null/deflate/snappy codecs, interop-verified against
+    the in-container org.apache.avro reference jars in both
+    directions. The env gate this row carried since r1 is closed for
+    the read path; only the connector's intra-file split remains a
+    connector-only nicety."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # pragma: no cover - depends on jar presence
-        raise NotImplementedError(
-            "Avro requires the org.apache.spark:spark-avro package on the "
-            "session classpath"
-        ) from e
+    except Exception:
+        from .avro_py import read_avro_distributed
+
+        return read_avro_distributed(spark, path)

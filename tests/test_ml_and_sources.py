@@ -374,9 +374,9 @@ def test_png_codec_round_trips_every_filter():
 
 
 def test_png_decoder_gates_unsupported_color_types():
-    """Sub-byte/interlaced/gray+alpha PNGs hit the documented
-    NotImplementedError gate, not a wrong decode (palette and gray
-    de-gated in r14; 16-bit gray/truecolor in r15)."""
+    """Sub-byte/interlaced PNGs hit the documented NotImplementedError
+    gate, not a wrong decode (palette and gray de-gated in r14;
+    16-bit and gray+alpha in r15)."""
     import struct
 
     import numpy as np
@@ -391,10 +391,6 @@ def test_png_decoder_gates_unsupported_color_types():
     blob = bytearray(encode_png(px))
     # IHDR payload starts at offset 16; bit depth is its 9th byte
     struct.pack_into("B", blob, 16 + 8, 4)  # sub-byte depth: gated
-    with pytest.raises(NotImplementedError, match="codec library"):
-        decode_png(bytes(blob))
-    blob = bytearray(encode_png(px))
-    struct.pack_into("B", blob, 16 + 9, 4)  # gray+alpha: gated
     with pytest.raises(NotImplementedError, match="codec library"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(px))
@@ -1058,7 +1054,8 @@ def test_tiff_decoder_gates_photometrics_and_errors():
         return bytes(b)
 
     with pytest.raises(NotImplementedError, match="predictor"):
-        decode_tiff(retag(encode_tiff(px, lzw=True), 284, 317, 2))
+        # predictor 2 decodes in r15 wave 2; 3 (float differencing) gated
+        decode_tiff(retag(encode_tiff(px, lzw=True), 284, 317, 3))
     with pytest.raises(NotImplementedError, match="planar"):
         decode_tiff(patch_tag(blob, 284, 2))
     with pytest.raises(NotImplementedError, match="photometric"):
@@ -1472,10 +1469,322 @@ def test_tiff_lzw_decodes_jdk_written_streams(spark):
     # big enough that the JDK's encoder crosses the 9->10 bit bump
     gray = rng.randint(0, 256, (24, 40)).astype(np.uint8)
     blob = jdk_encode_lzw(gray)
-    try:
-        got = decode_tiff(blob)
-    except NotImplementedError as e:
-        # the JDK writer may emit predictor-2 LZW; that rung is gated
-        assert "predictor" in str(e)
-        pytest.skip(f"JDK writer used a gated variant: {e}")
+    # whatever predictor the JDK writer picked (1 or 2) decodes in r15
+    got = decode_tiff(blob)
     assert got.shape == gray.shape and np.array_equal(got, gray)
+
+
+AVRO_RICH_SCHEMA = {
+    "type": "record",
+    "name": "Doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "source", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ratio", "type": "float"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "kind", "type": {"type": "enum", "name": "K",
+                                  "symbols": ["A", "B", "C"]}},
+        {"name": "blob", "type": "bytes"},
+        {"name": "fp", "type": {"type": "fixed", "name": "F", "size": 4}},
+    ],
+}
+
+
+def _avro_rich_rows(n: int) -> list[dict]:
+    return [
+        {
+            "doc_id": i,
+            "source": f"src{i % 5}",
+            "score": i * 0.125,
+            "ratio": float(i % 7),
+            "flag": bool(i % 2),
+            "note": None if i % 11 == 0 else f"n{i}",
+            "tags": [f"t{j}" for j in range(i % 3)],
+            "attrs": {f"k{j}": i * j for j in range(i % 2 + 1)},
+            "kind": "ABC"[i % 3],
+            "blob": bytes([i % 256, (i * 7) % 256]),
+            "fp": bytes([i % 256] * 4),
+        }
+        for i in range(n)
+    ]
+
+
+def test_avro_container_round_trips_all_codecs():
+    """Pure-python Avro container codec (r15, closing the spark-avro
+    env gate's read path): a schema exercising every supported type
+    round-trips under all three codecs, zigzag edge values included."""
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        decode_container,
+        encode_container,
+    )
+
+    rows = _avro_rich_rows(500)
+    rows[7]["doc_id"] = -(2**62)  # zigzag negative edge
+    rows[9]["doc_id"] = 2**62
+    for codec in ("null", "deflate", "snappy"):
+        blob = encode_container(rows, AVRO_RICH_SCHEMA, codec=codec,
+                                records_per_block=64)
+        got = list(decode_container(blob))
+        assert got == rows, codec
+
+
+def test_avro_interops_with_reference_jvm_jars(spark):
+    """BOTH directions against the org.apache.avro reference jars that
+    ship with Spark: the reference DataFileReader reads our container
+    (every field value compared), and our decoder reads a container the
+    reference DataFileWriter wrote with the deflate codec."""
+    import json
+
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        decode_container,
+        encode_container,
+    )
+
+    jvm = spark._jvm
+    schema_json = json.dumps(AVRO_RICH_SCHEMA)
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+
+    # ours -> reference reader
+    rows = _avro_rich_rows(60)
+    blob = encode_container(rows, AVRO_RICH_SCHEMA, codec="deflate",
+                            records_per_block=17)
+    sin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        sin, jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    )
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        got.append(
+            (
+                rec.get("doc_id"),
+                str(rec.get("source")),
+                rec.get("score"),
+                str(rec.get("kind")),
+                None if rec.get("note") is None else str(rec.get("note")),
+                rec.get("tags").size(),
+            )
+        )
+    rdr.close()
+    want = [
+        (r["doc_id"], r["source"], r["score"], r["kind"], r["note"],
+         len(r["tags"]))
+        for r in rows
+    ]
+    assert got == want
+
+    # reference writer -> our decoder (simple schema: py4j boxes
+    # primitives cleanly)
+    simple = jvm.org.apache.avro.Schema.Parser().parse(json.dumps({
+        "type": "record", "name": "S", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": "string"},
+        ],
+    }))
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(simple)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    bos = jvm.java.io.ByteArrayOutputStream()
+    dfw.create(simple, bos)
+    for i in range(300):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(simple)
+        rec.put("k", jvm.java.lang.Long(i * 1000003))
+        rec.put("v", f"value-{i}")
+        dfw.append(rec)
+    dfw.close()
+    ours = list(decode_container(bytes(bos.toByteArray())))
+    assert ours == [{"k": i * 1000003, "v": f"value-{i}"} for i in range(300)]
+
+
+def test_avro_distributed_read(spark, tmp_path):
+    """read_avro end-to-end without the connector jar: four container
+    files decode through binaryFile + mapInPandas into one frame with
+    the schema derived from the writer header."""
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        encode_container,
+    )
+    from cust_sagemaker_feature_store_spark.sources.readers import read_avro
+
+    rows = _avro_rich_rows(400)
+    d = tmp_path / "avro_tbl"
+    d.mkdir()
+    for part in range(4):
+        chunk = rows[part::4]
+        (d / f"part-{part}.avro").write_bytes(
+            encode_container(chunk, AVRO_RICH_SCHEMA, codec="deflate")
+        )
+    df = read_avro(spark, str(d))
+    assert df.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert df.schema["tags"].dataType.simpleString() == "array<string>"
+    assert df.count() == 400
+    got = {
+        r["doc_id"]: (r["source"], r["note"], r["kind"], list(r["tags"]))
+        for r in df.collect()
+    }
+    for r in rows:
+        assert got[r["doc_id"]] == (
+            r["source"], r["note"], r["kind"], r["tags"]
+        )
+
+
+def test_avro_union_gate():
+    """General (non-nullable) unions stay gated with a clear error."""
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        record_ddl,
+    )
+
+    with pytest.raises(NotImplementedError, match="union"):
+        record_ddl({
+            "type": "record", "name": "U", "fields": [
+                {"name": "x", "type": ["long", "string"]},
+            ],
+        })
+
+
+def test_tiff_deflate_and_predictor2_round_trips_and_jdk_interop(spark):
+    """r15 wave 2: Deflate TIFF (compression 8, stdlib zlib) and the
+    horizontal-differencing predictor (tag 317 = 2) over LZW and
+    Deflate strips — round-trips in both byte orders, plus forward
+    JDK interop (the JDK TIFF reader decodes our Deflate and
+    predictor-2 streams, crossing the LZW width bump)."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(59)
+    cases = [
+        {"deflate": True},
+        {"deflate": True, "predictor": 2},
+        {"lzw": True, "predictor": 2},
+    ]
+    for comp in cases:
+        for shape in ((13, 17), (7, 9, 3)):
+            px = rng.randint(0, 256, shape).astype(np.uint8)
+            for be in (False, True):
+                got = decode_tiff(
+                    encode_tiff(px, big_endian=be, rows_per_strip=3, **comp)
+                )
+                assert np.array_equal(got, px), (comp, shape, be)
+    # smooth gradient: predictor 2 must actually shrink the stream
+    x = np.tile(np.arange(256, dtype=np.uint8), (16, 1))
+    plain = encode_tiff(x, lzw=True, rows_per_strip=16)
+    pred = encode_tiff(x, lzw=True, predictor=2, rows_per_strip=16)
+    assert len(pred) < len(plain)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(x, predictor=2)  # needs lzw/deflate
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_gray(blob: bytes, h: int, w: int):
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO cannot read this format here")
+        raster = img.getRaster()
+        out = np.zeros((h, w), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                out[yy, xx] = raster.getSample(xx, yy, 0)
+        return out
+
+    big = rng.randint(0, 256, (20, 64)).astype(np.uint8)  # crosses 511
+    for comp in cases:
+        got = jdk_gray(encode_tiff(big, rows_per_strip=20, **comp), 20, 64)
+        assert np.array_equal(got, big.astype(np.int64)), comp
+
+
+def test_png_gray_alpha_round_trips_both_depths():
+    """r15 wave 2: PNG color type 4 (gray+alpha) at 8 and 16 bit —
+    round-trips across filters; the JDK reads our 8-bit LA stream."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(67)
+    la8 = rng.randint(0, 256, (9, 7, 2)).astype(np.uint8)
+    dec = decode_png(encode_png(la8, row_filters=[(y * 2 + 1) % 5 for y in range(9)]))
+    assert dec.shape == (9, 7, 2) and np.array_equal(dec, la8)
+    la16 = rng.randint(0, 65536, (5, 6, 2)).astype(np.uint16)
+    dec16 = decode_png(encode_png(la16, row_filters=[4] * 5, depth=16))
+    assert dec16.dtype == np.uint16 and np.array_equal(dec16, la16)
+
+
+def test_png_adam7_interlace_round_trips_and_jdk_interop(spark):
+    """r15 wave 2: Adam7 interlaced PNG — seven independently-filtered
+    sub-images reassembled on the pass grid. Round-trips at 8/16 bit
+    across color types and awkward sizes (empty passes), reads a
+    JDK-WRITTEN progressive PNG, and the JDK reads ours."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(71)
+    # sizes exercising empty/degenerate passes: 1x1, 2x3, 5x5, 9x16
+    for shape in ((1, 1), (2, 3), (5, 5), (9, 16), (13, 7, 3)):
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        filters = [(i * 3 + 1) % 5 for i in range(64)]
+        dec = decode_png(encode_png(px, row_filters=filters, interlace=True))
+        assert np.array_equal(dec, px), shape
+    g16 = rng.randint(0, 65536, (11, 6)).astype(np.uint16)
+    dec16 = decode_png(encode_png(g16, depth=16, interlace=True))
+    assert dec16.dtype == np.uint16 and np.array_equal(dec16, g16)
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    # ours -> JDK
+    rgb = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+    img = ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(encode_png(rgb, interlace=True))
+    )
+    if img is None:
+        pytest.skip("JDK ImageIO cannot read PNG here")
+    raster = img.getRaster()
+    got = np.zeros((10, 14, 3), np.int64)
+    for yy in range(10):
+        for xx in range(14):
+            for b in range(3):
+                got[yy, xx, b] = raster.getSample(xx, yy, b)
+    assert np.array_equal(got, rgb.astype(np.int64))
+
+    # JDK progressive writer -> us
+    src = jvm.java.awt.image.BufferedImage(
+        14, 10, jvm.java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    )
+    for yy in range(10):
+        for xx in range(14):
+            r, g, b = (int(v) for v in rgb[yy, xx])
+            src.setRGB(xx, yy, (r << 16) | (g << 8) | b)
+    writers = ImageIO.getImageWritersByFormatName("png")
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(src, None, None), param)
+    ios.flush()
+    writer.dispose()
+    blob = bytes(bos.toByteArray())
+    # confirm the writer actually interlaced (IHDR interlace byte)
+    assert blob[16 + 12] == 1, "JDK writer did not produce Adam7"
+    ours = decode_png(blob)
+    assert np.array_equal(ours, rgb)
