@@ -374,9 +374,10 @@ def test_png_codec_round_trips_every_filter():
 
 
 def test_png_decoder_gates_unsupported_color_types():
-    """Sub-byte/interlaced PNGs hit the documented NotImplementedError
+    """Sub-byte-depth PNGs hit the documented NotImplementedError
     gate, not a wrong decode (palette and gray de-gated in r14;
-    16-bit and gray+alpha in r15)."""
+    16-bit, gray+alpha and Adam7 interlace in r15 — a lying interlace
+    flag is now a ValueError payload mismatch, not a gate)."""
     import struct
 
     import numpy as np
@@ -394,8 +395,10 @@ def test_png_decoder_gates_unsupported_color_types():
     with pytest.raises(NotImplementedError, match="codec library"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(px))
-    struct.pack_into("B", blob, 16 + 12, 1)  # interlaced: gated
-    with pytest.raises(NotImplementedError, match="codec library"):
+    # interlace byte flipped on a non-interlaced payload: Adam7 decodes
+    # in r15, so the lie surfaces as a corrupt-payload ValueError
+    struct.pack_into("B", blob, 16 + 12, 1)
+    with pytest.raises(ValueError, match="payload size"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(px))
     struct.pack_into("B", blob, 16 + 9, 3)  # palette claimed, no PLTE
