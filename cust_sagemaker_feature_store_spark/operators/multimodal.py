@@ -169,14 +169,41 @@ def encode_png(
     filters are defined on BYTES with a bpp-byte left offset (RFC
     2083 §6.2), which is exactly the 8-bit per-pixel filter math
     applied to 2*channels byte-planes — so the same filter code runs
-    both depths."""
+    every depth. ``depth`` 1/2/4 (r15 wave 3) takes (H, W) gray
+    levels or palette indices and packs them MSB-first per scanline;
+    ``interlace=True`` writes Adam7."""
     import struct
     import zlib
 
     import numpy as np
 
-    if depth not in (8, 16):
-        raise ValueError("PNG depth must be 8 or 16")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError("PNG depth must be 1, 2, 4, 8 or 16")
+    if depth in (1, 2, 4):  # r15 wave 3: sub-byte gray / palette
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim != 2:
+            raise ValueError("sub-byte PNGs are (H, W) gray or indices")
+        if int(px.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"pixel values must fit {depth} bits")
+        plte_sb = b""
+        color_sb = 0
+        if palette is not None:
+            pal = np.asarray(palette, dtype=np.uint8)
+            if pal.ndim != 2 or pal.shape[1] != 3 or not (
+                1 <= len(pal) <= (1 << depth)
+            ):
+                raise ValueError(
+                    f"sub-byte palette must hold 1..{1 << depth} RGB rows"
+                )
+            if int(px.max(initial=0)) >= len(pal):
+                raise ValueError("palette must cover all indices")
+            color_sb = 3
+            plte_sb = pal.tobytes()
+        return _encode_png_bytes(
+            px, row_filters, plte_sb, color_sb, depth,
+            interlace=interlace,
+            to_bytes=lambda sub: _png_pack_subbyte(sub, depth),
+        )
     if depth == 16:
         if palette is not None:
             raise ValueError("palette PNGs are 8-bit by spec")
@@ -229,6 +256,37 @@ _ADAM7 = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 )
+
+
+def _png_pack_subbyte(px, depth: int):
+    """(H, W) small-int pixels -> (H, row_bytes, 1) byte planes,
+    MSB-first within each byte, last byte zero-padded (PNG sub-byte
+    scanline packing, spec §7.2)."""
+    import numpy as np
+
+    h, w = px.shape
+    ppb = 8 // depth
+    padded = ((w + ppb - 1) // ppb) * ppb
+    a = np.zeros((h, padded), np.uint8)
+    a[:, :w] = px
+    a = a.reshape(h, padded // ppb, ppb)
+    out = np.zeros((h, padded // ppb), np.uint8)
+    for i in range(ppb):
+        out |= a[:, :, i] << (8 - depth * (i + 1))
+    return out[:, :, None]
+
+
+def _png_unpack_subbyte(rows, depth: int, w: int):
+    """(H, row_bytes) packed scanline bytes -> (H, W) pixel values."""
+    import numpy as np
+
+    ppb = 8 // depth
+    h, rb = rows.shape
+    mask = (1 << depth) - 1
+    vals = np.zeros((h, rb, ppb), np.uint8)
+    for i in range(ppb):
+        vals[:, :, i] = (rows >> (8 - depth * (i + 1))) & mask
+    return vals.reshape(h, rb * ppb)[:, :w]
 
 
 def _png_filter_rows(px, row_filters) -> bytearray:
@@ -322,19 +380,25 @@ def _png_defilter_rows(raw: bytes, offset: int, h: int, w: int, ch: int):
 
 def _encode_png_bytes(
     px, row_filters, plte: bytes, color_type: int, depth: int,
-    interlace: bool = False,
+    interlace: bool = False, to_bytes=None,
 ) -> bytes:
     """Shared PNG tail: byte-plane filtering + chunk assembly. ``px``
-    is (H, W, bytes-per-pixel) uint8 — one byte-plane per channel at
-    depth 8, two per channel at depth 16 (filters are byte-defined).
-    ``interlace`` writes the seven Adam7 passes, each independently
-    filtered (row_filters applies per emitted scanline, cyclically)."""
+    is the PIXEL-indexed array — (H, W, bytes-per-pixel) uint8 at
+    depths 8/16 (one byte-plane per channel / two at 16), or, with a
+    ``to_bytes`` hook (sub-byte depths), (H, W) pixel values the hook
+    packs into scanline byte planes AFTER any interlace subsampling
+    (packing has to happen per pass — bit boundaries restart per
+    scanline). ``interlace`` writes the seven Adam7 passes, each
+    independently filtered (row_filters applies per emitted scanline,
+    cyclically)."""
     import struct
     import zlib
 
     import numpy as np  # noqa: F401 (helpers above)
 
-    h, w, ch = px.shape
+    h, w = px.shape[:2]
+    if to_bytes is None:
+        to_bytes = lambda sub: sub  # already byte planes
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         return (
@@ -353,14 +417,14 @@ def _encode_png_bytes(
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue  # empty pass contributes no scanlines (spec)
             fl = [base[(emitted + i) % len(base)] for i in range(sub.shape[0])]
-            scanlines.extend(_png_filter_rows(sub, fl))
+            scanlines.extend(_png_filter_rows(to_bytes(sub), fl))
             emitted += sub.shape[0]
     else:
         if row_filters is None:
             row_filters = [0] * h
         if len(row_filters) != h:
             raise ValueError("row_filters must have one entry per scanline")
-        scanlines = _png_filter_rows(px, row_filters)
+        scanlines = _png_filter_rows(to_bytes(px), row_filters)
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
     )
@@ -384,10 +448,13 @@ def decode_png(content: bytes):
     reconstructed row-by-row in numpy with the sequential
     Sub/Average/Paeth carry done per pixel. Returns (H, W, 3|4) uint8
     for 8-bit color types 2/6/3, (H, W) uint8 for 8-bit grayscale,
-    (H, W, 2) for gray+alpha, and uint16 arrays of the same shapes at
-    depth 16. Raises ValueError on non-PNG/corrupt bytes and
-    NotImplementedError on interlaced / sub-byte-depth PNGs — the gate
-    that remains for formats needing a real codec library."""
+    (H, W, 2) for gray+alpha, uint16 arrays of the same shapes at
+    depth 16, and raw 0..2^depth-1 (H, W) levels / palette RGB for the
+    sub-byte depths 1/2/4 (r15 wave 3 — packed-byte de-filter + MSB
+    bit unpack). Every SPEC-VALID depth x color combination decodes,
+    interlaced or not: the PNG rung of the codec ladder is COMPLETE,
+    and the only errors left are ValueError on corrupt/spec-invalid
+    streams."""
     import struct
     import zlib
 
@@ -419,24 +486,61 @@ def decode_png(content: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    ok = (depth == 8 and color in (0, 2, 3, 4, 6)) or (
-        depth == 16 and color in (0, 2, 4, 6)  # r15: 16-bit rungs
+    # every spec-valid depth x color combination decodes as of r15
+    # wave 3 (sub-byte gray/palette closed the last gate); anything
+    # else is a malformed stream, not a missing feature
+    ok = (
+        (depth == 8 and color in (0, 2, 3, 4, 6))
+        or (depth == 16 and color in (0, 2, 4, 6))
+        or (depth in (1, 2, 4) and color in (0, 3))
     )
     if not ok or interlace not in (0, 1):
-        raise NotImplementedError(
+        raise ValueError(
             f"PNG depth {depth} / color type {color} / interlace "
-            f"{interlace} needs a real codec library; sub-byte depths "
-            "are the gate that remains"
+            f"{interlace} is not a spec-valid combination"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing its PLTE chunk")
     n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     # filters are byte-defined (RFC 2083 §6.2): at depth 16 de-filter
     # 2*channels byte-planes with the same per-"pixel" math, then
-    # reassemble big-endian uint16 samples at the end
-    ch = n_ch * (depth // 8)
-    stride = w * ch
+    # reassemble big-endian uint16 samples at the end; sub-byte rows
+    # de-filter as their PACKED bytes (bpp rounds up to one byte) and
+    # unpack afterwards
+    if depth in (1, 2, 4):
+        ch = 1
+        stride = (w * depth + 7) // 8
+    else:
+        ch = n_ch * (depth // 8)
+        stride = w * ch
     raw = zlib.decompress(bytes(idat))
+    if depth in (1, 2, 4):  # de-filter packed bytes, then unpack bits
+        if interlace == 0:
+            if len(raw) != h * (1 + stride):
+                raise ValueError("PNG scanline payload size mismatch")
+            packed, _ = _png_defilter_rows(raw, 0, h, stride, 1)
+            vals = _png_unpack_subbyte(packed[:, :, 0], depth, w)
+        else:
+            vals = np.zeros((h, w), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                hp = (h - y0 + dy - 1) // dy
+                wp = (w - x0 + dx - 1) // dx
+                if hp <= 0 or wp <= 0:
+                    continue
+                rbp = (wp * depth + 7) // 8
+                sub, used = _png_defilter_rows(raw, pos, hp, rbp, 1)
+                vals[y0::dy, x0::dx] = _png_unpack_subbyte(
+                    sub[:, :, 0], depth, wp
+                )
+                pos += used
+            if pos != len(raw):
+                raise ValueError("PNG interlaced payload size mismatch")
+        if color == 3:
+            if int(vals.max(initial=0)) >= len(plte):
+                raise ValueError("PNG pixel index outside the PLTE table")
+            return plte[vals]
+        return vals  # raw 0..2^depth-1 grayscale levels
     if interlace == 0:
         if len(raw) != h * (1 + stride):
             raise ValueError("PNG scanline payload size mismatch")

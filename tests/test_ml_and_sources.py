@@ -374,10 +374,9 @@ def test_png_codec_round_trips_every_filter():
 
 
 def test_png_decoder_gates_unsupported_color_types():
-    """Sub-byte-depth PNGs hit the documented NotImplementedError
-    gate, not a wrong decode (palette and gray de-gated in r14;
-    16-bit, gray+alpha and Adam7 interlace in r15 — a lying interlace
-    flag is now a ValueError payload mismatch, not a gate)."""
+    """After r15 wave 3 every SPEC-VALID depth x color combination
+    decodes, so the decoder has no NotImplementedError gate left —
+    malformed combinations and lying headers are ValueErrors."""
     import struct
 
     import numpy as np
@@ -390,9 +389,10 @@ def test_png_decoder_gates_unsupported_color_types():
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     blob = bytearray(encode_png(px))
-    # IHDR payload starts at offset 16; bit depth is its 9th byte
-    struct.pack_into("B", blob, 16 + 8, 4)  # sub-byte depth: gated
-    with pytest.raises(NotImplementedError, match="codec library"):
+    # IHDR payload starts at offset 16; bit depth is its 9th byte.
+    # depth 4 + truecolor is NOT a spec-valid combination
+    struct.pack_into("B", blob, 16 + 8, 4)
+    with pytest.raises(ValueError, match="spec-valid"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(px))
     # interlace byte flipped on a non-interlaced payload: Adam7 decodes
@@ -1829,3 +1829,72 @@ def test_wav_pcm24_decodes_with_jdk_cross_check(spark):
     assert f.getChannels() == 2
     assert int(f.getSampleRate()) == 48000
     assert ais.getFrameLength() == 150
+
+
+def test_png_subbyte_round_trips_and_jdk_interop(spark):
+    """r15 wave 3: sub-byte PNG (depths 1/2/4, gray + palette) — the
+    LAST PNG gate. Packed-byte de-filtering + MSB-first bit unpack,
+    every filter, interlaced and not, awkward widths (partial final
+    bytes). JDK interop both ways: ImageIO reads our 1/2/4-bit
+    streams, and our decoder reads a JDK-written 1-bit PNG."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(91)
+    for depth in (1, 2, 4):
+        for w in (1, 7, 8, 9, 17):  # partial and exact final bytes
+            g = rng.randint(0, 1 << depth, (6, w)).astype(np.uint8)
+            filters = [(i * 2 + 1) % 5 for i in range(6)]
+            dec = decode_png(encode_png(g, row_filters=filters, depth=depth))
+            assert np.array_equal(dec, g), (depth, w)
+            deci = decode_png(encode_png(g, depth=depth, interlace=True))
+            assert np.array_equal(deci, g), ("interlaced", depth, w)
+        pal = rng.randint(0, 256, (1 << depth, 3)).astype(np.uint8)
+        idx = rng.randint(0, 1 << depth, (5, 11)).astype(np.uint8)
+        dec = decode_png(encode_png(idx, palette=pal, depth=depth))
+        assert np.array_equal(dec, pal[idx]), depth
+    with pytest.raises(ValueError, match="fit"):
+        encode_png(np.full((2, 2), 4, np.uint8), depth=2)
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_gray_levels(blob: bytes, h: int, w: int):
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO cannot read PNG here")
+        raster = img.getRaster()
+        out = np.zeros((h, w), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                out[yy, xx] = raster.getSample(xx, yy, 0)
+        return out
+
+    for depth in (1, 2, 4):
+        g = rng.randint(0, 1 << depth, (6, 11)).astype(np.uint8)
+        got = jdk_gray_levels(encode_png(g, depth=depth), 6, 11)
+        assert np.array_equal(got, g.astype(np.int64)), depth
+
+    # JDK 1-bit writer -> us
+    bits = rng.randint(0, 2, (9, 13)).astype(np.uint8)
+    img = jvm.java.awt.image.BufferedImage(
+        13, 9, jvm.java.awt.image.BufferedImage.TYPE_BYTE_BINARY
+    )
+    for yy in range(9):
+        for xx in range(13):
+            v = 0xFFFFFF if bits[yy, xx] else 0
+            img.setRGB(xx, yy, v)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ok = ImageIO.write(img, "png", bos)
+    assert ok
+    blob = bytes(bos.toByteArray())
+    assert blob[16 + 8] == 1  # the JDK wrote a real 1-bit stream
+    ours = decode_png(blob)
+    # TYPE_BYTE_BINARY maps white->1 under the default 1-bit gray model
+    assert ours.shape == (9, 13)
+    assert np.array_equal(ours, bits)
