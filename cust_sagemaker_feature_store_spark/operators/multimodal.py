@@ -1141,10 +1141,11 @@ def _lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
     deltas vs the GIF variant). The 9-bit wire format — MSB packing,
     code numbering, Clear/EOI — is pinned by a hand-computed spec
     vector in tests; the EarlyChange width bump is pinned by
-    round-trip fuzz across the 9->10 and 10->11 boundaries (no
-    independent TIFF codec exists in this container to cross-check
-    interop, the same evidence standard the other codec rungs
-    carry)."""
+    round-trip fuzz across the 9->10 and 10->11 boundaries AND by
+    two-direction interop against the JDK's independent TIFF codec
+    (test_tiff_lzw_decodes_jdk_written_streams and the encode-side
+    twin), which caught an EarlyChange off-by-one round-trip fuzz
+    alone could not."""
     CLEAR, EOI = 256, 257
     width = 9
     base = [bytes([i]) for i in range(256)] + [b"", b""]

@@ -336,8 +336,12 @@ def _decompress(codec: str, block: bytes) -> bytes:
 
         # raw snappy leads with its plaintext length as an LE varint;
         # pyarrow's Codec insists on being told the size, so read it
+        if len(block) < 5:  # at least 1 varint byte + 4-byte CRC
+            raise ValueError("corrupt Avro snappy block")
         body, size, shift, i = block[:-4], 0, 0, 0
         while True:
+            if i >= len(body):
+                raise ValueError("corrupt Avro snappy block")
             size |= (body[i] & 0x7F) << shift
             if not body[i] & 0x80:
                 break
@@ -457,7 +461,7 @@ def read_avro_distributed(spark, path: str):
     import pandas as pd  # noqa: F401 (executor-side import below)
 
     files = spark.read.format("binaryFile").load(path)
-    first = files.select("content").head()
+    first = files.select("path", "content").head()
     if first is None:
         raise ValueError(f"no Avro files under {path}")
     schema, _, _, _ = parse_container_header(bytes(first["content"]))
@@ -468,10 +472,21 @@ def read_avro_distributed(spark, path: str):
         import pandas as pd
 
         for pdf in batches:
-            for content in pdf["content"]:
-                rows = list(decode_container(bytes(content)))
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                content = bytes(content)
+                # mixed-schema directories fail loudly, naming the
+                # file, instead of a KeyError / misdecoded columns
+                # (the driver derived the schema from ONE file)
+                fschema, _, _, _ = parse_container_header(content)
+                fnames = [f["name"] for f in fschema["fields"]]
+                if fnames != field_names:
+                    raise ValueError(
+                        f"Avro schema mismatch in {fpath}: fields "
+                        f"{fnames} != driver-derived {field_names}"
+                    )
+                rows = list(decode_container(content))
                 yield pd.DataFrame(
                     {n: [r[n] for r in rows] for n in field_names}
                 )
 
-    return files.select("content").mapInPandas(run, schema=ddl)
+    return files.select("path", "content").mapInPandas(run, schema=ddl)

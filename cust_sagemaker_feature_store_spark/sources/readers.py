@@ -70,7 +70,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     connector-only nicety."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception:
+    except Exception as e:
+        # Fall back ONLY on datasource-resolution failure (connector jar
+        # absent). With the jar present, a genuine load error (missing
+        # path, corrupt file, permissions) must surface, not be masked
+        # by a fallback that decodes logical types as base types.
+        msg = str(e)
+        if not (
+            "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            raise
         from .avro_py import read_avro_distributed
 
         return read_avro_distributed(spark, path)

@@ -1635,6 +1635,49 @@ def test_avro_distributed_read(spark, tmp_path):
         )
 
 
+def test_avro_distributed_read_rejects_mixed_schemas(spark, tmp_path):
+    """r16 advice fix: a directory mixing two writer schemas fails
+    loudly naming the mismatching file, instead of a KeyError or
+    misdecoded columns from assuming the first file's schema."""
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        encode_container,
+        read_avro_distributed,
+    )
+
+    d = tmp_path / "avro_mixed"
+    d.mkdir()
+    (d / "a.avro").write_bytes(encode_container(
+        [{"k": 1, "v": "x"}],
+        {"type": "record", "name": "A", "fields": [
+            {"name": "k", "type": "long"}, {"name": "v", "type": "string"},
+        ]},
+    ))
+    (d / "b.avro").write_bytes(encode_container(
+        [{"k": 2, "w": "y"}],
+        {"type": "record", "name": "B", "fields": [
+            {"name": "k", "type": "long"}, {"name": "w", "type": "string"},
+        ]},
+    ))
+    with pytest.raises(Exception, match="Avro schema mismatch"):
+        read_avro_distributed(spark, str(d)).collect()
+
+
+def test_avro_snappy_corrupt_block_raises_value_error():
+    """r16 advice fix: a truncated/corrupt snappy block raises the
+    decode contract's ValueError, not IndexError."""
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        _decompress,
+    )
+
+    for bad in (b"", b"\x01", b"\x80\x80\x80\x80"):
+        with pytest.raises(ValueError, match="corrupt Avro snappy block"):
+            _decompress("snappy", bad)
+
+
 def test_avro_union_gate():
     """General (non-nullable) unions stay gated with a clear error."""
     import pytest
