@@ -10,7 +10,9 @@ padding, both row orders), 8-bit truecolor PNG
 filters), baseline-sequential JPEG (`encode_jpeg`/`decode_jpeg`, r14
 — DQT/DHT/SOF0/DRI marker walk, canonical Huffman reconstruction,
 DC-prediction + run-length entropy decode, dequant + inverse zigzag +
-float64 IDCT, JFIF YCbCr->RGB; grayscale and 4:4:4), lossless GIF
+float64 IDCT, JFIF YCbCr->RGB; grayscale, 4:4:4, and since r16 the
+4:2:2/4:2:0/4:4:0 subsampled forms via T.81 interleaved MCUs with
+replication chroma upsampling), lossless GIF
 (`encode_gif`/`decode_gif`, r14 — variable-width LZW per the GIF89a
 appendix, sub-block reassembly, four-pass interlace, extension skip
 — the palette-image rung the PNG path gates), uncompressed
@@ -21,7 +23,7 @@ padding; 16-bit PCM zero-copy, 32-bit IEEE float, and the exact
 CCITT G.711 mu-law/A-law expansions); `decode_media` dispatches on
 the BM / \\x89PNG / \\xff\\xd8 / GIF8 / II*,MM* / RIFF magics. Remaining
 compressed
-formats (progressive/subsampled JPEG, ADPCM and true compressed
+formats (progressive JPEG, ADPCM and true compressed
 audio, video) still need PIL/libsndfile/ffmpeg, absent in this
 container:
 for those, `decode_media(..., strict=True)` raises
@@ -1619,22 +1621,36 @@ def rgb_to_ycbcr(px):
     )
 
 
+_JPEG_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+}
+
+
 def encode_jpeg(
     pixels,
     quant=None,
     colorspace: str = "rgb",
     restart_interval: int = 0,
+    sampling: str = "444",
 ) -> bytes:
     """Minimal baseline-sequential JPEG writer (SOF0, Huffman) from an
     (H, W) grayscale or (H, W, 3) uint8 array — the fixture generator
     for the real decode path, pure numpy + struct like encode_bmp/
-    encode_png. 4:4:4 sampling (every component 1x1); `quant` is None
-    (all-ones tables, near-lossless: the only loss is coefficient
-    rounding) or a (luma_8x8, chroma_8x8) pair; `colorspace` for
-    3-channel input is 'rgb' (JFIF forward transform applied) or
-    'ycbcr' (channels written as Y/Cb/Cr verbatim — lets fixtures
-    control the decoded values exactly); `restart_interval` > 0 emits
-    DRI and byte-aligned RSTn markers every that-many MCUs."""
+    encode_png. `sampling` picks the chroma geometry — '444' (every
+    component 1x1), '422' (luma 2x1), '420' (luma 2x2), '440' (luma
+    1x2); chroma planes are box-averaged (np.rint) down to
+    ceil(w*Hi/Hmax) x ceil(h*Vi/Vmax) and blocks interleave per T.81
+    A.2.3 (all of a component's Vi x Hi blocks, row-major, inside each
+    MCU). `quant` is None (all-ones tables, near-lossless: the only
+    loss is coefficient rounding) or a (luma_8x8, chroma_8x8) pair;
+    `colorspace` for 3-channel input is 'rgb' (JFIF forward transform
+    applied) or 'ycbcr' (channels written as Y/Cb/Cr verbatim — lets
+    fixtures control the decoded values exactly); `restart_interval`
+    > 0 emits DRI and byte-aligned RSTn markers every that-many
+    MCUs."""
     import struct
 
     import numpy as np
@@ -1658,16 +1674,41 @@ def encode_jpeg(
         if len(qtabs) != 2 or any((q < 1).any() or (q > 255).any() for q in qtabs):
             raise ValueError("quant must be two 8x8 tables of 1..255")
     n_comp = len(planes)
+    if sampling not in _JPEG_SAMPLING:
+        raise ValueError(f"unknown sampling {sampling!r}")
+    samps = (
+        [(1, 1)] if n_comp == 1 else list(_JPEG_SAMPLING[sampling])
+    )
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
     zz = _jpeg_zigzag()
     mat = _jpeg_dct_matrix()
-    # pad to 8-multiples by edge replication, per component
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = [
-        np.pad(p, ((0, 8 * bh - h), (0, 8 * bw - w)), mode="edge").astype(
-            np.float64
+    # MCU grid over the full-resolution raster
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per component: box-downsample (exact for per-cell-constant
+    # chroma), then edge-pad to the MCU-aligned block grid
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        fx, fy = hmax // sh, vmax // sv
+        if fx > 1 or fy > 1:
+            cw, ch = (w + fx - 1) // fx, (h + fy - 1) // fy
+            full = np.pad(
+                p, ((0, ch * fy - h), (0, cw * fx - w)), mode="edge"
+            ).astype(np.float64)
+            p = np.rint(
+                full.reshape(ch, fy, cw, fx).mean(axis=(1, 3))
+            )
+        else:
+            cw, ch = w, h
+            p = p.astype(np.float64)
+        padded.append(
+            np.pad(
+                p,
+                ((0, 8 * mcuy * sv - ch), (0, 8 * mcux * sh - cw)),
+                mode="edge",
+            )
         )
-        for p in planes
-    ]
 
     dc_spec = _jpeg_spec_for(_JPEG_DC_SYMBOLS, 4)
     ac_spec = _jpeg_spec_for(_JPEG_AC_SYMBOLS, 9)
@@ -1692,38 +1733,44 @@ def encode_jpeg(
             out.write(v if v >= 0 else v + (1 << size) - 1, size)
 
     n_mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 out.restart(n_mcu // restart_interval - 1)
                 pred = [0] * n_comp
             for c in range(n_comp):
-                block = padded[c][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
-                coef = mat @ (block - 128.0) @ mat.T
-                q = np.rint(coef / qtabs[min(c, 1)]).astype(np.int64)
-                seq = q.reshape(64)[zz]
-                diff = int(seq[0]) - pred[c]
-                pred[c] = int(seq[0])
-                size = int(abs(diff)).bit_length()
-                put(enc_dc, size)
-                put_value(diff, size)
-                run = 0
-                nz = np.nonzero(seq[1:])[0]
-                last_nz = int(nz[-1]) + 1 if len(nz) else 0
-                for k in range(1, last_nz + 1):
-                    v = int(seq[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        put(enc_ac, 0xF0)  # ZRL
-                        run -= 16
-                    size = abs(v).bit_length()
-                    put(enc_ac, (run << 4) | size)
-                    put_value(v, size)
-                    run = 0
-                if last_nz < 63:
-                    put(enc_ac, 0x00)  # EOB
+                sh, sv = samps[c]
+                for v_ in range(sv):
+                    for h_ in range(sh):
+                        by, bx = my * sv + v_, mx * sh + h_
+                        block = padded[c][
+                            8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
+                        ]
+                        coef = mat @ (block - 128.0) @ mat.T
+                        q = np.rint(coef / qtabs[min(c, 1)]).astype(np.int64)
+                        seq = q.reshape(64)[zz]
+                        diff = int(seq[0]) - pred[c]
+                        pred[c] = int(seq[0])
+                        size = int(abs(diff)).bit_length()
+                        put(enc_dc, size)
+                        put_value(diff, size)
+                        run = 0
+                        nz = np.nonzero(seq[1:])[0]
+                        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+                        for k in range(1, last_nz + 1):
+                            val = int(seq[k])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                put(enc_ac, 0xF0)  # ZRL
+                                run -= 16
+                            size = abs(val).bit_length()
+                            put(enc_ac, (run << 4) | size)
+                            put_value(val, size)
+                            run = 0
+                        if last_nz < 63:
+                            put(enc_ac, 0x00)  # EOB
             n_mcu += 1
     out.align()
 
@@ -1744,7 +1791,13 @@ def encode_jpeg(
             )
         )
     comp_spec = b"".join(
-        struct.pack(">BBB", cid + 1, 0x11, min(cid, 1)) for cid in range(n_comp)
+        struct.pack(
+            ">BBB",
+            cid + 1,
+            (samps[cid][0] << 4) | samps[cid][1],
+            min(cid, 1),
+        )
+        for cid in range(n_comp)
     )
     parts.append(
         seg(0xFFC0, struct.pack(">BHHB", 8, h, w, n_comp) + comp_spec)
@@ -1842,12 +1895,16 @@ def _decode_jpeg_checked(content: bytes):
     Huffman + DC-prediction + run-length entropy decode, dequantize,
     inverse zigzag, float64 IDCT, level shift, and (for 3-component
     scans) the JFIF YCbCr->RGB transform. Supports 8-bit grayscale and
-    4:4:4 color (every component 1x1 sampling). Returns an (H, W)
-    uint8 array for grayscale, (H, W, 3) RGB for color. Raises
-    ValueError on corrupt/truncated streams and NotImplementedError on
+    color at 4:4:4, 4:2:2, 4:2:0 and 4:4:0 sampling (r16: general
+    T.81 A.2.3 interleaved MCUs — per component Vi x Hi blocks per
+    MCU, chroma upsampled by sample replication, two-direction JDK
+    ImageIO interop in tests). Returns an (H, W) uint8 array for
+    grayscale, (H, W, 3) RGB for color. Raises ValueError on
+    corrupt/truncated streams and NotImplementedError on
     progressive/hierarchical/lossless/arithmetic coding, 12-bit
-    precision, chroma subsampling, or != 1/3-component images — the
-    gate that remains for formats needing a real codec library."""
+    precision, sampling factors outside the 1/2/4 ladder, or
+    != 1/3-component images — the gate that remains for formats
+    needing a real codec library."""
     import struct
 
     import numpy as np
@@ -1910,12 +1967,13 @@ def _decode_jpeg_checked(content: bytes):
             comps = []
             for c in range(n_comp):
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 6 + 3 * c)
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 15
+                if sh not in (1, 2, 4) or sv not in (1, 2, 4):
                     raise NotImplementedError(
-                        "subsampled JPEG (sampling factors != 1x1) needs "
-                        "a real codec library; only 4:4:4 decodes here"
+                        f"JPEG sampling factor {sh}x{sv} outside the "
+                        "1/2/4 ladder needs a real codec library"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, sh, sv, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF, 0xCC):
@@ -1965,23 +2023,41 @@ def _decode_jpeg_checked(content: bytes):
     segments.append(bytes(cur))
 
     by_id = dict(
-        (cid, (tq, dc, ac))
-        for (cid, tq), (sid, dc, ac) in zip(comps, scan)
+        (cid, (sh, sv, tq, dc, ac))
+        for (cid, sh, sv, tq), (sid, dc, ac) in zip(comps, scan)
         if cid == sid
     )
     if len(by_id) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
-    order = [(cid, *by_id[cid]) for cid, _ in comps]
-    for cid, tq, dc, ac in order:
+    order = [(cid, *by_id[cid]) for cid, _, _, _ in comps]
+    if len(order) == 1:
+        # T.81 A.2.2: a single-component (non-interleaved) scan's MCU
+        # is ONE block — the frame's sampling factors don't interleave
+        cid, _, _, tq, dc, ac = order[0]
+        order = [(cid, 1, 1, tq, dc, ac)]
+    for cid, sh, sv, tq, dc, ac in order:
         if tq not in qtabs or (0, dc) not in huff or (1, ac) not in huff:
             raise ValueError("JPEG references an undeclared DQT/DHT table")
+    hmax = max(sh for _, sh, _, _, _, _ in order)
+    vmax = max(sv for _, _, sv, _, _, _ in order)
+    if any(
+        hmax % sh or vmax % sv for _, sh, sv, _, _, _ in order
+    ):
+        raise NotImplementedError(
+            "JPEG sampling factors that do not divide the max factor "
+            "(non-integer upsampling ratio) need a real codec library"
+        )
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    n_mcu = bw * bh
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
     per_seg = restart_interval or n_mcu
     mat = _jpeg_dct_matrix()
     inv_zz = np.asarray(_jpeg_zigzag())
-    planes = [np.zeros((8 * bh, 8 * bw), np.float64) for _ in order]
+    planes = [
+        np.zeros((8 * mcuy * sv, 8 * mcux * sh), np.float64)
+        for _, sh, sv, _, _, _ in order
+    ]
 
     mcu = 0
     for seg_bytes in segments:
@@ -1990,36 +2066,54 @@ def _decode_jpeg_checked(content: bytes):
         reader = _JpegBitReader(seg_bytes)
         pred = [0] * len(order)
         for _ in range(min(per_seg, n_mcu - mcu)):
-            by, bx = divmod(mcu, bw)
-            for ci, (cid, tq, dc, ac) in enumerate(order):
-                seq = np.zeros(64, np.int64)
-                size = reader.decode(huff[(0, dc)])
-                pred[ci] += _jpeg_extend(reader.read(size), size)
-                seq[0] = pred[ci]
-                k = 0
-                while k < 63:
-                    sym = reader.decode(huff[(1, ac)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, sz = sym >> 4, sym & 15
-                    if sz == 0:
-                        if run != 15:
-                            raise ValueError("invalid JPEG AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run + 1
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    seq[k] = _jpeg_extend(reader.read(sz), sz)
-                block = np.zeros(64, np.float64)
-                block[inv_zz] = seq * qtabs[tq].reshape(64)[inv_zz]
-                spatial = mat.T @ block.reshape(8, 8) @ mat + 128.0
-                planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = spatial
+            my, mx = divmod(mcu, mcux)
+            for ci, (cid, sh, sv, tq, dc, ac) in enumerate(order):
+                for v_ in range(sv):
+                    for h_ in range(sh):
+                        by, bx = my * sv + v_, mx * sh + h_
+                        seq = np.zeros(64, np.int64)
+                        size = reader.decode(huff[(0, dc)])
+                        pred[ci] += _jpeg_extend(reader.read(size), size)
+                        seq[0] = pred[ci]
+                        k = 0
+                        while k < 63:
+                            sym = reader.decode(huff[(1, ac)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, sz = sym >> 4, sym & 15
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError("invalid JPEG AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run + 1
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            seq[k] = _jpeg_extend(reader.read(sz), sz)
+                        block = np.zeros(64, np.float64)
+                        block[inv_zz] = seq * qtabs[tq].reshape(64)[inv_zz]
+                        spatial = mat.T @ block.reshape(8, 8) @ mat + 128.0
+                        planes[ci][
+                            8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
+                        ] = spatial
             mcu += 1
     if mcu != n_mcu:
         raise ValueError("JPEG entropy data ended before the last MCU")
 
-    cropped = [p[:h, :w] for p in planes]
+    # crop each plane to its component resolution, then upsample by
+    # sample replication (nearest / top-left anchored: full-res pixel
+    # (x, y) takes chroma sample (x // fx, y // fy) — the deterministic
+    # convention the oracle fixtures are built on; smooth-image interop
+    # vs other decoders' triangle filters is tolerance-checked)
+    cropped = []
+    for p, (_, sh, sv, _, _, _) in zip(planes, order):
+        fx, fy = hmax // sh, vmax // sv
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        p = p[:ch, :cw]
+        if fx > 1 or fy > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        cropped.append(p[:h, :w])
     if len(cropped) == 1:
         return np.clip(np.round(cropped[0]), 0, 255).astype(np.uint8)
     y, cb, cr = cropped

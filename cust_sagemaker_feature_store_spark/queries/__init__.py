@@ -524,30 +524,54 @@ _R14_DRIVER_GREEN = [
     "join_anti_customers_without_orders", "agg_orders_by_status",
 ]
 
-# ROUND-16 MAINTENANCE (same discipline as every round): fold
-# CORRECTNESS_r15.json's green rows into an _R15_DRIVER_GREEN list
-# (EXCLUDING any query whose implementation r16 changes), then
-# retarget _WINDOW_PRIORITY at whatever r16 invalidates.
-_WINDOW_PRIORITY = [
-    # Queries r15 invalidates — see the exclusion notes in
-    # _R14_DRIVER_GREEN: re-prove them before anything else.
-    "ml_permutation_importance",
-    "udf_multimodal_tiff",  # LZW strips join the fixture rotation
-    "udf_multimodal_jpeg", "udf_multimodal_wav", "udf_multimodal_g711",
-    "udf_multimodal_gif", "udf_multimodal_png",
-    "udf_multimodal_png_palette", "udf_multimodal_phash",
-    "dedup_phash_pairs",
-    "graph_sssp_weighted",  # edge build refactored into _sssp_edges
+_R15_DRIVER_GREEN = [
+    # hash-green rows in CORRECTNESS_r15.json (50/50 green) earned by
+    # code unchanged in r16. Excluded on purpose (r16 changes their
+    # implementation or a paired module, invalidating the evidence):
+    #   udf_multimodal_{jpeg,tiff,gif,png,png_palette,wav,g711,phash}
+    #   + dedup_phash_pairs — operators/multimodal.py changes in r16
+    #     (subsampled-JPEG MCU generalization of encode_jpeg/
+    #     decode_jpeg, stale-docstring refresh) — the module-change
+    #     rotation precedent from r14/r15;
+    #   source_avro_scan — sources/avro_py.py changes in r16 (snappy
+    #     bounds check, executor-side schema-mismatch guard, general
+    #     union decode, write path).
+    "ml_permutation_importance", "graph_sssp_weighted",
     "stream_dedup_index_twin", "stream_ivf_index_twin",
     "stream_ivfpq_index_twin", "stream_kmv_store_twin",
-    "pipeline_curate_stream_twin",
-    "sim_ivfpq_retrained_floor",
-    # r15 floor re-pins (r14 verdict next-round #6: the <= 1.20-slack
-    # floors get real margin) rotate every query that compares
-    # against IVFPQ_RECALL_FLOOR / ANN_RECALL_FLOORS / IVF_SWEEP_FLOOR:
+    "pipeline_curate_stream_twin", "sim_ivfpq_retrained_floor",
     "sim_ann_recall_floor", "sim_ivf_nprobe_sweep",
     "sim_ivfpq_recall_floor", "sim_ivfpq_lloyd_recall_floor",
     "sim_ivfpq_trained_codebook_floor", "sim_ivf_kmeanspar_recall_floor",
+    "er_blocking_quality", "fs_time_range", "fs_latest_snapshot",
+    "fs_snapshot_asof", "fs_snapshot_diff", "fs_scd2_history",
+    "fs_tombstone_snapshot", "fs_point_lookup", "fs_asof_join",
+    "fs_asof_join_tolerance", "fs_asof_join_forward",
+    "fs_asof_join_nearest", "fs_latest_snapshot_maxby",
+    "fs_asof_join_agg", "fs_asof_join_union",
+    "fs_asof_join_strategy_auto", "fs_resample_ffill_6h",
+    "fs_incremental_agg", "fs_incremental_join", "fs_multi_group_asof",
+    "fs_training_set_multi", "fs_ttl_snapshot", "fs_feature_drift_psi",
+    "fs_rollup_reaggregation", "fs_bitemporal_asof",
+    "fs_feature_vector_pivot",
+]
+
+# ROUND-17 MAINTENANCE (same discipline as every round): fold
+# CORRECTNESS_r16.json's green rows into an _R16_DRIVER_GREEN list
+# (EXCLUDING any query whose implementation r17 changes), then
+# retarget _WINDOW_PRIORITY at whatever r17 invalidates.
+_WINDOW_PRIORITY = [
+    # Queries r16 invalidates — see the exclusion notes in
+    # _R15_DRIVER_GREEN: re-prove them before anything else — plus
+    # the r16 additions (subsampled JPEG, Avro unions/write).
+    "udf_multimodal_jpeg_subsampled",  # NEW r16
+    "udf_multimodal_jpeg", "udf_multimodal_tiff", "udf_multimodal_wav",
+    "udf_multimodal_g711", "udf_multimodal_gif", "udf_multimodal_png",
+    "udf_multimodal_png_palette", "udf_multimodal_phash",
+    "dedup_phash_pairs",
+    "source_avro_scan",
+    "source_avro_union_scan",  # NEW r16: general unions de-gated
+    "sink_avro_roundtrip",  # NEW r16: write path
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front
@@ -568,7 +592,8 @@ def _reorder_registry() -> None:
         | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
         | set(_R9_DRIVER_GREEN) | set(_R10_DRIVER_GREEN)
         | set(_R11_DRIVER_GREEN) | set(_R12_DRIVER_GREEN)
-        | set(_R13_DRIVER_GREEN)
+        | set(_R13_DRIVER_GREEN) | set(_R14_DRIVER_GREEN)
+        | set(_R15_DRIVER_GREEN)
     )
     green -= set(_WINDOW_PRIORITY)
     priority = [n for n in _WINDOW_PRIORITY if n in REGISTRY]
@@ -594,7 +619,27 @@ def _reorder_registry() -> None:
             "explicitly (lowest-stakes entries last) instead of letting "
             "registration order pick which queries miss the driver gate."
         )
-    back = [n for n in REGISTRY if n in green]
+    # Spare window slots (when unverified queries don't fill all 50)
+    # re-prove greens — spend them on the LEAST-RECENTLY verified ones
+    # instead of whatever module-import order puts first (r16: the
+    # import-order fill re-proved the same fs_* family two rounds
+    # running while r1-era greens went 10+ rounds unchecked).
+    rounds = [
+        _R1_DRIVER_GREEN, _R2_DRIVER_GREEN, _R3_DRIVER_GREEN,
+        _R4_DRIVER_GREEN, _R5_DRIVER_GREEN, _R6_DRIVER_GREEN,
+        _R7_DRIVER_GREEN, _R8_DRIVER_GREEN, _R9_DRIVER_GREEN,
+        _R10_DRIVER_GREEN, _R11_DRIVER_GREEN, _R12_DRIVER_GREEN,
+        _R13_DRIVER_GREEN, _R14_DRIVER_GREEN, _R15_DRIVER_GREEN,
+    ]
+    latest_round = {}
+    for i, lst in enumerate(rounds):
+        for n in lst:
+            latest_round[n] = i
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    back = sorted(
+        (n for n in REGISTRY if n in green),
+        key=lambda n: (latest_round.get(n, -1), reg_pos[n]),
+    )
     ordered = {
         n: REGISTRY[n]
         for n in priority + front_exact + front_rows_only + spill + back

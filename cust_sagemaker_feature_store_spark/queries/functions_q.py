@@ -537,6 +537,124 @@ def udf_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_JPEG_FEATURES_SCHEMA)
 
 
+_JPEG_SUB_SCHEMA = (
+    "media_id long, width long, height long, samp string, sum_rgb long"
+)
+
+
+@register(
+    "udf_multimodal_jpeg_subsampled",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         doc_id % 3 AS mode,
+         CAST(16 * (1 + doc_id % 2) - doc_id % 7 AS BIGINT) AS width,
+         CAST(16 * (1 + doc_id % 3) - doc_id % 5 AS BIGINT) AS height,
+         CASE doc_id % 3 WHEN 2 THEN 8 ELSE 16 END AS mw,
+         CASE doc_id % 3 WHEN 1 THEN 8 ELSE 16 END AS mh
+  FROM documents
+),
+px AS (
+  SELECT media_id, mode, width, height, mw, mh, x.x AS x, y.y AS y
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+),
+v AS (
+  SELECT media_id, mode, width, height,
+         (7 * media_id + 11 * (x // 8) + 3 * (y // 8)) % 256 AS yv,
+         ((3 * media_id + 5 * (x // mw) + 7 * (y // mh)) % 11) - 5 AS dcb,
+         ((5 * media_id + 2 * (x // mw) + 3 * (y // mh)) % 11) - 5 AS dcr
+  FROM px
+)
+SELECT media_id, width, height,
+       CASE mode WHEN 0 THEN '420' WHEN 1 THEN '422' ELSE '440' END AS samp,
+       CAST(SUM(
+         LEAST(GREATEST(ROUND(yv + 1.402e0 * dcr), 0), 255)
+         + LEAST(GREATEST(ROUND(yv - 0.344136e0 * dcb
+                                - 0.714136e0 * dcr), 0), 255)
+         + LEAST(GREATEST(ROUND(yv + 1.772e0 * dcb), 0), 255)
+       ) AS BIGINT) AS sum_rgb
+FROM v GROUP BY 1, 2, 3, 4
+""",
+    description=(
+        "[EXT] REAL subsampled-JPEG decode path, oracle-pinned (r16 "
+        "verdict next-round #3 — the most common real-world JPEG "
+        "form, de-gated via T.81 A.2.3 interleaved MCUs). Per "
+        "document the sampling mode rotates by id%3 over 4:2:0 / "
+        "4:2:2 / 4:4:0; the fixture has 8x8-block-constant Y "
+        "((7id+11bx+3by)%256) and PER-MCU-CONSTANT chroma (Cb/Cr = "
+        "128 + ((..)%11) - 5), so the box-downsampled chroma blocks "
+        "carry only a DC coefficient and decode EXACTLY, replication "
+        "upsampling maps every pixel back to its MCU's chroma value, "
+        "and the decoded RGB is the closed form round(y + c*d) the "
+        "oracle recomputes in SQL (chroma deltas in [-5,5] keep every "
+        "value >= 0.012 away from a .5 rounding boundary — design-"
+        "asserted in tests — so numpy half-even vs DuckDB half-away "
+        "can never disagree). Even ids add DRI/RSTn restart markers "
+        "every 2 MCUs, pinning the restart path through multi-block "
+        "MCUs. sum_rgb therefore hashes the subsampled MCU "
+        "interleave, per-component DC prediction, chroma downsample/ "
+        "upsample geometry, crop, and the color transform bit-for-"
+        "bit. The oracle never sees JPEG bytes. Narrow per-row "
+        "transform, no shuffle; progressive JPEG stays env-gated."
+    ),
+)
+def udf_multimodal_jpeg_subsampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        # single-file corpus -> one scan partition would serialize
+        # this CPU-bound codec fixture; cheap 8-byte-id rebalance
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_jpeg, encode_jpeg
+
+        modes = {0: ("420", 16, 16), 1: ("422", 16, 8), 2: ("440", 8, 16)}
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                samp, mw, mh = modes[mid % 3]
+                w = 16 * (1 + mid % 2) - mid % 7
+                h = 16 * (1 + mid % 3) - mid % 5
+                bx = np.arange((w + 7) // 8, dtype=np.int64)[None, :]
+                by = np.arange((h + 7) // 8, dtype=np.int64)[:, None]
+                yb = np.repeat(
+                    np.repeat((7 * mid + 11 * bx + 3 * by) % 256, 8, 0), 8, 1
+                )[:h, :w]
+                mx = np.arange((w + mw - 1) // mw, dtype=np.int64)[None, :]
+                my = np.arange((h + mh - 1) // mh, dtype=np.int64)[:, None]
+                cb = 128 + ((3 * mid + 5 * mx + 7 * my) % 11) - 5
+                cr = 128 + ((5 * mid + 2 * mx + 3 * my) % 11) - 5
+                cb = np.repeat(np.repeat(cb, mh, 0), mw, 1)[:h, :w]
+                cr = np.repeat(np.repeat(cr, mh, 0), mw, 1)[:h, :w]
+                img = np.stack([yb, cb, cr], axis=2).astype(np.uint8)
+                blob = encode_jpeg(
+                    img,
+                    colorspace="ycbcr",
+                    sampling=samp,
+                    restart_interval=2 if mid % 2 == 0 else 0,
+                )
+                dec = decode_jpeg(blob)  # the REAL subsampled decode
+                rows.append(
+                    (mid, dec.shape[1], dec.shape[0], samp,
+                     int(dec.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "samp", "sum_rgb"],
+            )
+
+    return docs.mapInPandas(run, schema=_JPEG_SUB_SCHEMA)
+
+
 _TIFF_FEATURES_SCHEMA = (
     "media_id long, width long, height long, n_strips long, "
     "sum_gray long, sum_rgb long"
@@ -2159,6 +2277,171 @@ _AVRO_SCAN_SCHEMA = {
         {"name": "tags", "type": {"type": "array", "items": "string"}},
     ],
 }
+
+
+_AVRO_UNION_SCHEMA = {
+    "type": "record",
+    "name": "UDoc",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "u", "type": ["null", "long", "string", "double"]},
+    ],
+}
+
+
+@register(
+    "source_avro_union_scan",
+    oracle=f"""
+WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, {AVRO_SCAN_N}) t(i)),
+rows AS (
+  SELECT i % 5 AS grp,
+         CASE WHEN i % 4 = 1 THEN i * 7 END AS m0,
+         CASE WHEN i % 4 = 2 THEN 's' || CAST(i AS VARCHAR) END AS m1,
+         CASE WHEN i % 4 = 3 THEN i * 0.5e0 END AS m2,
+         CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS is_null
+  FROM r
+)
+SELECT grp,
+       CAST(SUM(is_null) AS BIGINT) AS n_null,
+       CAST(COUNT(m0) AS BIGINT) AS n_long,
+       CAST(SUM(m0) AS BIGINT) AS sum_long,
+       CAST(COUNT(m1) AS BIGINT) AS n_str,
+       MAX(m1) AS max_str,
+       CAST(COUNT(m2) AS BIGINT) AS n_dbl,
+       SUM(m2) AS sum_dbl
+FROM rows GROUP BY grp
+""",
+    description=(
+        "[EXT] General (non-nullable multi-branch) Avro unions "
+        "de-gated (r16, r15 verdict next-round #5): a four-file "
+        "container whose u column is the 3-branch union "
+        "null|long|string|double is decoded through read_avro's "
+        "distributed path into the spark-avro struct-of-members "
+        "convention (struct<member0: bigint, member1: string, "
+        "member2: double>, whole struct NULL for the null branch), "
+        "then aggregated per k%5 group: null-branch count, per-branch "
+        "counts, exact long sum, lexicographic max string, and the "
+        "double-branch sum (i*0.5 terms are dyadic, so the sum is "
+        "exact and order-independent). The oracle recomputes every "
+        "branch statistic from the i%4 closed form via range(), so a "
+        "branch-index, member-mapping, or framing regression "
+        "hash-mismatches. Branch encoding is interop-pinned both "
+        "directions vs the org.apache.avro reference jars in the "
+        "suite."
+    ),
+)
+def source_avro_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.avro_py import encode_container
+    from ..sources.readers import read_avro
+
+    rows = []
+    for i in range(AVRO_SCAN_N):
+        if i % 4 == 0:
+            u = None
+        elif i % 4 == 1:
+            u = {"member0": i * 7, "member1": None, "member2": None}
+        elif i % 4 == 2:
+            u = {"member0": None, "member1": f"s{i}", "member2": None}
+        else:
+            u = {"member0": None, "member1": None, "member2": i * 0.5}
+        rows.append({"k": i, "u": u})
+    d = tempfile.mkdtemp(prefix="avro_union_")
+    for part in range(4):
+        with open(os.path.join(d, f"part-{part}.avro"), "wb") as f:
+            f.write(
+                encode_container(
+                    rows[part::4], _AVRO_UNION_SCHEMA, codec="deflate"
+                )
+            )
+    return (
+        read_avro(spark, d)
+        .select(
+            (F.col("k") % 5).alias("grp"),
+            F.col("u.member0").alias("m0"),
+            F.col("u.member1").alias("m1"),
+            F.col("u.member2").alias("m2"),
+            F.col("u").isNull().cast("int").alias("is_null"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("is_null").cast("long").alias("n_null"),
+            F.count("m0").cast("long").alias("n_long"),
+            F.sum("m0").cast("long").alias("sum_long"),
+            F.count("m1").cast("long").alias("n_str"),
+            F.max("m1").alias("max_str"),
+            F.count("m2").cast("long").alias("n_dbl"),
+            F.sum("m2").alias("sum_dbl"),
+        )
+    )
+
+
+@register(
+    "sink_avro_roundtrip",
+    oracle=f"""
+WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, {AVRO_SCAN_N}) t(i)),
+rows AS (
+  SELECT i % 4 AS grp,
+         CASE WHEN i % 7 = 0 THEN NULL ELSE i * 3 END AS v,
+         LENGTH('row-' || CAST(i AS VARCHAR)) AS slen,
+         i % 3 AS n_arr
+  FROM r
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_v,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(slen) AS BIGINT) AS sum_slen,
+       CAST(SUM(n_arr) AS BIGINT) AS sum_arr
+FROM rows GROUP BY grp
+""",
+    description=(
+        "[EXT] Avro WRITE path (r16, r15 verdict next-round #6): a "
+        "closed-form Spark frame (nullable long, string, array "
+        "columns over range(N) in 4 partitions) is exported by "
+        "writers.write_avro — which falls back to the pure-python "
+        "distributed writer: per-partition Arrow batches encoded "
+        "executor-side into one container file each (mapInArrow, so "
+        "nullable longs never degrade through pandas float64) — then "
+        "read back through read_avro's distributed decoder and "
+        "aggregated per k%4 group. The oracle recomputes from the "
+        "same closed form via range(), so a writer regression "
+        "(schema derivation, nullable-union encoding, array framing, "
+        "deflate blocks) hash-mismatches. The written files are also "
+        "read by the org.apache.avro reference jars in the suite."
+    ),
+)
+def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.readers import read_avro
+    from ..sources.writers import write_avro
+
+    df = spark.range(0, AVRO_SCAN_N, 1, 4).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 END AS v",
+        "concat('row-', id) AS s",
+        # NB not sequence(1, id % 3): Spark's sequence DESCENDS when
+        # stop < start, so id % 3 = 0 would yield [1, 0], not []
+        "slice(array(id, id * 2), 1, id % 3) AS arr",
+    )
+    d = tempfile.mkdtemp(prefix="avro_sink_")
+    write_avro(df, d, codec="deflate", mode="overwrite")
+    back = read_avro(spark, d)
+    return (
+        back.groupBy((F.col("k") % 4).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").isNull().cast("int")).cast("long")
+            .alias("n_null_v"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.sum(F.length("s")).cast("long").alias("sum_slen"),
+            F.sum(F.size("arr")).cast("long").alias("sum_arr"),
+        )
+    )
 
 
 @register(

@@ -24,6 +24,14 @@ and one pathological multi-GB file degrades to one task, not a
 failure. Codecs: null, deflate (raw DEFLATE per spec), and snappy
 (block CRC32 suffix per spec) through pyarrow's bundled Codec.
 
+r16 additions: general (non-nullable multi-branch) unions decode to
+the spark-avro struct-of-members convention (struct<member0..>, one
+per non-null branch, whole value null for the null branch) instead of
+gating; and a WRITE path (write_avro_distributed) — per-partition
+container files encoded executor-side from Arrow batches (mapInArrow,
+so nullable ints never degrade through pandas float64), with the Avro
+schema derived from the Spark schema (nullable -> null|T unions).
+
 Verification: the encoder/decoder pair round-trips, and BOTH
 directions interop with the in-container reference implementation —
 the org.apache.avro jars that ship with Spark read our containers and
@@ -114,18 +122,51 @@ def _normalize(schema: Any) -> Any:
     return schema
 
 
+def _union_shape(schema: list) -> tuple[list[str], list[int]]:
+    """-> (branch type names, indices of the non-null branches)."""
+    types = []
+    for s in schema:
+        n = _normalize(s)
+        types.append(n["type"] if isinstance(n, dict) else "union")
+    return types, [i for i, t in enumerate(types) if t != "null"]
+
+
 def _decoder_for(schema: Any) -> Callable[[io.BytesIO], Any]:
     schema = _normalize(schema)
     if isinstance(schema, list):  # union
         branches = [_decoder_for(s) for s in schema]
+        types, non_null = _union_shape(schema)
+        if len(non_null) <= 1:
+            # the lake-standard nullable column: value decodes bare
 
-        def dec_union(buf, _b=branches):
+            def dec_union(buf, _b=branches, _t=types):
+                i = _read_long(buf)
+                if not 0 <= i < len(_b):
+                    raise ValueError(f"Avro union branch {i} out of range")
+                return _b[i](buf)
+
+            return dec_union
+
+        # general union (de-gated r16): decode to the spark-avro
+        # convention — a struct of nullable fields member0..memberN-1,
+        # one per NON-NULL branch, exactly one set (or None for the
+        # null branch when present)
+        member_of = {b: k for k, b in enumerate(non_null)}
+        template = {f"member{k}": None for k in range(len(non_null))}
+
+        def dec_union_general(
+            buf, _b=branches, _t=types, _m=member_of, _tpl=template
+        ):
             i = _read_long(buf)
             if not 0 <= i < len(_b):
                 raise ValueError(f"Avro union branch {i} out of range")
-            return _b[i](buf)
+            if _t[i] == "null":
+                return None
+            out = dict(_tpl)
+            out[f"member{_m[i]}"] = _b[i](buf)
+            return out
 
-        return dec_union
+        return dec_union_general
     t = schema["type"]
     if t == "null":
         return lambda buf: None
@@ -201,22 +242,54 @@ def _decoder_for(schema: Any) -> Callable[[io.BytesIO], Any]:
 
 def _encoder_for(schema: Any) -> Callable[[bytearray, Any], None]:
     schema = _normalize(schema)
-    if isinstance(schema, list):  # union: pick the first matching branch
+    if isinstance(schema, list):  # union
         branches = [(_normalize(s), _encoder_for(s)) for s in schema]
+        types, non_null = _union_shape(schema)
+        if len(non_null) <= 1:
+            # nullable column: pick the first matching branch
 
-        def enc_union(out, v, _b=branches):
-            for i, (bs, enc) in enumerate(_b):
-                t = bs["type"] if isinstance(bs, dict) else None
-                if v is None and t == "null":
-                    _write_long(out, i)
-                    return
-                if v is not None and t != "null":
-                    _write_long(out, i)
-                    enc(out, v)
-                    return
-            raise ValueError("no Avro union branch for value")
+            def enc_union(out, v, _b=branches):
+                for i, (bs, enc) in enumerate(_b):
+                    t = bs["type"] if isinstance(bs, dict) else None
+                    if v is None and t == "null":
+                        _write_long(out, i)
+                        return
+                    if v is not None and t != "null":
+                        _write_long(out, i)
+                        enc(out, v)
+                        return
+                raise ValueError("no Avro union branch for value")
 
-        return enc_union
+            return enc_union
+
+        # general union: value is the member0..memberN-1 struct dict
+        # (exactly one non-None member), or None for the null branch
+        null_idx = next(
+            (i for i, t in enumerate(types) if t == "null"), None
+        )
+
+        def enc_union_general(
+            out, v, _b=branches, _nn=non_null, _null=null_idx
+        ):
+            if v is None:
+                if _null is None:
+                    raise ValueError("no null branch in Avro union")
+                _write_long(out, _null)
+                return
+            set_members = [
+                k for k in range(len(_nn))
+                if v.get(f"member{k}") is not None
+            ]
+            if len(set_members) != 1:
+                raise ValueError(
+                    "general Avro union value must set exactly one "
+                    f"memberK field, got {len(set_members)}"
+                )
+            k = set_members[0]
+            _write_long(out, _nn[k])
+            _b[_nn[k]][1](out, v[f"member{k}"])
+
+        return enc_union_general
     t = schema["type"]
     if t == "null":
         return lambda out, v: None
@@ -255,6 +328,8 @@ def _encoder_for(schema: Any) -> Callable[[bytearray, Any], None]:
         val = _encoder_for(schema["values"])
 
         def enc_map(out, v, _v=val):
+            if v is not None and not hasattr(v, "items"):
+                v = dict(v)  # Arrow hands maps over as [(k, v), ...]
             if v:
                 _write_long(out, len(v))
                 for k, x in v.items():
@@ -285,12 +360,18 @@ def avro_schema_to_spark_ddl(schema: Any) -> str:
     schema = _normalize(schema)
     if isinstance(schema, list):
         non_null = [s for s in schema if _normalize(s)["type"] != "null"]
-        if len(non_null) != 1:
-            raise NotImplementedError(
-                "general Avro unions need the spark-avro connector; "
-                "only null|X decodes here"
-            )
-        return avro_schema_to_spark_ddl(non_null[0])
+        if len(non_null) == 0:
+            raise NotImplementedError("bare null union column")
+        if len(non_null) == 1:
+            return avro_schema_to_spark_ddl(non_null[0])
+        # general union (de-gated r16): the spark-avro convention —
+        # struct<member0: T0, ...> over the non-null branches, the
+        # struct itself null for a null-branch value
+        inner = ", ".join(
+            f"member{k}: {avro_schema_to_spark_ddl(s)}"
+            for k, s in enumerate(non_null)
+        )
+        return f"struct<{inner}>"
     t = schema["type"]
     if t in _PRIMITIVE_SPARK:
         if t == "null":
@@ -461,7 +542,7 @@ def read_avro_distributed(spark, path: str):
     import pandas as pd  # noqa: F401 (executor-side import below)
 
     files = spark.read.format("binaryFile").load(path)
-    first = files.select("path", "content").head()
+    first = files.select("path", "content").head()  # header parse only
     if first is None:
         raise ValueError(f"no Avro files under {path}")
     schema, _, _, _ = parse_container_header(bytes(first["content"]))
@@ -490,3 +571,115 @@ def read_avro_distributed(spark, path: str):
                 )
 
     return files.select("path", "content").mapInPandas(run, schema=ddl)
+
+
+# -- the distributed writer (r16) ------------------------------------------
+
+def spark_schema_to_avro(schema, name: str = "spark_export") -> dict:
+    """Spark StructType -> Avro record schema (the write-side twin of
+    avro_schema_to_spark_ddl): nullable fields become ["null", T]
+    unions, arrays/maps/structs nest, nested records get path-derived
+    names (Avro requires unique names). Types with no clean container
+    mapping here (timestamp, date, decimal) raise NotImplementedError
+    — the documented gate; export them as long micros / ISO strings
+    upstream."""
+    from pyspark.sql import types as T
+
+    def conv(dt, path):
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "int"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.ArrayType):
+            item = conv(dt.elementType, path + "_item")
+            if dt.containsNull:
+                item = ["null", item]
+            return {"type": "array", "items": item}
+        if isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise NotImplementedError(
+                    "Avro maps require string keys"
+                )
+            val = conv(dt.valueType, path + "_value")
+            if dt.valueContainsNull:
+                val = ["null", val]
+            return {"type": "map", "values": val}
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": (
+                            ["null", conv(f.dataType, f"{path}_{f.name}")]
+                            if f.nullable
+                            else conv(f.dataType, f"{path}_{f.name}")
+                        ),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise NotImplementedError(
+            f"Spark type {dt.simpleString()} has no Avro container "
+            "mapping here (timestamp/date/decimal: export as long "
+            "micros or ISO strings upstream)"
+        )
+
+    return conv(schema, name)
+
+
+def write_avro_distributed(
+    df, path: str, codec: str = "deflate", mode: str = "error"
+):
+    """Avro sink WITHOUT the spark-avro connector: one container file
+    per partition, encoded executor-side from Arrow batches (mapInArrow
+    keeps nullable ints as ints — a pandas round trip would degrade
+    them to float64). Returns the per-file (path, n_rows) manifest the
+    write action produced. Same placement caveat as any direct-write
+    sink: executors write to `path` on THEIR filesystem — on a real
+    cluster that must be shared storage (NFS/FUSE-mounted object
+    store); single-node local[*] (this container) it is just the local
+    directory."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        if mode == "error":
+            raise ValueError(f"path exists: {path} (mode='error')")
+        if mode != "overwrite":
+            raise ValueError(f"unsupported mode {mode!r}")
+        shutil.rmtree(path)
+    os.makedirs(path)
+    schema = spark_schema_to_avro(df.schema)
+
+    def run(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        rows = []
+        for batch in batches:
+            rows.extend(batch.to_pylist())
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        with open(fname, "wb") as f:
+            f.write(encode_container(rows, schema, codec=codec))
+        yield pa.RecordBatch.from_pydict(
+            {"path": [fname], "n_rows": [len(rows)]},
+            schema=pa.schema(
+                [("path", pa.string()), ("n_rows", pa.int64())]
+            ),
+        )
+
+    manifest = df.mapInArrow(run, schema="path string, n_rows long").collect()
+    return [(r["path"], r["n_rows"]) for r in manifest]

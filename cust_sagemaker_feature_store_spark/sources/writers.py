@@ -49,6 +49,30 @@ def write_csv(
     df.write.mode(mode).option("header", header).option("quoteAll", True).csv(path)
 
 
+def write_avro(
+    df: DataFrame, path: str, codec: str = "deflate", mode: str = "error"
+) -> None:
+    """[EXT] Avro export (r16 — the write twin of readers.read_avro).
+    Prefers the spark-avro connector when its jar is present; where it
+    is absent (this container — gate re-probed every round) falls back
+    to the pure-python distributed writer (avro_py.py): one container
+    file per partition, Arrow-batched executor-side encode,
+    interop-verified against the in-container org.apache.avro jars."""
+    try:
+        df.write.format("avro").mode(mode).save(path)
+    except Exception as e:
+        msg = str(e)
+        if not (
+            "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            raise
+        from .avro_py import write_avro_distributed
+
+        write_avro_distributed(df, path, codec=codec, mode=mode)
+
+
 def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet directory whose files were written under
     EVOLVING schemas (columns added over time): mergeSchema unions the

@@ -606,6 +606,162 @@ def test_jpeg_codec_color_paths():
     assert dec.shape == gray.shape
 
 
+def test_jpeg_subsampled_round_trips_and_exact_chroma():
+    """r16: subsampled JPEG (4:2:0 / 4:2:2 / 4:4:0) de-gated. (a)
+    Block-constant Y with Cb=Cr=128 decodes exactly at every sampling
+    and awkward sizes (partial MCUs), with and without restarts; (b)
+    per-MCU-constant nonzero chroma decodes to the closed form
+    round(y + c*d) exactly — chroma blocks carry only DC, replication
+    upsampling maps pixels to their MCU value; (c) the fixture's
+    chroma deltas stay >= 0.012 from every .5 rounding boundary (the
+    design guarantee the oracle's cross-engine ROUND relies on)."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(23)
+    for samp in ("444", "422", "420", "440"):
+        for (h, w) in ((16, 16), (13, 21), (7, 9), (17, 33)):
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            yb = np.repeat(
+                np.repeat(rng.randint(0, 256, (bh, bw)), 8, 0), 8, 1
+            )[:h, :w].astype(np.uint8)
+            img = np.stack(
+                [yb, np.full_like(yb, 128), np.full_like(yb, 128)], 2
+            )
+            for ri in (0, 2):
+                d = decode_jpeg(encode_jpeg(
+                    img, colorspace="ycbcr", restart_interval=ri,
+                    sampling=samp,
+                ))
+                assert d.shape == (h, w, 3), (samp, h, w)
+                assert np.array_equal(d[:, :, 0], yb), (samp, h, w, ri)
+                assert np.array_equal(d, np.repeat(d[:, :, :1], 3, 2))
+
+    # (b) per-MCU-constant chroma: exact closed-form decode at 420
+    h, w = 29, 37
+    mh, mw = (h + 15) // 16, (w + 15) // 16
+    yb = np.repeat(np.repeat(
+        rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8)), 8, 0), 8, 1
+    )[:h, :w]
+    cb = np.repeat(np.repeat(
+        128 + rng.randint(-5, 6, (mh, mw)), 16, 0), 16, 1)[:h, :w]
+    cr = np.repeat(np.repeat(
+        128 + rng.randint(-5, 6, (mh, mw)), 16, 0), 16, 1)[:h, :w]
+    img = np.stack([yb, cb, cr], 2).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, colorspace="ycbcr", sampling="420"))
+    exp = np.stack([
+        np.clip(np.round(yb + 1.402 * (cr - 128.0)), 0, 255),
+        np.clip(np.round(yb - 0.344136 * (cb - 128.0)
+                         - 0.714136 * (cr - 128.0)), 0, 255),
+        np.clip(np.round(yb + 1.772 * (cb - 128.0)), 0, 255),
+    ], 2).astype(np.uint8)
+    assert np.array_equal(d, exp)
+
+    # (c) design margin: no chroma term within 0.01 of a .5 boundary
+    worst = 1.0
+    for dcb in range(-5, 6):
+        for dcr in range(-5, 6):
+            for term in (1.402 * dcr,
+                         -0.344136 * dcb - 0.714136 * dcr,
+                         1.772 * dcb):
+                worst = min(worst, abs(term - np.floor(term) - 0.5))
+    assert worst > 0.01, worst
+
+
+def test_jpeg_subsampled_interop_with_jdk_imageio(spark):
+    """r16: two-direction interop for the subsampled rung against the
+    JDK's independent JPEG codec (the methodology that de-gated it —
+    r15 verdict next-round #3). Ours -> JDK: constant-chroma 4:2:0 /
+    4:2:2 streams we wrote decode in the JDK to Y exactly (Cb=Cr=128)
+    and to the closed form within +/-1 for nonzero constant chroma
+    (libjpeg's fixed-point color transform vs our float64). JDK ->
+    ours: a JDK-written default-quality JPEG (4:2:0 when the writer
+    subsamples — asserted from its SOF) decodes here within an
+    upsampling-filter tolerance of the JDK's own decode."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_rgb(blob: bytes, h: int, w: int):
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO cannot read JPEG here")
+        raster = img.getRaster()
+        out = np.zeros((h, w, 3), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                for b in range(3):
+                    out[yy, xx, b] = raster.getSample(xx, yy, b)
+        return out
+
+    rng = np.random.RandomState(29)
+    h, w = 21, 24
+    yb = np.repeat(np.repeat(
+        rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8)), 8, 0), 8, 1
+    )[:h, :w]
+
+    # ours -> JDK, gray chroma: exact
+    img = np.stack([yb, np.full_like(yb, 128), np.full_like(yb, 128)], 2)
+    for samp in ("420", "422"):
+        blob = encode_jpeg(
+            img.astype(np.uint8), colorspace="ycbcr", sampling=samp
+        )
+        got = jdk_rgb(blob, h, w)
+        assert np.array_equal(got, np.repeat(yb[:, :, None], 3, 2)), samp
+
+    # ours -> JDK, nonzero GLOBALLY-constant chroma (any upsampling
+    # filter is exact on a constant): +/-1 for fixed-point vs float
+    img = np.stack(
+        [yb, np.full_like(yb, 135), np.full_like(yb, 122)], 2
+    ).astype(np.uint8)
+    blob = encode_jpeg(img, colorspace="ycbcr", sampling="420")
+    got = jdk_rgb(blob, h, w)
+    exp = np.stack([
+        np.clip(np.round(yb + 1.402 * (122 - 128.0)), 0, 255),
+        np.clip(np.round(yb - 0.344136 * (135 - 128.0)
+                         - 0.714136 * (122 - 128.0)), 0, 255),
+        np.clip(np.round(yb + 1.772 * (135 - 128.0)), 0, 255),
+    ], 2)
+    assert np.abs(got - exp).max() <= 1
+
+    # JDK -> ours: write a smooth RGB image with the default writer
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    jimg = BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for yy in range(h):
+        for xx in range(w):
+            r = (xx * 9) % 256
+            g = (yy * 7) % 256
+            b = (xx * 3 + yy * 5) % 256
+            jimg.setRGB(xx, yy, (r << 16) | (g << 8) | b)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    if not ImageIO.write(jimg, "jpg", bos):
+        pytest.skip("JDK ImageIO cannot write JPEG here")
+    blob = bytes(bos.toByteArray())
+    i = blob.find(b"\xff\xc0")
+    assert i > 0, "JDK wrote a non-baseline JPEG"
+    samp_byte = blob[i + 11]  # first (luma) component sampling
+    if samp_byte == 0x11:
+        pytest.skip("JDK writer did not subsample at default quality")
+    ours = decode_jpeg(blob).astype(np.int64)
+    theirs = jdk_rgb(blob, h, w)
+    # same entropy data, different chroma upsampling filters: bounded
+    # divergence on a smooth raster, identical luma-driven structure
+    assert ours.shape == theirs.shape
+    assert np.abs(ours - theirs).max() <= 32
+    assert np.abs(ours - theirs).mean() <= 4
+
+
 def test_jpeg_decoder_gates_and_errors():
     """Progressive/subsampled/12-bit JPEG hit the documented
     NotImplementedError gate (not a wrong decode); corrupt/truncated
@@ -632,8 +788,9 @@ def test_jpeg_decoder_gates_and_errors():
 
     sub = bytearray(encode_jpeg(np.repeat(gray[:, :, None], 3, 2)))
     i = bytes(sub).find(b"\xff\xc0")
-    sub[i + 11] = 0x22  # first component sampling factors 2x2
-    with pytest.raises(NotImplementedError, match="subsampl"):
+    # 1x1/2x2/... decode since r16; factor 3 stays outside the ladder
+    sub[i + 11] = 0x33  # first component sampling factors 3x3
+    with pytest.raises(NotImplementedError, match="ladder"):
         decode_jpeg(bytes(sub))
 
     deep = bytearray(blob)
@@ -1678,20 +1835,229 @@ def test_avro_snappy_corrupt_block_raises_value_error():
             _decompress("snappy", bad)
 
 
-def test_avro_union_gate():
-    """General (non-nullable) unions stay gated with a clear error."""
-    import pytest
+AVRO_UNION_SCHEMA = {
+    "type": "record", "name": "U", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "x", "type": ["null", "long", "string", "double"]},
+        {"name": "y", "type": ["int", "boolean"]},
+    ],
+}
 
+
+def _avro_union_rows(n: int) -> list[dict]:
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            x = None
+        elif i % 4 == 1:
+            x = {"member0": i * 7, "member1": None, "member2": None}
+        elif i % 4 == 2:
+            x = {"member0": None, "member1": f"s{i}", "member2": None}
+        else:
+            x = {"member0": None, "member1": None, "member2": i * 0.5}
+        y = (
+            {"member0": i, "member1": None}
+            if i % 2
+            else {"member0": None, "member1": bool(i % 3)}
+        )
+        rows.append({"k": i, "x": x, "y": y})
+    return rows
+
+
+def test_avro_general_unions_round_trip_and_ddl():
+    """r16 (r15 verdict next-round #5): general (non-nullable multi-
+    branch) unions de-gated — they map to the spark-avro convention of
+    a struct of nullable memberK fields over the non-null branches,
+    None for the null branch. Round-trips under all codecs; the DDL
+    twin emits struct<member0: ..., ...>; nullable null|X unions are
+    untouched (still decode bare)."""
     from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        decode_container,
+        encode_container,
         record_ddl,
     )
 
-    with pytest.raises(NotImplementedError, match="union"):
-        record_ddl({
-            "type": "record", "name": "U", "fields": [
-                {"name": "x", "type": ["long", "string"]},
-            ],
-        })
+    ddl = record_ddl(AVRO_UNION_SCHEMA)
+    assert ddl == (
+        "k bigint, "
+        "x struct<member0: bigint, member1: string, member2: double>, "
+        "y struct<member0: int, member1: boolean>"
+    )
+    rows = _avro_union_rows(200)
+    for codec in ("null", "deflate", "snappy"):
+        blob = encode_container(rows, AVRO_UNION_SCHEMA, codec=codec,
+                                records_per_block=33)
+        assert list(decode_container(blob)) == rows, codec
+
+
+def test_avro_general_unions_interop_with_reference_jars(spark):
+    """Both directions vs the org.apache.avro reference jars: the
+    reference reads our 3-branch-union container (branch selection and
+    values compared), and our decoder reads a union container the
+    reference wrote."""
+    import json
+
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        decode_container,
+        encode_container,
+    )
+
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(
+        json.dumps(AVRO_UNION_SCHEMA)
+    )
+
+    # ours -> reference reader
+    rows = _avro_union_rows(40)
+    blob = encode_container(rows, AVRO_UNION_SCHEMA, codec="deflate")
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.org.apache.avro.file.SeekableByteArrayInput(blob),
+        jvm.org.apache.avro.generic.GenericDatumReader(sch),
+    )
+    got = []
+    while rdr.hasNext():
+        rec = rdr.next()
+        x = rec.get("x")
+        if x is not None and not isinstance(x, (int, float)):
+            x = str(x)  # avro Utf8
+        got.append((rec.get("k"), x, rec.get("y")))
+    rdr.close()
+    want = []
+    for r in rows:
+        x = r["x"]
+        if x is not None:
+            x = next(v for v in x.values() if v is not None)
+        y = next(v for v in r["y"].values() if v is not None)
+        want.append((r["k"], x, y))
+    assert got == want
+
+    # reference writer -> our decoder
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    bos = jvm.java.io.ByteArrayOutputStream()
+    dfw.create(sch, bos)
+    # py4j re-boxes small ints as java.lang.Integer (even through a
+    # java.lang.Long constructor, whose return unboxes to python) —
+    # Integer fails avro's exact-class union resolution. Values >= 2^31
+    # cross py4j as true Longs, so the long branch uses a 2^35 offset.
+    for i in range(30):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("k", i + (1 << 35))
+        if i % 3 == 0:
+            rec.put("x", None)
+        elif i % 3 == 1:
+            rec.put("x", i * 11 + (1 << 35))
+        else:
+            rec.put("x", f"ref{i}")
+        rec.put("y", jvm.java.lang.Integer(i * 2))
+        dfw.append(rec)
+    dfw.close()
+    ours = list(decode_container(bytes(bos.toByteArray())))
+    for i, r in enumerate(ours):
+        assert r["k"] == i + (1 << 35)
+        if i % 3 == 0:
+            assert r["x"] is None
+        elif i % 3 == 1:
+            assert r["x"] == {"member0": i * 11 + (1 << 35),
+                              "member1": None, "member2": None}
+        else:
+            assert r["x"] == {"member0": None, "member1": f"ref{i}",
+                              "member2": None}
+        assert r["y"] == {"member0": i * 2, "member1": None}
+
+
+def test_avro_union_distributed_read(spark, tmp_path):
+    """read_avro surfaces general unions as struct columns end-to-end
+    through the binaryFile + mapInPandas path."""
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        encode_container,
+    )
+    from cust_sagemaker_feature_store_spark.sources.readers import read_avro
+
+    rows = _avro_union_rows(120)
+    d = tmp_path / "avro_union"
+    d.mkdir()
+    for part in range(3):
+        (d / f"part-{part}.avro").write_bytes(
+            encode_container(rows[part::3], AVRO_UNION_SCHEMA)
+        )
+    df = read_avro(spark, str(d))
+    assert df.schema["x"].dataType.simpleString() == (
+        "struct<member0:bigint,member1:string,member2:double>"
+    )
+    got = {r["k"]: r for r in df.collect()}
+    assert len(got) == 120
+    assert got[0]["x"] is None
+    assert got[1]["x"]["member0"] == 7 and got[1]["x"]["member1"] is None
+    assert got[2]["x"]["member1"] == "s2"
+    assert got[3]["x"]["member2"] == 1.5
+    assert got[5]["y"]["member0"] == 5 and got[6]["y"]["member1"] is False
+
+
+def test_avro_write_path_round_trip_and_jdk_interop(spark, tmp_path):
+    """r16 (r15 verdict next-round #6): write_avro — one container per
+    partition via mapInArrow (nullable longs stay longs), read back by
+    read_avro, and the reference DataFileReader reads a written file."""
+    import json
+
+    from cust_sagemaker_feature_store_spark.sources.readers import read_avro
+    from cust_sagemaker_feature_store_spark.sources.writers import write_avro
+
+    df = spark.range(0, 400, 1, 4).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 3 END AS v",
+        "concat('row-', id) AS s",
+        "CAST(id AS DOUBLE) / 8 AS score",
+        "id % 2 = 0 AS flag",
+        "array(id, id + 1) AS arr",
+        "map('a', id, 'b', id * 2) AS m",
+        "named_struct('p', id, 'q', concat('x', id)) AS st",
+    )
+    out = tmp_path / "avro_out"
+    write_avro(df, str(out), codec="deflate")
+    files = sorted(p.name for p in out.iterdir())
+    assert len(files) == 4 and all(f.endswith(".avro") for f in files)
+
+    back = read_avro(spark, str(out))
+    assert back.count() == 400
+    got = {r["k"]: r for r in back.collect()}
+    assert got[0]["v"] is None and got[1]["v"] == 3
+    assert got[5]["s"] == "row-5" and got[8]["score"] == 1.0
+    assert got[2]["flag"] is True and list(got[3]["arr"]) == [3, 4]
+    assert dict(got[4]["m"]) == {"a": 4, "b": 8}
+    assert got[6]["st"]["p"] == 6 and got[6]["st"]["q"] == "x6"
+
+    # mode handling
+    import pytest
+
+    with pytest.raises(Exception, match="exists|already"):
+        write_avro(df, str(out))
+    write_avro(df.limit(10).coalesce(1), str(out), mode="overwrite")
+    assert read_avro(spark, str(out)).count() == 10
+
+    # JDK reference reader on a written file
+    jvm = spark._jvm
+    blob = (out / sorted(p.name for p in out.iterdir())[0]).read_bytes()
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.org.apache.avro.file.SeekableByteArrayInput(blob),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    n = 0
+    ks = set()
+    while rdr.hasNext():
+        rec = rdr.next()
+        ks.add(rec.get("k"))
+        n += 1
+    rdr.close()
+    assert n == 10 and ks == set(range(10))
+
+    # unsupported type gate
+    with pytest.raises(Exception, match="Avro container mapping"):
+        write_avro(
+            spark.sql("SELECT current_timestamp() AS ts"),
+            str(tmp_path / "nope"),
+        )
 
 
 def test_tiff_deflate_and_predictor2_round_trips_and_jdk_interop(spark):

@@ -71,6 +71,8 @@ def test_registry_window_prioritizes_unverified():
         _R11_DRIVER_GREEN,
         _R12_DRIVER_GREEN,
         _R13_DRIVER_GREEN,
+        _R14_DRIVER_GREEN,
+        _R15_DRIVER_GREEN,
         _WINDOW_PRIORITY,
     )
 
@@ -83,7 +85,8 @@ def test_registry_window_prioritizes_unverified():
         | set(_R7_DRIVER_GREEN) | set(_R8_DRIVER_GREEN)
         | set(_R9_DRIVER_GREEN) | set(_R10_DRIVER_GREEN)
         | set(_R11_DRIVER_GREEN) | set(_R12_DRIVER_GREEN)
-        | set(_R13_DRIVER_GREEN)
+        | set(_R13_DRIVER_GREEN) | set(_R14_DRIVER_GREEN)
+        | set(_R15_DRIVER_GREEN)
     ) - set(_WINDOW_PRIORITY)
     unverified = [n for n in REGISTRY if n not in green]
     if len(unverified) <= 50:
