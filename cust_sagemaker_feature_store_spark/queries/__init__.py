@@ -565,6 +565,7 @@ _WINDOW_PRIORITY = [
     # _R15_DRIVER_GREEN: re-prove them before anything else — plus
     # the r16 additions (subsampled JPEG, Avro unions/write).
     "udf_multimodal_jpeg_subsampled",  # NEW r16
+    "udf_multimodal_jpeg_progressive",  # NEW r16: SOF2 de-gated
     "udf_multimodal_jpeg", "udf_multimodal_tiff", "udf_multimodal_wav",
     "udf_multimodal_g711", "udf_multimodal_gif", "udf_multimodal_png",
     "udf_multimodal_png_palette", "udf_multimodal_phash",

@@ -655,6 +655,138 @@ def udf_multimodal_jpeg_subsampled(
     return docs.mapInPandas(run, schema=_JPEG_SUB_SCHEMA)
 
 
+_JPEG_PROG_SCHEMA = (
+    "media_id long, width long, height long, samp string, "
+    "sum_gray long, sum_rgb long"
+)
+
+
+@register(
+    "udf_multimodal_jpeg_progressive",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         doc_id % 4 AS mode,
+         CAST(16 * (1 + doc_id % 2) - doc_id % 7 AS BIGINT) AS width,
+         CAST(16 * (1 + doc_id % 3) - doc_id % 5 AS BIGINT) AS height,
+         CASE doc_id % 4 WHEN 0 THEN 8 WHEN 3 THEN 8 ELSE 16 END AS mw,
+         CASE doc_id % 4 WHEN 0 THEN 8 WHEN 2 THEN 8 ELSE 16 END AS mh
+  FROM documents
+),
+px AS (
+  SELECT media_id, mode, width, height, mw, mh, x.x AS x, y.y AS y
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+),
+v AS (
+  SELECT media_id, mode, width, height,
+         (3 * media_id + 5 * (x // 8) + 7 * (y // 8)) % 256 AS gv,
+         (11 * media_id + 7 * (x // 8) + 5 * (y // 8)) % 256 AS yv,
+         ((2 * media_id + 3 * (x // mw) + 5 * (y // mh)) % 11) - 5 AS dcb,
+         ((7 * media_id + (x // mw) + 3 * (y // mh)) % 11) - 5 AS dcr
+  FROM px
+)
+SELECT media_id, width, height,
+       CASE mode WHEN 0 THEN '444' WHEN 1 THEN '420'
+                 WHEN 2 THEN '422' ELSE '440' END AS samp,
+       CAST(SUM(gv) AS BIGINT) AS sum_gray,
+       CAST(SUM(
+         LEAST(GREATEST(ROUND(yv + 1.402e0 * dcr), 0), 255)
+         + LEAST(GREATEST(ROUND(yv - 0.344136e0 * dcb
+                                - 0.714136e0 * dcr), 0), 255)
+         + LEAST(GREATEST(ROUND(yv + 1.772e0 * dcb), 0), 255)
+       ) AS BIGINT) AS sum_rgb
+FROM v GROUP BY 1, 2, 3, 4
+""",
+    description=(
+        "[EXT] REAL progressive (SOF2) JPEG decode path, oracle-"
+        "pinned (r16 — the last JPEG mode, after baseline r14 and "
+        "subsampled r16): per document a GRAYSCALE fixture and a "
+        "COLOR fixture (sampling rotating by id%4 over 4:4:4 / 4:2:0 "
+        "/ 4:2:2 / 4:4:0) are encoded PROGRESSIVELY — interleaved DC "
+        "scan at Al=1, spectral-split AC scans (luma 1-5/6-63) at "
+        "Al=1, AC refinement scans at Ah=1, raw-bit DC refinement — "
+        "and decoded by the pure-numpy multi-scan coefficient "
+        "accumulator in mapInPandas. Block-constant Y and per-MCU-"
+        "constant chroma decode EXACTLY (DC-only blocks; successive "
+        "approximation reassembles d = (d>>1)<<1 | bit losslessly), "
+        "so sum_gray/sum_rgb hash the scan-script walk, per-scan DHT "
+        "snapshots, band accumulation, bit-plane reassembly, and the "
+        "shared dequant/IDCT/upsample finish bit-for-bit against the "
+        "closed form the oracle recomputes in SQL (same 0.012 "
+        "rounding-margin design as the subsampled tier). Odd ids add "
+        "restart intervals (DC-pred/EOB-run reset per RSTn). The "
+        "decoder additionally reads libjpeg-scripted streams (cross-"
+        "block EOB runs with buffered correction bits) — pinned "
+        "against JDK-written progressive files in the suite, max "
+        "diff 1 on grayscale. Narrow per-row transform, no shuffle."
+    ),
+)
+def udf_multimodal_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_jpeg, encode_jpeg
+
+        modes = {
+            0: ("444", 8, 8), 1: ("420", 16, 16),
+            2: ("422", 16, 8), 3: ("440", 8, 16),
+        }
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                samp, mw, mh = modes[mid % 4]
+                w = 16 * (1 + mid % 2) - mid % 7
+                h = 16 * (1 + mid % 3) - mid % 5
+                ri = 3 if mid % 2 else 0
+                bx = np.arange((w + 7) // 8, dtype=np.int64)[None, :]
+                by = np.arange((h + 7) // 8, dtype=np.int64)[:, None]
+                gray = np.repeat(
+                    np.repeat((3 * mid + 5 * bx + 7 * by) % 256, 8, 0), 8, 1
+                )[:h, :w].astype(np.uint8)
+                dec_g = decode_jpeg(
+                    encode_jpeg(gray, progressive=True, restart_interval=ri)
+                )
+                yb = np.repeat(
+                    np.repeat((11 * mid + 7 * bx + 5 * by) % 256, 8, 0), 8, 1
+                )[:h, :w]
+                mx = np.arange((w + mw - 1) // mw, dtype=np.int64)[None, :]
+                my = np.arange((h + mh - 1) // mh, dtype=np.int64)[:, None]
+                cb = 128 + ((2 * mid + 3 * mx + 5 * my) % 11) - 5
+                cr = 128 + ((7 * mid + mx + 3 * my) % 11) - 5
+                cb = np.repeat(np.repeat(cb, mh, 0), mw, 1)[:h, :w]
+                cr = np.repeat(np.repeat(cr, mh, 0), mw, 1)[:h, :w]
+                img = np.stack([yb, cb, cr], axis=2).astype(np.uint8)
+                dec_c = decode_jpeg(
+                    encode_jpeg(
+                        img, colorspace="ycbcr", sampling=samp,
+                        progressive=True, restart_interval=ri,
+                    )
+                )
+                rows.append(
+                    (mid, dec_c.shape[1], dec_c.shape[0], samp,
+                     int(dec_g.astype(np.int64).sum()),
+                     int(dec_c.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "samp",
+                         "sum_gray", "sum_rgb"],
+            )
+
+    return docs.mapInPandas(run, schema=_JPEG_PROG_SCHEMA)
+
+
 _TIFF_FEATURES_SCHEMA = (
     "media_id long, width long, height long, n_strips long, "
     "sum_gray long, sum_rgb long"

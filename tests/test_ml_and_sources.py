@@ -672,6 +672,171 @@ def test_jpeg_subsampled_round_trips_and_exact_chroma():
     assert worst > 0.01, worst
 
 
+def test_jpeg_progressive_round_trips_losslessly_vs_baseline():
+    """r16: progressive (SOF2) de-gated. Our fixed scan script —
+    interleaved DC at Al=1, spectral-split AC at Al=1, AC refinement,
+    raw-bit DC refinement — codes the SAME quantized coefficients as
+    the baseline writer, so progressive decode must equal baseline
+    decode PIXEL-FOR-PIXEL on every image, at every sampling, with
+    and without restart intervals."""
+    import numpy as np
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(37)
+    for shape in ((13, 21), (16, 16), (8, 8), (24, 17), (7, 9)):
+        g = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(g)),
+            decode_jpeg(encode_jpeg(g, progressive=True)),
+        ), shape
+    for shape in ((13, 21, 3), (24, 17, 3)):
+        c = rng.randint(0, 256, shape).astype(np.uint8)
+        for samp in ("444", "420", "422", "440"):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(c, sampling=samp)),
+                decode_jpeg(encode_jpeg(c, sampling=samp, progressive=True)),
+            ), (shape, samp)
+    # restart markers must not change a pixel (DC pred + EOB-run reset)
+    g = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, progressive=True)),
+        decode_jpeg(encode_jpeg(g, progressive=True, restart_interval=3)),
+    )
+    c = rng.randint(0, 256, (19, 22, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(c, sampling="420", progressive=True)),
+        decode_jpeg(encode_jpeg(
+            c, sampling="420", progressive=True, restart_interval=2,
+        )),
+    )
+    # quant tables flow through the progressive path too
+    q = np.clip(np.arange(64).reshape(8, 8) + 10, 1, 255)
+    g = rng.randint(0, 256, (9, 10)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quant=(q, q))),
+        decode_jpeg(encode_jpeg(g, quant=(q, q), progressive=True)),
+    )
+
+
+def test_jpeg_progressive_interop_with_jdk_imageio(spark):
+    """r16: progressive interop BOTH directions. Ours -> JDK: the JDK
+    decodes our multi-scan streams (gray within the +/-1 fixed-point
+    IDCT band; 4:2:0 constant-chroma EXACT). JDK -> ours: our decoder
+    reads libjpeg-SCRIPTED progressive files — successive
+    approximation over two bit planes with CROSS-BLOCK EOB runs
+    carrying buffered correction bits, the path our own writer never
+    emits — within +/-1 on grayscale (no upsampling ambiguity) and a
+    filter tolerance on 4:2:0 color."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_pixels(blob: bytes, h: int, w: int, bands: int):
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO cannot read JPEG here")
+        raster = img.getRaster()
+        out = np.zeros((h, w, bands), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                for b in range(bands):
+                    out[yy, xx, b] = raster.getSample(xx, yy, b)
+        return out
+
+    def jdk_write_progressive(jimg, quality=None):
+        writer = ImageIO.getImageWritersByFormatName("jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+        )
+        if quality is not None:
+            param.setCompressionMode(
+                jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+            )
+            param.setCompressionQuality(quality)
+        bos = jvm.java.io.ByteArrayOutputStream()
+        ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(
+            None, jvm.javax.imageio.IIOImage(jimg, None, None), param
+        )
+        ios.close()
+        return bytes(bos.toByteArray())
+
+    rng = np.random.RandomState(41)
+    h, w = 21, 24
+
+    # ours -> JDK: progressive gray (+/-1: fixed-point vs float IDCT)
+    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    blob = encode_jpeg(g, progressive=True)
+    theirs = jdk_pixels(blob, h, w, 1)[:, :, 0]
+    assert np.abs(decode_jpeg(blob).astype(np.int64) - theirs).max() <= 1
+
+    # ours -> JDK: progressive 4:2:0, constant chroma: exact
+    yb = np.repeat(np.repeat(
+        rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8)), 8, 0), 8, 1
+    )[:h, :w]
+    img = np.stack(
+        [yb, np.full_like(yb, 128), np.full_like(yb, 128)], 2
+    ).astype(np.uint8)
+    blob = encode_jpeg(
+        img, colorspace="ycbcr", sampling="420", progressive=True
+    )
+    assert np.array_equal(
+        jdk_pixels(blob, h, w, 3), np.repeat(yb[:, :, None], 3, 2)
+    )
+
+    # JDK -> ours: libjpeg-scripted progressive GRAYSCALE (cross-block
+    # EOB runs + two-bit successive approximation); +/-1 band
+    gh, gw = 40, 48
+    px = np.clip(
+        ((np.arange(gh)[:, None] * 7 + np.arange(gw)[None, :] * 11) % 256)
+        + rng.randint(-40, 40, (gh, gw)),
+        0, 255,
+    ).astype(np.uint8)
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    jimg = BufferedImage(gw, gh, BufferedImage.TYPE_BYTE_GRAY)
+    for yy in range(gh):
+        for xx in range(gw):
+            v = int(px[yy, xx])
+            jimg.setRGB(xx, yy, (v << 16) | (v << 8) | v)
+    blob = jdk_write_progressive(jimg, quality=0.9)
+    assert blob.find(b"\xff\xc2") > 0, "JDK did not write SOF2"
+    assert blob.count(b"\xff\xda") > 1, "JDK wrote a single-scan file"
+    ours = decode_jpeg(blob).astype(np.int64)
+    theirs = jdk_pixels(blob, gh, gw, 1)[:, :, 0]
+    assert np.abs(ours - theirs).max() <= 1
+
+    # JDK -> ours: progressive color (4:2:0 at default quality) —
+    # same entropy data, different chroma upsampling filter
+    jimg = BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for yy in range(h):
+        for xx in range(w):
+            jimg.setRGB(
+                xx, yy,
+                (((xx * 9) % 256) << 16)
+                | (((yy * 7) % 256) << 8)
+                | ((xx * 3 + yy * 5) % 256),
+            )
+    blob = jdk_write_progressive(jimg)
+    assert blob.find(b"\xff\xc2") > 0
+    ours = decode_jpeg(blob).astype(np.int64)
+    theirs = jdk_pixels(blob, h, w, 3)
+    assert np.abs(ours - theirs).max() <= 32
+    assert np.abs(ours - theirs).mean() <= 4
+
+
 def test_jpeg_subsampled_interop_with_jdk_imageio(spark):
     """r16: two-direction interop for the subsampled rung against the
     JDK's independent JPEG codec (the methodology that de-gated it —
@@ -763,10 +928,13 @@ def test_jpeg_subsampled_interop_with_jdk_imageio(spark):
 
 
 def test_jpeg_decoder_gates_and_errors():
-    """Progressive/subsampled/12-bit JPEG hit the documented
+    """Lossless/12-bit/odd-sampling JPEG hit the documented
     NotImplementedError gate (not a wrong decode); corrupt/truncated
     streams raise ValueError; decode_media dispatches \\xff\\xd8 for
-    real, grayscale repeated into the three channel means."""
+    real, grayscale repeated into the three channel means.
+    (Progressive SOF2 decodes for REAL since r16 — a baseline stream
+    whose marker is merely patched to SOF2 is malformed, its Se=63
+    'DC scan' a ValueError, not a silent wrong decode.)"""
     import numpy as np
     import pytest
 
@@ -780,11 +948,16 @@ def test_jpeg_decoder_gates_and_errors():
     gray = rng.randint(0, 256, (8, 8)).astype(np.uint8)
     blob = encode_jpeg(gray)
 
-    prog = bytearray(blob)
-    i = bytes(prog).find(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(bytes(prog))
+    lossless = bytearray(blob)
+    i = bytes(lossless).find(b"\xff\xc0")
+    lossless[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless sequential)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(lossless))
+
+    fake_prog = bytearray(blob)
+    fake_prog[i + 1] = 0xC2  # SOF2 over a baseline scan: malformed
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg(bytes(fake_prog))
 
     sub = bytearray(encode_jpeg(np.repeat(gray[:, :, None], 3, 2)))
     i = bytes(sub).find(b"\xff\xc0")
