@@ -890,6 +890,8 @@ def encode_tiff(
     palette=None,
     deflate: bool = False,
     predictor: int = 1,
+    tile=None,
+    planar: bool = False,
 ) -> bytes:
     """Minimal TIFF 6.0 writer for 8-bit grayscale (H, W), RGB
     (H, W, 3), or — with ``palette`` = a (P, 3) uint8 array — palette
@@ -902,7 +904,12 @@ def encode_tiff(
     real decode path (the format is public: the TIFF 6.0
     specification). Multiple strips per image so the strip walk is on
     the hot path. ColorMap entries are 16-bit per spec; 8-bit palette
-    values scale by 257 (v*257 >> 8 == v, the lossless pairing)."""
+    values scale by 257 (v*257 >> 8 == v, the lossless pairing).
+    r16: ``tile=(tw, tl)`` writes TILED layout (§15: dims multiples
+    of 16, edge tiles zero-padded to full size, tags 322-325 instead
+    of the strip trio) and ``planar=True`` writes PlanarConfiguration
+    2 (all of sample 0's segments, then sample 1's, ...), composable
+    with tiling and every compression/predictor."""
     import struct
 
     import numpy as np
@@ -937,11 +944,47 @@ def encode_tiff(
         raise ValueError(
             "encode_tiff: predictor 2 pairs with lzw/deflate strips"
         )
-    strips = [
-        px[y : y + rps].tobytes() for y in range(0, h, rps)
-    ]
+    if planar and spp != 3:
+        raise ValueError("encode_tiff: planar=True needs an RGB raster")
+    use_planar = bool(planar)
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+        arr = px[:, :, None] if spp == 1 else px
+        padded = np.zeros((td * tl, ta * tw, arr.shape[2]), np.uint8)
+        padded[:h, :w] = arr
+        if use_planar:
+            strips = [
+                padded[ty * tl : (ty + 1) * tl,
+                       tx * tw : (tx + 1) * tw, p].tobytes()
+                for p in range(spp)
+                for ty in range(td)
+                for tx in range(ta)
+            ]
+            n_chan = 1
+        else:
+            strips = [
+                padded[ty * tl : (ty + 1) * tl,
+                       tx * tw : (tx + 1) * tw].tobytes()
+                for ty in range(td)
+                for tx in range(ta)
+            ]
+            n_chan = spp
+        pred_w = tw
+    elif use_planar:
+        strips = [
+            px[y : y + rps, :, p].tobytes()
+            for p in range(spp)
+            for y in range(0, h, rps)
+        ]
+        n_chan, pred_w = 1, w
+    else:
+        strips = [px[y : y + rps].tobytes() for y in range(0, h, rps)]
+        n_chan, pred_w = spp, w
     if predictor == 2:
-        strips = [_tiff_predictor2_encode(s, w, spp) for s in strips]
+        strips = [_tiff_predictor2_encode(s, pred_w, n_chan) for s in strips]
     if packbits:
         strips = [packbits_encode(s) for s in strips]
     elif lzw:
@@ -1003,18 +1046,35 @@ def encode_tiff(
         entry(262, 3, 1,
               3 if pal is not None
               else (1 if spp == 1 else 2)),       # Photometric
-        (entry(273, 4, 1, offsets[0]) if n_strips == 1
-         else entry(273, 4, n_strips, strip_off_ptr)),  # StripOffsets
-        entry(277, 3, 1, spp),                    # SamplesPerPixel
-        entry(278, 4, 1, rps),                    # RowsPerStrip
-        (entry(279, 4, 1, counts[0]) if n_strips == 1
-         else entry(279, 4, n_strips, strip_cnt_ptr)),  # StripByteCounts
-        entry(284, 3, 1, 1),                      # PlanarConfig: chunky
     ]
+    if tile is None:
+        entries.append(
+            entry(273, 4, 1, offsets[0]) if n_strips == 1
+            else entry(273, 4, n_strips, strip_off_ptr)  # StripOffsets
+        )
+    entries.append(entry(277, 3, 1, spp))         # SamplesPerPixel
+    if tile is None:
+        entries.append(entry(278, 4, 1, rps))     # RowsPerStrip
+        entries.append(
+            entry(279, 4, 1, counts[0]) if n_strips == 1
+            else entry(279, 4, n_strips, strip_cnt_ptr)  # StripByteCounts
+        )
+    entries.append(entry(284, 3, 1, 2 if use_planar else 1))  # PlanarConfig
     if predictor == 2:
         entries.append(entry(317, 3, 1, 2))           # Predictor
     if pal is not None:
         entries.append(entry(320, 3, 768, cmap_ptr))  # ColorMap
+    if tile is not None:
+        entries.append(entry(322, 4, 1, tw))          # TileWidth
+        entries.append(entry(323, 4, 1, tl))          # TileLength
+        entries.append(
+            entry(324, 4, 1, offsets[0]) if n_strips == 1
+            else entry(324, 4, n_strips, strip_off_ptr)  # TileOffsets
+        )
+        entries.append(
+            entry(325, 4, 1, counts[0]) if n_strips == 1
+            else entry(325, 4, n_strips, strip_cnt_ptr)  # TileByteCounts
+        )
     ifd = (
         struct.pack(e + "H", len(entries))
         + b"".join(entries)
@@ -1207,10 +1267,13 @@ def decode_tiff(content: bytes):
     8-bit grayscale (photometric 0/1, MinIsBlack honored, MinIsWhite
     inverted), 8-bit chunky RGB, and palette (photometric 3, r15:
     16-bit ColorMap planes downshifted to uint8 RGB). Returns (H, W)
-    or (H, W, 3) uint8. Raises ValueError on corrupt/truncated
-    streams and NotImplementedError on JPEG-in-TIFF compression, the
-    floating-point predictor (3), planar, tiled, or non-8-bit TIFFs —
-    the gate that remains."""
+    or (H, W, 3) uint8. r16 adds TILED layout (tags 322-325, row-major
+    full-size tiles, edge crop) and PlanarConfiguration 2 (plane-major
+    segment order, per-plane predictor stride), both composable with
+    every compression. Raises ValueError on corrupt/truncated streams
+    and NotImplementedError on JPEG-in-TIFF compression, the
+    floating-point predictor (3), or non-8-bit TIFFs — the gate that
+    remains."""
     import struct
 
     import numpy as np
@@ -1265,10 +1328,8 @@ def decode_tiff(content: bytes):
             f"TIFF predictor {predictor} (floating-point differencing) "
             "needs a real codec library"
         )
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF needs a real codec library")
-    if planar != 1:
-        raise NotImplementedError("planar TIFF needs a real codec library")
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF planar configuration {planar} invalid")
     if any(b != 8 for b in bps) or spp not in (1, 3):
         raise NotImplementedError(
             f"TIFF bits {bps} x {spp} samples needs a real codec library; "
@@ -1292,36 +1353,85 @@ def decode_tiff(content: bytes):
         cmap = (
             np.asarray(vals, dtype=np.uint16).reshape(3, n).T >> 8
         ).astype(np.uint8)
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    rps = one(278, h)
-    data = bytearray()
-    for si, (o, c) in enumerate(zip(offsets, counts)):
-        if o + c > len(content):
-            raise ValueError("TIFF strip past EOF")
-        raw = content[o : o + c]
-        rows_here = min(rps, h - si * rps)
+    n_chan = 1 if planar == 2 else spp
+    n_planes = spp if planar == 2 else 1
+
+    def decode_seg(raw: bytes, n_expected: int) -> bytes:
         if compression == 32773:
-            raw = packbits_decode(raw, rows_here * w * spp)
-        elif compression == 5:
-            raw = _lzw_decode_tiff(raw, rows_here * w * spp)
-        elif compression in (8, 32946):
+            return packbits_decode(raw, n_expected)
+        if compression == 5:
+            return _lzw_decode_tiff(raw, n_expected)
+        if compression in (8, 32946):
             import zlib
 
             raw = zlib.decompress(raw)
-            if len(raw) < rows_here * w * spp:
-                raise ValueError("TIFF deflate strip shorter than raster")
-            raw = raw[: rows_here * w * spp]
-        if predictor == 2:
-            raw = _tiff_predictor2_decode(raw, w, spp)
-        data.extend(raw)
-    need = w * h * spp
-    if len(data) < need:
-        raise ValueError("TIFF strip data shorter than the raster")
-    px = np.frombuffer(bytes(data[:need]), dtype=np.uint8)
-    px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+            if len(raw) < n_expected:
+                raise ValueError("TIFF deflate segment shorter than raster")
+            return raw[:n_expected]
+        return raw
+
+    if 322 in tags or 323 in tags:  # tiled layout (r16, TIFF 6.0 §15)
+        tw, tl = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing tile offsets/byte counts")
+        ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+        if len(offsets) != ta * td * n_planes:
+            raise ValueError("TIFF tile count mismatch")
+        out = np.zeros((h, w, spp), np.uint8)
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(content):
+                raise ValueError("TIFF tile past EOF")
+            plane, ti = divmod(i, ta * td)
+            tyi, txi = divmod(ti, ta)
+            raw = decode_seg(content[o : o + c], tl * tw * n_chan)
+            if len(raw) < tl * tw * n_chan:
+                raise ValueError("TIFF tile shorter than its full size")
+            if predictor == 2:
+                raw = _tiff_predictor2_decode(raw, tw, n_chan)
+            t = np.frombuffer(raw, np.uint8).reshape(tl, tw, n_chan)
+            y0, x0 = tyi * tl, txi * tw
+            ye, xe = min(y0 + tl, h), min(x0 + tw, w)
+            if planar == 2:
+                out[y0:ye, x0:xe, plane] = t[: ye - y0, : xe - x0, 0]
+            else:
+                out[y0:ye, x0:xe, :] = t[: ye - y0, : xe - x0, :]
+        px = out[:, :, 0] if spp == 1 else out
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rps = one(278, h)
+        spl = (h + rps - 1) // rps  # strips per plane
+        if len(offsets) != spl * n_planes:
+            raise ValueError("TIFF strip count mismatch")
+        plane_bytes = [bytearray() for _ in range(n_planes)]
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            if o + c > len(content):
+                raise ValueError("TIFF strip past EOF")
+            plane, si = divmod(i, spl)
+            rows_here = min(rps, h - si * rps)
+            raw = decode_seg(content[o : o + c], rows_here * w * n_chan)
+            if predictor == 2:
+                raw = _tiff_predictor2_decode(raw, w, n_chan)
+            plane_bytes[plane].extend(raw)
+        need = w * h * n_chan
+        if any(len(b) < need for b in plane_bytes):
+            raise ValueError("TIFF strip data shorter than the raster")
+        if planar == 2:
+            px = np.stack(
+                [
+                    np.frombuffer(bytes(b[:need]), np.uint8).reshape(h, w)
+                    for b in plane_bytes
+                ],
+                axis=2,
+            )
+        else:
+            px = np.frombuffer(bytes(plane_bytes[0][:need]), dtype=np.uint8)
+            px = px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+    if spp == 1 and px.ndim == 3:
+        px = px[:, :, 0]
     if photometric == 0 and spp == 1:  # MinIsWhite: invert to MinIsBlack
         px = 255 - px
     if cmap is not None:

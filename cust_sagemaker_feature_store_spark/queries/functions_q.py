@@ -831,10 +831,14 @@ FROM px GROUP BY 1, 2, 3, 4
         "Deflate 8 / LZW+horizontal-predictor-2 (r15 wave 2) — then "
         "decoded back by decode_tiff inside mapInPandas: IFD walk, "
         "inline-vs-pointed values, StripOffsets/ByteCounts, per-strip "
-        "decompression dispatch. Every rung is lossless, so ONE "
-        "oracle recomputes exact channel sums from the pixel rules "
-        "for all five compression variants without seeing TIFF bytes; "
-        "planar/tiled/JPEG-in-TIFF stays gated."
+        "decompression dispatch. r16 rotates the RGB fixture's LAYOUT "
+        "by id%3 — chunky strips / PlanarConfiguration-2 strips / "
+        "16x16 tiles (tags 322-325, padded edge tiles) — decoded "
+        "pixels are layout-invariant so the oracle hash is unchanged "
+        "while the tile and planar reassembly paths run hot. Every "
+        "rung is lossless, so ONE oracle recomputes exact channel "
+        "sums from the pixel rules without seeing TIFF bytes; "
+        "JPEG-in-TIFF stays gated."
     ),
 )
 def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,9 +880,21 @@ def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=2,
                 ).astype(np.uint8)
+                # r16: the RGB fixture additionally rotates the LAYOUT
+                # by id%3 — chunky strips / planar strips (284=2) /
+                # tiled 16x16 (tags 322-325, single padded edge tile
+                # at these dims). Decoded pixels are layout-invariant,
+                # so the oracle hash is untouched while the tile and
+                # planar reassembly paths go hot.
+                layout = {
+                    0: {},
+                    1: {"planar": True},
+                    2: {"tile": (16, 16)},
+                }[mid % 3]
                 dec_c = decode_tiff(
                     encode_tiff(
-                        rgb, big_endian=be, rows_per_strip=rps, **comp
+                        rgb, big_endian=be, rows_per_strip=rps,
+                        **comp, **layout,
                     )
                 )
                 rows.append(

@@ -1341,7 +1341,7 @@ def test_tiff_codec_round_trips_both_byte_orders():
 
 
 def test_tiff_decoder_gates_photometrics_and_errors():
-    """Compressed/planar/tiled/non-8-bit TIFFs hit the documented
+    """JPEG-in-TIFF/float-predictor/non-8-bit TIFFs hit the documented
     NotImplementedError gate; corrupt streams raise ValueError;
     photometric 0 (MinIsWhite) inverts; decode_media dispatches the
     II*/MM* magics for real."""
@@ -1389,8 +1389,11 @@ def test_tiff_decoder_gates_photometrics_and_errors():
     with pytest.raises(NotImplementedError, match="predictor"):
         # predictor 2 decodes in r15 wave 2; 3 (float differencing) gated
         decode_tiff(retag(encode_tiff(px, lzw=True), 284, 317, 3))
-    with pytest.raises(NotImplementedError, match="planar"):
-        decode_tiff(patch_tag(blob, 284, 2))
+    # planar (284=2) decodes since r16; for spp=1 it is equivalent to
+    # chunky, and an out-of-spec value is a ValueError, not a gate
+    assert np.array_equal(decode_tiff(patch_tag(blob, 284, 2)), px)
+    with pytest.raises(ValueError, match="planar"):
+        decode_tiff(patch_tag(blob, 284, 3))
     with pytest.raises(NotImplementedError, match="photometric"):
         decode_tiff(patch_tag(blob, 262, 6))  # YCbCr TIFF
     # palette (3) decodes in r15 — but a missing ColorMap is corrupt
@@ -2287,6 +2290,111 @@ def test_tiff_deflate_and_predictor2_round_trips_and_jdk_interop(spark):
     for comp in cases:
         got = jdk_gray(encode_tiff(big, rows_per_strip=20, **comp), 20, 64)
         assert np.array_equal(got, big.astype(np.int64)), comp
+
+
+def test_tiff_tiled_and_planar_round_trips_and_jdk_interop(spark):
+    """r16: tiled TIFF (§15, tags 322-325, zero-padded edge tiles)
+    and PlanarConfiguration 2 (plane-major segments, per-plane
+    predictor stride) de-gated — composable with every compression,
+    both byte orders. JDK interop: ImageIO reads our tiled /
+    planar / planar+tiled streams exactly, and our decoder reads a
+    JDK-WRITTEN tiled LZW TIFF."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(43)
+    comps = [{}, {"packbits": True}, {"lzw": True}, {"deflate": True},
+             {"lzw": True, "predictor": 2},
+             {"deflate": True, "predictor": 2}]
+    for comp in comps:
+        for shape in ((13, 17), (33, 20), (7, 9, 3), (20, 35, 3)):
+            px = rng.randint(0, 256, shape).astype(np.uint8)
+            for be in (False, True):
+                got = decode_tiff(
+                    encode_tiff(px, big_endian=be, tile=(16, 16), **comp)
+                )
+                assert np.array_equal(got, px), ("tile", comp, shape, be)
+        rgb = rng.randint(0, 256, (11, 14, 3)).astype(np.uint8)
+        for be in (False, True):
+            got = decode_tiff(encode_tiff(
+                rgb, big_endian=be, rows_per_strip=3, planar=True, **comp
+            ))
+            assert np.array_equal(got, rgb), ("planar", comp, be)
+        big = rng.randint(0, 256, (21, 34, 3)).astype(np.uint8)
+        got = decode_tiff(
+            encode_tiff(big, tile=(16, 16), planar=True, **comp)
+        )
+        assert np.array_equal(got, big), ("planar+tile", comp)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(rgb, tile=(10, 16))
+    with pytest.raises(ValueError, match="RGB"):
+        encode_tiff(rng.randint(0, 256, (5, 5)).astype(np.uint8),
+                    planar=True)
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_read(blob: bytes, h: int, w: int, bands: int):
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO has no TIFF reader in this JVM")
+        raster = img.getRaster()
+        out = np.zeros((h, w, bands), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                for b in range(bands):
+                    out[yy, xx, b] = raster.getSample(xx, yy, b)
+        return out
+
+    g = rng.randint(0, 256, (20, 35)).astype(np.uint8)
+    got = jdk_read(encode_tiff(g, tile=(16, 16), lzw=True), 20, 35, 1)
+    assert np.array_equal(got[:, :, 0], g)
+    c = rng.randint(0, 256, (21, 34, 3)).astype(np.uint8)
+    assert np.array_equal(
+        jdk_read(encode_tiff(c, tile=(16, 16), deflate=True, predictor=2),
+                 21, 34, 3),
+        c,
+    )
+    assert np.array_equal(
+        jdk_read(encode_tiff(c, rows_per_strip=4, planar=True), 21, 34, 3), c
+    )
+    assert np.array_equal(
+        jdk_read(encode_tiff(c, tile=(16, 16), planar=True, lzw=True),
+                 21, 34, 3),
+        c,
+    )
+
+    # JDK-written tiled LZW -> our decoder
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    jimg = BufferedImage(34, 21, BufferedImage.TYPE_3BYTE_BGR)
+    for yy in range(21):
+        for xx in range(34):
+            jimg.setRGB(
+                xx, yy,
+                (int(c[yy, xx, 0]) << 16) | (int(c[yy, xx, 1]) << 8)
+                | int(c[yy, xx, 2]),
+            )
+    writers = ImageIO.getImageWritersByFormatName("TIFF")
+    if not writers.hasNext():
+        pytest.skip("JDK ImageIO has no TIFF writer in this JVM")
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    param.setTilingMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(16, 16, 0, 0)
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(jimg, None, None), param)
+    ios.close()
+    got = decode_tiff(bytes(bos.toByteArray()))
+    assert np.array_equal(got, c)
 
 
 def test_png_gray_alpha_round_trips_both_depths():
