@@ -859,7 +859,7 @@ def decode_gif(content: bytes):
 
 TIFF_SIGNATURES = (b"II\x2a\x00", b"MM\x00\x2a")
 
-_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all we emit/need
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE SHORT LONG UNDEFINED
 
 
 def _tiff_predictor2_encode(strip: bytes, w: int, spp: int) -> bytes:
@@ -881,6 +881,33 @@ def _tiff_predictor2_decode(strip: bytes, w: int, spp: int) -> bytes:
     return (np.cumsum(a, axis=1) % 256).astype(np.uint8).tobytes()
 
 
+def _jpeg_extract_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a JPEG stream into (table segments, stream without them):
+    DQT/DHT segments move to the first element — the TIFF TechNote 2
+    JPEGTables (tag 347) sharing shape, where per-strip abbreviated
+    streams inherit tables from the tag."""
+    import struct
+
+    tables = bytearray()
+    rest = bytearray(stream[:2])  # SOI
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            break
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            rest.extend(stream[pos:])
+            return bytes(tables), bytes(rest)
+        (length,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + length]
+        if marker in (0xDB, 0xC4):
+            tables.extend(seg)
+        else:
+            rest.extend(seg)
+        pos += 2 + length
+    raise ValueError("JPEG stream without SOS")
+
+
 def encode_tiff(
     pixels,
     big_endian: bool = False,
@@ -892,6 +919,8 @@ def encode_tiff(
     predictor: int = 1,
     tile=None,
     planar: bool = False,
+    jpeg: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Minimal TIFF 6.0 writer for 8-bit grayscale (H, W), RGB
     (H, W, 3), or — with ``palette`` = a (P, 3) uint8 array — palette
@@ -947,6 +976,12 @@ def encode_tiff(
     if planar and spp != 3:
         raise ValueError("encode_tiff: planar=True needs an RGB raster")
     use_planar = bool(planar)
+    if jpeg and (packbits or lzw or deflate or predictor == 2
+                 or use_planar or pal is not None):
+        raise ValueError(
+            "encode_tiff: jpeg (compression 7) excludes other codecs, "
+            "the predictor, planar layout and palettes"
+        )
     if tile is not None:
         tw, tl = tile
         if tw % 16 or tl % 16:
@@ -956,43 +991,61 @@ def encode_tiff(
         padded = np.zeros((td * tl, ta * tw, arr.shape[2]), np.uint8)
         padded[:h, :w] = arr
         if use_planar:
-            strips = [
-                padded[ty * tl : (ty + 1) * tl,
-                       tx * tw : (tx + 1) * tw, p].tobytes()
+            seg_arrays = [
+                padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw, p]
                 for p in range(spp)
                 for ty in range(td)
                 for tx in range(ta)
             ]
             n_chan = 1
         else:
-            strips = [
-                padded[ty * tl : (ty + 1) * tl,
-                       tx * tw : (tx + 1) * tw].tobytes()
+            seg_arrays = [
+                padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
                 for ty in range(td)
                 for tx in range(ta)
             ]
             n_chan = spp
         pred_w = tw
     elif use_planar:
-        strips = [
-            px[y : y + rps, :, p].tobytes()
+        seg_arrays = [
+            px[y : y + rps, :, p]
             for p in range(spp)
             for y in range(0, h, rps)
         ]
         n_chan, pred_w = 1, w
     else:
-        strips = [px[y : y + rps].tobytes() for y in range(0, h, rps)]
+        seg_arrays = [px[y : y + rps] for y in range(0, h, rps)]
         n_chan, pred_w = spp, w
-    if predictor == 2:
-        strips = [_tiff_predictor2_encode(s, pred_w, n_chan) for s in strips]
-    if packbits:
-        strips = [packbits_encode(s) for s in strips]
-    elif lzw:
-        strips = [_lzw_encode_tiff(s) for s in strips]
-    elif deflate:
-        import zlib
+    jpeg_tables_blob = None
+    if jpeg:
+        # TechNote 2 new-style JPEG: each segment is a full JPEG
+        # stream; with jpeg_tables the shared DQT/DHT move to tag 347
+        # (SOI + tables + EOI) and segment streams carry none
+        seg_arrays = [
+            a[:, :, 0] if (a.ndim == 3 and a.shape[2] == 1) else a
+            for a in seg_arrays
+        ]
+        strips = [encode_jpeg(a) for a in seg_arrays]
+        if jpeg_tables:
+            tables, first = _jpeg_extract_tables(strips[0])
+            jpeg_tables_blob = b"\xff\xd8" + tables + b"\xff\xd9"
+            strips = [
+                _jpeg_extract_tables(s)[1] for s in strips
+            ]
+    else:
+        strips = [np.ascontiguousarray(a).tobytes() for a in seg_arrays]
+        if predictor == 2:
+            strips = [
+                _tiff_predictor2_encode(s, pred_w, n_chan) for s in strips
+            ]
+        if packbits:
+            strips = [packbits_encode(s) for s in strips]
+        elif lzw:
+            strips = [_lzw_encode_tiff(s) for s in strips]
+        elif deflate:
+            import zlib
 
-        strips = [zlib.compress(s, 9) for s in strips]
+            strips = [zlib.compress(s, 9) for s in strips]
     n_strips = len(strips)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -1034,6 +1087,10 @@ def encode_tiff(
             e + "H" * 768, *(int(v) for v in full.T.reshape(-1))
         )
         pos += 1536
+    if jpeg_tables_blob is not None:
+        jtab_ptr = pos
+        extra += jpeg_tables_blob
+        pos += len(jpeg_tables_blob)
     ifd_ptr = pos
     entries = [
         entry(256, 4, 1, w),                      # ImageWidth
@@ -1041,11 +1098,13 @@ def encode_tiff(
         (entry(258, 3, 1, 8) if spp == 1
          else entry(258, 3, 3, bps_ptr)),         # BitsPerSample
         entry(259, 3, 1,
-              32773 if packbits
-              else (5 if lzw else (8 if deflate else 1))),  # Compression
+              7 if jpeg
+              else (32773 if packbits
+                    else (5 if lzw else (8 if deflate else 1)))),  # Compression
         entry(262, 3, 1,
               3 if pal is not None
-              else (1 if spp == 1 else 2)),       # Photometric
+              else (1 if spp == 1
+                    else (6 if jpeg else 2))),    # Photometric (6: YCbCr)
     ]
     if tile is None:
         entries.append(
@@ -1074,6 +1133,10 @@ def encode_tiff(
         entries.append(
             entry(325, 4, 1, counts[0]) if n_strips == 1
             else entry(325, 4, n_strips, strip_cnt_ptr)  # TileByteCounts
+        )
+    if jpeg_tables_blob is not None:
+        entries.append(
+            entry(347, 7, len(jpeg_tables_blob), jtab_ptr)  # JPEGTables
         )
     ifd = (
         struct.pack(e + "H", len(entries))
@@ -1300,7 +1363,7 @@ def decode_tiff(content: bytes):
             (voff,) = struct.unpack_from(e + "I", content, off + 8)
             if voff + size > len(content):
                 raise ValueError("TIFF value pointer past EOF")
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         tags[tag] = list(struct.unpack_from(e + fmt * count, content, voff))
 
     def one(tag: int, default=None) -> int:
@@ -1316,11 +1379,11 @@ def decode_tiff(content: bytes):
     spp = one(277, 1)
     planar = one(284, 1)
     bps = tags.get(258, [8])
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} needs a real codec library; "
-            "only uncompressed (1), LZW (5), Deflate (8/32946) and "
-            "PackBits (32773) decode here"
+            "only uncompressed (1), LZW (5), new-style JPEG (7), "
+            "Deflate (8/32946) and PackBits (32773) decode here"
         )
     predictor = one(317, 1)
     if predictor not in (1, 2):
@@ -1335,10 +1398,19 @@ def decode_tiff(content: bytes):
             f"TIFF bits {bps} x {spp} samples needs a real codec library; "
             "only 8-bit gray/RGB decodes here"
         )
-    if photometric not in (0, 1, 2, 3):
+    if photometric == 6 and compression != 7:
         raise NotImplementedError(
-            f"TIFF photometric {photometric} (CMYK/YCbCr) needs "
+            "raw YCbCr TIFF (photometric 6 without JPEG compression) "
+            "needs a real codec library"
+        )
+    if photometric not in (0, 1, 2, 3, 6):
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} (CMYK/...) needs "
             "a real codec library"
+        )
+    if compression == 7 and planar == 2:
+        raise NotImplementedError(
+            "planar JPEG-in-TIFF needs a real codec library"
         )
     cmap = None
     if photometric == 3:  # palette (r15): ColorMap is 16-bit RGB planes
@@ -1355,6 +1427,27 @@ def decode_tiff(content: bytes):
         ).astype(np.uint8)
     n_chan = 1 if planar == 2 else spp
     n_planes = spp if planar == 2 else 1
+
+    jtables = bytes(tags[347]) if 347 in tags else None
+
+    def decode_jpeg_seg(raw: bytes, rows: int, cols: int) -> bytes:
+        """TechNote 2 new-style JPEG segment: a full (or abbreviated)
+        JPEG stream, inheriting DQT/DHT from the JPEGTables tag when
+        present; decoded pixels cropped to the segment's window."""
+        if len(raw) < 2 or raw[:2] != JPEG_SOI:
+            raise ValueError("TIFF JPEG segment without SOI")
+        if jtables is not None and len(jtables) >= 4:
+            raw = b"\xff\xd8" + jtables[2:-2] + raw[2:]
+        arr = decode_jpeg(raw)
+        chans = 1 if arr.ndim == 2 else arr.shape[2]
+        if chans != spp:
+            raise ValueError(
+                "TIFF JPEG segment channel count does not match "
+                "SamplesPerPixel"
+            )
+        if arr.shape[0] < rows or arr.shape[1] < cols:
+            raise ValueError("TIFF JPEG segment smaller than its window")
+        return np.ascontiguousarray(arr[:rows, :cols]).tobytes()
 
     def decode_seg(raw: bytes, n_expected: int) -> bytes:
         if compression == 32773:
@@ -1384,11 +1477,14 @@ def decode_tiff(content: bytes):
                 raise ValueError("TIFF tile past EOF")
             plane, ti = divmod(i, ta * td)
             tyi, txi = divmod(ti, ta)
-            raw = decode_seg(content[o : o + c], tl * tw * n_chan)
-            if len(raw) < tl * tw * n_chan:
-                raise ValueError("TIFF tile shorter than its full size")
-            if predictor == 2:
-                raw = _tiff_predictor2_decode(raw, tw, n_chan)
+            if compression == 7:
+                raw = decode_jpeg_seg(content[o : o + c], tl, tw)
+            else:
+                raw = decode_seg(content[o : o + c], tl * tw * n_chan)
+                if len(raw) < tl * tw * n_chan:
+                    raise ValueError("TIFF tile shorter than its full size")
+                if predictor == 2:
+                    raw = _tiff_predictor2_decode(raw, tw, n_chan)
             t = np.frombuffer(raw, np.uint8).reshape(tl, tw, n_chan)
             y0, x0 = tyi * tl, txi * tw
             ye, xe = min(y0 + tl, h), min(x0 + tw, w)
@@ -1412,9 +1508,12 @@ def decode_tiff(content: bytes):
                 raise ValueError("TIFF strip past EOF")
             plane, si = divmod(i, spl)
             rows_here = min(rps, h - si * rps)
-            raw = decode_seg(content[o : o + c], rows_here * w * n_chan)
-            if predictor == 2:
-                raw = _tiff_predictor2_decode(raw, w, n_chan)
+            if compression == 7:
+                raw = decode_jpeg_seg(content[o : o + c], rows_here, w)
+            else:
+                raw = decode_seg(content[o : o + c], rows_here * w * n_chan)
+                if predictor == 2:
+                    raw = _tiff_predictor2_decode(raw, w, n_chan)
             plane_bytes[plane].extend(raw)
         need = w * h * n_chan
         if any(len(b) < need for b in plane_bytes):

@@ -566,6 +566,7 @@ _WINDOW_PRIORITY = [
     # the r16 additions (subsampled JPEG, Avro unions/write).
     "udf_multimodal_jpeg_subsampled",  # NEW r16
     "udf_multimodal_jpeg_progressive",  # NEW r16: SOF2 de-gated
+    "udf_multimodal_tiff_jpeg",  # NEW r16: compression-7 de-gated
     "udf_multimodal_jpeg", "udf_multimodal_tiff", "udf_multimodal_wav",
     "udf_multimodal_g711", "udf_multimodal_gif", "udf_multimodal_png",
     "udf_multimodal_png_palette", "udf_multimodal_phash",

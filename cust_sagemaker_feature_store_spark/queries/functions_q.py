@@ -915,6 +915,108 @@ def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=_TIFF_FEATURES_SCHEMA)
 
 
+_TIFF_JPEG_SCHEMA = (
+    "media_id long, width long, height long, n_strips long, "
+    "sum_gray long, noisy_err_le_8 boolean"
+)
+
+
+@register(
+    "udf_multimodal_tiff_jpeg",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (2 + doc_id % 3) - doc_id % 5 AS BIGINT) AS width,
+         CAST(8 * (2 + doc_id % 2) - doc_id % 3 AS BIGINT) AS height,
+         CAST(3 + doc_id % 6 AS BIGINT) AS rps
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, rps, x.x AS x, y.y AS y
+  FROM dims,
+       unnest(generate_series(0, width - 1)) AS x(x),
+       unnest(generate_series(0, height - 1)) AS y(y)
+)
+SELECT media_id, width, height,
+       (height + rps - 1) // rps AS n_strips,
+       CAST(SUM((13 * media_id + 3 * (x // 8) + 11 * (y // 8)) % 256)
+            AS BIGINT) AS sum_gray,
+       TRUE AS noisy_err_le_8
+FROM px GROUP BY 1, 2, 3, 4
+""",
+    description=(
+        "[EXT] REAL JPEG-in-TIFF decode path (r16 — TIFF TechNote 2 "
+        "new-style JPEG, compression 7: each strip is a full JPEG "
+        "stream, with even ids moving the shared DQT/DHT into the "
+        "JPEGTables tag 347 that every strip inherits, odd ids "
+        "keeping self-contained strips; byte order alternates too). "
+        "Two fixtures per document: (1) an 8x8-block-constant "
+        "grayscale raster (value (13id + 3bx + 11by) % 256) whose "
+        "multi-strip JPEG decode is EXACT under all-ones quant "
+        "tables — DC-only blocks — so sum_gray hashes the IFD walk, "
+        "tag-347 table merge, per-strip JPEG decode and strip "
+        "reassembly bit-for-bit; (2) a noisy raster whose per-pixel "
+        "reconstruction error is bounded by the all-ones-quant "
+        "theorem (< 8), floored as noisy_err_le_8. The oracle "
+        "recomputes sum_gray from the pixel rule via SQL. Narrow "
+        "per-row transform, no shuffle; planar JPEG-in-TIFF keeps "
+        "its gate."
+    ),
+)
+def udf_multimodal_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_tiff, encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = 8 * (2 + mid % 3) - mid % 5
+                h = 8 * (2 + mid % 2) - mid % 3
+                rps = 3 + mid % 6
+                be = bool(mid % 2)
+                jt = mid % 2 == 0
+                bx = np.arange((w + 7) // 8, dtype=np.int64)[None, :]
+                by = np.arange((h + 7) // 8, dtype=np.int64)[:, None]
+                gray = np.repeat(
+                    np.repeat((13 * mid + 3 * bx + 11 * by) % 256, 8, 0),
+                    8, 1,
+                )[:h, :w].astype(np.uint8)
+                dec = decode_tiff(encode_tiff(
+                    gray, big_endian=be, rows_per_strip=rps,
+                    jpeg=True, jpeg_tables=jt,
+                ))
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                noisy = ((mid + 5 * x + 2 * y) % 256).astype(np.uint8)
+                dec_n = decode_tiff(encode_tiff(
+                    noisy, big_endian=be, rows_per_strip=rps,
+                    jpeg=True, jpeg_tables=jt,
+                ))
+                err = int(np.abs(
+                    dec_n.astype(np.int64) - noisy.astype(np.int64)
+                ).max())
+                rows.append(
+                    (mid, w, h, (h + rps - 1) // rps,
+                     int(dec.astype(np.int64).sum()), err <= 8)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_strips",
+                         "sum_gray", "noisy_err_le_8"],
+            )
+
+    return docs.mapInPandas(run, schema=_TIFF_JPEG_SCHEMA)
+
+
 _PNG2_FEATURES_SCHEMA = (
     "media_id long, width long, height long, n_colors long, "
     "sum_gray long, sum_rgb_palette long"

@@ -2397,6 +2397,100 @@ def test_tiff_tiled_and_planar_round_trips_and_jdk_interop(spark):
     assert np.array_equal(got, c)
 
 
+def test_tiff_jpeg_compression_round_trips_and_jdk_interop(spark):
+    """r16: new-style JPEG-in-TIFF (compression 7, TechNote 2) — each
+    strip/tile is a full JPEG stream, optionally inheriting DQT/DHT
+    from the JPEGTables tag (347). Block-constant rasters decode
+    EXACTLY (DC-only blocks, all-ones quant); noisy rasters stay
+    within the coefficient-rounding bound. JDK interop both ways:
+    ImageIO reads our streams (gray exact, RGB +/-3 fixed-point), and
+    our decoder reads a JDK-written JPEG-compressed TIFF (which uses
+    tag 347) BIT-IDENTICALLY to the JDK's own reader."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(53)
+    for (h, w, rps) in ((24, 32, 8), (19, 21, 4), (16, 48, 16)):
+        bv = rng.randint(0, 256, ((h + 7) // 8, (w + 7) // 8))
+        g = np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+        for jt in (False, True):
+            for be in (False, True):
+                got = decode_tiff(encode_tiff(
+                    g, big_endian=be, rows_per_strip=rps,
+                    jpeg=True, jpeg_tables=jt,
+                ))
+                assert np.array_equal(got, g), (h, w, rps, jt, be)
+    noisy = rng.randint(0, 256, (20, 30)).astype(np.uint8)
+    got = decode_tiff(
+        encode_tiff(noisy, rows_per_strip=8, jpeg=True, jpeg_tables=True)
+    )
+    assert np.abs(got.astype(int) - noisy.astype(int)).max() <= 8
+    c = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(c, rows_per_strip=8, jpeg=True))
+    assert np.abs(got.astype(int) - c.astype(int)).max() <= 16
+    got = decode_tiff(encode_tiff(c, tile=(16, 16), jpeg=True,
+                                  jpeg_tables=True))
+    assert np.abs(got.astype(int) - c.astype(int)).max() <= 16
+    with pytest.raises(ValueError, match="jpeg"):
+        encode_tiff(c, jpeg=True, lzw=True)
+    with pytest.raises(ValueError, match="jpeg"):
+        encode_tiff(c, jpeg=True, planar=True)
+
+    jvm = spark._jvm
+    ImageIO = jvm.javax.imageio.ImageIO
+
+    def jdk_read(blob: bytes, h: int, w: int, bands: int):
+        img = ImageIO.read(jvm.java.io.ByteArrayInputStream(blob))
+        if img is None:
+            pytest.skip("JDK ImageIO has no TIFF reader in this JVM")
+        raster = img.getRaster()
+        out = np.zeros((h, w, bands), np.int64)
+        for yy in range(h):
+            for xx in range(w):
+                for b in range(bands):
+                    out[yy, xx, b] = raster.getSample(xx, yy, b)
+        return out
+
+    h, w = 24, 32
+    g = np.repeat(np.repeat(rng.randint(0, 256, (3, 4)), 8, 0), 8, 1
+                  ).astype(np.uint8)
+    for jt in (False, True):
+        blob = encode_tiff(g, rows_per_strip=8, jpeg=True, jpeg_tables=jt)
+        assert np.array_equal(jdk_read(blob, h, w, 1)[:, :, 0], g), jt
+    blob = encode_tiff(c, rows_per_strip=8, jpeg=True, jpeg_tables=True)
+    assert np.abs(jdk_read(blob, 16, 24, 3) - c).max() <= 3
+
+    # JDK-written JPEG-compressed TIFF -> ours, vs the JDK's own read
+    BufferedImage = jvm.java.awt.image.BufferedImage
+    jimg = BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for yy in range(h):
+        for xx in range(w):
+            v = int(g[yy, xx])
+            jimg.setRGB(xx, yy, (v << 16) | (v << 8) | v)
+    writers = ImageIO.getImageWritersByFormatName("TIFF")
+    if not writers.hasNext():
+        pytest.skip("JDK ImageIO has no TIFF writer in this JVM")
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("JPEG")
+    param.setCompressionQuality(0.95)
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(jimg, None, None), param)
+    ios.close()
+    blob = bytes(bos.toByteArray())
+    ours = decode_tiff(blob).astype(np.int64)
+    theirs = jdk_read(blob, h, w, 1)[:, :, 0]
+    assert np.array_equal(ours, theirs)
+
+
 def test_png_gray_alpha_round_trips_both_depths():
     """r15 wave 2: PNG color type 4 (gray+alpha) at 8 and 16 bit —
     round-trips across filters; the JDK reads our 8-bit LA stream."""
