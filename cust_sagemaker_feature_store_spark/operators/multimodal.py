@@ -1607,9 +1607,13 @@ def alaw_compress(samples):
     return ((sign | (seg << 4) | quant) ^ 0x55).astype(np.uint8)
 
 
+_WAVEX_GUID_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
 def encode_wav_raw(
     payload: bytes, fmt_tag: int, channels: int, sample_rate: int,
-    bits: int,
+    bits: int, extensible: bool = False,
 ) -> bytes:
     """RIFF/WAVE container around an arbitrary already-encoded data
     payload — the fixture generator for the non-PCM format tags
@@ -1618,14 +1622,26 @@ def encode_wav_raw(
     zero pad byte after the data chunk — the chunk size still states
     the unpadded length, but the pad IS counted in the RIFF size
     (r14 advice: without it the container is technically malformed
-    and only parsers that treat data as the final chunk accept it)."""
+    and only parsers that treat data as the final chunk accept it).
+    r16: ``extensible=True`` wraps the real tag in a
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) header — 40-byte fmt with
+    cbSize=22, wValidBitsPerSample = bits, a full channel mask, and
+    the KSDATAFORMAT SubFormat GUID whose Data1 carries the tag."""
     import struct
 
     block = (bits // 8) * channels
-    fmt = struct.pack(
-        "<HHIIHH", fmt_tag, channels, sample_rate,
-        sample_rate * block, block, bits,
-    )
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHH", WAVE_FORMAT_EXTENSIBLE, channels, sample_rate,
+            sample_rate * block, block, bits,
+        ) + struct.pack(
+            "<HHI", 22, bits, (1 << channels) - 1
+        ) + struct.pack("<I", fmt_tag) + _WAVEX_GUID_TAIL
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, channels, sample_rate,
+            sample_rate * block, block, bits,
+        )
     pad = b"\x00" if len(payload) % 2 else b""
     return (
         b"RIFF"
@@ -1673,6 +1689,25 @@ def decode_wav(content: bytes):
     if len(fmt) < 16:
         raise ValueError("fmt chunk too short")
     fmt_tag, ch, rate, _, block, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if fmt_tag == WAVE_FORMAT_EXTENSIBLE:
+        # r16: 0xFFFE wraps the REAL tag in the SubFormat GUID's Data1
+        # (KSDATAFORMAT base); wValidBitsPerSample must match the
+        # container bits for the fixed-grid decoders below
+        if len(fmt) < 40:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk too short")
+        valid_bits, = struct.unpack_from("<H", fmt, 18)
+        sub_tag, = struct.unpack_from("<I", fmt, 24)
+        if fmt[28:40] != _WAVEX_GUID_TAIL:
+            raise NotImplementedError(
+                "WAVE_FORMAT_EXTENSIBLE with a non-KSDATAFORMAT "
+                "SubFormat GUID needs a real codec library"
+            )
+        if valid_bits not in (0, bits):
+            raise NotImplementedError(
+                f"WAVE_FORMAT_EXTENSIBLE with {valid_bits} valid of "
+                f"{bits} container bits needs a real codec library"
+            )
+        fmt_tag = sub_tag
     def pcm24(d):
         # 3-byte little-endian -> sign-extended int32, then the
         # standard >>8 downconversion onto the decoder's common int16

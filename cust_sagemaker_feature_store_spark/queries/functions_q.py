@@ -347,7 +347,8 @@ x AS (
 SELECT media_id, sample_rate,
        CAST(1 AS BIGINT) AS n_channels,
        n_frames,
-       CAST(44 + 2 * n_frames AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN media_id % 2 = 1 THEN 68 ELSE 44 END
+            + 2 * n_frames AS BIGINT) AS n_bytes,
        CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
        CAST(SUM(ABS(s)) AS DOUBLE) / n_frames AS mean_abs,
        CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * s < 0
@@ -379,7 +380,11 @@ def udf_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from ..operators.multimodal import decode_wav, encode_wav
+        from ..operators.multimodal import (
+            decode_wav,
+            encode_wav,
+            encode_wav_raw,
+        )
 
         for pdf in batches:
             rows = []
@@ -389,7 +394,18 @@ def udf_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate = 8000 + (mid % 4) * 2000
                 i = np.arange(n, dtype=np.int64)
                 s = (mid * 37 + i * 251) % 4001 - 2000
-                wav = encode_wav(s.astype(np.int16), rate)
+                if mid % 2:
+                    # r16: odd ids wrap the same PCM frames in a
+                    # WAVE_FORMAT_EXTENSIBLE (0xFFFE) header — the
+                    # modern container form; fmt grows 16 -> 40 bytes
+                    # (n_bytes 68 + 2n, mirrored in the oracle), and
+                    # the decoder resolves the SubFormat GUID
+                    wav = encode_wav_raw(
+                        s.astype(np.int16).tobytes(), 1, 1, rate, 16,
+                        extensible=True,
+                    )
+                else:
+                    wav = encode_wav(s.astype(np.int16), rate)
                 dec, dec_rate = decode_wav(wav)  # the REAL decode
                 c0 = dec[:, 0].astype(np.int64)
                 sum_abs = int(np.abs(c0).sum())

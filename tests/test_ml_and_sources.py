@@ -2491,6 +2491,69 @@ def test_tiff_jpeg_compression_round_trips_and_jdk_interop(spark):
     assert np.array_equal(ours, theirs)
 
 
+def test_wav_extensible_round_trips_and_javax_sound_interop(spark):
+    """r16: WAVE_FORMAT_EXTENSIBLE (0xFFFE) — the modern WAV header —
+    de-gated: the 40-byte fmt wraps the real tag in the KSDATAFORMAT
+    SubFormat GUID's Data1, which decode_wav resolves for PCM (16/24),
+    float and G.711 payloads alike. A non-KSDATAFORMAT GUID and
+    valid-bits != container-bits keep explicit gates. The JDK's
+    independent javax.sound parser reads our extensible container
+    frame-exactly."""
+    import numpy as np
+    import pytest
+
+    from cust_sagemaker_feature_store_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_raw,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    rng = np.random.RandomState(61)
+    s = rng.randint(-32768, 32768, (50, 2)).astype(np.int16)
+    dec, rate = decode_wav(
+        encode_wav_raw(s.tobytes(), 1, 2, 16000, 16, extensible=True)
+    )
+    assert rate == 16000 and np.array_equal(dec, s)
+
+    f = (rng.rand(40).astype(np.float32) * 2 - 1)
+    dec, _ = decode_wav(
+        encode_wav_raw(f.tobytes(), 3, 1, 44100, 32, extensible=True)
+    )
+    exp = np.clip(
+        np.round(f.astype(np.float64) * 32768.0), -32768, 32767
+    ).astype(np.int16)
+    assert np.array_equal(dec[:, 0], exp)
+
+    codes = mulaw_compress(rng.randint(-30000, 30000, 33).astype(np.int16))
+    dec, _ = decode_wav(
+        encode_wav_raw(codes.tobytes(), 7, 1, 8000, 8, extensible=True)
+    )
+    assert np.array_equal(dec[:, 0], mulaw_expand(codes))
+
+    blob = bytearray(
+        encode_wav_raw(s.tobytes(), 1, 2, 16000, 16, extensible=True)
+    )
+    i = bytes(blob).find(b"fmt ")
+    blob[i + 8 + 28] ^= 0xFF  # corrupt the SubFormat base GUID
+    with pytest.raises(NotImplementedError, match="GUID"):
+        decode_wav(bytes(blob))
+
+    jvm = spark._jvm
+    blob = encode_wav_raw(s.tobytes(), 1, 2, 16000, 16, extensible=True)
+    try:
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            jvm.java.io.ByteArrayInputStream(blob)
+        )
+    except Exception:
+        pytest.skip("javax.sound cannot read extensible WAV here")
+    fmt = ais.getFormat()
+    assert fmt.getChannels() == 2 and int(fmt.getSampleRate()) == 16000
+    assert fmt.getSampleSizeInBits() == 16 and ais.getFrameLength() == 50
+    got = np.frombuffer(bytes(ais.readAllBytes()), dtype="<i2").reshape(-1, 2)
+    assert np.array_equal(got, s)
+
+
 def test_png_gray_alpha_round_trips_both_depths():
     """r15 wave 2: PNG color type 4 (gray+alpha) at 8 and 16 bit —
     round-trips across filters; the JDK reads our 8-bit LA stream."""
