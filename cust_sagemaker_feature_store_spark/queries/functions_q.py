@@ -613,7 +613,8 @@ FROM v GROUP BY 1, 2, 3, 4
         "interleave, per-component DC prediction, chroma downsample/ "
         "upsample geometry, crop, and the color transform bit-for-"
         "bit. The oracle never sees JPEG bytes. Narrow per-row "
-        "transform, no shuffle; progressive JPEG stays env-gated."
+        "transform, no shuffle; subsampled and progressive forms have "
+        "their own oracle tiers since r16."
     ),
 )
 def udf_multimodal_jpeg_subsampled(
@@ -854,7 +855,8 @@ FROM px GROUP BY 1, 2, 3, 4
         "while the tile and planar reassembly paths run hot. Every "
         "rung is lossless, so ONE oracle recomputes exact channel "
         "sums from the pixel rules without seeing TIFF bytes; "
-        "JPEG-in-TIFF stays gated."
+        "JPEG-in-TIFF has its own oracle tier "
+        "(udf_multimodal_tiff_jpeg) since r16."
     ),
 )
 def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,7 +1077,8 @@ FROM px GROUP BY 1, 2, 3, 4
         "mapInPandas. Both types are lossless, so the oracle "
         "recomputes the exact channel sums from the pixel/palette "
         "rules without ever seeing PNG bytes. Narrow per-row "
-        "transform, no shuffle; 16-bit/interlaced PNG stays gated."
+        "transform, no shuffle; 16-bit and Adam7-interlaced PNG were "
+        "de-gated in r15 (suite-verified rungs)."
     ),
 )
 def udf_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
