@@ -574,6 +574,7 @@ _WINDOW_PRIORITY = [
     "source_avro_scan",
     "source_avro_union_scan",  # NEW r16: general unions de-gated
     "sink_avro_roundtrip",  # NEW r16: write path
+    "sink_avro_timestamps",  # NEW r16: logical types end-to-end
 ]
 
 # Unverified entries deliberately ordered at the BACK of the front

@@ -2714,6 +2714,69 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_avro_timestamps",
+    oracle=f"""
+WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, {AVRO_SCAN_N}) t(i)),
+rows AS (
+  SELECT i % 5 AS grp,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + i * 37 * INTERVAL 1 SECOND AS ts,
+         CASE WHEN i % 9 = 0 THEN NULL
+              ELSE DATE '2024-01-01' + CAST(i % 400 AS INT) END AS d
+  FROM r
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(ts) AS max_ts,
+       MIN(ts) AS min_ts,
+       CAST(COUNT(d) AS BIGINT) AS n_d,
+       CAST(MAX(d) AS VARCHAR) AS max_d
+FROM rows GROUP BY grp
+""",
+    description=(
+        "[EXT] Avro logical types end-to-end (r16): a closed-form "
+        "Spark frame with timestamp and nullable date columns rides "
+        "write_avro -> long/timestamp-micros + int/date annotations "
+        "(the spark-avro conventions) -> read_avro back to proper "
+        "timestamp/date Spark columns, then per-group temporal "
+        "aggregates. The oracle recomputes max/min timestamps and "
+        "date counts from the same closed form via range(), so an "
+        "epoch-conversion, tz, or annotation regression "
+        "hash-mismatches. The reference org.apache.avro jars parse "
+        "the written annotation in the suite."
+    ),
+)
+def sink_avro_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.readers import read_avro
+    from ..sources.writers import write_avro
+
+    df = spark.range(0, AVRO_SCAN_N, 1, 4).selectExpr(
+        "id AS k",
+        "timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0, id*37) AS ts",
+        "CASE WHEN id % 9 = 0 THEN NULL"
+        " ELSE date'2024-01-01' + CAST(id % 400 AS INT) END AS d",
+    )
+    d = tempfile.mkdtemp(prefix="avro_ts_")
+    write_avro(df, d, mode="overwrite")
+    back = read_avro(spark, d)
+    return (
+        back.groupBy((F.col("k") % 5).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("ts").alias("max_ts"),
+            F.min("ts").alias("min_ts"),
+            F.count("d").cast("long").alias("n_d"),
+            # ISO string on BOTH engines: DuckDB's pandas fetch
+            # renders DATE as midnight timestamps, Spark as dates
+            F.max("d").cast("string").alias("max_d"),
+        )
+    )
+
+
+@register(
     "source_avro_scan",
     oracle=f"""
 WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, {AVRO_SCAN_N}) t(i)),

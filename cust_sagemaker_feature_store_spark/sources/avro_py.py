@@ -296,6 +296,38 @@ def _encoder_for(schema: Any) -> Callable[[bytearray, Any], None]:
     if t == "boolean":
         return lambda out, v: out.append(1 if v else 0)
     if t in ("int", "long"):
+        kind = _logical_kind(schema)
+        if kind in ("ts-us", "ts-ms"):
+            import datetime as _dt
+
+            epoch = _dt.datetime(1970, 1, 1)
+            unit = _dt.timedelta(
+                microseconds=1 if kind == "ts-us" else 1000
+            )
+
+            def enc_ts(out, v, _e=epoch, _u=unit):
+                if not isinstance(v, int):
+                    if getattr(v, "tzinfo", None) is not None:
+                        # Arrow hands tz-aware datetimes for
+                        # timestamp[us, tz=UTC] columns
+                        v = v.astimezone(_dt.timezone.utc).replace(
+                            tzinfo=None
+                        )
+                    v = (v - _e) // _u  # datetime/pd.Timestamp -> count
+                _write_long(out, int(v))
+
+            return enc_ts
+        if kind == "date":
+            import datetime as _dt
+
+            epoch_d = _dt.date(1970, 1, 1)
+
+            def enc_date(out, v, _e=epoch_d):
+                if not isinstance(v, int):
+                    v = (v - _e).days
+                _write_long(out, int(v))
+
+            return enc_date
         return lambda out, v: _write_long(out, int(v))
     if t == "float":
         return lambda out, v: out.extend(struct.pack("<f", float(v)))
@@ -353,11 +385,48 @@ def _encoder_for(schema: Any) -> Callable[[bytearray, Any], None]:
     raise NotImplementedError(f"Avro type {t!r} is outside the encoded subset")
 
 
+_LOGICAL_SPARK = {
+    # Avro logical annotations -> Spark types (r16; the binary wire
+    # encoding is the unchanged base type, so codec interop is free —
+    # this layer is the spark-avro-convention TYPE mapping)
+    ("long", "timestamp-micros"): "timestamp",
+    ("long", "timestamp-millis"): "timestamp",
+    ("long", "local-timestamp-micros"): "timestamp_ntz",
+    ("long", "local-timestamp-millis"): "timestamp_ntz",
+    ("int", "date"): "date",
+}
+
+
+def _logical_kind(schema: Any):
+    """-> 'ts-us' | 'ts-ms' | 'date' | None for a (possibly nullable-
+    union) field schema — the value-conversion tag the distributed
+    reader/writer use on top of the base-type codec."""
+    schema = _normalize(schema)
+    if isinstance(schema, list):
+        non_null = [s for s in schema if _normalize(s)["type"] != "null"]
+        return _logical_kind(non_null[0]) if len(non_null) == 1 else None
+    lt = schema.get("logicalType")
+    t = schema.get("type")
+    if t == "long" and lt in ("timestamp-micros", "local-timestamp-micros"):
+        return "ts-us"
+    if t == "long" and lt in ("timestamp-millis", "local-timestamp-millis"):
+        return "ts-ms"
+    if t == "int" and lt == "date":
+        return "date"
+    return None
+
+
 def avro_schema_to_spark_ddl(schema: Any) -> str:
     """Writer record schema -> Spark DDL string for createDataFrame/
     mapInPandas. Unions must be null|X (the lake-standard nullable
     column); richer unions need a real connector and raise."""
     schema = _normalize(schema)
+    if isinstance(schema, dict):
+        mapped = _LOGICAL_SPARK.get(
+            (schema.get("type"), schema.get("logicalType"))
+        )
+        if mapped:
+            return mapped
     if isinstance(schema, list):
         non_null = [s for s in schema if _normalize(s)["type"] != "null"]
         if len(non_null) == 0:
@@ -548,6 +617,9 @@ def read_avro_distributed(spark, path: str):
     schema, _, _, _ = parse_container_header(bytes(first["content"]))
     ddl = record_ddl(schema)
     field_names = [f["name"] for f in schema["fields"]]
+    # logical-type columns (r16): the wire codec yields base ints;
+    # the reader converts to the spark-avro-convention value types
+    kinds = {f["name"]: _logical_kind(f["type"]) for f in schema["fields"]}
 
     def run(batches):
         import pandas as pd
@@ -566,9 +638,17 @@ def read_avro_distributed(spark, path: str):
                         f"{fnames} != driver-derived {field_names}"
                     )
                 rows = list(decode_container(content))
-                yield pd.DataFrame(
+                out = pd.DataFrame(
                     {n: [r[n] for r in rows] for n in field_names}
                 )
+                for n, kind in kinds.items():
+                    if kind == "ts-us":
+                        out[n] = pd.to_datetime(out[n], unit="us")
+                    elif kind == "ts-ms":
+                        out[n] = pd.to_datetime(out[n], unit="ms")
+                    elif kind == "date":
+                        out[n] = pd.to_datetime(out[n], unit="D").dt.date
+                yield out
 
     return files.select("path", "content").mapInPandas(run, schema=ddl)
 
@@ -579,13 +659,20 @@ def spark_schema_to_avro(schema, name: str = "spark_export") -> dict:
     """Spark StructType -> Avro record schema (the write-side twin of
     avro_schema_to_spark_ddl): nullable fields become ["null", T]
     unions, arrays/maps/structs nest, nested records get path-derived
-    names (Avro requires unique names). Types with no clean container
-    mapping here (timestamp, date, decimal) raise NotImplementedError
-    — the documented gate; export them as long micros / ISO strings
-    upstream."""
+    names (Avro requires unique names). Timestamps map to
+    long/timestamp-micros, TimestampNTZ to local-timestamp-micros and
+    dates to int/date (r16 — the spark-avro conventions); decimal
+    keeps a NotImplementedError gate (export as string or unscaled
+    long upstream)."""
     from pyspark.sql import types as T
 
     def conv(dt, path):
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
         if isinstance(dt, T.LongType):
             return "long"
         if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
@@ -632,8 +719,8 @@ def spark_schema_to_avro(schema, name: str = "spark_export") -> dict:
             }
         raise NotImplementedError(
             f"Spark type {dt.simpleString()} has no Avro container "
-            "mapping here (timestamp/date/decimal: export as long "
-            "micros or ISO strings upstream)"
+            "mapping here (decimal: export as string/unscaled-long "
+            "upstream; timestamps and dates map since r16)"
         )
 
     return conv(schema, name)

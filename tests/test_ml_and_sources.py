@@ -2040,6 +2040,88 @@ def _avro_union_rows(n: int) -> list[dict]:
     return rows
 
 
+def test_avro_logical_types_round_trip_spark_and_reference(spark, tmp_path):
+    """r16: Avro logical types — Spark timestamp -> long/
+    timestamp-micros, timestamp_ntz -> local-timestamp-micros, date ->
+    int/date (the spark-avro conventions) — through write_avro and
+    back through read_avro with exact values (nulls included); the
+    org.apache.avro reference jars parse the written schema annotation
+    and see the raw micro counts; a container with logical annotations
+    written from plain ints (any third-party writer) reads back as
+    proper timestamp/date columns."""
+    import datetime
+
+    from cust_sagemaker_feature_store_spark.sources.avro_py import (
+        encode_container,
+    )
+    from cust_sagemaker_feature_store_spark.sources.readers import read_avro
+    from cust_sagemaker_feature_store_spark.sources.writers import write_avro
+
+    df = spark.range(0, 100, 1, 2).selectExpr(
+        "id AS k",
+        "timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0,0,0,0,0,0, id*37) AS ts",
+        "CASE WHEN id % 9 = 0 THEN NULL"
+        " ELSE date'2024-01-01' + CAST(id % 400 AS INT) END AS d",
+        "timestamp_ntz'2024-06-01 12:00:00'"
+        " + make_interval(0,0,0,0,0, id, 0) AS tsn",
+    )
+    out = tmp_path / "avro_logical"
+    write_avro(df, str(out))
+    back = read_avro(spark, str(out))
+    assert [(f.name, f.dataType.simpleString()) for f in back.schema.fields] == [
+        ("k", "bigint"), ("ts", "timestamp"), ("d", "date"),
+        ("tsn", "timestamp_ntz"),
+    ]
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[2]["ts"] == datetime.datetime(2024, 1, 1, 0, 1, 14)
+    assert rows[0]["d"] is None
+    assert rows[1]["d"] == datetime.date(2024, 1, 2)
+    assert rows[3]["tsn"] == datetime.datetime(2024, 6, 1, 12, 3, 0)
+
+    # reference jar sees the annotation + raw count
+    jvm = spark._jvm
+    blob = next(out.glob("part-*.avro")).read_bytes()
+    rdr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.org.apache.avro.file.SeekableByteArrayInput(blob),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    assert '"logicalType":"timestamp-micros"' in str(
+        rdr.getSchema().getField("ts").schema()
+    )
+    rec = rdr.next()
+    assert rec.get("ts") == 1704067200000000  # 2024-01-01T00:00:00Z
+    rdr.close()
+
+    # third-party-written container (raw ints + annotations) -> typed
+    d2 = tmp_path / "avro_logical_raw"
+    d2.mkdir()
+    schema = {
+        "type": "record", "name": "L", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "ts", "type": {
+                "type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "d", "type": ["null", {
+                "type": "int", "logicalType": "date"}]},
+        ],
+    }
+    rows_raw = [
+        {"k": i, "ts": 1704067200000 + i * 1500,
+         "d": None if i % 5 == 0 else 19723 + i}
+        for i in range(50)
+    ]
+    (d2 / "a.avro").write_bytes(encode_container(rows_raw, schema))
+    typed = read_avro(spark, str(d2))
+    assert typed.schema["ts"].dataType.simpleString() == "timestamp"
+    assert typed.schema["d"].dataType.simpleString() == "date"
+    got = {r["k"]: r for r in typed.collect()}
+    assert got[1]["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 1, 500000)
+    assert got[0]["d"] is None
+    assert got[1]["d"] == datetime.date(1970, 1, 1) + datetime.timedelta(
+        days=19724
+    )
+
+
 def test_avro_general_unions_round_trip_and_ddl():
     """r16 (r15 verdict next-round #5): general (non-nullable multi-
     branch) unions de-gated — they map to the spark-avro convention of
@@ -2228,10 +2310,11 @@ def test_avro_write_path_round_trip_and_jdk_interop(spark, tmp_path):
     rdr.close()
     assert n == 10 and ks == set(range(10))
 
-    # unsupported type gate
+    # unsupported type gate (timestamps/dates map since r16 — the
+    # logical-types test; decimal keeps the gate)
     with pytest.raises(Exception, match="Avro container mapping"):
         write_avro(
-            spark.sql("SELECT current_timestamp() AS ts"),
+            spark.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS dec"),
             str(tmp_path / "nope"),
         )
 
