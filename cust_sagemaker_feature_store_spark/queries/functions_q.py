@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..operators.spread import spread_for_compute
 from .registry import register
 
 
@@ -863,6 +864,9 @@ def udf_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # single-file corpus -> one scan partition would serialize this
+    # CPU-bound codec fixture on one core; cheap 8-byte-id rebalance
+    docs = spread_for_compute(docs, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1085,6 +1089,9 @@ def udf_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # single-file corpus -> one scan partition would serialize this
+    # CPU-bound codec fixture on one core; cheap 8-byte-id rebalance
+    docs = spread_for_compute(docs, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1302,6 +1309,9 @@ def udf_multimodal_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # single-file corpus -> one scan partition would serialize this
+    # CPU-bound codec fixture on one core; cheap 8-byte-id rebalance
+    docs = spread_for_compute(docs, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2049,6 +2059,9 @@ def udf_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # single-file corpus -> one scan partition would serialize this
+    # CPU-bound codec fixture on one core; cheap 8-byte-id rebalance
+    docs = spread_for_compute(docs, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2160,6 +2173,9 @@ def udf_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # single-file corpus -> one scan partition would serialize this
+    # CPU-bound codec fixture on one core; cheap 8-byte-id rebalance
+    docs = spread_for_compute(docs, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2295,6 +2311,9 @@ def udf_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # single-file corpus -> one scan partition would serialize this
+    # CPU-bound codec fixture on one core; cheap 8-byte-id rebalance
+    docs = spread_for_compute(docs, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2378,6 +2397,9 @@ def udf_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # single-file corpus -> one scan partition would serialize this
+    # CPU-bound codec fixture on one core; cheap 8-byte-id rebalance
+    docs = spread_for_compute(docs, "media_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
