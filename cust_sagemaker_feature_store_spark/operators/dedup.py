@@ -370,10 +370,9 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     scan partition, serializing the md5/shingle pipeline; at real scale
     the scan already has >= defaultParallelism splits and this is a
     no-op, so the raw text is never shuffled unnecessarily."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    from .spread import spread_for_compute
+
+    return spread_for_compute(df)
 
 
 def minhash_candidates(
@@ -414,7 +413,13 @@ def minhash_candidates(
     # and reads the second side from ReusedExchange. Without it the
     # map-side signature pipeline (no shuffle at all) is evaluated twice
     # at scan parallelism, which is slower than the shuffle it saves.
-    exploded = exploded.repartition("band", "bucket")
+    # Explicit partition count: the exchange is BYTE-tiny but the join
+    # above it does quadratic per-bucket verify work, so AQE's byte-
+    # based coalescing would run it on one core (guide §2 — partition
+    # count must follow compute here, not shuffle size).
+    exploded = exploded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "band", "bucket"
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -458,8 +463,12 @@ def simhash_candidates(
         F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
     ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     # same trick as minhash_candidates: hash-repartition the compact
-    # banded rows so both self-join sides share one exchange
-    exploded = exploded.repartition("ci", "cv")
+    # banded rows so both self-join sides share one exchange; explicit
+    # count so AQE's byte-based coalescing can't serialize the
+    # quadratic per-bucket Hamming verify
+    exploded = exploded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "ci", "cv"
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     pairs = (
         a.join(

@@ -355,6 +355,14 @@ def srp_dup_pairs(
     if srp_recall_estimate(min_cosine + 0.05, band_bits, n_bands) < 0.95:
         return _exact_pairs(unit, min_cosine, id_col)
 
+    # the normalized corpus feeds three subtrees (signatures + both
+    # verify sides); spread it so a single-split scan doesn't serialize
+    # the matmul and the per-candidate dot folds (no-op on real multi-
+    # split inputs)
+    from .spread import spread_for_compute
+
+    unit = spread_for_compute(unit, id_col)
+
     import numpy as np
     import pandas as pd
 
@@ -380,6 +388,16 @@ def srp_dup_pairs(
     ).mapInPandas(_sig_batches, schema="__id long, __bands array<long>")
     banded = sigs.select(
         "__id", F.posexplode("__bands").alias("__band", "__val")
+    )
+    # same trick as minhash_candidates: hash-repartition the compact
+    # banded rows so both self-join sides share ONE exchange and the
+    # signature pipeline is evaluated once (ReuseExchange), not twice;
+    # explicit count so AQE's byte-based coalescing can't serialize the
+    # quadratic per-bucket candidate join
+    banded = banded.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        "__band",
+        "__val",
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (

@@ -134,6 +134,9 @@ def winnow_fingerprint_rows(
     higher-order-function lambdas, and CollapseProject re-inlines plain
     projections. The Generate barrier pins one evaluation per row while
     staying map-side (no shuffle, no Python)."""
+    from .dedup import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     t = F.lower(F.trim(F.col(text_col)))
     # gram positions 1..len-k+1 (min 1 so short docs yield one gram)
     hi_g = F.greatest(F.length(t) - F.lit(k - 2), F.lit(2))
@@ -264,6 +267,9 @@ def doc_line_segments(
     scale. Returns (doc_id, line_no, line)."""
     if line_tokens < 1:
         raise ValueError("line_tokens must be >= 1")
+    from .dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(docs)
     toks = tokens(text_col)
     n_seg = F.greatest(
         F.ceil(F.size(toks) / float(line_tokens)).cast("int"), F.lit(1)
@@ -322,6 +328,12 @@ def strip_boilerplate(
     lines = doc_line_segments(
         docs, line_tokens=line_tokens, id_col=id_col, text_col=text_col
     )
+    # One hash exchange on `line` feeds BOTH consumers (the df count and
+    # the boilerplate flag join): without it each subtree re-evaluates
+    # the tokenize+posexplode pipeline from the scan (guide §2.4 — two
+    # operations keyed the same way share one exchange), and the df
+    # aggregation chain (line,doc)->(line) rides the same partitioning.
+    lines = lines.repartition("line")
     boiler = (
         line_document_frequency(lines, id_col=id_col)
         .filter(F.col("df") >= min_df)
@@ -378,6 +390,9 @@ def repeated_span_coverage(
     one whole-doc window (the `shingles` convention)."""
     if gram_tokens < 1:
         raise ValueError("gram_tokens must be >= 1")
+    from .dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(docs)
     toks = tokens(text_col)
     n = F.size(toks)
     n_win = F.greatest(n - F.lit(gram_tokens - 1), F.lit(1))
@@ -394,6 +409,10 @@ def repeated_span_coverage(
             )
         ).alias("start", "gram"),
     )
+    # one gram exchange shared by the count subtree and the semi-join
+    # probe side (guide §2.4) — otherwise the window posexplode above
+    # is evaluated once per consumer
+    wins = wins.repartition("gram")
     repeated = (
         wins.groupBy("gram")
         .agg(F.count("*").alias("__c"))
@@ -505,6 +524,9 @@ def shared_span_pairs(
         raise ValueError("gram_tokens must be >= 1")
     if max_occ < 2:
         raise ValueError("max_occ must be >= 2")
+    from .dedup import _ensure_parallelism
+
+    docs = _ensure_parallelism(docs)
     toks = tokens(text_col)
     n = F.size(toks)
     n_win = F.greatest(n - F.lit(gram_tokens - 1), F.lit(1))
@@ -520,6 +542,12 @@ def shared_span_pairs(
             )
         ).alias("start", "gram"),
     )
+    # one gram exchange shared by ALL downstream consumers: the occ
+    # bound, the semi-join probe, and both sides of the diagonal
+    # self-join key on gram, so a single repartition lets ReuseExchange
+    # evaluate the window posexplode once instead of once per subtree
+    # (guide §2.4; measured 3x ~3.3s single-task passes before)
+    wins = wins.repartition("gram")
     bounded = (
         wins.groupBy("gram")
         .agg(F.count("*").alias("__occ"))

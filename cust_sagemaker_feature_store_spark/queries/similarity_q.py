@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import similarity as S
+from ..operators.spread import spread_for_compute
 from .registry import register
 
 QUERY_VEC_ID = 0
@@ -208,7 +209,10 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "label", S.as_double("embedding").alias("e"))
-    a, b = v.alias("a"), v.alias("b")
+    # the single-file corpus joins as ONE probe task, serializing the
+    # per-pair cosine fold — spread the probe side; the build side
+    # still broadcasts (plan unchanged otherwise)
+    a, b = spread_for_compute(v, "vec_id").alias("a"), v.alias("b")
     cos = F.round(
         S.dot(F.col("a.e"), F.col("b.e"))
         / (S.l2_norm(F.col("a.e")) * S.l2_norm(F.col("b.e"))),

@@ -961,7 +961,12 @@ fp16 AS (
 
 
 def _spark_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import _ensure_parallelism
+
+    # spread the single-file corpus before the md5-vote map side — the
+    # 16 per-bit conditional sums over every token otherwise partial-
+    # aggregate inside the one scan task
+    docs = _ensure_parallelism(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(T.tokens("text")).alias("token")
     )
@@ -1041,7 +1046,12 @@ def dedup_simhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ch.ci").alias("ci"),
         F.col("ch.cv").alias("cv"),
     )
-    chunks = chunks.repartition("ci", "cv")
+    # explicit count: the exchange is byte-tiny (only 64 distinct
+    # buckets) but the verify join above it is quadratic per bucket —
+    # AQE's byte-based coalescing would run it on one core
+    chunks = chunks.repartition(
+        spark.sparkContext.defaultParallelism, "ci", "cv"
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

@@ -37,6 +37,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     sc = spark.sparkContext
@@ -52,8 +54,21 @@ def main() -> int:
     app_id = sc.applicationId
     spark.stop()
 
-    # parse the event log
+    # parse the event log (Spark 4 writes a rolling eventlog_v2_<app> dir)
     path = os.path.join(evdir, app_id)
+    if not os.path.exists(path):
+        v2 = os.path.join(evdir, f"eventlog_v2_{app_id}")
+        parts = sorted(
+            p for p in os.listdir(v2) if p.startswith("events_")
+        )
+        path = os.path.join(v2, parts[0])
+        if len(parts) > 1:
+            merged = os.path.join(evdir, "merged_events")
+            with open(merged, "w") as out:
+                for p in parts:
+                    with open(os.path.join(v2, p)) as fh:
+                        out.write(fh.read())
+            path = merged
     job_desc = {}       # jobId -> description
     job_stages = {}     # jobId -> [stageIds]
     stage_info = {}     # stageId -> dict
