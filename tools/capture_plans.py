@@ -1,6 +1,6 @@
 """Capture `.explain("formatted")` output for named registry queries.
 
-Writes plans/r16/<query>_<tag>.txt for each query — the before/after
+Writes plans/$PLANS_ROUND/<query>_<tag>.txt (default r17) for each query — the before/after
 plan evidence the optimization rounds commit alongside code changes.
 
 Usage: python tools/capture_plans.py <tag> [sf_dir] <query ...>
@@ -33,7 +33,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("PLANS_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")

@@ -30,8 +30,21 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     if args and args[0].startswith("/"):
         sf_dir, args = args[0], args[1:]
-    names = args
+    names = [n for n in args if n in REGISTRY]
+    for n in args:
+        if n not in REGISTRY:
+            print(f"SKIP {n}: not in REGISTRY")
+    if not names:
+        print("no valid query names given")
+        return 2
     evdir = tempfile.mkdtemp(prefix="spark_events_")
+    try:
+        return _run(evdir, sf_dir, names)
+    finally:
+        shutil.rmtree(evdir, ignore_errors=True)
+
+
+def _run(evdir: str, sf_dir: str, names: list[str]) -> int:
     spark = get_spark(
         "profile_stages",
         extra_conf={
@@ -120,7 +133,6 @@ def main() -> int:
                 f"  wall {wall:6.2f}s  tasks {ntask:4d}  cpu {s:6.2f}s  "
                 f"maxtask {mx:5.2f}s  [{sid}] {nm}"
             )
-    shutil.rmtree(evdir, ignore_errors=True)
     return 0
 
 
